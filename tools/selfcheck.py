@@ -1,0 +1,117 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every registry query on Spark AND its DuckDB oracle on the same
+parquet tables, then compares row count, sorted column names, and an
+order-insensitive value hash (rows canonicalized and sorted).  Use while
+iterating:
+
+    python tools/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+from trend_o_meter_spark.catalog import TABLES
+from trend_o_meter_spark.session import get_spark
+from trend_o_meter_spark.workload import registry
+
+
+def canon(val) -> str:
+    import datetime
+    import math
+
+    if val is None:
+        return "NULL"
+    if isinstance(val, bool):
+        return "T" if val else "F"
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "NaN"
+        return repr(val)
+    if isinstance(val, datetime.datetime):
+        return val.strftime("%Y-%m-%d %H:%M:%S.%f")
+    return str(val)
+
+
+def fingerprint(rows, colnames) -> tuple[int, list[str]]:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    import hashlib
+
+    h = hashlib.md5("\n".join(lines).encode()).hexdigest()
+    return len(rows), [h, lines[:3]]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
+    only = set(a for a in sys.argv[1:] if "/" not in a)
+
+    spark = get_spark("selfcheck", master="local[8]")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_pass = n_fail = n_nosql = 0
+    for spec in registry():
+        if only and spec.name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.spark(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"FAIL {spec.name}: SPARK ERROR")
+            traceback.print_exc(limit=4)
+            n_fail += 1
+            continue
+        if spec.oracle is None:
+            print(f"ROWS-ONLY {spec.name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            n_nosql += 1
+            continue
+        try:
+            res = con.sql(spec.oracle)
+            ocols = res.columns
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {spec.name}: ORACLE ERROR {e}")
+            n_fail += 1
+            continue
+        sc, (sh, sample_s) = fingerprint(srows, scols)
+        oc, (oh, sample_o) = fingerprint(orows, ocols)
+        ok_cols = sorted(scols) == sorted(ocols)
+        ok = sc == oc and sh == oh and ok_cols
+        if ok:
+            print(f"PASS {spec.name}: {sc} rows ({time.time()-t0:.1f}s)")
+            n_pass += 1
+        else:
+            print(
+                f"FAIL {spec.name}: spark={sc} rows cols={sorted(scols)} hash={sh} | "
+                f"oracle={oc} rows cols={sorted(ocols)} hash={oh}"
+            )
+            if sc and oc and ok_cols:
+                sset, oset = set(), set()
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                for r in srows:
+                    sset.add("|".join(canon(r[i]) for i in order_s))
+                for r in orows:
+                    oset.add("|".join(canon(r[i]) for i in order_o))
+                for x in list(sset - oset)[:3]:
+                    print(f"  spark-only: {x[:200]}")
+                for x in list(oset - sset)[:3]:
+                    print(f"  oracle-only: {x[:200]}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_nosql} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

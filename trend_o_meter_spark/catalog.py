@@ -1,0 +1,74 @@
+"""Logical table name -> storage mapping (SURVEY §1.4).
+
+The reference's "catalog" is Redis key shapes (`${sensor}:${metric}:.list`
+etc., reference trend-o-meter:289,167-169); here the catalog maps logical
+names to parquet paths under a scale-factor directory.  All reads go
+through :func:`table` so predicate pushdown / column pruning apply at the
+parquet scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import tune
+
+# The driver-provided star schema + stream tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Timestamp columns per table.  The driver's parquet files carry
+# TIMESTAMP(NANOS) annotations (pandas datetime64[ns] writer), which Spark's
+# vectorized reader rejects; we read them as raw int64 nanos
+# (spark.sql.legacy.parquet.nanosAsLong) and truncate to micros — exactly
+# what DuckDB does when it coerces TIMESTAMP_NS to its micro TIMESTAMP, so
+# both engines see identical values.
+_TS_COLS: dict[str, tuple[str, ...]] = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Load a logical table; the single entry point for batch scans (S1)."""
+    tune(spark)
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    for c in _TS_COLS.get(name, ()):
+        if dtypes.get(c) == "bigint":  # ns-as-long -> micros timestamp
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif dtypes.get(c) == "timestamp_ntz":
+            # session tz is pinned to UTC, so NTZ -> TIMESTAMP is value-preserving
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    return {name: table(spark, name, sf_dir) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Register all tables as temp views for spark.sql() use."""
+    for name in TABLES:
+        table(spark, name, sf_dir).createOrReplaceTempView(name)

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* :func:`cosine_topk` — brute-force cosine top-k: broadcast the (small)
+  query set against the corpus, JVM-side dot products via
+  ``zip_with``/``aggregate`` (no Python in the hot path), per-query
+  ``row_number`` top-k.  The correctness baseline.
+* :func:`ivf_assign` / :func:`cosine_topk_ivf` — the scale path: IVF-style
+  partitioning by nearest centroid; search probes only the query's cell, so
+  the candidate join is keyed by cluster id instead of a full cross join.
+
+Float determinism vs the oracle: the dot product folds the array
+left-to-right in both engines over float->double casts, so the raw doubles
+normally agree bit-for-bit; ordering additionally tie-breaks on rounded
+similarity + candidate id so a last-ulp divergence cannot flip the top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _as_double(a), _as_double(b)
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+DOT_SQL = "list_sum(list_transform(range(1, len({a}) + 1), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+NORM_SQL = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"({DOT_SQL.format(a=a, b=b)}) / (({NORM_SQL.format(a=a)}) * ({NORM_SQL.format(a=b)}))"
+
+
+def cosine_topk(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force cosine top-k of the corpus against the first n query ids.
+
+    Output: ``query_id, neighbor_id, cos_sim, rank``.  The query side is
+    broadcast; the corpus is scanned once — the canonical ANN baseline.
+    """
+    queries = df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    from pyspark.sql import Window
+
+    cos = cosine(F.col("qvec"), F.col(vec_col))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos_sim"), 9).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        df.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("cos_sim", F.round("cos_sim", 6))
+    )
+
+
+def cosine_topk_sql(
+    table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 5,
+    k: int = 10,
+) -> str:
+    cos = cosine_sql("q.qvec", f"c.{vec_col}")
+    return f"""
+WITH q AS (
+  SELECT {id_col} AS query_id, {vec_col} AS qvec FROM {table} WHERE {id_col} < {n_queries}
+),
+scored AS (
+  SELECT q.query_id, c.{id_col} AS neighbor_id, {cos} AS cos_sim
+  FROM {table} c, q WHERE c.{id_col} != q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cos_sim, 9) DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def ivf_assign(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+) -> DataFrame:
+    """IVF cell assignment: nearest (by cosine) of the first n centroid vectors.
+
+    Deterministic "training": centroids are the ``n_centroids`` smallest ids
+    (a stand-in for k-means — the partitioning shape, which is what matters
+    at scale, is identical).  Output: ``vec_id, cluster, cos_to_centroid``.
+    """
+    cents = df.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cluster"), F.col(vec_col).alias("cvec")
+    )
+    cos = cosine(F.col("cvec"), F.col(vec_col))
+    scored = df.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col), F.col("cluster"), cos.alias("cos")
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.round(F.col("cos"), 9).alias("c"), (-F.col("cluster")).alias("nc"))).alias("__m")
+    )
+    return best.select(
+        F.col(id_col),
+        (-F.col("__m.nc")).cast("long").alias("cluster"),
+        F.col("__m.c").alias("cos_to_centroid"),
+    )
+
+
+def ivf_assign_sql(
+    table: str, *, id_col: str = "vec_id", vec_col: str = "embedding", n_centroids: int = 8
+) -> str:
+    cos = cosine_sql("c.cvec", f"t.{vec_col}")
+    return f"""
+WITH c AS (
+  SELECT {id_col} AS cluster, {vec_col} AS cvec FROM {table} WHERE {id_col} < {n_centroids}
+),
+scored AS (
+  SELECT t.{id_col}, c.cluster, {cos} AS cos FROM {table} t, c
+),
+best AS (
+  SELECT {id_col},
+         max(struct_pack(c := round(cos, 9), nc := -cluster)) AS m
+  FROM scored GROUP BY 1
+)
+SELECT {id_col}, CAST(-(m.nc) AS BIGINT) AS cluster, (m.c) AS cos_to_centroid FROM best
+"""

@@ -1,0 +1,173 @@
+"""Text analysis operators: quality stats, language id, token counts,
+fingerprints.  All JVM-side column expressions over the ``documents``
+table; embarrassingly parallel (no shuffles except final aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import NORM_SQL, _norm
+from .hashing import md5_int, md5_int_sql
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "for")
+
+# tiny per-language marker vocabularies for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "es": ("el", "la", "los", "que", "es"),
+    "fr": ("le", "la", "les", "est", "une"),
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(_norm(text), " ")
+
+
+def text_stats(df: DataFrame, *, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality-scoring features: lengths, token stats, punct/stopword ratios.
+
+    Output: ``doc_id, n_chars_calc, n_tokens, avg_token_len, punct_ratio,
+    stopword_ratio, upper_ratio``.  All ratios are exact integer counts
+    divided as doubles — deterministic across engines.
+    """
+    t = F.col(text)
+    toks = _tokens(t)
+    n_tokens = F.size(toks)
+    n_chars = F.length(t)
+    alnum_ws = F.length(F.regexp_replace(t, "[^A-Za-z0-9 \\t\\n]", ""))
+    upper = F.length(F.regexp_replace(t, "[^A-Z]", ""))
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        (tok_chars / n_tokens).alias("avg_token_len"),
+        ((n_chars - alnum_ws) / n_chars).alias("punct_ratio"),
+        (stop_hits / n_tokens).alias("stopword_ratio"),
+        (upper / n_chars).alias("upper_ratio"),
+    )
+
+
+def text_stats_sql(table: str, *, text: str = "text", id_col: str = "doc_id") -> str:
+    norm = NORM_SQL.format(c=text)
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+SELECT {id_col},
+  length({text}) AS n_chars_calc,
+  len(str_split({norm}, ' ')) AS n_tokens,
+  list_sum(list_transform(str_split({norm}, ' '), x -> length(x)))
+    / CAST(len(str_split({norm}, ' ')) AS DOUBLE) AS avg_token_len,
+  (length({text}) - length(regexp_replace({text}, '[^A-Za-z0-9 \\t\\n]', '', 'g')))
+    / CAST(length({text}) AS DOUBLE) AS punct_ratio,
+  len(list_filter(str_split({norm}, ' '), x -> x IN ({stop_list})))
+    / CAST(len(str_split({norm}, ' ')) AS DOUBLE) AS stopword_ratio,
+  length(regexp_replace({text}, '[^A-Z]', '', 'g'))
+    / CAST(length({text}) AS DOUBLE) AS upper_ratio
+FROM {table}
+"""
+
+
+def lang_id(df: DataFrame, *, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-vocabulary language guess (deterministic argmax).
+
+    Output: ``doc_id, lang_guess, lang_score`` where score = marker hits /
+    n_tokens and ties break lexicographically-last (struct-max lattice,
+    identical in the oracle).
+    """
+    toks = _tokens(F.col(text))
+    n = F.size(toks)
+    def _hits(markers: tuple[str, ...]):
+        return lambda x: x.isin(*markers)
+
+    cands = F.array(
+        *[
+            F.struct(
+                (F.size(F.filter(toks, _hits(markers))) / n).alias("s"),
+                F.lit(lang).alias("l"),
+            )
+            for lang, markers in sorted(LANG_MARKERS.items())
+        ]
+    )
+    best = F.array_max(cands)
+    return df.select(
+        F.col(id_col), best["l"].alias("lang_guess"), F.round(best["s"], 9).alias("lang_score")
+    )
+
+
+def lang_id_sql(table: str, *, text: str = "text", id_col: str = "doc_id") -> str:
+    norm = NORM_SQL.format(c=text)
+    toks = f"str_split({norm}, ' ')"
+    packs = ", ".join(
+        "struct_pack(s := len(list_filter({toks}, x -> x IN ({m}))) / CAST(len({toks}) AS DOUBLE), l := '{lang}')".format(
+            toks=toks, m=", ".join(f"'{w}'" for w in markers), lang=lang
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    )
+    return f"""
+SELECT {id_col},
+       (list_max([{packs}])).l AS lang_guess,
+       round((list_max([{packs}])).s, 9) AS lang_score
+FROM {table}
+"""
+
+
+def token_count(df: DataFrame, *, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting three ways: whitespace, BPE-ish regex pieces, chars/4.
+
+    Output: ``doc_id, ws_tokens, regex_tokens, approx_bpe_tokens``.
+    """
+    t = F.col(text)
+    return df.select(
+        F.col(id_col),
+        F.size(_tokens(t)).alias("ws_tokens"),
+        F.regexp_count(t, F.lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).alias("regex_tokens"),
+        F.ceil(F.length(t) / F.lit(4.0)).alias("approx_bpe_tokens"),
+    )
+
+
+def token_count_sql(table: str, *, text: str = "text", id_col: str = "doc_id") -> str:
+    norm = NORM_SQL.format(c=text)
+    return f"""
+SELECT {id_col},
+  len(str_split({norm}, ' ')) AS ws_tokens,
+  len(regexp_extract_all({text}, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS regex_tokens,
+  CAST(ceil(length({text}) / 4.0) AS BIGINT) AS approx_bpe_tokens
+FROM {table}
+"""
+
+
+def fingerprint(df: DataFrame, *, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprints: content md5 + order-sensitive polynomial roll.
+
+    ``poly = fold(tokens, acc = (acc*31 + h(tok)) mod 2^31-1)`` — an
+    order-sensitive rolling hash (reordered tokens change it, unlike the
+    md5-of-normalized-text content hash).
+    """
+    p = 2_147_483_647
+    toks = _tokens(F.col(text))
+    poly = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + md5_int(x)) % F.lit(p),
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(_norm(F.col(text))).alias("content_md5"),
+        poly.alias("rolling_hash"),
+    )
+
+
+def fingerprint_sql(table: str, *, text: str = "text", id_col: str = "doc_id") -> str:
+    norm = NORM_SQL.format(c=text)
+    h = md5_int_sql("x")
+    return f"""
+SELECT {id_col},
+  md5({norm}) AS content_md5,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(str_split({norm}, ' '), x -> {h})),
+              (acc, h) -> (acc * 31 + h) % 2147483647) AS rolling_hash
+FROM {table}
+"""

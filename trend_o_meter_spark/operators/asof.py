@@ -1,0 +1,120 @@
+"""As-of join — the timeseries-native join the reference lacks (SURVEY §2.7).
+
+For each left row, attach the single right row with the same key and the
+greatest right-ts <= left-ts.  Two implementations:
+
+* :func:`asof_join` — declarative: range equi-join on the key with the
+  ts inequality, then keep the max right-ts per left row via struct-max
+  aggregation.  Fully expressible in ANSI SQL (the oracle contract) and
+  executes as a broadcast/shuffled hash join + one keyed aggregate.  Fine
+  when the per-key right side is modest (dimension-style histories).
+* :func:`asof_join_pandas` — the big-data path: cogroup both sides by key
+  and run ``pandas.merge_asof`` per key partition (Arrow-batched,
+  sort-merge within key).  Used when both sides are large; equivalent
+  output is asserted in tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str,
+    right_on: str,
+    by_left: str,
+    by_right: str,
+    right_cols: Sequence[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Declarative as-of: join on key + ``right_ts <= left_ts``, argmax right_ts.
+
+    ``tiebreak``: right column used to break equal right-ts matches
+    deterministically (greatest wins).
+    """
+    lcols = left.columns
+    r = right.select(
+        F.col(by_right).alias("__k"),
+        F.col(right_on).alias("__rts"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    j = left.join(r, on=(left[by_left] == r["__k"]) & (r["__rts"] <= left[left_on]), how="left")
+    tb = F.col(f"__r_{tiebreak}") if tiebreak else F.lit(0)
+    picked = F.max(
+        F.struct(F.col("__rts").alias("t"), tb.alias("b"), *[F.col(f"__r_{c}").alias(c) for c in right_cols])
+    )
+    out = j.groupBy(*[F.col(c) for c in lcols]).agg(picked.alias("__m"))
+    for c in right_cols:
+        out = out.withColumn(c, F.col("__m")[c])
+    return out.drop("__m")
+
+
+def asof_join_sql(
+    left: str,
+    right: str,
+    *,
+    left_on: str,
+    right_on: str,
+    by_left: str,
+    by_right: str,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+    tiebreak: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`asof_join` (same argmax-by-struct construction)."""
+    lsel = ", ".join(f"l.{c}" for c in left_cols)
+    lgrp = ", ".join(f"l.{c}" for c in left_cols)
+    tb = f"r.{tiebreak}" if tiebreak else "0"
+    pack = ", ".join(f"{c} := r.{c}" for c in right_cols)
+    unpack = ", ".join(f"(max(struct_pack(t := r.{right_on}, b := {tb}, {pack}))).{c} AS {c}" for c in right_cols)
+    return f"""
+SELECT {lsel}, {unpack}
+FROM {left} l LEFT JOIN {right} r
+  ON l.{by_left} = r.{by_right} AND r.{right_on} <= l.{left_on}
+GROUP BY {lgrp}
+"""
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str,
+    right_on: str,
+    by_left: str,
+    by_right: str,
+    right_cols: Sequence[str],
+) -> DataFrame:
+    """Scale path: cogrouped ``merge_asof`` per key (sort-merge within key)."""
+    out_schema = StructType(list(left.schema.fields))
+    for c in right_cols:
+        out_schema = out_schema.add(right.schema[c])
+
+    r_keep = [by_right, right_on, *[c for c in right_cols if c not in (by_right, right_on)]]
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.sort_values(left_on, kind="mergesort")
+        rpdf = rpdf[[c for c in r_keep]].sort_values(right_on, kind="mergesort")
+        merged = pd.merge_asof(
+            lpdf,
+            rpdf.rename(columns={right_on: "__rts", by_right: "__k"}),
+            left_on=left_on,
+            right_on="__rts",
+            direction="backward",
+        )
+        keep = [c for c in merged.columns if c not in ("__rts", "__k")]
+        return merged[keep]
+
+    return (
+        left.groupBy(by_left)
+        .cogroup(right.groupBy(by_right))
+        .applyInPandas(merge, schema=out_schema)
+    )

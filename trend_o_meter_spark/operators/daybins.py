@@ -1,0 +1,154 @@
+"""Day-binned min/max extremes — the reference's flagship query (A3).
+
+Semantics (reference trend-o-meter:17-64, ``minMaxForDayBins``):
+
+* the anchor is the newest sample's timestamp, **per metric** — not wall
+  clock (trend-o-meter:18);
+* bin edges are ``anchor - bin*86400s`` for ``dayBins=[1,3,5,7]``
+  (trend-o-meter:19) and bins are the **disjoint consecutive intervals**
+  between edges — ``[now,1d), [1d,3d), [3d,5d), [5d,7d)`` — NOT cumulative
+  trailing windows (trend-o-meter:22-33);
+* any leftover older data forms an open-ended ``rest`` slice
+  (trend-o-meter:36-38; the reference's ``curStartingExtent + 1``
+  off-by-one that drops one boundary sample is a bug we do NOT replicate —
+  divergence documented here and in tests);
+* per bin: sample count, argmin/argmax of value with their timestamps
+  (trend-o-meter:11-12,54-58), first/last ts, and
+  ``is_complete = ceil(span_seconds/3600) > min_data_hours`` with a strict
+  ``>`` (trend-o-meter:59, default 18h per config/default.json:17).
+
+Tie semantics: the reference's reduce keeps the first-encountered element
+in newest-first order on ties (trend-o-meter:11-12) — i.e. order-dependent.
+We pin a deterministic, order-free contract instead via struct ordering:
+``min(struct(value, ts))`` — on equal values the earliest ts wins for the
+argmin — and ``max(struct(value, ts))`` — on equal values the latest ts
+wins for the argmax.  Both engines (Spark, DuckDB) share this lattice, so
+the oracle compare is exact.
+
+Scale design: the per-metric anchor is computed by a tiny ``groupBy(metric)``
+aggregate and broadcast-joined back (metric cardinality ~ handful), so there
+is no global single-partition window; the main aggregation is one hash
+shuffle keyed by (metric, day_bin) with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _age_bucket(age_sec: Column, day_bins: Sequence[int]) -> Column:
+    """Disjoint-bin label from sample age (seconds before the anchor)."""
+    edges = sorted(day_bins)
+    expr: Column | None = None
+    for b in edges:
+        cond = age_sec <= float(b * 86400)
+        expr = F.when(cond, F.lit(str(b))) if expr is None else expr.when(cond, F.lit(str(b)))
+    assert expr is not None
+    return expr.otherwise(F.lit("rest"))
+
+
+def day_binned_extremes(
+    df: DataFrame,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    metric: str | None = "metric",
+    day_bins: Sequence[int] = (1, 3, 5, 7),
+    min_data_hours: int = 18,
+    include_leftover: bool = True,
+) -> DataFrame:
+    """Flagship A3 aggregation.
+
+    Returns one row per (metric, day_bin):
+    ``metric?, day_bin, n_samples, min_val, min_ts, max_val, max_ts,
+    first_ts, last_ts, is_complete``.
+    """
+    keys = [metric] if metric else []
+
+    # Per-metric anchor; tiny → broadcast back (no global window at scale).
+    anchors = (
+        df.groupBy(*keys).agg(F.max(ts).alias("__anchor"))
+        if keys
+        else df.agg(F.max(ts).alias("__anchor"))
+    )
+    if keys:
+        j = df.join(F.broadcast(anchors), on=keys)
+    else:
+        j = df.crossJoin(F.broadcast(anchors))
+
+    age_sec = (F.unix_micros(F.col("__anchor")) - F.unix_micros(F.col(ts))) / F.lit(1_000_000.0)
+    j = j.withColumn("day_bin", _age_bucket(age_sec, day_bins))
+    if not include_leftover:
+        j = j.filter(F.col("day_bin") != "rest")
+
+    vc, tc = F.col(value), F.col(ts)
+    agg = j.groupBy(*keys, "day_bin").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.min(vc).alias("min_val"),
+        # struct ordering pins the tie-break: equal values → earliest ts.
+        F.min(F.struct(vc.alias("v"), tc.alias("t")))["t"].alias("min_ts"),
+        F.max(vc).alias("max_val"),
+        F.max(F.struct(vc.alias("v"), tc.alias("t")))["t"].alias("max_ts"),
+        F.min(tc).alias("first_ts"),
+        F.max(tc).alias("last_ts"),
+    )
+    span_hours_ceil = F.ceil(
+        (F.unix_micros(F.col("last_ts")) - F.unix_micros(F.col("first_ts")))
+        / F.lit(3_600_000_000.0)
+    )
+    # Strict > per trend-o-meter:59; numeric bin sort (the reference's
+    # lexicographic Object.keys().sort() at trend-o-meter:157 is a
+    # documented quirk we fix — SURVEY §2.5 O3).
+    return agg.withColumn("is_complete", span_hours_ceil > F.lit(min_data_hours)).orderBy(
+        *keys, F.when(F.col("day_bin") == "rest", F.lit(10**9)).otherwise(F.col("day_bin").cast("int"))
+    )
+
+
+def day_binned_extremes_sql(
+    table: str,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    metric: str | None = "metric",
+    day_bins: Sequence[int] = (1, 3, 5, 7),
+    min_data_hours: int = 18,
+    source_sql: str | None = None,
+) -> str:
+    """ANSI-SQL twin of :func:`day_binned_extremes` for the DuckDB oracle.
+
+    Kept next to the Spark implementation so the two stay in lockstep.
+    ``epoch_us`` (DuckDB) == ``unix_micros`` (Spark).
+    """
+    edges = sorted(day_bins)
+    bucket = "CASE "
+    for b in edges:
+        bucket += f"WHEN (epoch_us(anchor) - epoch_us({ts})) <= {b * 86400}000000 THEN '{b}' "
+    bucket += "ELSE 'rest' END"
+    key_sel = f"{metric}, " if metric else ""
+    key_grp = f"{metric}, " if metric else ""
+    part = f"PARTITION BY {metric}" if metric else ""
+    src = source_sql or f"SELECT * FROM {table}"
+    return f"""
+WITH src AS ({src}),
+anchored AS (
+  SELECT *, max({ts}) OVER ({part}) AS anchor FROM src
+),
+binned AS (
+  SELECT {key_sel}{ts} AS t, {value} AS v, {bucket} AS day_bin FROM anchored
+)
+SELECT
+  {key_sel}day_bin,
+  count(*) AS n_samples,
+  min(v) AS min_val,
+  (min(struct_pack(v := v, t := t))).t AS min_ts,
+  max(v) AS max_val,
+  (max(struct_pack(v := v, t := t))).t AS max_ts,
+  min(t) AS first_ts,
+  max(t) AS last_ts,
+  ceil((epoch_us(max(t)) - epoch_us(min(t))) / 3600000000.0) > {min_data_hours} AS is_complete
+FROM binned
+GROUP BY {key_grp}day_bin
+"""

@@ -1,0 +1,100 @@
+"""Downsampling (reference F2, trend-o-meter:296-310).
+
+The reference keeps a sample iff its ts is more than ``gap`` seconds from
+the previously-kept sample's ts (``timeMark``), walking newest-first — a
+stateful, last-kept-anchored scan.  Two implementations:
+
+* :func:`downsample_fixed_grid` — the scale path.  Snaps samples to a fixed
+  epoch-aligned grid of ``gap`` seconds and keeps the first sample per
+  (key, cell).  Pure DataFrame (window rank over a computed cell), fully
+  parallel, one shuffle.  This is the contract the oracle checks.
+* :func:`downsample_anchored` — exact reference semantics.  Inherently
+  sequential per key (each keep decision depends on the previous keep), so
+  it runs as an Arrow-batched ``applyInPandas`` cumulative scan per key.
+  Per-key series are bounded (the reference caps history at ~14k rows,
+  config/default.json:6), so a per-key sequential pass is safe at scale as
+  long as key cardinality provides the parallelism.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def downsample_fixed_grid(
+    df: DataFrame,
+    *,
+    ts: str = "ts",
+    keys: Sequence[str] = ("metric",),
+    gap_seconds: float = 60.0,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Keep the first sample per epoch-aligned ``gap_seconds`` cell per key."""
+    cell = F.floor(F.unix_micros(F.col(ts)) / F.lit(int(gap_seconds * 1_000_000)))
+    order = [F.col(ts).asc()] + [F.col(c).asc() for c in tiebreak]
+    w = Window.partitionBy(*[F.col(k) for k in keys], cell.alias("__cell")).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def downsample_fixed_grid_sql(
+    table: str,
+    *,
+    ts: str = "ts",
+    keys: Sequence[str] = ("metric",),
+    gap_seconds: float = 60.0,
+    tiebreak: Sequence[str] = (),
+    columns: str = "*",
+) -> str:
+    """DuckDB twin of :func:`downsample_fixed_grid`."""
+    key_part = ", ".join(list(keys) + [f"floor(epoch_us({ts}) / {int(gap_seconds * 1_000_000)})"])
+    order = ", ".join([ts] + list(tiebreak))
+    return f"""
+SELECT {columns} FROM (
+  SELECT *, row_number() OVER (PARTITION BY {key_part} ORDER BY {order}) AS __rn
+  FROM {table}
+) WHERE __rn = 1
+"""
+
+
+def downsample_anchored(
+    df: DataFrame,
+    *,
+    ts: str = "ts",
+    keys: Sequence[str] = ("metric",),
+    gap_seconds: float = 60.0,
+    newest_first: bool = True,
+) -> DataFrame:
+    """Exact reference F2: gap anchored at the previously KEPT sample.
+
+    Walks each key's series in the reference's newest-first order
+    (trend-o-meter:16,296-310): the newest sample is always kept, and a
+    sample is kept iff ``abs(ts - last_kept_ts) > gap``.
+    """
+    gap_us = int(gap_seconds * 1_000_000)
+    schema = df.schema
+    ts_idx = [f.name for f in schema.fields].index(ts)
+    ts_field = schema.fields[ts_idx]
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts, ascending=not newest_first, kind="mergesort")
+        t_us = pdf[ts].astype("int64")  # datetime64[ns] -> ns; ratio is uniform
+        vals = t_us.to_numpy()
+        keep = [False] * len(vals)
+        mark = None
+        gap_native = gap_us * 1000  # pandas datetime64 is ns
+        for i, t in enumerate(vals):
+            if mark is None or abs(int(t) - mark) > gap_native:
+                keep[i] = True
+                mark = int(t)
+        return pdf[pd.Series(keep, index=pdf.index)]
+
+    _ = ts_field  # schema passthrough; keeps the output schema identical
+    return df.groupBy(*keys).applyInPandas(scan, schema=df.schema)

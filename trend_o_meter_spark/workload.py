@@ -1,0 +1,710 @@
+"""The oracle-checked query registry (driver contract).
+
+Every operator from SURVEY §2 (plus the LLM-pipeline north-star surface)
+is declared here as a named query: a PySpark callable
+``(spark, sf_dir) -> DataFrame`` and, where ANSI-SQL-expressible, the
+equivalent DuckDB oracle SQL.  ``__spark_entry__.py`` re-exports this
+registry to the driver.
+
+Column-name discipline: every computed column is aliased identically in
+the Spark plan and the oracle SQL (the driver sorts columns by name before
+hashing values).
+
+Float discipline: cross-row float sums go through exact DECIMAL
+accumulation (order-insensitive) and per-row float math uses identical
+operation order in both engines, so value hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import functions as tfn
+from .catalog import table
+from .llm import dedup, similarity, text
+from .operators import asof, daybins, downsample, rates, retention, rolling, topk
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => driver records the weaker rows-only check
+    doc: str = ""
+
+
+_REGISTRY: list[QuerySpec] = []
+
+
+def _q(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY.append(QuerySpec(name=name, spark=fn, oracle=oracle, doc=doc))
+        return fn
+
+    return deco
+
+
+def registry() -> list[QuerySpec]:
+    return list(_REGISTRY)
+
+
+# ---------------------------------------------------------------------------
+# Timeseries operators (reference semantics, SURVEY §2.2-2.5)
+# ---------------------------------------------------------------------------
+
+_DOWNSAMPLE_SQL = downsample.downsample_fixed_grid_sql(
+    "events", ts="ts", keys=("event_type",), gap_seconds=60, tiebreak=("event_id",),
+    columns="event_id, ts, event_type, value",
+)
+
+
+@_q(
+    "flagship_day_bins",
+    daybins.day_binned_extremes_sql(
+        "events",
+        ts="ts",
+        value="value",
+        metric="event_type",
+        source_sql=_DOWNSAMPLE_SQL,
+    ),
+    doc="A3+F2: fixed-grid 60s downsample then day-binned min/max extremes "
+    "with completeness (reference trend-o-meter:17-64,296-310).",
+)
+def flagship_day_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir).select("event_id", "ts", "event_type", "value")
+    ds = downsample.downsample_fixed_grid(
+        ev, ts="ts", keys=("event_type",), gap_seconds=60, tiebreak=("event_id",)
+    )
+    return daybins.day_binned_extremes(ds, ts="ts", value="value", metric="event_type")
+
+
+@_q(
+    "downsample_60s",
+    _DOWNSAMPLE_SQL,
+    doc="F2 fixed-grid variant: first sample per epoch-aligned 60s cell per metric "
+    "(reference trend-o-meter:296-310; exact anchored variant is downsample_anchored, "
+    "tested in unit tests — sequential semantics, not SQL-expressible).",
+)
+def downsample_60s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir).select("event_id", "ts", "event_type", "value")
+    return downsample.downsample_fixed_grid(
+        ev, ts="ts", keys=("event_type",), gap_seconds=60, tiebreak=("event_id",)
+    )
+
+
+@_q(
+    "rolling_current_avg",
+    rolling.rolling_current_average_sql(
+        "events", ts="ts", value="value", keys=("event_type",), num_samples=30, tiebreak=("event_id",)
+    ),
+    doc="A5/W1: mean of the 30 most-recent samples per metric "
+    "(reference trend-o-meter:366-371).",
+)
+def rolling_current_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    return rolling.rolling_current_average(
+        ev, ts="ts", value="value", keys=("event_type",), num_samples=30, tiebreak=("event_id",)
+    )
+
+
+@_q(
+    "tumbling_mean_60s",
+    rolling.tumbling_mean_sql("events", ts="ts", value="value", keys=("event_type",), window_seconds=60),
+    doc="A4: per-metric 60s tumbling-window mean (reference trend-o-meter:397-403).",
+)
+def tumbling_mean_60s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    return rolling.tumbling_mean(ev, ts="ts", value="value", keys=("event_type",), window_seconds=60)
+
+
+@_q(
+    "sliding_rates_10s",
+    rates.sliding_rates_sql("events", ts="ts", size_col="props", window_seconds=10),
+    doc="A7/W3: per-second buckets + trailing 10s msgs/bytes rates with the "
+    "half-full warm gate (reference trend-o-meter:459-526).",
+)
+def sliding_rates_10s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    return rates.sliding_rates(ev, ts="ts", size_col="props", window_seconds=10)
+
+
+@_q(
+    "active_channels",
+    rates.active_channels_sql("events", ts="ts", channel="event_type", cutoff_seconds=3600),
+    doc="F5/A8: last-seen per channel + inactivity cutoff, anchored at max ts "
+    "(reference trend-o-meter:470-480,521-525).",
+)
+def active_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    return rates.active_channels(ev, ts="ts", channel="event_type", cutoff_seconds=3600)
+
+
+@_q(
+    "sessionize_30m",
+    rates.sessionize_sql("events", ts="ts", keys=("user_id",), gap_seconds=1800),
+    doc="Sessionization: inactivity-gap (30 min) sessions per user — the "
+    "generalization of the reference's channel-activity cutoff; matches "
+    "Spark streaming session_window semantics.",
+)
+def sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    return rates.sessionize(ev, ts="ts", keys=("user_id",), gap_seconds=1800)
+
+
+@_q(
+    "retention_7d",
+    retention.retain_window_sql(
+        "events", ts="ts", keys=("event_type",), days=7.0,
+        columns="event_id, ts, event_type, value",
+    ),
+    doc="F4: declarative time-range retention (keep last 7 days per metric); "
+    "replaces the reference's lazy one-per-event cull "
+    "(trend-o-meter:421-435) — divergence documented.",
+)
+def retention_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir).select("event_id", "ts", "event_type", "value")
+    return retention.retain_window(ev, ts="ts", keys=("event_type",), days=7.0)
+
+
+@_q(
+    "topk_recent",
+    topk.top_k_recent_sql(
+        "events", ts="ts", k=500, tiebreak=("event_id",),
+        columns="event_id, ts, event_type, value",
+    ),
+    doc="O1/O2: newest-k scan (reference lrange cap, trend-o-meter:289); "
+    "compiles to TakeOrderedAndProject (no global sort).",
+)
+def topk_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir).select("event_id", "ts", "event_type", "value")
+    return topk.top_k_recent(ev, ts="ts", k=500, tiebreak=("event_id",))
+
+
+@_q(
+    "asof_join_orders",
+    asof.asof_join_sql(
+        "(SELECT event_id, ts, user_id FROM events)",
+        "orders",
+        left_on="ts",
+        right_on="o_orderdate",
+        by_left="user_id",
+        by_right="o_custkey",
+        left_cols=("event_id", "ts", "user_id"),
+        right_cols=("o_orderkey", "o_orderdate", "o_totalprice"),
+        tiebreak="o_orderkey",
+    ),
+    doc="As-of join (SURVEY §2.7): latest order at-or-before each event per "
+    "user; declarative argmax form (pandas merge_asof scale path in "
+    "operators/asof.py, equivalence unit-tested).",
+)
+def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir).select("event_id", "ts", "user_id")
+    orders = table(spark, "orders", sf_dir)
+    return asof.asof_join(
+        ev,
+        orders,
+        left_on="ts",
+        right_on="o_orderdate",
+        by_left="user_id",
+        by_right="o_custkey",
+        right_cols=("o_orderkey", "o_orderdate", "o_totalprice"),
+        tiebreak="o_orderkey",
+    )
+
+
+@_q(
+    "window_rank",
+    """
+SELECT event_id, event_type, value,
+       row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn,
+       rank() OVER (PARTITION BY event_type ORDER BY value DESC) AS rnk,
+       dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC) AS drnk,
+       lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_value,
+       lead(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS next_value
+FROM events
+""",
+    doc="Ranking window functions (absent from the reference, SURVEY §2.4 — "
+    "part of the standard relational surface).",
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    by_val = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    by_val_ties = Window.partitionBy("event_type").orderBy(F.col("value").desc())
+    by_ts = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(by_val).alias("rn"),
+        F.rank().over(by_val_ties).alias("rnk"),
+        F.dense_rank().over(by_val_ties).alias("drnk"),
+        F.lag("value").over(by_ts).alias("prev_value"),
+        F.lead("value").over(by_ts).alias("next_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (reference §2.8 X1-X12)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "scalar_funcs",
+    r"""
+SELECT p_partkey,
+  regexp_replace(p_name, '[aeiouy]', '', 'g') AS devoweled,
+  substring(regexp_replace(p_name, '[aeiouy]', '', 'g'), 1, 3) AS abbr3,
+  CAST(floor(p_retailprice + 0.5) AS BIGINT) AS price_rounded,
+  CASE WHEN length(CAST(CAST(floor(p_retailprice + 0.5) AS BIGINT) AS VARCHAR)) >= 2
+       THEN substring(CAST(CAST(floor(p_retailprice + 0.5) AS BIGINT) AS VARCHAR),
+                      length(CAST(CAST(floor(p_retailprice + 0.5) AS BIGINT) AS VARCHAR)) - 1, 2)
+       ELSE CAST(CAST(floor(p_retailprice + 0.5) AS BIGINT) AS VARCHAR) END AS price_last2,
+  lpad(p_brand, 12, ' ') AS brand_padded,
+  len(str_split_regex(trim(p_name), '\s+')) AS name_tokens,
+  upper(p_type) AS type_upper,
+  length(p_name) AS name_len
+FROM part
+""",
+    doc="X1-X3,X6,X8 scalar functions (reference trend-o-meter:83,146-151,173): "
+    "devoweled abbreviation, display rounding, last-2-chars, padding, tokenize.",
+)
+def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, "part", sf_dir)
+    return p.select(
+        "p_partkey",
+        tfn.devoweled("p_name").alias("devoweled"),
+        tfn.abbrev3("p_name").alias("abbr3"),
+        tfn.display_round("p_retailprice").alias("price_rounded"),
+        tfn.pressure_last2("p_retailprice").alias("price_last2"),
+        F.lpad("p_brand", 12, " ").alias("brand_padded"),
+        F.size(tfn.tokenize_ws("p_name")).alias("name_tokens"),
+        F.upper("p_type").alias("type_upper"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+@_q(
+    "datetime_funcs",
+    """
+SELECT o_orderkey,
+  strftime(o_orderdate, '%I:%M') AS hhmm,
+  strftime(o_orderdate, '%p') AS ampm,
+  year(o_orderdate) AS yr,
+  month(o_orderdate) AS mth,
+  day(o_orderdate) AS dom,
+  dayofweek(o_orderdate) + 1 AS dow,
+  CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day_start,
+  epoch_us(o_orderdate) AS epoch_micros
+FROM orders
+""",
+    doc="X4/X7 datetime surface (reference trend-o-meter:68,343-345): 12h "
+    "clock, AM/PM, calendar parts, truncation, epoch conversion.",
+)
+def datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        tfn.hhmm("o_orderdate").alias("hhmm"),
+        tfn.ampm("o_orderdate").alias("ampm"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mth"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_trunc("day", F.col("o_orderdate")).alias("day_start"),
+        F.unix_micros(F.col("o_orderdate")).alias("epoch_micros"),
+    )
+
+
+@_q(
+    "json_extract_props",
+    """
+SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k_value, length(props) AS props_len
+FROM events
+""",
+    doc="X10 JSON decode (reference trend-o-meter:290,385): typed field "
+    "extraction from the JSON props envelope.",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+        F.length("props").alias("props_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Standard relational surface (SURVEY §2.11 — ships free with Spark; the
+# harness star schema exercises it)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS avg_price,
+  CAST(sum(CAST(l_discount AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1 shape: wide aggregate with exact decimal accumulation; "
+    "single hash shuffle with map-side partial agg.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir).filter(F.col("l_shipdate") <= F.lit("2001-09-02"))
+    dec8 = "decimal(28,8)"
+    # exact decimal-factor products: the inputs are 2-decimal values, so
+    # the whole computation is exact and order-insensitive in both engines
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_price = ep * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax").cast("decimal(18,2)"))
+    cnt = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(dec8)).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast(dec8)).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(F.col("l_quantity").cast(dec8)).cast("double") / cnt).alias("avg_qty"),
+        (F.sum(F.col("l_extendedprice").cast(dec8)).cast("double") / cnt).alias("avg_price"),
+        (F.sum(F.col("l_discount").cast(dec8)).cast("double") / cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+@_q(
+    "q3_shipping_priority",
+    """
+SELECT l_orderkey,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3 shape: selective dim filter -> fact joins -> top-k by "
+    "aggregate; customer side broadcasts under AQE.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, "orders", sf_dir)
+    li = table(spark, "lineitem", sf_dir)
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("double")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@_q(
+    "q5_region_revenue",
+    """
+SELECT n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM region JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY n_name
+""",
+    doc="TPC-H Q5 shape: star join through region->nation->customer with "
+    "broadcast dims + one fact-fact shuffle join.",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    n = table(spark, "nation", sf_dir)
+    c = table(spark, "customer", sf_dir)
+    o = table(spark, "orders", sf_dir).filter(F.col("o_orderdate") >= F.lit("1996-01-01"))
+    li = table(spark, "lineitem", sf_dir)
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("double")
+    dims = F.broadcast(
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(dims, o.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(rev.alias("revenue"))
+    )
+
+
+@_q(
+    "semi_join_urgent_customers",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+""",
+    doc="Left-semi join (existence test).",
+)
+def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, "customer", sf_dir)
+    o = table(spark, "orders", sf_dir).filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@_q(
+    "anti_join_orderless_customers",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    doc="Left-anti join (absence test).",
+)
+def anti_join_orderless_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, "customer", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@_q(
+    "rollup_returns",
+    """
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+  CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    doc="Grouping sets / rollup (absent from the reference, SURVEY §2.11).",
+)
+def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir)
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(28,8)")).cast("double").alias("sum_qty"),
+    )
+
+
+@_q(
+    "set_ops_nations",
+    """
+SELECT n_name, 'customer_only' AS tag FROM (
+  SELECT DISTINCT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+  EXCEPT
+  SELECT DISTINCT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+)
+UNION ALL
+SELECT n_name, 'both' AS tag FROM (
+  SELECT DISTINCT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+  INTERSECT
+  SELECT DISTINCT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+)
+""",
+    doc="Set operators union/intersect/except (SURVEY §2.6 — absent from "
+    "the reference, part of the standard surface).",
+)
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, "nation", sf_dir)
+    c = table(spark, "customer", sf_dir)
+    s = table(spark, "supplier", sf_dir)
+    cust_n = n.join(c, c.c_nationkey == n.n_nationkey).select("n_name").distinct()
+    supp_n = n.join(s, s.s_nationkey == n.n_nationkey).select("n_name").distinct()
+    return cust_n.exceptAll(supp_n).distinct().withColumn("tag", F.lit("customer_only")).unionAll(
+        cust_n.intersect(supp_n).withColumn("tag", F.lit("both"))
+    )
+
+
+@_q(
+    "distinct_agg",
+    """
+SELECT l_returnflag,
+  count(DISTINCT l_partkey) AS n_parts,
+  count(DISTINCT l_suppkey) AS n_supps,
+  count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Distinct aggregation (SURVEY §2.11).",
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@_q(
+    "pivot_events",
+    "SELECT user_id, "
+    + ", ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id",
+    doc="Pivot / conditional aggregation (SURVEY §2.11).",
+)
+def pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+        .na.fill(0, list(_EVENT_TYPES))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators (north star; documents + embeddings tables)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_exact",
+    dedup.exact_dedup_sql("documents"),
+    doc="Exact dedup: md5 over normalized text, keep smallest doc_id "
+    "(hash-groupBy; one shuffle on the content hash).",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return dedup.exact_dedup(d)
+
+
+@_q(
+    "minhash_lsh_pairs",
+    dedup.minhash_lsh_pairs_sql("documents"),
+    doc="MinHash-LSH near-dup candidates: shingle->minhash->band->bucket "
+    "join (16 perms, 4 bands; shuffles keyed by band bucket only).",
+)
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return dedup.minhash_lsh_pairs(d)
+
+
+@_q(
+    "ngram_jaccard_pairs",
+    dedup.ngram_jaccard_pairs_sql("documents", threshold=0.3),
+    doc="Exact 3-gram Jaccard over shared-shingle candidate pairs "
+    "(equi-join on shingle; never a cross join).",
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return dedup.ngram_jaccard_pairs(d, threshold=0.3)
+
+
+@_q(
+    "simhash_fingerprints",
+    dedup.simhash_sql("documents"),
+    doc="32-bit SimHash over the distinct-token set (pure array math, no "
+    "shuffle).",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return dedup.simhash(d)
+
+
+@_q(
+    "text_stats",
+    text.text_stats_sql("documents"),
+    doc="Quality-scoring features: token stats, punct/stopword/upper ratios.",
+)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.text_stats(d)
+
+
+@_q(
+    "lang_id",
+    text.lang_id_sql("documents"),
+    doc="Marker-vocabulary language id with deterministic argmax.",
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.lang_id(d)
+
+
+@_q(
+    "token_count",
+    text.token_count_sql("documents"),
+    doc="Token counting: whitespace, BPE-ish regex pieces, chars/4.",
+)
+def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.token_count(d)
+
+
+@_q(
+    "doc_fingerprint",
+    text.fingerprint_sql("documents"),
+    doc="Content md5 + order-sensitive polynomial rolling hash.",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.fingerprint(d)
+
+
+@_q(
+    "cosine_topk",
+    similarity.cosine_topk_sql("embeddings", n_queries=5, k=10),
+    doc="Brute-force cosine top-k ANN baseline (broadcast queries, JVM-side "
+    "dot products).",
+)
+def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "embeddings", sf_dir)
+    return similarity.cosine_topk(e, n_queries=5, k=10)
+
+
+@_q(
+    "ivf_assign",
+    similarity.ivf_assign_sql("embeddings", n_centroids=8),
+    doc="IVF cell assignment (the ANN scale path: cluster-keyed search "
+    "instead of cross join).",
+)
+def ivf_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "embeddings", sf_dir)
+    return similarity.ivf_assign(e, n_centroids=8)
+
+
+@_q(
+    "label_centroids",
+    """
+SELECT label, pos, CAST(sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS avg_component
+FROM (
+  SELECT label, unnest(list_transform(range(1, len(embedding) + 1), i -> struct_pack(pos := i - 1, v := embedding[i])), recursive := true)
+  FROM embeddings
+)
+GROUP BY label, pos
+""",
+    doc="Elementwise centroid per label (posexplode + exact decimal mean) — "
+    "the aggregate underlying embedding-cluster summaries.",
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "embeddings", sf_dir)
+    return (
+        e.select("label", F.posexplode(F.col("embedding")).alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            # float -> string -> decimal: both engines round the float's
+            # shortest decimal representation, so the exact-decimal sums match
+            (F.sum(F.col("v").cast("string").cast("decimal(28,10)")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_component"
+            )
+        )
+    )
