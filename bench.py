@@ -1,0 +1,75 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: ``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+
+Each query is forced end-to-end with the ``noop`` sink (full evaluation,
+no driver collect, no column-pruning shortcut a bare count() would take).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from trend_o_meter_spark.session import get_spark
+from trend_o_meter_spark.workload import registry
+
+# Headline set: the flagship timeseries query, the relational suite's
+# heavy hitters, and the LLM-pipeline operators that dominate at scale.
+HEADLINE = (
+    "flagship_day_bins",
+    "downsample_60s",
+    "sliding_rates_10s",
+    "sessionize_30m",
+    "asof_join_orders",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "window_rank",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "text_stats",
+    "label_centroids",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("trend-o-meter-bench", master=f"local[{cpus}]")
+    specs = {s.name: s for s in registry()}
+
+    # Warm the JVM + parquet footer caches once (not timed).
+    specs["q1_pricing_summary"].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        specs[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline_suite_wall_clock",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
