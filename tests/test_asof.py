@@ -1,0 +1,63 @@
+"""As-of join: declarative argmax form vs pandas merge_asof scale path.
+
+The two implementations must agree row-for-row; the declarative form is
+the oracle contract, the cogrouped merge_asof is the big-data path.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from trend_o_meter_spark.operators.asof import asof_join, asof_join_pandas
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _dfs(spark):
+    left = spark.createDataFrame(
+        [
+            (1, T0 + dt.timedelta(hours=5), 100),
+            (2, T0 + dt.timedelta(hours=1), 100),
+            (3, T0 + dt.timedelta(hours=9), 200),
+            (4, T0 - dt.timedelta(hours=1), 100),  # before all right rows -> null
+        ],
+        "eid long, ts timestamp, k long",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, T0, 100, 1.0),
+            (11, T0 + dt.timedelta(hours=4), 100, 2.0),
+            (12, T0 + dt.timedelta(hours=6), 100, 3.0),
+            (13, T0 + dt.timedelta(hours=2), 200, 4.0),
+        ],
+        "rid long, rts timestamp, rk long, payload double",
+    )
+    return left, right
+
+
+def test_asof_backward_semantics(spark):
+    left, right = _dfs(spark)
+    out = asof_join(
+        left, right, left_on="ts", right_on="rts", by_left="k", by_right="rk",
+        right_cols=("rid", "payload"), tiebreak="rid",
+    )
+    got = {r["eid"]: (r["rid"], r["payload"]) for r in out.collect()}
+    assert got[1] == (11, 2.0)   # latest rts <= 5h is 4h
+    assert got[2] == (10, 1.0)
+    assert got[3] == (13, 4.0)
+    assert got[4] == (None, None)
+
+
+def test_asof_pandas_path_matches_declarative(spark):
+    left, right = _dfs(spark)
+    a = asof_join(
+        left, right, left_on="ts", right_on="rts", by_left="k", by_right="rk",
+        right_cols=("rid", "payload"), tiebreak="rid",
+    )
+    b = asof_join_pandas(
+        left, right, left_on="ts", right_on="rts", by_left="k", by_right="rk",
+        right_cols=("rid", "payload"),
+    )
+    ka = sorted([tuple(r) for r in a.select("eid", "rid", "payload").collect()])
+    kb = sorted([tuple(r) for r in b.select("eid", "rid", "payload").collect()])
+    assert ka == kb

@@ -1,0 +1,84 @@
+"""LLM-pipeline operators: dedup recall, similarity sanity, hashing determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trend_o_meter_spark.llm.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from trend_o_meter_spark.llm.similarity import cosine_topk, cosine
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                     # exact dup of 0
+        (2, BASE.replace("garden", "meadow")),         # near dup of 0
+        (3, "completely different text about spark query engines and shuffles joins aggregates partitions executors"),
+        (4, "  " + BASE.upper() + "  "),               # normalized dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalization(spark):
+    out = exact_dedup(_docs(spark)).collect()
+    by_hash = {r["content_hash"]: r for r in out}
+    # 0, 1, 4 collapse (lower+trim+squash); 2 and 3 are distinct
+    assert len(out) == 3
+    dup = [r for r in out if r["dup_count"] == 3][0]
+    assert dup["keep_id"] == 0
+
+
+def test_minhash_finds_near_dup_not_unrelated(spark):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(_docs(spark)).collect()}
+    assert (0, 1) in pairs and (0, 4) in pairs      # exact dups always collide
+    assert (0, 2) in pairs                          # one-word change -> near dup
+    assert not any(3 in p for p in pairs)           # unrelated never pairs
+
+
+def test_minhash_signature_deterministic(spark):
+    s1 = {r["id"]: r["sig"] for r in minhash_signatures(_docs(spark)).collect()}
+    s2 = {r["id"]: r["sig"] for r in minhash_signatures(_docs(spark)).collect()}
+    assert s1 == s2
+    assert s1[0] == s1[1] == s1[4]
+    assert s1[0] != s1[3]
+
+
+def test_ngram_jaccard_scores(spark):
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(_docs(spark), threshold=0.1).collect()}
+    assert out[(0, 1)] == 1.0
+    assert 0.5 < out[(0, 2)] < 1.0
+    assert (0, 3) not in out
+
+
+def test_simhash_locality(spark):
+    out = {r["id"]: r["simhash"] for r in simhash(_docs(spark)).collect()}
+    assert out[0] == out[1] == out[4]
+    ham_near = bin(out[0] ^ out[2]).count("1")
+    ham_far = bin(out[0] ^ out[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_cosine_topk_nearest_is_most_similar(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # antipode
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk(df, n_queries=1, k=3).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2, 3]
+    assert out[0]["cos_sim"] > 0.99
+    assert out[-1]["cos_sim"] == -1.0

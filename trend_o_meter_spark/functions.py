@@ -42,7 +42,7 @@ def pressure_last2(col: Column | str) -> Column:
 def to_bool(col: Column | str) -> Column:
     """X5 (trend-o-meter:196-205): int-string -> !=0, else lower(x)=='true'."""
     c = F.col(col) if isinstance(col, str) else col
-    as_int = c.cast("int")
+    as_int = c.try_cast("int")  # ANSI-safe: malformed -> null, not error
     return F.when(as_int.isNotNull(), as_int != 0).otherwise(F.lower(c) == "true")
 
 
