@@ -1,0 +1,89 @@
+"""Control plane: C2 dispatch, parameter rebind re-execution, audit log.
+
+Reference lifecycle: trend-o-meter:171-263 (parse -> resolve -> execute ->
+respond -> audit); re-exec path trend-o-meter:214-220.
+"""
+
+from __future__ import annotations
+
+import json
+
+from trend_o_meter_spark.config import EngineConfig
+from trend_o_meter_spark.control import ControlPlane
+from trend_o_meter_spark.operators import daybins
+
+
+def _clock():
+    t = [1000.0]
+
+    def tick():
+        t[0] += 1.0
+        return t[0]
+
+    return tick
+
+
+def test_get_config_and_aliases(spark):
+    cp = ControlPlane(spark, clock=_clock())
+    r = cp.execute("get config")
+    assert r.valid and r.ret_val["min_data_hours_to_render_bin"] == 18
+    # camelCase alias, as the reference's C2 field names.
+    r2 = cp.execute("get minDataHoursToRenderBin")
+    assert r2.valid and r2.ret_val == 18
+
+
+def test_set_rebinds_and_reexecutes(spark, events_df):
+    runs = []
+
+    def rerun(cfg: EngineConfig):
+        df = daybins.day_binned_extremes(
+            events_df.selectExpr("ts", "event_type as metric", "value"),
+            day_bins=cfg.day_bins,
+            min_data_hours=cfg.min_data_hours_to_render_bin,
+        )
+        runs.append(cfg.min_data_hours_to_render_bin)
+        return df
+
+    cp = ControlPlane(spark, on_rebind=rerun, clock=_clock())
+    r = cp.execute("set minDataHoursToRenderBin 1")
+    assert r.valid and r.ret_val == 1
+    assert runs == [1]
+    assert cp.config.min_data_hours_to_render_bin == 1
+    # Tightening the threshold can only flip is_complete toward True.
+    strict = cp.last_rebind_result
+    assert strict is not None
+    assert strict.filter("is_complete").count() >= 0  # executes the rebound plan
+
+
+def test_set_bool_coercion(spark):
+    # X5 toBool semantics (trend-o-meter:196-205): int-string -> !=0,
+    # else lower(x)=='true'.
+    cp = ControlPlane(spark, clock=_clock())
+    assert cp.execute("set debug 1").ret_val is True
+    assert cp.execute("set debug 0").ret_val is False
+    assert cp.execute("set logMsgs TRUE").ret_val is True
+    assert cp.execute("set logMessages nope").ret_val is False
+
+
+def test_unknown_command_audited_not_cached(spark):
+    cp = ControlPlane(spark, clock=_clock())
+    r = cp.execute("frobnicate everything")
+    assert not r.valid and r.error and r.ret_val is None
+    # Unknown -> no response published/cached (trend-o-meter:232-234) ...
+    assert cp.response_cache == {}
+    # ... but still audited (trend-o-meter:253: logged valid or not).
+    assert len(cp._audit_buffer) == 1
+
+
+def test_audit_log_roundtrip(spark, tmp_path):
+    cp = ControlPlane(spark, audit_path=str(tmp_path / "cmdlog"), clock=_clock())
+    cp.execute("get config")
+    cp.execute("set numSamples 10")
+    cp.execute("bogus")
+    assert cp.flush_audit_log() == 3
+    log = cp.read_audit_log().orderBy("ts").collect()
+    assert [row.valid for row in log] == [True, True, False]
+    assert json.loads(log[1].ret_val) == 10
+    # Response cache holds the last result per command name.
+    assert "get config" in cp.response_cache
+    assert cp.message_stats == {"rx": 3, "tx": 2}

@@ -1,0 +1,245 @@
+"""C2 command dispatcher: parse -> resolve -> execute -> respond -> audit.
+
+Faithful to the reference lifecycle (trend-o-meter:171-263):
+
+- commands are whitespace-tokenized text, first token selects the verb
+  (``split(/\\s+/)``, trend-o-meter:173);
+- ``get <field>`` reads from a getter registry (config / stats,
+  trend-o-meter:175-211);
+- ``set <field> <value>`` rebinds an engine parameter; setting
+  ``minDataHoursToRenderBin`` re-executes the flagship day-bin query with
+  the new literal (trend-o-meter:213-227) — a parameterized prepared
+  query, Catalyst re-plans in milliseconds;
+- unknown verbs/fields produce an error result with no return value
+  (trend-o-meter:232-234);
+- every invocation — valid or not — is appended to the command log
+  (trend-o-meter:253-262: ``{ts, valid, message, retVal, error}``), and
+  the last successful response per command name is cached
+  (trend-o-meter:245-248: the HSET response hash).
+
+The audit log is an append-only parquet table so it scales like any
+other engine table (at 100 TB the cmdlog is still tiny, but it shares
+the same storage/query path — query it back with ``read_audit_log``).
+Boolean-ish ``set`` values go through the same coercion as the reference
+(X5 ``toBool``, trend-o-meter:196-205), implemented driver-side here to
+mirror :func:`trend_o_meter_spark.functions.to_bool`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import re
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import EngineConfig
+from ..schemas import AUDIT_LOG_SCHEMA
+
+
+def _to_bool(value: str) -> bool:
+    """Driver-side mirror of functions.to_bool (trend-o-meter:196-205)."""
+    try:
+        return int(value) != 0
+    except (TypeError, ValueError):
+        return str(value).lower() == "true"
+
+
+@dataclass(frozen=True)
+class CommandResult:
+    ts: float
+    valid: bool
+    message: str
+    ret_val: Any
+    error: str | None
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "ts": self.ts,
+                "valid": self.valid,
+                "message": self.message,
+                "retVal": self.ret_val,
+                "error": self.error,
+            },
+            default=str,
+        )
+
+
+# Field-name aliases the reference accepts (logMsgs/logMessages,
+# trend-o-meter:222-225) plus camelCase -> our snake_case config names.
+_FIELD_ALIASES = {
+    "mindatahourstorenderbin": "min_data_hours_to_render_bin",
+    "samplesperminuteretained": "samples_per_minute_retained",
+    "maxlistquerylength": "max_list_query_length",
+    "numsamples": "num_samples",
+    "alternateevery": "alternate_every",
+    "daybins": "day_bins",
+    "logmsgs": "log_messages",
+    "logmessages": "log_messages",
+    "debug": "debug",
+}
+
+_INT_FIELDS = {"min_data_hours_to_render_bin", "max_list_query_length",
+               "num_samples", "alternate_every"}
+_FLOAT_FIELDS = {"samples_per_minute_retained"}
+_BOOL_FIELDS = {"debug", "log_messages"}
+
+
+class ControlPlane:
+    """Two-verb (``get``/``set``) control surface over the engine config.
+
+    ``on_rebind`` is invoked after any ``set`` that changes a query
+    parameter; it receives the new :class:`EngineConfig` and may re-run
+    the flagship query (the reference's re-exec path,
+    trend-o-meter:214-220).  Its DataFrame result (if any) is kept on
+    ``last_rebind_result`` for the caller/sink.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: EngineConfig | None = None,
+        *,
+        audit_path: str | None = None,
+        on_rebind: Callable[[EngineConfig], DataFrame | None] | None = None,
+        clock: Callable[[], float] = time.time,
+    ) -> None:
+        self.spark = spark
+        self.config = config or EngineConfig()
+        self.audit_path = audit_path
+        self.on_rebind = on_rebind
+        self.clock = clock
+        # Ephemeral 8-char app id, as the reference (uuid at trend-o-meter:115).
+        self.app_id = uuid.uuid4().hex[:8]
+        self.started_at = clock()
+        # Runtime flags (C2-settable, not query parameters).
+        self.flags: dict[str, bool] = {"debug": False, "log_messages": False}
+        # Last successful response per command name (the HSET hash,
+        # trend-o-meter:245-248).
+        self.response_cache: dict[str, str] = {}
+        self.last_rebind_result: DataFrame | None = None
+        self._audit_buffer: list[CommandResult] = []
+        self.message_stats = {"rx": 0, "tx": 0}
+
+    # -- getters (trend-o-meter:175-211) ---------------------------------
+
+    def get_config(self) -> dict[str, Any]:
+        out = dataclasses.asdict(self.config)
+        out["day_bins"] = list(self.config.day_bins)
+        return out
+
+    def get_stats(self) -> dict[str, Any]:
+        """trend-o-meter:177-194: uptime + message counters.
+
+        The reference also RPCs the display device for its uptime
+        (``issueCustomCommand('uptime')``) and reports -1 on failure; we
+        have no device, so the display slot is -1 by construction.
+        """
+        progresses = [
+            q.lastProgress for q in self.spark.streams.active if q.lastProgress
+        ]
+        return {
+            "uptime": {"app": self.clock() - self.started_at, "display": -1},
+            "messages": dict(self.message_stats),
+            "streaming_input_rows": sum(
+                int(p.get("numInputRows", 0)) for p in progresses
+            ),
+            "active_streams": len(self.spark.streams.active),
+        }
+
+    # -- dispatch (trend-o-meter:228-262) --------------------------------
+
+    def execute(self, message: str) -> CommandResult:
+        self.message_stats["rx"] += 1
+        ts = self.clock()
+        tokens = re.split(r"\s+", message.strip()) if message.strip() else []
+        verb = tokens[0].lower() if tokens else ""
+        try:
+            if verb == "get":
+                ret = self._do_get(tokens[1:])
+            elif verb == "set":
+                ret = self._do_set(tokens[1:])
+            else:
+                raise ValueError(f"unknown command: {verb!r}")
+            result = CommandResult(ts, True, message, ret, None)
+        except Exception as exc:  # noqa: BLE001 — every failure is audited
+            result = CommandResult(ts, False, message, None, str(exc))
+        if result.valid:
+            # Cache keyed by command name (verb+field), as the HSET hash.
+            cache_key = " ".join(tokens[:2]).lower()
+            self.response_cache[cache_key] = result.to_json()
+            self.message_stats["tx"] += 1
+        self._audit_buffer.append(result)
+        return result
+
+    def _do_get(self, args: list[str]) -> Any:
+        if not args:
+            raise ValueError("get requires a field")
+        field = args[0].lower()
+        if field == "config":
+            return self.get_config()
+        if field == "stats":
+            return self.get_stats()
+        key = _FIELD_ALIASES.get(field, field)
+        if key in self.flags:
+            return self.flags[key]
+        cfg = self.get_config()
+        if key in cfg:
+            return cfg[key]
+        raise ValueError(f"unknown get field: {args[0]!r}")
+
+    def _do_set(self, args: list[str]) -> Any:
+        if len(args) < 2:
+            raise ValueError("set requires a field and a value")
+        field, raw = args[0].lower(), args[1]
+        key = _FIELD_ALIASES.get(field, field)
+        if key in _BOOL_FIELDS:
+            self.flags[key] = _to_bool(raw)
+            return self.flags[key]
+        if key in _INT_FIELDS:
+            value: Any = int(raw)
+        elif key in _FLOAT_FIELDS:
+            value = float(raw)
+        elif key == "day_bins":
+            value = tuple(int(x) for x in raw.split(","))
+        else:
+            raise ValueError(f"unknown set field: {args[0]!r}")
+        self.config = dataclasses.replace(self.config, **{key: value})
+        if self.on_rebind is not None:
+            # Parameter rebind + re-execution (trend-o-meter:214-220).
+            self.last_rebind_result = self.on_rebind(self.config)
+        return value
+
+    # -- audit log (trend-o-meter:253-262) -------------------------------
+
+    def flush_audit_log(self) -> int:
+        """Append buffered command results to the audit parquet table."""
+        if not self._audit_buffer or self.audit_path is None:
+            n = len(self._audit_buffer)
+            self._audit_buffer.clear()
+            return n
+        rows = [
+            (
+                r.ts,
+                r.valid,
+                r.message,
+                json.dumps(r.ret_val, default=str) if r.ret_val is not None else None,
+                r.error,
+            )
+            for r in self._audit_buffer
+        ]
+        df = self.spark.createDataFrame(rows, schema=AUDIT_LOG_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(self.audit_path)
+        n = len(self._audit_buffer)
+        self._audit_buffer.clear()
+        return n
+
+    def read_audit_log(self) -> DataFrame:
+        if self.audit_path is None:
+            raise ValueError("no audit_path configured")
+        return self.spark.read.schema(AUDIT_LOG_SCHEMA).parquet(self.audit_path)

@@ -10,6 +10,7 @@ every wire format gets an explicit schema here; malformed messages land in
 from __future__ import annotations
 
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     MapType,
     StringType,
@@ -48,6 +49,18 @@ BUS_MESSAGE = StructType(
         StructField("ts", TimestampType(), False),
         StructField("channel", StringType(), True),
         StructField("payload", StringType(), True),
+    ]
+)
+
+# C2 audit-log parquet table (control plane): epoch-seconds ts + typed
+# valid flag; ret_val/error serialized JSON/text (trend-o-meter:253-262).
+AUDIT_LOG_SCHEMA = StructType(
+    [
+        StructField("ts", DoubleType(), False),
+        StructField("valid", BooleanType(), False),
+        StructField("message", StringType(), True),
+        StructField("ret_val", StringType(), True),
+        StructField("error", StringType(), True),
     ]
 )
 
