@@ -111,6 +111,79 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+# Axis-aligned sign-bit LSH: the bucket key is the sign pattern of a fixed
+# subset of components — a degenerate (axis-aligned) random-hyperplane LSH
+# that both engines can express identically.  Near-identical vectors land
+# in the same bucket; the exact cosine filter then runs per-bucket, so the
+# candidate join is keyed (one shuffle on the bucket key), never a cross
+# join.  More planes => smaller buckets => higher recall loss; 6 planes is
+# the tested operating point for the synthetic corpus.
+_LSH_PLANES = (0, 11, 23, 37, 47, 59)
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the ANN-flavored dedup).
+
+    Output: ``id_a, id_b, cos_sim`` with ``id_a < id_b`` and
+    ``cos_sim >= threshold``, candidates restricted to a shared sign-bit
+    LSH bucket.  At 100 TB the bucket key bounds the join: skew shows up
+    only if the corpus is degenerate (all vectors one orthant), in which
+    case add planes or salt the bucket.
+    """
+    bucket = F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at(F.col(vec_col), p + 1) >= 0, "1").otherwise("0")
+            for p in _LSH_PLANES
+        ],
+    )
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        bucket.alias("bucket"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        bucket.alias("bucket"),
+    )
+    cos = cosine(F.col("vec_a"), F.col("vec_b"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_near_dup_sql(
+    table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> str:
+    bucket = " || ".join(
+        f"CASE WHEN {vec_col}[{p + 1}] >= 0 THEN '1' ELSE '0' END" for p in _LSH_PLANES
+    )
+    cos = cosine_sql("a.vec_a", "b.vec_b")
+    return f"""
+WITH sides AS (
+  SELECT {id_col} AS vid, {vec_col} AS vec, {bucket} AS bucket FROM {table}
+)
+SELECT a.id_a, b.id_b, round({cos}, 6) AS cos_sim
+FROM (SELECT vid AS id_a, vec AS vec_a, bucket FROM sides) a
+JOIN (SELECT vid AS id_b, vec AS vec_b, bucket FROM sides) b USING (bucket)
+WHERE a.id_a < b.id_b AND round({cos}, 6) >= {threshold}
+"""
+
+
 def ivf_assign(
     df: DataFrame,
     *,

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from . import functions as tfn
 from .catalog import table
-from .llm import dedup, similarity, text
+from .llm import dedup, multimodal, similarity, text
 from .operators import asof, daybins, downsample, rates, retention, rolling, topk
 
 
@@ -680,6 +680,54 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivf_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, "embeddings", sf_dir)
     return similarity.ivf_assign(e, n_centroids=8)
+
+
+@_q(
+    "embedding_near_dup",
+    similarity.embedding_near_dup_sql("embeddings", threshold=0.3),
+    doc="Embedding-cosine near-dup pairs: sign-bit LSH bucket join + exact "
+    "per-bucket cosine >= 0.3 (candidate join keyed by bucket, never a "
+    "cross join).",
+)
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "embeddings", sf_dir)
+    return similarity.embedding_near_dup(e, threshold=0.3)
+
+
+@_q(
+    "multimodal_meta",
+    multimodal.media_meta_sql("documents"),
+    doc="Multimodal metadata scan: opaque BINARY payload + typed meta "
+    "struct; fingerprint and per-modality fields JVM-side (prune by "
+    "metadata before touching payload bytes).",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return multimodal.media_meta(multimodal.media_table(d))
+
+
+@_q(
+    "frame_sample",
+    multimodal.frame_sample_sql("documents", every=4),
+    doc="Video frame sampling: sequence+transform+explode over the binary "
+    "payload, one row per sampled frame, emitting frame hashes not bytes "
+    "(JVM-only, no Python round-trip).",
+)
+def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return multimodal.frame_sample(multimodal.media_table(d), every=4)
+
+
+@_q(
+    "decode_features",
+    None,  # Arrow-batched Python decode: not SQL-expressible -> rows-only check
+    doc="Media decode + feature extraction via Arrow-batched mapInPandas "
+    "(deterministic fake decoder; real codecs stubbed behind "
+    "NotImplementedError — plumbing, schema, and batch shape are real).",
+)
+def decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return multimodal.decode_media(multimodal.media_table(d))
 
 
 @_q(
