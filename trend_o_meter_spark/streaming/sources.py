@@ -35,12 +35,16 @@ def decode_sensor_stream(
     filter (F1, trend-o-meter:408) after decode.
     """
     parsed = df.withColumn("__msg", F.from_json(F.col(payload_col).cast("string"), SENSOR_MESSAGE))
+    # Spark's PERMISSIVE from_json yields an all-null struct (not a null
+    # struct) for malformed input; a usable envelope must carry ts, so a
+    # null __msg.ts marks the row corrupt.
+    bad = F.col("__msg").isNull() | F.col("__msg.ts").isNull()
     out = (
         parsed.select(
             F.timestamp_seconds(F.col("__msg.ts")).alias("ts"),
             F.col("__msg.source").alias("source"),
             F.explode_outer(F.col("__msg.value")).alias("metric", "value"),
-            F.when(F.col("__msg").isNull(), F.col(payload_col).cast("string")).alias("corrupt"),
+            F.when(bad, F.col(payload_col).cast("string")).alias("corrupt"),
         )
     )
     if primary_source is not None:
