@@ -21,7 +21,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -33,15 +33,22 @@ def downsample_fixed_grid(
     gap_seconds: float = 60.0,
     tiebreak: Sequence[str] = (),
 ) -> DataFrame:
-    """Keep the first sample per epoch-aligned ``gap_seconds`` cell per key."""
+    """Keep the first sample per epoch-aligned ``gap_seconds`` cell per key.
+
+    Implemented as ``min_by(full_row, (ts, *tiebreak))`` per (key, cell)
+    hash aggregate rather than a ``row_number`` window: identical rows
+    out (verified exceptAll-empty both ways at sf0.1), but the aggregate
+    gets map-side partial aggregation and skips the per-partition sort a
+    rank window needs — the shape that holds up at 100 TB (shuffle
+    carries one pre-reduced row per (key, cell), not every sample).
+    """
     cell = F.floor(F.unix_micros(F.col(ts)) / F.lit(int(gap_seconds * 1_000_000)))
-    order = [F.col(ts).asc()] + [F.col(c).asc() for c in tiebreak]
-    w = Window.partitionBy(*[F.col(k) for k in keys], cell.alias("__cell")).orderBy(*order)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    ordkey = F.struct(F.col(ts), *[F.col(c) for c in tiebreak])
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    kept = df.groupBy(*[F.col(k) for k in keys], cell.alias("__cell")).agg(
+        F.min_by(payload, ordkey).alias("__r")
     )
+    return kept.select(*[F.col(f"__r.{c}").alias(c) for c in df.columns])
 
 
 def downsample_fixed_grid_sql(
