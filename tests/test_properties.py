@@ -1,0 +1,122 @@
+"""Property-based tests (SURVEY §5.3) — hypothesis-generated event series
+checked against hand-rolled Python models of the operator contracts.
+
+Each property runs a bounded number of examples (Spark round-trips are
+~0.5 s each); the models are intentionally naive O(n^2)-ish Python so
+they can't share a bug with the Spark implementations.
+"""
+
+from datetime import datetime, timezone
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from trend_o_meter_spark.operators.daybins import day_binned_extremes
+from trend_o_meter_spark.operators.downsample import (
+    downsample_anchored,
+    downsample_fixed_grid,
+)
+
+BASE = 1_700_000_000
+
+samples = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10 * 86400),  # ts offset (sec)
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, float(BASE + off), "m", float(v)) for i, (off, v) in enumerate(rows)],
+        "event_id long, epoch double, metric string, value double",
+    ).select("event_id", F.timestamp_seconds("epoch").alias("ts"), "metric", "value")
+
+
+@given(rows=samples)
+@settings(**SETTINGS)
+def test_fixed_grid_downsample_properties(spark, rows):
+    out = downsample_fixed_grid(
+        _df(spark, rows), ts="ts", keys=("metric",), gap_seconds=60, tiebreak=("event_id",)
+    ).collect()
+    kept = {r["event_id"]: r for r in out}
+    # model: first (ts, event_id) per 60s epoch cell
+    by_cell: dict[int, tuple] = {}
+    for i, (off, v) in enumerate(rows):
+        cell = (BASE + off) // 60
+        cand = (off, i)
+        if cell not in by_cell or cand < by_cell[cell]:
+            by_cell[cell] = cand
+    expected_ids = {i for (_, i) in by_cell.values()}
+    assert set(kept) == expected_ids
+    # gap property: kept samples in the same cell never co-exist
+    cells = [int(r["ts"].timestamp() // 60) for r in out]
+    assert len(cells) == len(set(cells))
+
+
+@given(rows=samples)
+@settings(**SETTINGS)
+def test_anchored_downsample_properties(spark, rows):
+    gap = 60
+    out = downsample_anchored(
+        _df(spark, rows), ts="ts", keys=("metric",), gap_seconds=gap, newest_first=True
+    ).collect()
+    kept_offsets = sorted(r["ts"].timestamp() - BASE for r in out)
+    # model: newest-first scan, keep iff |ts - mark| > gap
+    mark = None
+    expected = []
+    for off, _ in sorted(rows, key=lambda t: -t[0]):
+        if mark is None or abs(off - mark) > gap:
+            expected.append(off)
+            mark = off
+    assert kept_offsets == sorted(expected)
+    # newest sample always kept; consecutive kept gaps (scan order) > gap
+    assert max(o for o, _ in rows) in kept_offsets
+    desc = sorted(kept_offsets, reverse=True)
+    assert all(a - b > gap for a, b in zip(desc, desc[1:]))
+
+
+@given(rows=samples, min_hours=st.integers(min_value=0, max_value=48))
+@settings(**SETTINGS)
+def test_day_bins_partition_properties(spark, rows, min_hours):
+    bins = (1, 3, 5, 7)
+    out = day_binned_extremes(
+        _df(spark, rows),
+        ts="ts",
+        value="value",
+        metric="metric",
+        day_bins=bins,
+        min_data_hours=min_hours,
+    ).collect()
+    # bins partition the input: counts sum to total
+    assert sum(r["n_samples"] for r in out) == len(rows)
+    anchor = max(off for off, _ in rows)
+    by_bin: dict[str, list] = {}
+    for off, v in rows:
+        age = anchor - off
+        label = next((str(b) for b in bins if age <= b * 86400), "rest")
+        by_bin.setdefault(label, []).append((off, v))
+    assert {r["day_bin"] for r in out} == set(by_bin)
+    for r in out:
+        vals = [v for _, v in by_bin[r["day_bin"]]]
+        offs = [o for o, _ in by_bin[r["day_bin"]]]
+        assert r["min_val"] == pytest.approx(min(vals))
+        assert r["max_val"] == pytest.approx(max(vals))
+        assert r["n_samples"] == len(vals)
+        span_h = -((max(offs) - min(offs)) // -3600)  # ceil
+        assert r["is_complete"] == (span_h > min_hours)
+        # extremes' timestamps actually carry the extreme values
+        tmin = r["min_ts"].timestamp() - BASE
+        assert any(o == tmin and v == pytest.approx(r["min_val"]) for o, v in by_bin[r["day_bin"]])
