@@ -33,6 +33,7 @@ shuffle keyed by (metric, day_bin) with map-side partial aggregation.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -105,6 +106,93 @@ def day_binned_extremes(
     return agg.withColumn("is_complete", span_hours_ceil > F.lit(min_data_hours)).orderBy(
         *keys, F.when(F.col("day_bin") == "rest", F.lit(10**9)).otherwise(F.col("day_bin").cast("int"))
     )
+
+
+def day_binned_extremes_compat(
+    df: DataFrame,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    metric: str = "metric",
+    day_bins: Sequence[int] = (1, 3, 5, 7),
+    min_data_hours: int = 18,
+) -> DataFrame:
+    """Quirk-faithful A3 (SURVEY §7.2 phase 3): bit-exact reference walk.
+
+    Reproduces ``minMaxForDayBins`` (trend-o-meter:17-64) including its
+    quirks, which the declarative :func:`day_binned_extremes` fixes:
+
+    * slice ends are EXCLUSIVE of the edge-crossing element — the sample
+      that first falls past an edge starts the next slice
+      (trend-o-meter:24-29: ``a.push([curStartingExtent, tsIndex])``);
+    * only one edge can be crossed per element, so across a data gap
+      spanning multiple edges the slice labels shift (``curDBETIdx++``
+      once per crossing element);
+    * the leftover slice starts at ``curStartingExtent + 1`` — dropping
+      one sample entirely (trend-o-meter:37);
+    * bins with no slice are absent; a slice can be empty (length 0,
+      ``is_complete`` false, null extremes — we emit nulls where the
+      reference emits ``[null, ±2e32]`` sentinels, SURVEY §1.2);
+    * ties keep the first-encountered sample in newest-first order
+      (strict ``<``/``>`` reduce, trend-o-meter:11-12).
+
+    Sequential per metric by construction → Arrow-batched
+    ``applyInPandas`` scan per metric key (reference working set is
+    ≤ ~14k rows/metric; the declarative variant is the scale path).
+    """
+    import pandas as pd
+
+    bins = list(day_bins)
+    out_schema = (
+        f"{metric} string, day_bin string, n_samples long, "
+        "min_val double, min_ts timestamp, max_val double, max_ts timestamp, "
+        "first_ts timestamp, last_ts timestamp, is_complete boolean"
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts, ascending=False, kind="mergesort").reset_index(drop=True)
+        t_sec = pdf[ts].astype("int64").to_numpy() / 1e9
+        tvals = pdf[ts]  # original timestamps for exact output values
+        vals = pdf[value].to_numpy()
+        key = pdf[metric].iloc[0]
+        cur_moment = t_sec[0]
+        edges = [cur_moment - b * 86400 for b in bins]
+        slices: list[tuple[int, int | None]] = []
+        cur_start, cur_edge = 0, 0
+        for i, t in enumerate(t_sec):
+            if cur_edge < len(edges) and t < edges[cur_edge]:
+                slices.append((cur_start, i))
+                cur_start = i
+                cur_edge += 1
+        if cur_start < len(t_sec) and len(slices) < len(bins) and cur_edge < len(bins):
+            slices.append((cur_start + 1, None))  # the :37 off-by-one
+        rows = []
+        for db_idx, (s, e) in enumerate(slices):
+            sl = slice(s, e)
+            st, sv = t_sec[sl], vals[sl]
+            n = len(st)
+            if n:
+                # strict </>: first-encountered (newest-first) wins ties
+                imin = min(range(n), key=lambda k: (sv[k], k))
+                imax = min(range(n), key=lambda k: (-sv[k], k))
+                complete = math.ceil((st[0] - st[n - 1]) / 3600) > min_data_hours
+                base = s  # slice offset into the sorted frame
+                rows.append(
+                    (key, str(bins[db_idx]), n, float(sv[imin]),
+                     tvals.iloc[base + imin], float(sv[imax]),
+                     tvals.iloc[base + imax],
+                     tvals.iloc[base], tvals.iloc[base + n - 1],
+                     bool(complete))
+                )
+            else:
+                rows.append(
+                    (key, str(bins[db_idx]), 0, None, None, None, None, None, None, False)
+                )
+        cols = [metric, "day_bin", "n_samples", "min_val", "min_ts", "max_val",
+                "max_ts", "first_ts", "last_ts", "is_complete"]
+        return pd.DataFrame(rows, columns=cols)
+
+    return df.select(metric, ts, value).groupBy(metric).applyInPandas(walk, schema=out_schema)
 
 
 def day_binned_extremes_sql(

@@ -83,6 +83,25 @@ def flagship_day_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "flagship_day_bins_compat",
+    None,  # sequential reference walk (one-edge-per-element, :37 off-by-one)
+    # is not SQL-expressible -> rows-only check; exact semantics pinned by
+    # the golden tests in tests/test_daybins_compat.py
+    doc="A3 quirk-faithful variant: bit-exact reference minMaxForDayBins "
+    "walk (trend-o-meter:17-64) incl. the :37 leftover off-by-one, via "
+    "per-metric applyInPandas (SURVEY §7.2 phase 3).",
+)
+def flagship_day_bins_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir).select("event_id", "ts", "event_type", "value")
+    ds = downsample.downsample_fixed_grid(
+        ev, ts="ts", keys=("event_type",), gap_seconds=60, tiebreak=("event_id",)
+    )
+    return daybins.day_binned_extremes_compat(
+        ds, ts="ts", value="value", metric="event_type"
+    )
+
+
+@_q(
     "downsample_60s",
     _DOWNSAMPLE_SQL,
     doc="F2 fixed-grid variant: first sample per epoch-aligned 60s cell per metric "
