@@ -1,0 +1,90 @@
+"""Physical-plan audits: the 100-TB scale contract, asserted.
+
+Correctness tests prove the operators compute the right answer; these
+prove they compute it with the right PLAN — filters and projections reach
+the parquet scan, small dimensions broadcast, top-k never global-sorts,
+and nothing silently degrades to a cartesian product.  A regression that
+keeps results correct but breaks the plan shape fails here.
+"""
+
+import pytest
+
+from trend_o_meter_spark.workload import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    specs = {s.name: s for s in registry()}
+
+    def plan_of(name: str) -> str:
+        df = specs[name].spark(spark, SF)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    return plan_of
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """Only the deliberately-broadcast ANN baselines may nested-loop join;
+    nothing may ever fall back to a non-broadcast cartesian product."""
+    for spec in registry():
+        df = spec.spark(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, spec.name
+
+
+def test_topk_uses_take_ordered(plans):
+    # O2: newest-k compiles to TakeOrderedAndProject — per-partition heap
+    # + driver merge of k rows, not a global sort.
+    assert "TakeOrderedAndProject" in plans("topk_recent")
+
+
+def test_fact_dim_joins_broadcast(plans):
+    # q3/q5: the filtered dimension side must broadcast (no shuffle of the
+    # fact table onto a dim key).
+    for q in ("q3_shipping_priority", "q5_region_revenue"):
+        p = plans(q)
+        assert "BroadcastHashJoin" in p, q
+
+
+def test_flagship_prunes_columns(plans):
+    # The events table carries props/user_id/etc; the flagship needs only
+    # 4 columns — the scan must show a pruned ReadSchema.
+    p = plans("flagship_day_bins")
+    scan = next(ln for ln in p.splitlines() if "ReadSchema" in ln)
+    for col in ("event_id", "ts", "event_type", "value"):
+        assert col in scan
+    assert "props" not in scan and "user_id" not in scan
+
+
+def test_filter_pushdown_reaches_scan(plans):
+    # q1's shipdate predicate must appear in PushedFilters on the parquet
+    # scan, not only as a post-scan Filter.
+    p = plans("q1_pricing_summary")
+    assert "PushedFilters: [" in p
+    pushed = next(ln for ln in p.splitlines() if "PushedFilters" in ln and "l_shipdate" in ln)
+    assert "LessThanOrEqual" in pushed
+
+
+def test_lsh_joins_are_keyed(plans):
+    # Near-dup candidate generation joins on bucket keys — hash joins,
+    # never broadcast-nested-loop over the corpus.
+    for q in ("minhash_lsh_pairs", "ngram_jaccard_pairs", "embedding_near_dup"):
+        p = plans(q)
+        assert "BroadcastNestedLoopJoin" not in p, q
+        assert "CartesianProduct" not in p, q
+
+
+def test_rolling_avg_no_global_window(plans):
+    # A5 must not evaluate a window over a single unpartitioned range —
+    # the per-metric partitionBy keeps every Exchange keyed.
+    p = plans("rolling_current_avg")
+    assert "SinglePartition" not in p
+
+
+def test_downsample_partial_aggregates(plans):
+    # the min_by downsample must do map-side partial aggregation
+    # (partial_min_by before the exchange).
+    p = plans("downsample_60s")
+    assert "partial_min_by" in p
