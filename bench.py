@@ -38,6 +38,10 @@ HEADLINE = (
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "cosine_topk",
+    "cosine_topk_ivf",
+    "embedding_near_dup",
+    "multimodal_meta",
+    "frame_sample",
     "text_stats",
     "label_centroids",
 )

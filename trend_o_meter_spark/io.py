@@ -1,0 +1,77 @@
+"""Table IO: the lakehouse layout layer (SURVEY §1.4 catalog + S1/S2).
+
+The reference's only store is Redis (list + pub/sub); its "catalog" is a
+key-naming convention (SURVEY §1.4).  The Spark build treats storage as
+first-class: explicit-schema readers for the wire formats (never infer on
+a production path), and a date-partitioned parquet layout for event
+tables so time-range queries prune partitions at the file-listing level —
+at 100 TB the difference between scanning a day and scanning a decade.
+
+``write_daily_partitioned`` / ``read_daily_partitioned`` pin the layout
+contract: a derived ``ds`` (yyyy-MM-dd, UTC) partition column, payload
+columns untouched.  ``read_csv``/``read_json`` are schema-explicit
+ingest paths with PERMISSIVE corrupt-row capture (the Spark-native form
+of the reference's catch-and-log at trend-o-meter:440-443).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType, StringType
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def write_daily_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    ts: str = "ts",
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet partitioned by UTC day of ``ts``.
+
+    Partition count = distinct days — coarse enough that smallish SFs
+    don't fragment into tiny files, fine enough that day-range predicates
+    prune.  (Sub-daily or hash sub-bucketing is a layout parameter a real
+    deployment would add per table volume.)
+    """
+    out = df.withColumn("ds", F.date_format(F.col(ts), "yyyy-MM-dd"))
+    out.write.partitionBy("ds").mode(mode).parquet(path)
+
+
+def read_daily_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read the daily layout back; filters on ``ds`` prune partitions
+    (verify with .explain: PartitionFilters, not PushedFilters)."""
+    return spark.read.parquet(path)
+
+
+def _with_corrupt(schema: StructType) -> StructType:
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    return StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)])
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Schema-explicit JSON-lines ingest; malformed rows land in
+    ``_corrupt_record`` instead of being dropped or poisoning inference."""
+    return (
+        spark.read.schema(_with_corrupt(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType, *, header: bool = True
+) -> DataFrame:
+    """Schema-explicit CSV ingest with corrupt-row capture."""
+    return (
+        spark.read.schema(_with_corrupt(schema))
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(path)
+    )

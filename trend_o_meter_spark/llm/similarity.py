@@ -111,6 +111,125 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def cosine_topk_ivf(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 5,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-probed cosine top-k — the ANN scale path.
+
+    Corpus vectors are assigned to their nearest centroid cell
+    (:func:`ivf_assign`); each query probes only its ``n_probe`` nearest
+    cells, so the candidate join is an equi-join keyed by cell id
+    instead of a query x corpus cross join.  Approximate by
+    construction: a true neighbor living outside the probed cells is
+    missed — recall/probe tradeoff, standard IVF.  Output schema matches
+    :func:`cosine_topk` (``query_id, neighbor_id, cos_sim, rank``), ranks
+    over the probed candidate set.
+
+    At 100 TB: the corpus assignment is one broadcast-join pass (tiny
+    centroid table), the search shuffle is keyed by cell — bounded by
+    the biggest cell, which k-means balancing (or splitting hot cells)
+    controls; no stage ever sees the full corpus per query.
+    """
+    from pyspark.sql import Window
+
+    corpus_cells = ivf_assign(
+        df, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
+    ).select(F.col(id_col), F.col("cluster"))
+    corpus = df.join(corpus_cells, id_col)
+
+    # query-side: n_probe nearest cells per query (rounded cosine +
+    # cluster-id tiebreak — deterministic, oracle-matched)
+    cents = df.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cluster"), F.col(vec_col).alias("cvec")
+    )
+    queries = df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("__c"), 9).desc(), F.col("cluster").asc()
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select("query_id", "qvec", "cluster", cosine(F.col("cvec"), F.col("qvec")).alias("__c"))
+        .withColumn("__pr", F.row_number().over(wq))
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", "qvec", "cluster")
+    )
+
+    cos = cosine(F.col("qvec"), F.col(vec_col))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos_sim"), 9).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        corpus.join(F.broadcast(probes), "cluster")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("cos_sim", F.round("cos_sim", 6))
+    )
+
+
+def cosine_topk_ivf_sql(
+    table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 5,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> str:
+    cell_cos = cosine_sql("c.cvec", f"t.{vec_col}")
+    qc_cos = cosine_sql("c.cvec", "q.qvec")
+    cand_cos = cosine_sql("p.qvec", f"cc.{vec_col}")
+    return f"""
+WITH c AS (
+  SELECT {id_col} AS cluster, {vec_col} AS cvec FROM {table} WHERE {id_col} < {n_centroids}
+),
+assigned AS (
+  SELECT {id_col}, CAST(-(m.nc) AS BIGINT) AS cluster FROM (
+    SELECT t.{id_col}, max(struct_pack(c := round({cell_cos}, 9), nc := -c.cluster)) AS m
+    FROM {table} t, c GROUP BY 1
+  )
+),
+corpus AS (
+  SELECT t.*, a.cluster FROM {table} t JOIN assigned a USING ({id_col})
+),
+q AS (
+  SELECT {id_col} AS query_id, {vec_col} AS qvec FROM {table} WHERE {id_col} < {n_queries}
+),
+probes AS (
+  SELECT query_id, qvec, cluster FROM (
+    SELECT q.query_id, q.qvec, c.cluster,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY round({qc_cos}, 9) DESC, c.cluster ASC) AS pr
+    FROM q, c
+  ) WHERE pr <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, cc.{id_col} AS neighbor_id, {cand_cos} AS cos_sim
+  FROM corpus cc JOIN probes p USING (cluster)
+  WHERE cc.{id_col} != p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cos_sim, 9) DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 # Axis-aligned sign-bit LSH: the bucket key is the sign pattern of a fixed
 # subset of components — a degenerate (axis-aligned) random-hyperplane LSH
 # that both engines can express identically.  Near-identical vectors land

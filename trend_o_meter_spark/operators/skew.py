@@ -1,0 +1,47 @@
+"""Skew mitigation: salted two-phase aggregation.
+
+At 100 TB a handful of hot keys (one viral channel, one boilerplate
+document hash) can pin a whole aggregation on one reducer.  AQE's skew
+handling covers joins; for aggregations whose per-key state is
+decomposable (count/sum/min/max — anything with a merge function), the
+classic fix is salting: spray each hot key across ``n_salts`` synthetic
+sub-keys, partially aggregate on (key, salt), then merge the partials on
+the real key.  Shuffle one: n_salts-way parallel even for a single hot
+key; shuffle two: one row per (key, salt) — tiny.
+
+The salt must be content-derived (hash of a row id), NOT random — see
+``session.py``'s determinism note and the oracle contract.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    salt_on: str,
+    partial_aggs: dict[str, Column],
+    merge_aggs: dict[str, Column],
+    *,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with a content-derived salt.
+
+    ``partial_aggs``: alias -> aggregate over raw rows (phase 1, grouped
+    by keys + salt).  ``merge_aggs``: alias -> aggregate over the phase-1
+    columns (phase 2, grouped by keys only).  Example::
+
+        salted_agg(df, ["event_type"], "event_id",
+                   {"cnt": F.count(F.lit(1)), "sum_v": F.sum("value")},
+                   {"cnt": F.sum("cnt"), "sum_v": F.sum("sum_v")})
+    """
+    salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(n_salts)).alias("__salt")
+    phase1 = df.groupBy(*[F.col(k) for k in keys], salt).agg(
+        *[c.alias(a) for a, c in partial_aggs.items()]
+    )
+    return phase1.groupBy(*keys).agg(*[c.alias(a) for a, c in merge_aggs.items()])

@@ -691,6 +691,18 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cosine_topk_ivf",
+    similarity.cosine_topk_ivf_sql("embeddings", n_queries=5, k=10, n_centroids=8, n_probe=2),
+    doc="IVF-probed cosine top-k (the ANN scale path): corpus bucketed by "
+    "nearest centroid, each query probes 2 cells — candidate join keyed "
+    "by cell, never query x corpus.",
+)
+def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "embeddings", sf_dir)
+    return similarity.cosine_topk_ivf(e, n_queries=5, k=10, n_centroids=8, n_probe=2)
+
+
+@_q(
     "ivf_assign",
     similarity.ivf_assign_sql("embeddings", n_centroids=8),
     doc="IVF cell assignment (the ANN scale path: cluster-keyed search "
