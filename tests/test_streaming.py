@@ -231,3 +231,58 @@ def test_render_frame_shape(spark):
     assert frame[1].startswith("1d") and "3d" in frame[1]
     assert "26" in frame[2] and "----" in frame[2]  # incomplete bin masked
     assert "12" in frame[3]
+
+
+def test_stream_day_bins_end_to_end(spark, stream_dirs, tmp_path):
+    """The full reference loop (§3.2): ingest -> anchored downsample ->
+    history table -> day-bin extremes -> display frame, per micro-batch."""
+    from trend_o_meter_spark.streaming.display import render_frame
+    from trend_o_meter_spark.streaming.pipeline import stream_day_bins
+
+    in_dir, ckpt = stream_dirs
+    results = {}
+    frames = {}
+
+    def on_result(batch_id, df):
+        rows = df.collect()
+        results[batch_id] = rows
+        frames[batch_id] = render_frame(rows, metric="temperature")
+
+    kept, per_batch = stream_day_bins(
+        decode_sensor_stream(_read_text_stream(spark, in_dir)).filter(
+            F.col("corrupt").isNull()
+        ),
+        state_path=str(tmp_path / "history"),
+        gap_seconds=60,
+        min_data_hours=18,
+        on_result=on_result,
+    )
+    q = (
+        kept.writeStream.foreachBatch(per_batch)
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    # batch 1: two days of hourly data; batch 2: a newer day (shifts the anchor)
+    _write_batch(
+        in_dir / "b0.json",
+        [_sensor(-h * 3600, temperature=float(h % 24)) for h in range(0, 48)],
+    )
+    q.processAllAvailable()
+    _write_batch(
+        in_dir / "b1.json",
+        [_sensor(3 * 86400 + h * 3600, temperature=100.0 + h) for h in range(0, 24)],
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    first = {r["day_bin"]: r for r in results[min(results)] if r["metric"] == "temperature"}
+    # 48 hourly samples: bin '1' holds ages <= 1d from the newest
+    assert first["1"]["n_samples"] == 25 and first["1"]["is_complete"]
+    last = {r["day_bin"]: r for r in results[max(results)] if r["metric"] == "temperature"}
+    # anchor moved to BASE+3d23h: the old 0..-47h data now sits at ages
+    # 3d23h..5d22h -> bins 5 and 7; the new day is bin 1
+    assert last["1"]["max_val"] == 123.0
+    assert set(last) == {"1", "5", "7"}
+    f = frames[max(frames)]
+    assert len(f) == 4 and f[0].startswith("tmp")

@@ -107,6 +107,67 @@ def stream_session_channels(
     )
 
 
+def stream_day_bins(
+    readings: DataFrame,
+    *,
+    state_path: str,
+    ts: str = "ts",
+    value: str = "value",
+    metric: str = "metric",
+    gap_seconds: float = 60.0,
+    day_bins: tuple[int, ...] = (1, 3, 5, 7),
+    min_data_hours: int = 18,
+    retention_days: float | None = None,
+    on_result: "object" = None,
+):
+    """The reference's live loop (§3.2) end-to-end as a continuous query.
+
+    backfill+tail shape: the gap-anchored downsample keeps its anchor in
+    the state store (``stream_anchored_downsample``); each micro-batch's
+    kept samples append to a parquet state table (the durable stand-in
+    for the reference's in-memory ``metricHistory`` — its Redis list WAL,
+    trend-o-meter:142-144), then the flagship day-bin aggregation re-runs
+    over the state table and the result goes to ``on_result(batch_id,
+    DataFrame)`` (e.g. the display renderer).
+
+    The full recompute per batch mirrors the reference's ``runParse()``
+    per accepted sample (trend-o-meter:418) — but columnar, and over the
+    downsampled table (1 row/min/metric), so the recompute input at any
+    scale is tiny: the A3 anchor is data-derived (max ts per metric),
+    which no incremental streaming agg can window on — SURVEY §7.3.
+    ``retention_days`` applies the F4 range cull to the state table scan.
+
+    Returns the function for ``writeStream.foreachBatch`` — caller starts
+    the query (checkpointing recommended).
+    """
+    from ..operators.daybins import day_binned_extremes
+    from ..operators.retention import retain_window
+    from .stateful import stream_anchored_downsample
+
+    kept = stream_anchored_downsample(
+        readings, ts=ts, value=value, metric=metric, gap_seconds=gap_seconds
+    )
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not batch_df.isEmpty():
+            batch_df.write.mode("append").parquet(state_path)
+        try:
+            state = spark.read.parquet(state_path)
+        except Exception:  # noqa: BLE001 — no state yet (all-empty batches)
+            return
+        if retention_days is not None:
+            state = retain_window(state, ts="ts", keys=(metric,), days=retention_days)
+        result = day_binned_extremes(
+            state, ts="ts", value="value", metric=metric,
+            day_bins=day_bins, min_data_hours=min_data_hours,
+        )
+        if on_result is not None:
+            on_result(batch_id, result)
+
+    return kept, per_batch
+
+
 def run_to_memory_sink(
     df: DataFrame,
     *,
