@@ -71,6 +71,63 @@ FROM {table}
 """
 
 
+# Gopher-style curation thresholds (integer-comparison rules only, so the
+# keep/drop decision is bit-identical across engines).
+QUALITY_RULES = (
+    # (reason, SQL predicate template over the text_stats feature columns)
+    ("too_short", "n_tokens < {min_tokens}"),
+    ("too_long", "n_tokens > {max_tokens}"),
+    ("punct_heavy", "punct_ratio * 100 > {max_punct_pct}"),
+    ("no_stopwords", "stopword_ratio * 100 < {min_stopword_pct}"),
+    ("shouting", "upper_ratio * 100 > {max_upper_pct}"),
+)
+
+QUALITY_DEFAULTS = dict(
+    min_tokens=10, max_tokens=100_000, max_punct_pct=10,
+    min_stopword_pct=2, max_upper_pct=20,
+)
+
+
+def quality_filter(
+    df: DataFrame, *, text: str = "text", id_col: str = "doc_id", **thresholds
+) -> DataFrame:
+    """Rule-based document curation: ``doc_id, keep, reject_reason``.
+
+    The filtering pass a training pipeline runs after scoring — each rule
+    names its rejection so curation decisions are auditable; first
+    matching rule wins (fixed rule order).  Pure column expressions over
+    :func:`text_stats` features; at scale this is a single map-side pass.
+    """
+    params = {**QUALITY_DEFAULTS, **thresholds}
+    stats = text_stats(df, text=text, id_col=id_col)
+    reason: Column | None = None
+    for name, tmpl in QUALITY_RULES:
+        cond = F.expr(tmpl.format(**params))
+        branch = F.when(cond, F.lit(name))
+        reason = branch if reason is None else reason.when(cond, F.lit(name))
+    reason = reason.otherwise(F.lit(None).cast("string"))
+    return stats.select(
+        F.col(id_col),
+        reason.alias("reject_reason"),
+    ).withColumn("keep", F.col("reject_reason").isNull())
+
+
+def quality_filter_sql(
+    table: str, *, text: str = "text", id_col: str = "doc_id", **thresholds
+) -> str:
+    params = {**QUALITY_DEFAULTS, **thresholds}
+    cases = " ".join(
+        f"WHEN {tmpl.format(**params)} THEN '{name}'" for name, tmpl in QUALITY_RULES
+    )
+    return f"""
+WITH stats AS ({text_stats_sql(table, text=text, id_col=id_col)})
+SELECT {id_col},
+       CASE {cases} END AS reject_reason,
+       (CASE {cases} END) IS NULL AS keep
+FROM stats
+"""
+
+
 def lang_id(df: DataFrame, *, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-vocabulary language guess (deterministic argmax).
 

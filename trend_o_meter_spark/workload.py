@@ -650,6 +650,17 @@ def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "quality_filter",
+    text.quality_filter_sql("documents"),
+    doc="Rule-based curation pass: named, auditable reject reasons from "
+    "integer-threshold rules over the quality features (map-side only).",
+)
+def quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.quality_filter(d)
+
+
+@_q(
     "lang_id",
     text.lang_id_sql("documents"),
     doc="Marker-vocabulary language id with deterministic argmax.",
