@@ -1,0 +1,195 @@
+"""Trend analytics: regression slope and grid resampling with gap fill.
+
+The reference is a *trend* monitor, but its only trend signal is the
+day-binned min/max walk (A3).  These operators complete the timeseries
+surface a trend engine needs, Spark-first:
+
+* :func:`trend_slope` — least-squares slope of value vs time per
+  (key, bucket).  Computed from the closed-form sums
+  ``(nΣxy − ΣxΣy) / (nΣx² − (Σx)²)`` with exact DECIMAL accumulation, so
+  the result is order-insensitive and bit-reproducible (the built-in
+  ``regr_slope`` float-sums in shuffle order — fine for analytics,
+  unusable for an exact oracle).
+* :func:`resample_locf` — tumbling-bucket resample onto a dense time
+  grid with last-observation-carried-forward fill for empty buckets.
+  The grid is generated per key with ``sequence``+``explode`` (JVM), the
+  fill is one ``last(value, ignorenulls)`` window per key — a single
+  shuffle keyed by the series key, and the window is incremental (no
+  self-join against the grid).
+
+Scale notes: slope sums are classic partial aggregates (map-side
+combine); the resample's per-key grid is bounded by span/step — at
+100 TB you bound the span per query (retention) exactly like the
+reference's 7-day cull, so grids stay small even when raw data is huge.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,6)"
+
+
+def trend_slope(
+    df: DataFrame,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    keys: Sequence[str] = ("metric",),
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Per-(key, bucket) least-squares slope, in value-units per hour.
+
+    Output: ``*keys, bucket_start, n_samples, slope_per_hour`` (null
+    slope when the bucket has < 2 samples or zero time variance).
+    """
+    bucket = (F.floor(F.unix_seconds(F.col(ts)) / bucket_seconds) * bucket_seconds).alias(
+        "__b"
+    )
+    # x in seconds relative to the bucket start keeps decimals small
+    x = (F.unix_micros(F.col(ts)) / F.lit(1_000_000.0) - F.col("__b")).cast(_DEC)
+    y = F.col(value).cast(_DEC)
+    g = df.withColumn("__b", bucket).groupBy(*keys, "__b").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * y).cast(_DEC)).alias("sxy"),
+        F.sum((x * x).cast(_DEC)).alias("sxx"),
+    )
+    # sums stay exact (decimal, order-insensitive); the closed form itself
+    # runs in double with IDENTICAL operation order in the SQL twin, so
+    # both engines produce the same bits (decimal mul/div would hit each
+    # engine's different precision-capping rules instead)
+    n = F.col("n_samples").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    denom = n * sxx - sx * sx
+    slope_sec = (n * sxy - sx * sy) / denom
+    return g.select(
+        *keys,
+        F.timestamp_seconds(F.col("__b")).alias("bucket_start"),
+        "n_samples",
+        F.when(denom != 0, F.round(slope_sec * 3600, 9))
+        .otherwise(F.lit(None))
+        .alias("slope_per_hour"),
+    )
+
+
+def trend_slope_sql(
+    table: str,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    keys: Sequence[str] = ("metric",),
+    bucket_seconds: int = 86400,
+) -> str:
+    ks = ", ".join(keys)
+    return f"""
+WITH pre AS (
+  SELECT {ks},
+         CAST(floor(epoch({ts}) / {bucket_seconds}) * {bucket_seconds} AS BIGINT) AS b,
+         CAST(epoch_us({ts}) / 1000000.0
+              - floor(epoch({ts}) / {bucket_seconds}) * {bucket_seconds} AS DECIMAL(38,6)) AS x,
+         CAST({value} AS DECIMAL(38,6)) AS y
+  FROM {table}
+),
+g AS (
+  SELECT {ks}, b, count(*) AS n_samples,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(CAST(x * y AS DECIMAL(38,6))) AS sxy,
+         sum(CAST(x * x AS DECIMAL(38,6))) AS sxx
+  FROM pre GROUP BY ALL
+)
+SELECT {ks}, to_timestamp(b) AS bucket_start, n_samples,
+       CASE WHEN CAST(n_samples AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) != 0
+            THEN round((CAST(n_samples AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n_samples AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 3600, 9)
+       END AS slope_per_hour
+FROM g
+"""
+
+
+def resample_locf(
+    df: DataFrame,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    keys: Sequence[str] = ("metric",),
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Dense tumbling-bucket resample with forward fill.
+
+    Output: ``*keys, bucket_start, mean_value, n_samples, filled_value,
+    is_gap`` — one row per key per ``step_seconds`` bucket between each
+    key's first and last sample; empty buckets carry the most recent
+    bucket mean forward (``is_gap`` true).
+    """
+    step = step_seconds
+    b = (F.floor(F.unix_seconds(F.col(ts)) / step) * step).cast("long")
+    # per-key per-bucket mean (exact decimal, order-insensitive)
+    agg = (
+        df.withColumn("__b", b)
+        .groupBy(*keys, "__b")
+        .agg(
+            # exact decimal sum -> double, THEN divide (both engines'
+            # decimal-division scale rules differ; double division with
+            # identical operand order matches bit-for-bit)
+            (F.sum(F.col(value).cast("decimal(28,8)")).cast("double") / F.count(F.lit(1)))
+            .alias("mean_value"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+    # dense grid per key: sequence over the observed bucket span
+    span = agg.groupBy(*keys).agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+    grid = span.select(
+        *keys,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))).alias("__b"),
+    )
+    joined = grid.join(agg, [*keys, "__b"], "left")
+    w = Window.partitionBy(*keys).orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        *keys,
+        F.timestamp_seconds(F.col("__b")).alias("bucket_start"),
+        "mean_value",
+        F.coalesce(F.col("n_samples"), F.lit(0)).alias("n_samples"),
+        F.last("mean_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("mean_value").isNull().alias("is_gap"),
+    )
+
+
+def resample_locf_sql(
+    table: str,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    keys: Sequence[str] = ("metric",),
+    step_seconds: int = 3600,
+) -> str:
+    ks = ", ".join(keys)
+    step = step_seconds
+    return f"""
+WITH agg AS (
+  SELECT {ks},
+         CAST(floor(epoch({ts}) / {step}) * {step} AS BIGINT) AS b,
+         CAST(sum(CAST({value} AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS mean_value,
+         count(*) AS n_samples
+  FROM {table} GROUP BY ALL
+),
+span AS (SELECT {ks}, min(b) AS lo, max(b) AS hi FROM agg GROUP BY ALL),
+grid AS (
+  SELECT {ks}, unnest(range(lo, hi + {step}, {step})) AS b FROM span
+)
+SELECT {ks}, to_timestamp(g.b) AS bucket_start, a.mean_value,
+       coalesce(a.n_samples, 0) AS n_samples,
+       last_value(a.mean_value IGNORE NULLS)
+         OVER (PARTITION BY {ks} ORDER BY g.b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       a.mean_value IS NULL AS is_gap
+FROM grid g LEFT JOIN agg a USING ({ks}, b)
+"""

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from . import functions as tfn
 from .catalog import table
 from .llm import dedup, multimodal, similarity, text
-from .operators import asof, daybins, downsample, rates, retention, rolling, topk
+from .operators import asof, daybins, downsample, rates, retention, rolling, topk, trend
 
 
 @dataclass(frozen=True)
@@ -264,6 +264,31 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("value").over(by_ts).alias("prev_value"),
         F.lead("value").over(by_ts).alias("next_value"),
     )
+
+
+@_q(
+    "trend_slope_daily",
+    trend.trend_slope_sql("events", keys=("event_type",), bucket_seconds=86400),
+    doc="Per-metric daily least-squares trend slope (value-units/hour) via "
+    "exact-decimal closed-form sums — order-insensitive, map-side "
+    "partial-aggregated (the trend signal the reference's display "
+    "implies but never computes).",
+)
+def trend_slope_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    return trend.trend_slope(ev, keys=("event_type",), bucket_seconds=86400)
+
+
+@_q(
+    "resample_1h_locf",
+    trend.resample_locf_sql("events", keys=("event_type",), step_seconds=3600),
+    doc="Dense hourly resample with forward fill: sequence+explode grid "
+    "per metric, one incremental last(ignorenulls) window — no grid "
+    "self-join.",
+)
+def resample_1h_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    return trend.resample_locf(ev, keys=("event_type",), step_seconds=3600)
 
 
 # ---------------------------------------------------------------------------
