@@ -115,6 +115,89 @@ FROM g
 """
 
 
+def zscore_anomalies(
+    df: DataFrame,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    keys: Sequence[str] = ("metric",),
+    bucket_seconds: int = 86400,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Samples whose |z| vs their (key, bucket) population exceeds the
+    threshold — the alerting query a trend monitor runs.
+
+    Mean/std come from exact decimal Σy/Σy² (order-insensitive) with the
+    final algebra in double (identical operand order in the SQL twin).
+    Two passes over the bucket (agg + broadcast-joinable stats), one
+    shuffle each, both map-side combined.
+    """
+    b = (F.floor(F.unix_seconds(F.col(ts)) / bucket_seconds) * bucket_seconds).cast("long")
+    y = F.col(value).cast(_DEC)
+    stats = (
+        df.withColumn("__b", b)
+        .groupBy(*keys, "__b")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(y).alias("__sy"),
+            F.sum((y * y).cast(_DEC)).alias("__syy"),
+        )
+    )
+    n = F.col("__n").cast("double")
+    sy, syy = F.col("__sy").cast("double"), F.col("__syy").cast("double")
+    mean = sy / n
+    var = (n * syy - sy * sy) / (n * (n - F.lit(1.0)))
+    stats = stats.select(
+        *keys, "__b", F.col("__n"),
+        mean.alias("__mean"),
+        F.when(F.col("__n") > 1, F.sqrt(var)).alias("__std"),
+    )
+    j = df.withColumn("__b", b).join(F.broadcast(stats), [*keys, "__b"])
+    z = (F.col(value) - F.col("__mean")) / F.col("__std")
+    return (
+        j.filter(F.col("__std") > 0)
+        .withColumn("z", F.round(z, 9))
+        .filter(F.abs(F.col("z")) > z_threshold)
+        .select(*keys, F.col(ts), F.col(value), F.round("__mean", 9).alias("bucket_mean"), "z")
+    )
+
+
+def zscore_anomalies_sql(
+    table: str,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    keys: Sequence[str] = ("metric",),
+    bucket_seconds: int = 86400,
+    z_threshold: float = 2.0,
+) -> str:
+    ks = ", ".join(keys)
+    return f"""
+WITH pre AS (
+  SELECT *, CAST(floor(epoch({ts}) / {bucket_seconds}) * {bucket_seconds} AS BIGINT) AS b
+  FROM {table}
+),
+stats AS (
+  SELECT {ks}, b, count(*) AS n,
+         sum(CAST({value} AS DECIMAL(38,6))) AS sy,
+         sum(CAST(CAST({value} AS DECIMAL(38,6)) * CAST({value} AS DECIMAL(38,6)) AS DECIMAL(38,6))) AS syy
+  FROM pre GROUP BY ALL
+),
+enriched AS (
+  SELECT {ks}, b,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         CASE WHEN n > 1 THEN sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) END AS std
+  FROM stats
+)
+SELECT {ks}, p.{ts}, p.{value}, round(e.mean, 9) AS bucket_mean,
+       round((p.{value} - e.mean) / e.std, 9) AS z
+FROM pre p JOIN enriched e USING ({ks}, b)
+WHERE e.std > 0 AND abs(round((p.{value} - e.mean) / e.std, 9)) > {z_threshold}
+"""
+
+
 def resample_locf(
     df: DataFrame,
     *,

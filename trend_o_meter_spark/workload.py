@@ -291,6 +291,40 @@ def resample_1h_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend.resample_locf(ev, keys=("event_type",), step_seconds=3600)
 
 
+@_q(
+    "zscore_anomalies",
+    trend.zscore_anomalies_sql("events", keys=("event_type",), bucket_seconds=86400, z_threshold=2.0),
+    doc="Per-metric daily z-score anomalies (|z| > 2): exact-decimal "
+    "sum/sum-of-squares stats, broadcast back onto the samples — the "
+    "alerting query a trend monitor runs.",
+)
+def zscore_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir).select("ts", "event_type", "value")
+    return trend.zscore_anomalies(ev, keys=("event_type",), bucket_seconds=86400, z_threshold=2.0)
+
+
+@_q(
+    "value_quantiles",
+    """
+SELECT event_type,
+  round(quantile_cont({v}, 0.5), 9) AS p50,
+  round(quantile_cont({v}, 0.9), 9) AS p90,
+  round(quantile_cont({v}, 0.99), 9) AS p99
+FROM events GROUP BY event_type
+""".replace("{v}", "value"),
+    doc="Exact interpolated quantiles per metric (Spark percentile == "
+    "DuckDB quantile_cont: both linear interpolation over the sorted "
+    "set — sort-based, not accumulation-order-dependent).",
+)
+def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 9).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 9).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 9).alias("p99"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar function surface (reference §2.8 X1-X12)
 # ---------------------------------------------------------------------------
