@@ -1,0 +1,65 @@
+"""Trend operators: slope against numpy.polyfit, EWMA against pandas,
+resample grid density."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from trend_o_meter_spark.operators.trend import ewma, resample_locf, trend_slope
+
+BASE = 1_700_000_000
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(
+        [(float(BASE + off), "m", float(v)) for off, v in rows],
+        "epoch double, metric string, value double",
+    ).select(F.timestamp_seconds("epoch").alias("ts"), "metric", "value")
+
+
+def test_trend_slope_matches_polyfit(spark):
+    rows = [(i * 600, 3.5 * (i * 600) / 3600 + 10 + (-1) ** i) for i in range(24)]
+    out = trend_slope(_series(spark, rows), bucket_seconds=86400 * 7).collect()
+    assert len(out) == 1
+    xs = np.array([o for o, _ in rows], dtype=float)
+    ys = np.array([v for _, v in rows], dtype=float)
+    slope_per_sec = np.polyfit(xs, ys, 1)[0]
+    # rel 1e-6: the operator quantizes inputs to DECIMAL(38,6) (the exact
+    # cross-engine contract); polyfit runs full-precision floats
+    assert out[0]["slope_per_hour"] == pytest.approx(slope_per_sec * 3600, rel=1e-6)
+    assert out[0]["n_samples"] == 24
+
+
+def test_trend_slope_degenerate_bucket(spark):
+    # single sample -> zero variance -> null slope, not a crash or inf
+    out = trend_slope(_series(spark, [(0, 5.0)]), bucket_seconds=86400).collect()
+    assert len(out) == 1 and out[0]["slope_per_hour"] is None
+
+
+def test_ewma_matches_pandas(spark):
+    rows = [(i * 60, float(np.sin(i / 3.0) * 10 + 50)) for i in range(50)]
+    out = (
+        ewma(_series(spark, rows), keys=("metric",), alpha=0.3)
+        .orderBy("ts")
+        .collect()
+    )
+    expected = pd.Series([v for _, v in rows]).ewm(alpha=0.3, adjust=False).mean()
+    got = [r["ewma"] for r in out]
+    assert got == pytest.approx(list(expected), rel=1e-12)
+
+
+def test_resample_locf_fills_gaps(spark):
+    # hours 0, 1, then a 3-hour hole, then hour 5
+    rows = [(0, 10.0), (1800, 20.0), (3600, 30.0), (5 * 3600, 99.0)]
+    base_h = BASE - (BASE % 3600)  # buckets align to the epoch hour grid
+    out = {
+        int(r["bucket_start"].timestamp() - base_h) // 3600: r
+        for r in resample_locf(_series(spark, rows), step_seconds=3600).collect()
+    }
+    assert sorted(out) == [0, 1, 2, 3, 4, 5]  # dense grid
+    assert out[0]["mean_value"] == pytest.approx(15.0)  # bucket mean
+    for h in (2, 3, 4):
+        assert out[h]["is_gap"] and out[h]["n_samples"] == 0
+        assert out[h]["filled_value"] == pytest.approx(30.0)  # carried forward
+    assert not out[5]["is_gap"] and out[5]["filled_value"] == pytest.approx(99.0)

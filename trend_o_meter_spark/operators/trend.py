@@ -246,6 +246,37 @@ def resample_locf(
     )
 
 
+def ewma(
+    df: DataFrame,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    keys: Sequence[str] = ("metric",),
+    alpha: float = 0.2,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key, time-ascending.
+
+    ``ewma_t = alpha*y_t + (1-alpha)*ewma_{t-1}`` — inherently recursive,
+    so (like the exact anchored downsample) it runs as an Arrow-batched
+    ``applyInPandas`` scan per key: parallel across keys, sequential
+    within one.  Not ANSI-SQL-expressible without recursive CTE gymnastics
+    -> covered by the pandas-equivalence unit test rather than the DuckDB
+    oracle.  Output: ``*keys, ts, value, ewma``.
+    """
+    import pandas as pd
+
+    key_fields = ", ".join(f"{k} string" for k in keys)
+    schema = f"{key_fields}, {ts} timestamp, {value} double, ewma double"
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts, kind="mergesort")
+        out = pdf[[*keys, ts, value]].copy()
+        out["ewma"] = pdf[value].ewm(alpha=alpha, adjust=False).mean()
+        return out
+
+    return df.select(*keys, ts, value).groupBy(*keys).applyInPandas(scan, schema=schema)
+
+
 def resample_locf_sql(
     table: str,
     *,

@@ -292,6 +292,18 @@ def resample_1h_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ewma_02",
+    None,  # recursive per-key scan -> not SQL-expressible; rows-only check
+    # + pandas-equivalence unit test in tests/test_trend.py
+    doc="EWMA (alpha=0.2) per metric via Arrow-batched applyInPandas — "
+    "recursive smoothing, parallel across keys, sequential within one.",
+)
+def ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir).select("ts", "event_type", "value")
+    return trend.ewma(ev, keys=("event_type",), alpha=0.2)
+
+
+@_q(
     "zscore_anomalies",
     trend.zscore_anomalies_sql("events", keys=("event_type",), bucket_seconds=86400, z_threshold=2.0),
     doc="Per-metric daily z-score anomalies (|z| > 2): exact-decimal "
