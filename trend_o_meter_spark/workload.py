@@ -545,6 +545,51 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q17_small_quantity_revenue",
+    """
+WITH part_avg AS (
+  SELECT l_partkey AS pa_partkey,
+         0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) / count(*)) AS qty_threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand, p_type,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) / 7.0 AS avg_yearly,
+  count(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN part_avg ON pa_partkey = l_partkey
+WHERE l_quantity < qty_threshold
+GROUP BY p_brand, p_type
+""",
+    doc="TPC-H Q17 shape: correlated aggregate subquery (per-part average "
+    "threshold) decorrelated into a self-join — Catalyst performs this "
+    "rewrite automatically for scalar subqueries; expressed explicitly so "
+    "the oracle SQL and plan shape stay transparent.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir)
+    p = table(spark, "part", sf_dir)
+    part_avg = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (F.sum(F.col("l_quantity").cast("decimal(28,8)")).cast("double") / F.count(F.lit(1)))
+        ).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(part_avg, part_avg.pa_partkey == li.l_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .groupBy("p_brand", "p_type")
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(28,8)")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_q(
     "semi_join_urgent_customers",
     """
 SELECT c_custkey, c_name FROM customer
