@@ -87,3 +87,37 @@ def test_audit_log_roundtrip(spark, tmp_path):
     # Response cache holds the last result per command name.
     assert "get config" in cp.response_cache
     assert cp.message_stats == {"rx": 3, "tx": 2}
+
+
+def test_command_stream_dispatcher(spark, tmp_path):
+    """§3.3 as a stream: commands arrive on a channel, execute in order,
+    rebind parameters, and everything lands in the audit log."""
+    from trend_o_meter_spark.control.plane import ControlPlane, command_stream_dispatcher
+
+    reruns = []
+    plane = ControlPlane(
+        spark,
+        audit_path=str(tmp_path / "audit"),
+        on_rebind=lambda cfg: reruns.append(cfg.min_data_hours_to_render_bin) or None,
+    )
+    in_dir = tmp_path / "cmds"
+    in_dir.mkdir()
+    q = (
+        spark.readStream.format("text")
+        .load(str(in_dir))
+        .writeStream.foreachBatch(command_stream_dispatcher(plane))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    (in_dir / "c0.txt").write_text(
+        "get config\nset minDataHoursToRenderBin 6\nbogus verb\nget stats\n"
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert plane.config.min_data_hours_to_render_bin == 6
+    assert reruns == [6]  # the parameter rebind re-executed exactly once
+    log = plane.read_audit_log().orderBy("ts").collect()
+    assert len(log) == 4
+    assert [r["valid"] for r in log] == [True, True, False, True]
+    assert "unknown command" in log[2]["error"]

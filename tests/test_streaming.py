@@ -286,3 +286,44 @@ def test_stream_day_bins_end_to_end(spark, stream_dirs, tmp_path):
     assert set(last) == {"1", "5", "7"}
     f = frames[max(frames)]
     assert len(f) == 4 and f[0].startswith("tmp")
+
+
+def test_backfill_then_tail(spark, stream_dirs, tmp_path):
+    """Lambda shape (SURVEY §1.1): seed the history table from a bounded
+    batch backfill, then let the live stream append — the day-bin result
+    covers both eras."""
+    from trend_o_meter_spark.streaming.pipeline import seed_history, stream_day_bins
+
+    in_dir, ckpt = stream_dirs
+    state = str(tmp_path / "history")
+    # batch backfill: 2 days of minutely history, values 0..9 repeating
+    backfill = spark.createDataFrame(
+        [(float(BASE - m * 60), "temperature", float(m % 10)) for m in range(1, 2 * 1440)],
+        "epoch double, metric string, value double",
+    ).select("metric", F.timestamp_seconds("epoch").alias("ts"), "value")
+    seed_history(backfill, state_path=state, gap_seconds=60)
+
+    results = {}
+    kept, per_batch = stream_day_bins(
+        decode_sensor_stream(_read_text_stream(spark, in_dir)).filter(
+            F.col("corrupt").isNull()
+        ),
+        state_path=state,
+        gap_seconds=60,
+        on_result=lambda bid, df: results.__setitem__(bid, df.collect()),
+    )
+    q = (
+        kept.writeStream.foreachBatch(per_batch)
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    _write_batch(in_dir / "live.json", [_sensor(600 + i * 90, temperature=50.0) for i in range(5)])
+    q.processAllAvailable()
+    q.stop()
+
+    bins = {r["day_bin"]: r for r in results[max(results)] if r["metric"] == "temperature"}
+    # live max (50) and backfill minutely history both visible
+    assert bins["1"]["max_val"] == 50.0
+    assert bins["1"]["n_samples"] > 1400  # ~a day of backfill + live ticks
+    assert "3" in bins  # the older backfill era

@@ -243,3 +243,29 @@ class ControlPlane:
         if self.audit_path is None:
             raise ValueError("no audit_path configured")
         return self.spark.read.schema(AUDIT_LOG_SCHEMA).parquet(self.audit_path)
+
+
+def command_stream_dispatcher(
+    plane: ControlPlane, *, message_col: str = "value", order_col: str | None = None
+):
+    """Wire the C2 channel as a stream (§3.3): ``foreachBatch`` function
+    dispatching each micro-batch's command messages through the plane.
+
+    Control messages are tiny and inherently serial (a ``set`` must apply
+    before the next command sees its effect), so the batch is collected
+    to the driver and executed in order — O(commands), never O(data); the
+    same stance as the reference's single-threaded handler
+    (trend-o-meter:171-263).  Every batch ends with an audit-log flush.
+    """
+
+    def dispatch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.collect()
+        if order_col is not None:
+            rows = sorted(rows, key=lambda r: r[order_col])
+        for r in rows:
+            msg = r[message_col]
+            if msg is not None:
+                plane.execute(str(msg))
+        plane.flush_audit_log()
+
+    return dispatch

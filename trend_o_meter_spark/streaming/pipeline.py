@@ -107,6 +107,31 @@ def stream_session_channels(
     )
 
 
+def seed_history(
+    backfill: DataFrame,
+    *,
+    state_path: str,
+    ts: str = "ts",
+    value: str = "value",
+    metric: str = "metric",
+    gap_seconds: float = 60.0,
+) -> None:
+    """Backfill half of the lambda shape (SURVEY §1.1 "backfill + tail").
+
+    Downsamples a bounded historical frame with the SAME cadence the live
+    stream uses and writes it to the history table that
+    :func:`stream_day_bins` appends to — the Spark equivalent of the
+    reference's startup list replay (trend-o-meter:289-310) feeding the
+    same state the pub/sub handler appends to.
+    """
+    from ..operators.downsample import downsample_fixed_grid
+
+    ds = downsample_fixed_grid(
+        backfill.select(metric, ts, value), ts=ts, keys=(metric,), gap_seconds=gap_seconds
+    )
+    ds.select(metric, ts, value).write.mode("append").parquet(state_path)
+
+
 def stream_day_bins(
     readings: DataFrame,
     *,
