@@ -756,6 +756,18 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "simhash_near_dup",
+    dedup.simhash_near_dup_pairs_sql("documents", max_hamming=3, bands=4),
+    doc="SimHash near-dup pairs (hamming <= 3): pigeonhole band join on "
+    "8-bit fingerprint slices, exact bit_count(xor) verify per candidate "
+    "— keyed join, complete for hamming < bands.",
+)
+def simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return dedup.simhash_near_dup_pairs(d, max_hamming=3, bands=4)
+
+
+@_q(
     "text_stats",
     text.text_stats_sql("documents"),
     doc="Quality-scoring features: token stats, punct/stopword/upper ratios.",
