@@ -120,3 +120,54 @@ def test_day_bins_partition_properties(spark, rows, min_hours):
         # extremes' timestamps actually carry the extreme values
         tmin = r["min_ts"].timestamp() - BASE
         assert any(o == tmin and v == pytest.approx(r["min_val"]) for o, v in by_bin[r["day_bin"]])
+
+
+@given(rows=samples)
+@settings(**SETTINGS)
+def test_sliding_rates_match_handrolled(spark, rows):
+    from trend_o_meter_spark.operators.rates import sliding_rates
+
+    W = 10
+    df = _df(spark, rows)
+    out = {
+        int(r["second"].timestamp()): r
+        for r in sliding_rates(df, ts="ts", size_col=None, window_seconds=W).collect()
+    }
+    # model: per-second counts, then trailing-W sums over NON-EMPTY seconds
+    # present in the data (the operator emits one row per observed second)
+    from collections import Counter
+
+    per_sec = Counter((BASE + off) for off, _ in rows)
+    for sec, r in out.items():
+        lo = sec - W + 1
+        expect_msgs = sum(c for s, c in per_sec.items() if lo <= s <= sec)
+        assert r["msgs_per_sec"] == pytest.approx(expect_msgs / W)
+        n_seconds = sum(1 for s in per_sec if lo <= s <= sec)
+        assert r["is_warm"] == (n_seconds > W / 2)
+    assert set(out) == set(per_sec)
+
+
+@given(rows=samples, gap=st.integers(min_value=60, max_value=7200))
+@settings(**SETTINGS)
+def test_sessionize_gap_invariants(spark, rows, gap):
+    from trend_o_meter_spark.operators.rates import sessionize
+
+    df = _df(spark, rows).withColumnRenamed("metric", "user_id")
+    sess = sessionize(df, ts="ts", keys=("user_id",), gap_seconds=gap).collect()
+    # model: sort offsets, break where delta > gap
+    offs = sorted(o for o, _ in rows)
+    expected_sessions = []
+    cur = [offs[0]]
+    for a, b in zip(offs, offs[1:]):
+        if b - a > gap:
+            expected_sessions.append(cur)
+            cur = []
+        cur.append(b)
+    expected_sessions.append(cur)
+    assert len(sess) == len(expected_sessions)
+    got = sorted(
+        (int(r["session_start"].timestamp() - BASE), int(r["session_end"].timestamp() - BASE), r["n_events"])
+        for r in sess
+    )
+    for (gs, ge, gn), model in zip(got, expected_sessions):
+        assert (gs, ge, gn) == (model[0], model[-1], len(model))
