@@ -327,3 +327,23 @@ def test_backfill_then_tail(spark, stream_dirs, tmp_path):
     assert bins["1"]["max_val"] == 50.0
     assert bins["1"]["n_samples"] > 1400  # ~a day of backfill + live ticks
     assert "3" in bins  # the older backfill era
+
+
+def test_display_heartbeat_alternation():
+    from trend_o_meter_spark.streaming.display import Heartbeat
+
+    hb = Heartbeat(alternate_every=3)
+    ticks = [hb.tick() for _ in range(4)]
+    assert ticks == ["~", "*", "~", "*"]  # alternating tick char
+    # ticks now = 4 -> period index 1 (label phase); boundary shows ' - '
+    hb2 = Heartbeat(alternate_every=3)
+    cells = []
+    for _ in range(7):
+        hb2.tick()
+        cells.append(hb2.current_cell(metric="temperature", value=21.7))
+    # ticks 1,2: value phase; tick 3: flip boundary; 4,5: label; 6: boundary; 7: value
+    assert cells[0] == cells[1] == "  22"
+    assert cells[2] == " - "
+    assert cells[3] == cells[4] == "tmp "
+    assert cells[5] == " - "
+    assert cells[6] == "  22"

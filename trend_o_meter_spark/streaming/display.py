@@ -52,6 +52,36 @@ def render_frame(
     return [f"{abbr:<3} {cur}", labels, maxs, mins]
 
 
+class Heartbeat:
+    """Per-message render heartbeat (trend-o-meter:337-378).
+
+    The reference alternates a tick character ``~``/``*`` on every
+    accepted message and flips the current-value cell between the metric
+    label and the live value every ``alternate_every`` ticks, rendering a
+    ``' - '`` transition frame in between.  Presentation-state only, so
+    it lives driver-side next to the sink (no distributed state).
+    """
+
+    def __init__(self, *, alternate_every: int = 15) -> None:
+        self.alternate_every = alternate_every
+        self.ticks = 0
+
+    def tick(self) -> str:
+        self.ticks += 1
+        return "~" if self.ticks % 2 else "*"
+
+    def current_cell(self, *, metric: str, value: float | None) -> str:
+        """What the current-value cell shows at this tick."""
+        offset = self.ticks % self.alternate_every
+        showing_value = (self.ticks // self.alternate_every) % 2 == 0
+        if offset == 0 and self.ticks > 0:
+            return " - "  # transition frame at the flip boundary
+        if showing_value and value is not None:
+            return _fmt(value)
+        abbr = "".join(ch for ch in metric.lower() if ch not in "aeiouy")[:3]
+        return abbr.ljust(CELL_W)
+
+
 def foreach_batch_display(
     *,
     metric: str,
