@@ -35,6 +35,8 @@ SETTINGS = dict(
     max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
+    # deterministic examples: CI runs must not explore new random cases
+    derandomize=True,
 )
 
 

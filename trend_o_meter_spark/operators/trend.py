@@ -49,30 +49,44 @@ def trend_slope(
     bucket = (F.floor(F.unix_seconds(F.col(ts)) / bucket_seconds) * bucket_seconds).alias(
         "__b"
     )
-    # x in seconds relative to the bucket start keeps decimals small
-    x = (F.unix_micros(F.col(ts)) / F.lit(1_000_000.0) - F.col("__b")).cast(_DEC)
-    y = F.col(value).cast(_DEC)
+    # x = INTEGER microseconds since bucket start (decimal(19,0) so
+    # DuckDB uses int128, not int64), y = decimal(18,6): x*y and x*x stay
+    # inside precision 38 in
+    # BOTH engines, so every per-row product and every sum is EXACT (a
+    # (38,6)x(38,6) product overflows 38 and the engines degrade
+    # differently: Spark truncates scale, DuckDB falls back to double —
+    # observed as diverging sums at sf0.1).
+    x = (F.unix_micros(F.col(ts)) - F.col("__b") * F.lit(1_000_000)).cast("decimal(19,0)")
+    y = F.col(value).cast("decimal(18,6)")
     g = df.withColumn("__b", bucket).groupBy(*keys, "__b").agg(
         F.count(F.lit(1)).alias("n_samples"),
         F.sum(x).alias("sx"),
         F.sum(y).alias("sy"),
-        F.sum((x * y).cast(_DEC)).alias("sxy"),
-        F.sum((x * x).cast(_DEC)).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
     )
     # sums stay exact (decimal, order-insensitive); the closed form itself
     # runs in double with IDENTICAL operation order in the SQL twin, so
     # both engines produce the same bits (decimal mul/div would hit each
-    # engine's different precision-capping rules instead)
+    # engine's different precision-capping rules instead).  The
+    # decimal->double conversion goes through a string roundtrip: sums can
+    # exceed 17 significant digits, where direct decimal->double casts
+    # round differently across engines (1-ulp divergence observed at
+    # sf0.1); decimal->string is exact and string->double is correctly
+    # rounded IEEE in both.
+    def _d(c: str):
+        return F.col(c).cast("string").cast("double")
+
     n = F.col("n_samples").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    sx, sy = _d("sx"), _d("sy")
+    sxy, sxx = _d("sxy"), _d("sxx")
     denom = n * sxx - sx * sx
-    slope_sec = (n * sxy - sx * sy) / denom
+    slope_us = (n * sxy - sx * sy) / denom  # value-units per microsecond
     return g.select(
         *keys,
         F.timestamp_seconds(F.col("__b")).alias("bucket_start"),
         "n_samples",
-        F.when(denom != 0, F.round(slope_sec * 3600, 9))
+        F.when(denom != 0, F.round(slope_us * 3_600_000_000.0, 9))
         .otherwise(F.lit(None))
         .alias("slope_per_hour"),
     )
@@ -91,25 +105,26 @@ def trend_slope_sql(
 WITH pre AS (
   SELECT {ks},
          CAST(floor(epoch({ts}) / {bucket_seconds}) * {bucket_seconds} AS BIGINT) AS b,
-         CAST(epoch_us({ts}) / 1000000.0
-              - floor(epoch({ts}) / {bucket_seconds}) * {bucket_seconds} AS DECIMAL(38,6)) AS x,
-         CAST({value} AS DECIMAL(38,6)) AS y
+         CAST(epoch_us({ts})
+              - CAST(floor(epoch({ts}) / {bucket_seconds}) * {bucket_seconds} AS BIGINT) * 1000000
+              AS DECIMAL(19,0)) AS x,
+         CAST({value} AS DECIMAL(18,6)) AS y
   FROM {table}
 ),
 g AS (
   SELECT {ks}, b, count(*) AS n_samples,
          sum(x) AS sx, sum(y) AS sy,
-         sum(CAST(x * y AS DECIMAL(38,6))) AS sxy,
-         sum(CAST(x * x AS DECIMAL(38,6))) AS sxx
+         sum(x * y) AS sxy,
+         sum(x * x) AS sxx
   FROM pre GROUP BY ALL
 )
 SELECT {ks}, to_timestamp(b) AS bucket_start, n_samples,
-       CASE WHEN CAST(n_samples AS DOUBLE) * CAST(sxx AS DOUBLE)
-                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) != 0
-            THEN round((CAST(n_samples AS DOUBLE) * CAST(sxy AS DOUBLE)
-                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (CAST(n_samples AS DOUBLE) * CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 3600, 9)
+       CASE WHEN CAST(n_samples AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                 - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE) != 0
+            THEN round((CAST(n_samples AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                        - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                 / (CAST(n_samples AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                    - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) * 3600000000.0, 9)
        END AS slope_per_hour
 FROM g
 """
@@ -133,18 +148,23 @@ def zscore_anomalies(
     shuffle each, both map-side combined.
     """
     b = (F.floor(F.unix_seconds(F.col(ts)) / bucket_seconds) * bucket_seconds).cast("long")
-    y = F.col(value).cast(_DEC)
+    # decimal(18,6) keeps y*y inside precision 38 in both engines -> every
+    # product and sum is exact (see trend_slope's overflow note)
+    y = F.col(value).cast("decimal(18,6)")
     stats = (
         df.withColumn("__b", b)
         .groupBy(*keys, "__b")
         .agg(
             F.count(F.lit(1)).alias("__n"),
             F.sum(y).alias("__sy"),
-            F.sum((y * y).cast(_DEC)).alias("__syy"),
+            F.sum(y * y).alias("__syy"),
         )
     )
+    # string-roundtrip decimal->double: see trend_slope (1-ulp cast
+    # divergence on >17-digit sums)
     n = F.col("__n").cast("double")
-    sy, syy = F.col("__sy").cast("double"), F.col("__syy").cast("double")
+    sy = F.col("__sy").cast("string").cast("double")
+    syy = F.col("__syy").cast("string").cast("double")
     mean = sy / n
     var = (n * syy - sy * sy) / (n * (n - F.lit(1.0)))
     stats = stats.select(
@@ -179,15 +199,15 @@ WITH pre AS (
 ),
 stats AS (
   SELECT {ks}, b, count(*) AS n,
-         sum(CAST({value} AS DECIMAL(38,6))) AS sy,
-         sum(CAST(CAST({value} AS DECIMAL(38,6)) * CAST({value} AS DECIMAL(38,6)) AS DECIMAL(38,6))) AS syy
+         sum(CAST({value} AS DECIMAL(18,6))) AS sy,
+         sum(CAST({value} AS DECIMAL(18,6)) * CAST({value} AS DECIMAL(18,6))) AS syy
   FROM pre GROUP BY ALL
 ),
 enriched AS (
   SELECT {ks}, b,
-         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
-         CASE WHEN n > 1 THEN sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+         CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         CASE WHEN n > 1 THEN sqrt((CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+              - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) END AS std
   FROM stats
 )
