@@ -636,6 +636,58 @@ def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cube_order_priority",
+    """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""",
+    doc="CUBE grouping sets (all 4 rollup combinations in one pass; "
+    "Spark expands to a single Expand+HashAggregate).",
+)
+def cube_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, "orders", sf_dir)
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,8)")).cast("string").cast("double").alias("sum_price"),
+    )
+
+
+@_q(
+    "window_distribution",
+    """
+SELECT event_id, event_type, value,
+  ntile(4) OVER w AS quartile,
+  round(percent_rank() OVER w, 9) AS pct_rank,
+  round(cume_dist() OVER w, 9) AS cume,
+  CAST(round(CAST(sum(CAST(value AS DECIMAL(28,8))) OVER
+    (PARTITION BY event_type ORDER BY value DESC, event_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS DOUBLE) AS running_sum
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+""",
+    doc="Distribution window functions (ntile/percent_rank/cume_dist) + "
+    "running decimal sum — completes the ranking surface of SURVEY §2.4.",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.round(F.sum(F.col("value").cast("decimal(28,8)")).over(wsum).cast("double"), 6).alias(
+            "running_sum"
+        ),
+    )
+
+
+@_q(
     "set_ops_nations",
     """
 SELECT n_name, 'customer_only' AS tag FROM (
