@@ -228,3 +228,113 @@ SELECT {id_col},
               (acc, h) -> (acc * 31 + h) % 2147483647) AS rolling_hash
 FROM {table}
 """
+
+
+# -- dataset assembly: deterministic sampling / splitting / distribution ----
+#
+# Training pipelines shard, sample, and split by CONTENT-DERIVED hashes so
+# assignments are reproducible across runs and engines (never rand() —
+# Spark and any oracle disagree on RNG streams, and re-runs must not
+# reshuffle a published dataset split).  The hash is llm.hashing.md5_int,
+# identical in Spark and DuckDB.
+
+
+def hash_sample(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    strata: str | None = "lang",
+    pct: int = 10,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic ~pct% sample: keep rows whose salted content hash
+    lands under the cut.  With ``strata`` set, the output reports the
+    per-stratum sampled/total counts (the curation-report shape)."""
+    from .hashing import md5_int
+
+    bucket = md5_int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % 100
+    sampled = F.when(bucket < pct, 1).otherwise(0)
+    keys = [strata] if strata else []
+    return (
+        df.select(*keys, sampled.alias("in_sample"))
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("in_sample").alias("n_sampled"),
+        )
+    )
+
+
+def hash_sample_sql(
+    table: str,
+    *,
+    id_col: str = "doc_id",
+    strata: str | None = "lang",
+    pct: int = 10,
+    salt: str = "sample",
+) -> str:
+    from .hashing import md5_int_sql
+
+    h = md5_int_sql(f"'{salt}:' || CAST({id_col} AS VARCHAR)")
+    keys = f"{strata}, " if strata else ""
+    grp = f"GROUP BY {strata}" if strata else ""
+    return f"""
+SELECT {keys}count(*) AS n_total,
+       sum(CASE WHEN ({h}) % 100 < {pct} THEN 1 ELSE 0 END) AS n_sampled
+FROM {table} {grp}
+"""
+
+
+SPLITS = (("train", 0, 80), ("val", 80, 90), ("test", 90, 100))
+
+
+def dataset_split(
+    df: DataFrame, *, id_col: str = "doc_id", salt: str = "split-v1"
+) -> DataFrame:
+    """Assign every document to train/val/test by salted content hash —
+    stable across runs, engines, and re-shards (the property random
+    splits lack).  Output: ``doc_id, split``."""
+    from .hashing import md5_int
+
+    bucket = md5_int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % 100
+    expr = None
+    for name, lo, hi in SPLITS:
+        cond = (bucket >= lo) & (bucket < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.select(F.col(id_col), expr.alias("split"))
+
+
+def dataset_split_sql(table: str, *, id_col: str = "doc_id", salt: str = "split-v1") -> str:
+    from .hashing import md5_int_sql
+
+    h = md5_int_sql(f"'{salt}:' || CAST({id_col} AS VARCHAR)")
+    cases = " ".join(
+        f"WHEN ({h}) % 100 >= {lo} AND ({h}) % 100 < {hi} THEN '{name}'"
+        for name, lo, hi in SPLITS
+    )
+    return f"SELECT {id_col}, CASE {cases} END AS split FROM {table}"
+
+
+def token_histogram(
+    df: DataFrame, *, text: str = "text", id_col: str = "doc_id", bin_width: int = 10
+) -> DataFrame:
+    """Token-count distribution: docs per ``bin_width``-token bin — the
+    summary a curation report plots before/after filtering."""
+    toks = F.size(_tokens(F.col(text)))
+    b = F.floor(toks / bin_width) * bin_width
+    return (
+        df.select(b.cast("long").alias("bin_lo"))
+        .groupBy("bin_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def token_histogram_sql(
+    table: str, *, text: str = "text", id_col: str = "doc_id", bin_width: int = 10
+) -> str:
+    norm = NORM_SQL.format(c=text)
+    return f"""
+SELECT CAST(floor(len(str_split({norm}, ' ')) / {bin_width}) * {bin_width} AS BIGINT) AS bin_lo,
+       count(*) AS n_docs
+FROM {table} GROUP BY 1
+"""

@@ -841,6 +841,40 @@ def quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "hash_sample_10pct",
+    text.hash_sample_sql("documents", pct=10),
+    doc="Deterministic stratified ~10% sample via salted content hash "
+    "(reproducible across runs/engines — never rand()); reports "
+    "per-lang sampled/total counts.",
+)
+def hash_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.hash_sample(d, pct=10)
+
+
+@_q(
+    "dataset_split",
+    text.dataset_split_sql("documents"),
+    doc="Stable train/val/test assignment (80/10/10) by salted content "
+    "hash — re-runs and re-shards never reshuffle the split.",
+)
+def dataset_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.dataset_split(d)
+
+
+@_q(
+    "token_histogram",
+    text.token_histogram_sql("documents", bin_width=10),
+    doc="Token-count distribution in 10-token bins — the curation-report "
+    "summary (single map-side bucket + count).",
+)
+def token_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.token_histogram(d, bin_width=10)
+
+
+@_q(
     "lang_id",
     text.lang_id_sql("documents"),
     doc="Marker-vocabulary language id with deterministic argmax.",
