@@ -437,13 +437,13 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
-  CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sum_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sum_base_price,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-  CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS avg_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS avg_price,
-  CAST(sum(CAST(l_discount AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS avg_disc,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price,
+  CAST(CAST(sum(CAST(l_discount AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_disc,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -462,13 +462,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     charge = disc_price * (F.lit(1) + F.col("l_tax").cast("decimal(18,2)"))
     cnt = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast(dec8)).cast("double").alias("sum_qty"),
-        F.sum(F.col("l_extendedprice").cast(dec8)).cast("double").alias("sum_base_price"),
-        F.sum(disc_price).cast("double").alias("sum_disc_price"),
-        F.sum(charge).cast("double").alias("sum_charge"),
-        (F.sum(F.col("l_quantity").cast(dec8)).cast("double") / cnt).alias("avg_qty"),
-        (F.sum(F.col("l_extendedprice").cast(dec8)).cast("double") / cnt).alias("avg_price"),
-        (F.sum(F.col("l_discount").cast(dec8)).cast("double") / cnt).alias("avg_disc"),
+        F.sum(F.col("l_quantity").cast(dec8)).cast("string").cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast(dec8)).cast("string").cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("string").cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("string").cast("double").alias("sum_charge"),
+        (F.sum(F.col("l_quantity").cast(dec8)).cast("string").cast("double") / cnt).alias("avg_qty"),
+        (F.sum(F.col("l_extendedprice").cast(dec8)).cast("string").cast("double") / cnt).alias("avg_price"),
+        (F.sum(F.col("l_discount").cast(dec8)).cast("string").cast("double") / cnt).alias("avg_disc"),
         cnt.alias("count_order"),
     )
 
@@ -477,7 +477,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
 SELECT l_orderkey,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
   o_orderdate, o_orderpriority
 FROM customer JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -496,7 +496,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.sum(
         F.col("l_extendedprice").cast("decimal(18,2)")
         * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
-    ).cast("double")
+    ).cast("string").cast("double")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -512,7 +512,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     """
 SELECT n_name,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM region JOIN nation ON n_regionkey = r_regionkey
 JOIN customer ON c_nationkey = n_nationkey
 JOIN orders ON o_custkey = c_custkey
@@ -532,7 +532,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.sum(
         F.col("l_extendedprice").cast("decimal(18,2)")
         * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
-    ).cast("double")
+    ).cast("string").cast("double")
     dims = F.broadcast(
         c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)), c.c_nationkey == n.n_nationkey)
     )
@@ -549,11 +549,11 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH part_avg AS (
   SELECT l_partkey AS pa_partkey,
-         0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) / count(*)) AS qty_threshold
+         0.2 * (CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) / count(*)) AS qty_threshold
   FROM lineitem GROUP BY l_partkey
 )
 SELECT p_brand, p_type,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) / 7.0 AS avg_yearly,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly,
   count(*) AS n_items
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
@@ -572,7 +572,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_avg = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
         (
             F.lit(0.2)
-            * (F.sum(F.col("l_quantity").cast("decimal(28,8)")).cast("double") / F.count(F.lit(1)))
+            * (F.sum(F.col("l_quantity").cast("decimal(28,8)")).cast("string").cast("double") / F.count(F.lit(1)))
         ).alias("qty_threshold")
     )
     return (
@@ -581,7 +581,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .groupBy("p_brand", "p_type")
         .agg(
-            (F.sum(F.col("l_extendedprice").cast("decimal(28,8)")).cast("double") / F.lit(7.0)).alias(
+            (F.sum(F.col("l_extendedprice").cast("decimal(28,8)")).cast("string").cast("double") / F.lit(7.0)).alias(
                 "avg_yearly"
             ),
             F.count(F.lit(1)).alias("n_items"),
@@ -621,7 +621,7 @@ def anti_join_orderless_customers(spark: SparkSession, sf_dir: str) -> DataFrame
     "rollup_returns",
     """
 SELECT l_returnflag, l_linestatus, count(*) AS n_items,
-  CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sum_qty
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
@@ -631,7 +631,7 @@ def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, "lineitem", sf_dir)
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.sum(F.col("l_quantity").cast("decimal(28,8)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(28,8)")).cast("string").cast("double").alias("sum_qty"),
     )
 
 
