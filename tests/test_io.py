@@ -64,3 +64,26 @@ def test_read_csv_corrupt_capture(spark, tmp_path):
     assert len(bad) == 1 and "not_a_number" in bad[0][tio.CORRUPT_COL]
     good_ids = {r["id"] for r in rows if r[tio.CORRUPT_COL] is None}
     assert good_ids == {1, 3}
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    # second columnar format: ORC write/read preserves rows and types
+    ev = table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    path = str(tmp_path / "events_orc")
+    ev.write.format("orc").mode("overwrite").save(path)
+    back = spark.read.format("orc").load(path)
+    assert dict(back.dtypes) == dict(ev.dtypes)
+    assert back.count() == ev.count()
+    assert back.exceptAll(ev).count() == 0 and ev.exceptAll(back).count() == 0
+
+
+def test_sql_interface_views(spark):
+    from trend_o_meter_spark.catalog import TABLES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    for t in TABLES:
+        assert spark.catalog.tableExists(t)
+    n = spark.sql("SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey").collect()[0]["n"]
+    assert n > 0

@@ -635,6 +635,29 @@ def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORDERS_BY_YEAR_SQL = """
+SELECT year(o_orderdate) AS yr, o_orderstatus,
+  count(*) AS n_orders,
+  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(28,8))) AS STRING) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY year(o_orderdate), o_orderstatus
+"""
+
+
+@_q(
+    "sql_orders_by_year",
+    _ORDERS_BY_YEAR_SQL,
+    doc="The spark.sql() interface: tables registered as views via "
+    "catalog.register_views, query text IDENTICAL to the oracle SQL — "
+    "the switch path for users who talk SQL, not DataFrames.",
+)
+def sql_orders_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ORDERS_BY_YEAR_SQL)
+
+
 @_q(
     "cube_order_priority",
     """
