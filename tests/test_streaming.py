@@ -347,3 +347,35 @@ def test_display_heartbeat_alternation():
     assert cells[3] == cells[4] == "tmp "
     assert cells[5] == " - "
     assert cells[6] == "  22"
+
+
+def test_rate_sensor_stream_decodes(spark, tmp_path):
+    """The synthetic rate-source sensor stream (S3 without a broker):
+    envelope encodes, decode recovers all metrics with live timestamps."""
+    from trend_o_meter_spark.streaming.sources import rate_sensor_stream
+
+    raw = rate_sensor_stream(spark, rows_per_second=200, n_sources=2)
+    decoded = decode_sensor_stream(raw)
+    q = (
+        decoded.writeStream.format("memory")
+        .queryName("rate_decoded")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    import time as _t
+
+    deadline = _t.time() + 20
+    rows = []
+    while _t.time() < deadline:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM rate_decoded").collect()
+        if len(rows) >= 40:
+            break
+        _t.sleep(0.5)
+    q.stop()
+    assert len(rows) >= 40
+    assert all(r["corrupt"] is None for r in rows)
+    assert {r["metric"] for r in rows} == {"temperature", "humidity", "pressure", "mc_2p5"}
+    assert {r["source"] for r in rows} <= {"sensor-0", "sensor-1"}
+    assert all(r["value"] is not None and r["ts"] is not None for r in rows)
