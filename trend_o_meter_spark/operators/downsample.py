@@ -86,9 +86,6 @@ def downsample_anchored(
     sample is kept iff ``abs(ts - last_kept_ts) > gap``.
     """
     gap_us = int(gap_seconds * 1_000_000)
-    schema = df.schema
-    ts_idx = [f.name for f in schema.fields].index(ts)
-    ts_field = schema.fields[ts_idx]
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts, ascending=not newest_first, kind="mergesort")
@@ -103,5 +100,4 @@ def downsample_anchored(
                 mark = int(t)
         return pdf[pd.Series(keep, index=pdf.index)]
 
-    _ = ts_field  # schema passthrough; keeps the output schema identical
     return df.groupBy(*keys).applyInPandas(scan, schema=df.schema)
