@@ -820,6 +820,18 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "verified_near_dups",
+    dedup.verified_near_dups_sql("documents", threshold=0.3),
+    doc="Production dedup composition: MinHash-LSH candidate pairs "
+    "verified with exact shingle-Jaccard — O(candidates) instead of "
+    "quadratic in shingle doc-frequency (the web-scale path).",
+)
+def verified_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return dedup.verified_near_dups(d, threshold=0.3)
+
+
+@_q(
     "simhash_fingerprints",
     dedup.simhash_sql("documents"),
     doc="32-bit SimHash over the distinct-token set (pure array math, no "
