@@ -1,0 +1,28 @@
+"""Approximate sketches: accuracy vs exact within documented error bounds."""
+
+from pyspark.sql import functions as F
+
+from trend_o_meter_spark.catalog import table
+from trend_o_meter_spark.workload import registry
+
+
+def test_approx_sketches_accuracy(spark):
+    sf = "/root/testdata/sf0.01"
+    spec = {s.name: s for s in registry()}["approx_sketches"]
+    approx = {r["event_type"]: r for r in spec.spark(spark, sf).collect()}
+    ev = table(spark, "events", sf)
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for et, ex in exact.items():
+        ap = approx[et]
+        # HLL default rsd is 5%; allow 10%
+        assert abs(ap["approx_users"] - ex["users"]) <= 0.10 * ex["users"] + 1
+        # percentile_approx with accuracy 1000 on ~3k rows: near-exact
+        assert abs(ap["approx_p50"] - ex["p50"]) <= abs(ex["p50"]) * 0.05 + 1.0

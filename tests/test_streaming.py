@@ -379,3 +379,34 @@ def test_rate_sensor_stream_decodes(spark, tmp_path):
     assert {r["metric"] for r in rows} == {"temperature", "humidity", "pressure", "mc_2p5"}
     assert {r["source"] for r in rows} <= {"sensor-0", "sensor-1"}
     assert all(r["value"] is not None and r["ts"] is not None for r in rows)
+
+
+def test_watermark_drops_late_rows(spark, stream_dirs):
+    """§2.9 documented divergence: the reference accepts arbitrarily-late
+    samples (corrupting its sort invariant); we bound lateness with the
+    watermark — a row older than watermark is DROPPED, not mis-applied."""
+    in_dir, ckpt = stream_dirs
+    batches = [
+        [_sensor(0, temperature=10.0)],
+        [_sensor(1000, temperature=20.0)],   # advances watermark to 1000-120=880
+        [_sensor(30, temperature=99.0)],     # 30 < 880: too late -> dropped
+        [_sensor(2000, temperature=30.0)],   # closes remaining windows
+    ]
+    out = _run_batches(
+        spark,
+        in_dir,
+        ckpt,
+        lambda raw: stream_tumbling_mean(
+            decode_sensor_stream(raw).filter(F.col("corrupt").isNull()),
+            keys=("metric",),
+            window_seconds=60,
+            watermark="2 minutes",
+        ),
+        batches,
+        "late_out",
+    )
+    rows = {r["window_start"].timestamp() - BASE: r for r in out.collect()}
+    # the t=0 window must contain ONLY the on-time sample: mean 10, n=1 —
+    # the late 99.0 never lands
+    assert rows[0.0]["n_samples"] == 1
+    assert rows[0.0]["mean_value"] == 10.0

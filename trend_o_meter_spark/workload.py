@@ -337,6 +337,70 @@ def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The reference's renderer registry (trend-o-meter:146-151) generalized:
+# a tiny metric->format dimension, broadcast-joined against readings.
+_METRIC_FORMATS = (
+    ("click", "int0", "c"),
+    ("error", "int0", "e"),
+    ("purchase", "last2", "p"),
+    ("signup", "int0", "s"),
+    ("view", "fixed1", "v"),
+)
+
+
+@_q(
+    "metric_format_join",
+    "WITH fmt(metric, renderer, abbrev) AS (VALUES "
+    + ", ".join(f"('{m}', '{r}', '{a}')" for m, r, a in _METRIC_FORMATS)
+    + """)
+SELECT e.event_id, e.event_type, f.renderer, f.abbrev,
+  CASE f.renderer
+    WHEN 'int0' THEN CAST(CAST(floor(e.value + 0.5) AS BIGINT) AS STRING)
+    WHEN 'last2' THEN CASE WHEN length(CAST(CAST(floor(e.value + 0.5) AS BIGINT) AS STRING)) >= 2
+                           THEN substring(CAST(CAST(floor(e.value + 0.5) AS BIGINT) AS STRING),
+                                          length(CAST(CAST(floor(e.value + 0.5) AS BIGINT) AS STRING)) - 1, 2)
+                           ELSE CAST(CAST(floor(e.value + 0.5) AS BIGINT) AS STRING) END
+    ELSE CAST(round(e.value, 1) AS STRING)
+  END AS rendered
+FROM events e JOIN fmt f ON e.event_type = f.metric
+""",
+    doc="S2.7 renderer-registry dimension: the reference's 4-row "
+    "rawValRenderers table (trend-o-meter:146-151) as a broadcast join "
+    "selecting the per-metric display format.",
+)
+def metric_format_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    fmt = spark.createDataFrame(list(_METRIC_FORMATS), "metric string, renderer string, abbrev string")
+    rounded = tfn.display_round("value").cast("string")
+    rendered = (
+        F.when(F.col("renderer") == "int0", rounded)
+        .when(F.col("renderer") == "last2", tfn.pressure_last2("value"))
+        .otherwise(F.round("value", 1).cast("string"))
+    )
+    return (
+        ev.join(F.broadcast(fmt), ev.event_type == fmt.metric)
+        .select("event_id", "event_type", "renderer", "abbrev", rendered.alias("rendered"))
+    )
+
+
+@_q(
+    "approx_sketches",
+    None,  # HLL/KLL sketch internals are engine-specific -> rows-only;
+    # accuracy vs exact is pinned by tests/test_sketches.py
+    doc="Approximate sketches (absent from the reference, SURVEY §2.11; "
+    "essential at 100 TB): approx_count_distinct (HLL) + "
+    "percentile_approx (KLL-ish) per metric.",
+)
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5, 1000).alias("approx_p50"),
+        F.percentile_approx("value", 0.99, 1000).alias("approx_p99"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar function surface (reference §2.8 X1-X12)
 # ---------------------------------------------------------------------------
