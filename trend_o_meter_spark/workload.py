@@ -337,6 +337,37 @@ def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "unpivot_lineitem_charges",
+    """
+SELECT l_orderkey, l_linenumber, charge_kind, amount FROM (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+         CAST(l_discount AS DOUBLE) AS discount,
+         CAST(l_tax AS DOUBLE) AS tax
+  FROM lineitem WHERE l_orderkey < 100
+) UNPIVOT (amount FOR charge_kind IN (extendedprice, discount, tax))
+""",
+    doc="Unpivot / melt (SURVEY §2.11): wide charge columns to long "
+    "(kind, amount) rows — the inverse of pivot_events.",
+)
+def unpivot_lineitem_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") < 100)
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("double").alias("extendedprice"),
+        F.col("l_discount").cast("double").alias("discount"),
+        F.col("l_tax").cast("double").alias("tax"),
+    )
+    return wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["extendedprice", "discount", "tax"],
+        "charge_kind",
+        "amount",
+    )
+
+
 # The reference's renderer registry (trend-o-meter:146-151) generalized:
 # a tiny metric->format dimension, broadcast-joined against readings.
 _METRIC_FORMATS = (
