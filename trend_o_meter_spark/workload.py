@@ -685,6 +685,50 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q18_large_volume_orders",
+    """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS STRING) AS DOUBLE) AS total_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(28,8))) > 150
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 100
+""",
+    doc="TPC-H Q18 shape: IN-subquery over a grouped HAVING filter "
+    "(Catalyst plans it as a semi join on the aggregated key) + top-k.",
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,8)")).alias("__q"))
+        .filter(F.col("__q") > 150)
+        .select("l_orderkey")
+    )
+    o = table(spark, "orders", sf_dir)
+    c = table(spark, "customer", sf_dir)
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "__bk"), li.l_orderkey == F.col("__bk"), "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(28,8)"))
+            .cast("string")
+            .cast("double")
+            .alias("total_qty")
+        )
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@_q(
     "semi_join_urgent_customers",
     """
 SELECT c_custkey, c_name FROM customer
