@@ -33,13 +33,23 @@ def test_pressure_last2(spark):
 
 
 def test_to_bool_matrix(spark):
-    # trend-o-meter:196-205: int-string -> !=0; else lower(x)=='true'
+    # trend-o-meter:196-205: parseInt prefix -> !=0; else lower(x)=='true'
     cases = {
         "1": True, "0": False, "42": True, "-1": True,
         "true": True, "TRUE": True, "false": False, "yes": False, "": False,
+        # JS Number.parseInt accepts numeric PREFIXES (advisor-flagged):
+        "1.5": True, "2abc": True, "0.9": False, "0rest": False,
+        "-0": False, " 7 ": True, "+3x": True, ".5": False,
+        # longer than int64: parseInt yields a truthy float, we stay truthy
+        "99999999999999999999999": True,
     }
     for s, want in cases.items():
         assert _one(spark, tfn.to_bool("v"), s) is want, s
+    # driver-side mirror must agree on the same matrix
+    from trend_o_meter_spark.control.plane import _to_bool
+
+    for s, want in cases.items():
+        assert _to_bool(s) is want, s
 
 
 def test_tokenize_ws(spark):

@@ -46,6 +46,41 @@ def test_minhash_finds_near_dup_not_unrelated(spark):
     assert not any(3 in p for p in pairs)           # unrelated never pairs
 
 
+def test_minhash_bucket_cap_kills_degenerate_quadratic(spark):
+    """An all-identical-docs corpus puts every doc in one band bucket per
+    band — O(n^2) candidate pairs.  max_bucket drops over-cap buckets so
+    the boilerplate slice produces ZERO pairs (exact_dedup's job), while
+    a distinct small near-dup pair in its own bucket is still found."""
+    boiler = [(i, BASE) for i in range(60)]
+    other = "a totally separate corpus slice about databases " * 3
+    pair = [(100, other), (101, other + " with one extra tail clause")]
+    df = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+
+    uncapped = minhash_lsh_pairs(df).collect()
+    assert sum(1 for r in uncapped if r["id_a"] < 60 and r["id_b"] < 60) == 60 * 59 // 2
+
+    capped = minhash_lsh_pairs(df, max_bucket=10).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert not any(a < 60 and b < 60 for a, b in got)  # mega-bucket dropped
+    assert (100, 101) in got  # small buckets untouched
+
+
+def test_embedding_near_dup_bucket_cap(spark):
+    from trend_o_meter_spark.llm.similarity import embedding_near_dup
+
+    # 40 identical vectors in one sign bucket + a small near-dup pair in
+    # another orthant
+    dim = 64
+    same = [1.0] * dim
+    neg = [-1.0] * dim
+    rows = [(i, same) for i in range(40)] + [(100, neg), (101, [v * 0.99 for v in neg])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    uncapped = embedding_near_dup(df, threshold=0.9).collect()
+    assert sum(1 for r in uncapped if r["id_a"] < 40) == 40 * 39 // 2
+    capped = {(r["id_a"], r["id_b"]) for r in embedding_near_dup(df, threshold=0.9, max_bucket=5).collect()}
+    assert capped == {(100, 101)}
+
+
 def test_minhash_signature_deterministic(spark):
     s1 = {r["id"]: r["sig"] for r in minhash_signatures(_docs(spark)).collect()}
     s2 = {r["id"]: r["sig"] for r in minhash_signatures(_docs(spark)).collect()}

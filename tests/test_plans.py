@@ -83,6 +83,40 @@ def test_rolling_avg_no_global_window(plans):
     assert "SinglePartition" not in p
 
 
+def test_sliding_rates_no_single_partition_window(plans):
+    # A7/W3: the trailing range window is chunk-partitioned — at 100x span
+    # a single-partition WindowExec would serialize the whole series
+    # through one task.  (Was a live WARN WindowExec in BENCH_r01.)
+    assert "SinglePartition" not in plans("sliding_rates_10s")
+
+
+def test_q17_part_join_broadcasts_via_aqe(spark):
+    # q17 carries no broadcast hint (part scales with sf — not a dim
+    # table); at small sf AQE must still pick a broadcast join from its
+    # runtime size estimate.  Final adaptive plan is only available after
+    # execution.
+    spec = {s.name: s for s in registry()}["q17_small_quantity_revenue"]
+    df = spec.spark(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_sizes_not_broadcast(spark):
+    # ngram_jaccard / verified_near_dups join per-document size relations —
+    # O(corpus) rows; a forced broadcast there is a guaranteed OOM at
+    # training scale.  The logical plans must carry no broadcast hint on
+    # those joins (AQE may still elect broadcast at runtime from true
+    # sizes — that's fine; the *hint* is the bug).
+    specs = {s.name: s for s in registry()}
+    for q in ("ngram_jaccard_pairs", "verified_near_dups"):
+        df = specs[q].spark(spark, SF)
+        logical = df._jdf.queryExecution().analyzed().toString()
+        assert "UnresolvedHint" not in logical, q
+        assert "ResolvedHint" not in logical, q
+
+
 def test_downsample_partial_aggregates(plans):
     # the min_by downsample must do map-side partial aggregation
     # (partial_min_by before the exchange).

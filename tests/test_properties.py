@@ -149,6 +149,25 @@ def test_sliding_rates_match_handrolled(spark, rows):
     assert set(out) == set(per_sec)
 
 
+@given(rows=samples, chunk=st.integers(min_value=11, max_value=200))
+@settings(**SETTINGS)
+def test_sliding_rates_chunked_equals_unpartitioned(spark, rows, chunk):
+    """The chunk-partitioned range window (scale path) must be
+    bit-identical to a single-chunk run (the unpartitioned semantics),
+    across chunk widths that repeatedly cross bucket boundaries."""
+    from trend_o_meter_spark.operators.rates import sliding_rates
+
+    df = _df(spark, rows)
+    key = lambda r: int(r["second"].timestamp())  # noqa: E731
+    chunked = {key(r): tuple(r)[1:] for r in sliding_rates(
+        df, ts="ts", size_col=None, window_seconds=10, chunk_seconds=chunk
+    ).collect()}
+    single = {key(r): tuple(r)[1:] for r in sliding_rates(
+        df, ts="ts", size_col=None, window_seconds=10, chunk_seconds=10**15
+    ).collect()}
+    assert chunked == single
+
+
 @given(rows=samples, gap=st.integers(min_value=60, max_value=7200))
 @settings(**SETTINGS)
 def test_sessionize_gap_invariants(spark, rows, gap):

@@ -232,6 +232,15 @@ def test_render_frame_shape(spark):
     assert "26" in frame[2] and "----" in frame[2]  # incomplete bin masked
     assert "12" in frame[3]
 
+    # the "rest" leftover bin (emitted once history outlives max(day_bins))
+    # has no display cell: it must be dropped, not crash int(day_bin)
+    # (advisor-flagged ValueError that killed the streaming query)
+    rows.append(
+        Row(metric="temperature", day_bin="rest", min_val=0.0, max_val=99.0, is_complete=True)
+    )
+    frame2 = render_frame(rows, metric="temperature", current_value=21.7)
+    assert frame2[1:] == frame[1:]  # identical cells, rest excluded
+
 
 def test_stream_day_bins_end_to_end(spark, stream_dirs, tmp_path):
     """The full reference loop (§3.2): ingest -> anchored downsample ->

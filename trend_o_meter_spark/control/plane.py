@@ -42,11 +42,15 @@ from ..schemas import AUDIT_LOG_SCHEMA
 
 
 def _to_bool(value: str) -> bool:
-    """Driver-side mirror of functions.to_bool (trend-o-meter:196-205)."""
-    try:
-        return int(value) != 0
-    except (TypeError, ValueError):
-        return str(value).lower() == "true"
+    """Driver-side mirror of functions.to_bool (trend-o-meter:196-205):
+    JS parseInt takes a leading-integer prefix ('1.5'/'2abc' truthy,
+    '0rest' falsy), else lower(x)=='true'."""
+    import re
+
+    m = re.match(r"^\s*([+-]?\d+)", str(value)) if value is not None else None
+    if m:
+        return any(ch in "123456789" for ch in m.group(1))
+    return str(value).lower() == "true"
 
 
 @dataclass(frozen=True)

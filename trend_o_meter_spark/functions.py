@@ -40,10 +40,19 @@ def pressure_last2(col: Column | str) -> Column:
 
 
 def to_bool(col: Column | str) -> Column:
-    """X5 (trend-o-meter:196-205): int-string -> !=0, else lower(x)=='true'."""
+    """X5 (trend-o-meter:196-205): JS ``Number.parseInt`` truthiness.
+
+    parseInt accepts a leading-integer *prefix* ('1.5' -> 1, '2abc' -> 2,
+    '0rest' -> 0), so truthy iff that prefix contains a nonzero digit;
+    no integer prefix (NaN) falls through to ``lower(x) == 'true'``.
+    The nonzero-digit test (not a cast) stays exact for arbitrarily long
+    digit strings, where parseInt returns a truthy float.  Documented
+    divergence: parseInt's hex '0x..' prefix form is not recognized (no
+    reference payload uses it).
+    """
     c = F.col(col) if isinstance(col, str) else col
-    as_int = c.try_cast("int")  # ANSI-safe: malformed -> null, not error
-    return F.when(as_int.isNotNull(), as_int != 0).otherwise(F.lower(c) == "true")
+    prefix = F.regexp_extract(c, r"^\s*([+-]?\d+)", 1)
+    return F.when(prefix != "", prefix.rlike("[1-9]")).otherwise(F.lower(c) == "true")
 
 
 def tokenize_ws(col: Column | str) -> Column:

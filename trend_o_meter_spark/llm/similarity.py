@@ -246,14 +246,19 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the ANN-flavored dedup).
 
     Output: ``id_a, id_b, cos_sim`` with ``id_a < id_b`` and
     ``cos_sim >= threshold``, candidates restricted to a shared sign-bit
     LSH bucket.  At 100 TB the bucket key bounds the join: skew shows up
-    only if the corpus is degenerate (all vectors one orthant), in which
-    case add planes or salt the bucket.
+    only if the corpus is degenerate (all vectors one orthant) — set
+    ``max_bucket`` to drop over-cap sign buckets before the self-join
+    (see minhash_lsh_pairs for the rationale; unlike the banded MinHash,
+    a dropped sign bucket here loses its pairs entirely — it is the
+    explicit "this slice is boilerplate, exact-dedup it instead" escape
+    valve, off by default and in the oracle path).
     """
     bucket = F.concat_ws(
         "",
@@ -262,16 +267,12 @@ def embedding_near_dup(
             for p in _LSH_PLANES
         ],
     )
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("vec_a"),
-        bucket.alias("bucket"),
-    )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vec_b"),
-        bucket.alias("bucket"),
-    )
+    keyed = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), bucket.alias("bucket"))
+    if max_bucket is not None:
+        counts = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bn"))
+        keyed = keyed.join(counts, "bucket").filter(F.col("__bn") <= max_bucket).drop("__bn")
+    a = keyed.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
+    b = keyed.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
     cos = cosine(F.col("vec_a"), F.col("vec_b"))
     return (
         a.join(b, "bucket")

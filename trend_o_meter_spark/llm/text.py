@@ -232,11 +232,15 @@ FROM {table}
 
 # -- dataset assembly: deterministic sampling / splitting / distribution ----
 #
-# Training pipelines shard, sample, and split by CONTENT-DERIVED hashes so
-# assignments are reproducible across runs and engines (never rand() —
-# Spark and any oracle disagree on RNG streams, and re-runs must not
-# reshuffle a published dataset split).  The hash is llm.hashing.md5_int,
-# identical in Spark and DuckDB.
+# Training pipelines shard, sample, and split by DETERMINISTIC salted
+# hashes so assignments are reproducible across runs and engines (never
+# rand() — Spark and any oracle disagree on RNG streams, and re-runs must
+# not reshuffle a published dataset split).  The hash is llm.hashing
+# .md5_int, identical in Spark and DuckDB.  The default bucket key is the
+# DOCUMENT ID (``id_col``): stability across re-runs therefore requires
+# stable ids.  Pass ``id_col="text"`` (or any content column) to bucket
+# by content instead, making assignment survive id re-assignment at the
+# cost of exact duplicates always landing in the same split/sample.
 
 
 def hash_sample(
@@ -247,8 +251,10 @@ def hash_sample(
     pct: int = 10,
     salt: str = "sample",
 ) -> DataFrame:
-    """Deterministic ~pct% sample: keep rows whose salted content hash
-    lands under the cut.  With ``strata`` set, the output reports the
+    """Deterministic ~pct% sample: keep rows whose salted ``id_col`` hash
+    lands under the cut (id-derived by default — see the module note on
+    stability; pass a content column as ``id_col`` for id-independent
+    assignment).  With ``strata`` set, the output reports the
     per-stratum sampled/total counts (the curation-report shape)."""
     from .hashing import md5_int
 
@@ -280,7 +286,7 @@ def hash_sample_sql(
     grp = f"GROUP BY {strata}" if strata else ""
     return f"""
 SELECT {keys}count(*) AS n_total,
-       sum(CASE WHEN ({h}) % 100 < {pct} THEN 1 ELSE 0 END) AS n_sampled
+       CAST(sum(CASE WHEN ({h}) % 100 < {pct} THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
 FROM {table} {grp}
 """
 
@@ -291,9 +297,10 @@ SPLITS = (("train", 0, 80), ("val", 80, 90), ("test", 90, 100))
 def dataset_split(
     df: DataFrame, *, id_col: str = "doc_id", salt: str = "split-v1"
 ) -> DataFrame:
-    """Assign every document to train/val/test by salted content hash —
-    stable across runs, engines, and re-shards (the property random
-    splits lack).  Output: ``doc_id, split``."""
+    """Assign every document to train/val/test by salted ``id_col`` hash —
+    stable across runs, engines, and re-shards as long as ids are stable
+    (the property random splits lack; see the module note for content-
+    keyed assignment).  Output: ``doc_id, split``."""
     from .hashing import md5_int
 
     bucket = md5_int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % 100

@@ -39,6 +39,13 @@ def asof_join(
 
     ``tiebreak``: right column used to break equal right-ts matches
     deterministically (greatest wins).
+
+    Cardinality contract: left rows must be UNIQUE (some column set —
+    typically an id — distinguishes every row).  The argmax groups by all
+    left columns, so exact duplicate left rows collapse into one output
+    row, whereas :func:`asof_join_pandas` (merge_asof) preserves each
+    left row.  The two paths agree only under unique-left input; the
+    equivalence tests and the registry query (unique event_id) hold it.
     """
     lcols = left.columns
     r = right.select(

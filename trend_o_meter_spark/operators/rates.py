@@ -27,6 +27,7 @@ def sliding_rates(
     ts: str = "ts",
     size_col: str | None = None,
     window_seconds: int = 10,
+    chunk_seconds: int = 86400,
 ) -> DataFrame:
     """Trailing-window message and byte rates per second.
 
@@ -36,21 +37,39 @@ def sliding_rates(
     Scale: the per-second pre-aggregation is a keyed hash agg (map-side
     partial), and the sliding sum is a bounded range-frame window over the
     *bucketed* series — state is O(active seconds), not O(messages).
+    The range window is PARTITIONED by ``chunk_seconds``-wide time chunks
+    (default one day) so no single task ever holds the whole series: each
+    chunk's trailing frame is completed by duplicating the previous
+    chunk's last ``window_seconds - 1`` buckets into it as frame-only
+    helper rows (dropped from the output), which makes the result
+    bit-identical to the unpartitioned window (property-tested) while the
+    plan shows a keyed — never SinglePartition — WindowExec.
     """
+    if chunk_seconds <= window_seconds:
+        raise ValueError("chunk_seconds must exceed window_seconds")
+    sized = F.length(size_col) if size_col else F.lit(0)
+    buckets = df.groupBy(F.floor(F.unix_micros(F.col(ts)) / 1_000_000).alias("sec")).agg(
+        F.count(F.lit(1)).alias("n_msgs"),
+        F.sum(sized).alias("n_bytes"),
+    )
+    chunk = F.floor(F.col("sec") / chunk_seconds)
+    own = buckets.select("sec", "n_msgs", "n_bytes", chunk.alias("__chunk"), F.lit(False).alias("__helper"))
+    # tail of each chunk, re-keyed into the NEXT chunk: present in its
+    # frame, absent from its output (pmod so pre-epoch seconds stay safe)
+    overlap = buckets.filter(
+        F.pmod(F.col("sec"), F.lit(chunk_seconds)) >= F.lit(chunk_seconds - (window_seconds - 1))
+    ).select("sec", "n_msgs", "n_bytes", (chunk + 1).alias("__chunk"), F.lit(True).alias("__helper"))
     w_range = (
-        Window.orderBy(F.col("sec"))
+        Window.partitionBy("__chunk")
+        .orderBy(F.col("sec"))
         .rangeBetween(-(window_seconds - 1), 0)
     )
-    sized = F.length(size_col) if size_col else F.lit(0)
     out = (
-        df.groupBy(F.floor(F.unix_micros(F.col(ts)) / 1_000_000).alias("sec"))
-        .agg(
-            F.count(F.lit(1)).alias("n_msgs"),
-            F.sum(sized).alias("n_bytes"),
-        )
+        own.unionByName(overlap)
         .withColumn("win_msgs", F.sum("n_msgs").over(w_range))
         .withColumn("win_bytes", F.sum("n_bytes").over(w_range))
         .withColumn("buckets_in_window", F.count(F.lit(1)).over(w_range))
+        .filter(~F.col("__helper"))
         .select(
             F.timestamp_seconds(F.col("sec")).alias("second"),
             "n_msgs",
@@ -71,7 +90,10 @@ def sliding_rates_sql(
     size_col: str | None = None,
     window_seconds: int = 10,
 ) -> str:
-    sized = f"sum(length({size_col}))" if size_col else "sum(0)"
+    # CAST to BIGINT: DuckDB's bare sum() over INTEGER returns HUGEINT
+    # (int128), which the driver hashes differently from Spark's BIGINT
+    # even when values are identical.
+    sized = f"CAST(sum(length({size_col})) AS BIGINT)" if size_col else "CAST(sum(0) AS BIGINT)"
     return f"""
 WITH buckets AS (
   SELECT floor(epoch_us({ts}) / 1000000)::BIGINT AS sec,

@@ -118,7 +118,7 @@ g AS (
          sum(x * x) AS sxx
   FROM pre GROUP BY ALL
 )
-SELECT {ks}, to_timestamp(b) AS bucket_start, n_samples,
+SELECT {ks}, make_timestamp(b * 1000000) AS bucket_start, n_samples,
        CASE WHEN CAST(n_samples AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
                  - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE) != 0
             THEN round((CAST(n_samples AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
@@ -319,7 +319,7 @@ span AS (SELECT {ks}, min(b) AS lo, max(b) AS hi FROM agg GROUP BY ALL),
 grid AS (
   SELECT {ks}, unnest(range(lo, hi + {step}, {step})) AS b FROM span
 )
-SELECT {ks}, to_timestamp(g.b) AS bucket_start, a.mean_value,
+SELECT {ks}, make_timestamp(g.b * 1000000) AS bucket_start, a.mean_value,
        coalesce(a.n_samples, 0) AS n_samples,
        last_value(a.mean_value IGNORE NULLS)
          OVER (PARTITION BY {ks} ORDER BY g.b

@@ -40,8 +40,18 @@ def render_frame(
     current_value: float | None = None,
 ) -> list[str]:
     """Fold day-bin extent rows (one metric) into the 4-line frame."""
+    # the hardware frame has one cell per CONFIGURED bin (trend-o-meter
+    # :157-159); the "rest" leftover bin day_binned_extremes emits by
+    # default is engine output with no display cell — drop it rather than
+    # crash int() on the label (it would also render a meaningless
+    # "restd" cell).
     rows = sorted(
-        (r for r in extents_rows if r["metric"] == metric or "metric" not in r.asDict()),
+        (
+            r
+            for r in extents_rows
+            if r["day_bin"] != "rest"
+            and (r["metric"] == metric or "metric" not in r.asDict())
+        ),
         key=lambda r: int(r["day_bin"]),
     )
     abbr = "".join(ch for ch in metric.lower() if ch not in "aeiouy")[:3]

@@ -13,6 +13,17 @@ hashing values).
 Float discipline: cross-row float sums go through exact DECIMAL
 accumulation (order-insensitive) and per-row float math uses identical
 operation order in both engines, so value hashes match bit-for-bit.
+
+Oracle (DuckDB) typing gotchas — both bit the driver's strict gate once;
+never write them again:
+* ``to_timestamp(x)`` returns TIMESTAMP **WITH TIME ZONE** in DuckDB;
+  Spark's ``timestamp_seconds`` is plain TIMESTAMP.  Use
+  ``make_timestamp(secs * 1000000)`` (or ``CAST(to_timestamp(x) AS
+  TIMESTAMP)``) in oracle SQL.
+* bare ``sum()`` over INTEGER returns HUGEINT (int128) in DuckDB where
+  Spark returns BIGINT — always ``CAST(sum(...) AS BIGINT)`` when the
+  sum is emitted as an output column.  (``count(*)`` is BIGINT, safe;
+  sums feeding a float division are fine too.)
 """
 
 from __future__ import annotations
@@ -48,8 +59,34 @@ def _q(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+# The driver scored only the first 50 registry entries in round 1, leaving
+# the declaration-order tail (doc_fingerprint .. label_centroids) without a
+# driver verdict.  registry() therefore surfaces previously-unscored (and
+# previously-failing) queries FIRST, so every entry accumulates a driver
+# verdict across rounds even under a query-count/time cap; remaining
+# entries keep declaration order (stable sort).
+_SCORE_FIRST = (
+    # no driver verdict in CORRECTNESS_r01 (cap cut them off)
+    "doc_fingerprint",
+    "cosine_topk",
+    "cosine_topk_ivf",
+    "ivf_assign",
+    "embedding_near_dup",
+    "multimodal_meta",
+    "frame_sample",
+    "decode_features",
+    "label_centroids",
+    # failed r1 on oracle typing (fixed this round) — re-score early
+    "trend_slope_daily",
+    "resample_1h_locf",
+    "sliding_rates_10s",
+    "hash_sample_10pct",
+)
+
+
 def registry() -> list[QuerySpec]:
-    return list(_REGISTRY)
+    rank = {n: i for i, n in enumerate(_SCORE_FIRST)}
+    return sorted(_REGISTRY, key=lambda s: rank.get(s.name, len(_SCORE_FIRST)))
 
 
 # ---------------------------------------------------------------------------
@@ -671,7 +708,11 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        # no broadcast hint: part grows with scale factor (not a fixed dim
+        # table) — at 100x sf it is not a broadcastable side.  AQE picks
+        # broadcast at small sf from its size estimate; plan asserted in
+        # tests/test_plans.py.
+        li.join(p, p.p_partkey == li.l_partkey)
         .join(part_avg, part_avg.pa_partkey == li.l_partkey)
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .groupBy("p_brand", "p_type")
