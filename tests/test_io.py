@@ -87,3 +87,21 @@ def test_sql_interface_views(spark):
         assert spark.catalog.tableExists(t)
     n = spark.sql("SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey").collect()[0]["n"]
     assert n > 0
+
+
+def test_register_source_seam(spark):
+    """The source-adapter seam: a registered reader replaces the parquet
+    path for one logical name (the Redis/Kafka deployment hook), without
+    touching any operator; deregistering restores the default."""
+    from trend_o_meter_spark.catalog import register_source
+
+    fake = spark.createDataFrame([(1, "x")], "event_id long, event_type string")
+    register_source("events", lambda sp, name, sf_dir: fake)
+    try:
+        out = table(spark, "events", "/root/testdata/sf0.001")
+        assert out.collect() == fake.collect()
+    finally:
+        register_source("events", None)
+    # default path restored: the real parquet table with its full schema
+    restored = table(spark, "events", "/root/testdata/sf0.001")
+    assert "ts" in restored.columns and restored.count() > 1

@@ -149,6 +149,48 @@ def test_anchored_downsample_state_across_batches(spark, stream_dirs):
     assert batch_kept == kept
 
 
+def test_anchored_downsample_golden_trace_matches_reference_walk(spark, stream_dirs):
+    """F3 trigger parity, pinned: replay a recorded message sequence and
+    assert the stream's batch-close points equal a hand-walked trace of
+    the reference's message loop (trend-o-meter:381-439: ``timeMark=0;
+    willProcess = |msg.ts - timeMark| > timeBetweenSamples; on process
+    timeMark = msg.ts``).  The trace exercises a first-message close,
+    sub-gap runs, the exactly-equal-gap boundary (NOT a close — strict
+    >), back-to-back closes, and a long quiet period, across three
+    micro-batches so the anchor must survive the state store."""
+    gap = 60
+    batches_off = [
+        [0, 45, 60, 61, 100, 130],
+        [140, 190, 191, 400],
+        [430, 459, 460, 461],
+    ]
+
+    # hand-walked reference trace (naive mirror of the JS loop)
+    time_mark = 0
+    expected_closes = []
+    for off in (o for b in batches_off for o in b):
+        ts = BASE + off
+        if abs(ts - time_mark) > gap:  # willProcess, trend-o-meter:387
+            expected_closes.append(float(off))
+            time_mark = ts
+    assert expected_closes == [0.0, 61.0, 130.0, 191.0, 400.0, 461.0]  # sanity
+
+    in_dir, ckpt = stream_dirs
+    out = _run_batches(
+        spark,
+        in_dir,
+        ckpt,
+        lambda raw: stream_anchored_downsample(
+            decode_sensor_stream(raw).filter(F.col("corrupt").isNull()),
+            gap_seconds=gap,
+        ),
+        [[_sensor(o, temperature=float(o)) for o in b] for b in batches_off],
+        "golden_trace_out",
+    )
+    closes = sorted(r["ts"].timestamp() - BASE for r in out.collect())
+    assert closes == expected_closes
+
+
 def test_session_channels(spark, stream_dirs):
     in_dir, ckpt = stream_dirs
     batches = [

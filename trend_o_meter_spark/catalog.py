@@ -45,9 +45,33 @@ _TS_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
+# --- source-adapter seam ----------------------------------------------------
+#
+# The reference's real I/O is Redis lists + pub/sub (trend-o-meter:289,
+# 446,165-169); this sandbox substitutes parquet snapshots.  A deployment
+# with a live broker registers a reader here — operators never name a
+# storage system, they call table(), so swapping the backing store is a
+# registration, not a rewrite.  A reader is ``(spark, name, sf_dir) ->
+# DataFrame`` and must deliver the TESTDATA.md schema for ``name``
+# (timestamps already micro-precision TIMESTAMP, session tz UTC).
+_SOURCE_READERS: dict[str, object] = {}
+
+
+def register_source(name: str, reader) -> None:
+    """Route ``table(spark, name, ...)`` through a custom reader (e.g. a
+    Redis/Kafka adapter).  Pass ``None`` to restore the parquet default."""
+    if reader is None:
+        _SOURCE_READERS.pop(name, None)
+    else:
+        _SOURCE_READERS[name] = reader
+
+
 def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load a logical table; the single entry point for batch scans (S1)."""
     tune(spark)
+    reader = _SOURCE_READERS.get(name)
+    if reader is not None:
+        return reader(spark, name, sf_dir)
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
