@@ -117,3 +117,81 @@ def test_cosine_topk_nearest_is_most_similar(spark):
     assert [r["neighbor_id"] for r in out] == [1, 2, 3]
     assert out[0]["cos_sim"] > 0.99
     assert out[-1]["cos_sim"] == -1.0
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    from trend_o_meter_spark.llm.text import pii_scrub
+
+    rows = [
+        (0, "contact alice@example.com or bob@mail.co today"),
+        (1, "server at 10.0.0.1 and backup 192.168.1.254 up"),
+        (2, "call 555-867-5309 or 555 123 4567 now"),
+        (3, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (out[0]["n_email"], out[0]["n_ip"], out[0]["n_phone"]) == (2, 0, 0)
+    assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_phone"]) == (0, 2, 0)
+    assert (out[2]["n_email"], out[2]["n_ip"], out[2]["n_phone"]) == (0, 0, 2)
+    assert (out[3]["n_email"], out[3]["n_ip"], out[3]["n_phone"]) == (0, 0, 0)
+    # redaction changes the hash iff something matched
+    import hashlib
+
+    assert out[3]["clean_hash"] == hashlib.md5(rows[3][1].encode()).hexdigest()
+    assert out[0]["clean_hash"] == hashlib.md5(
+        b"contact [EMAIL] or [EMAIL] today"
+    ).hexdigest()
+
+
+def test_repetition_stats_boilerplate_signal(spark):
+    from trend_o_meter_spark.llm.text import repetition_stats
+
+    loop = "buy now " * 20  # 40 tokens, heavy 3-gram repetition
+    df = spark.createDataFrame(
+        [(0, loop), (1, BASE), (2, "only two")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[0]["dup_ratio"] > 0.9          # boilerplate flagged
+    assert out[1]["dup_ratio"] < 0.1          # natural text mostly unique
+    assert out[2]["n_grams"] == 0 and out[2]["dup_ratio"] == 0.0
+
+
+def test_pack_sequences_model(spark):
+    from trend_o_meter_spark.llm.text import pack_sequences
+
+    # 10 docs x 7 tokens in one shard, budget 20: cut points every 20 tokens
+    rows = [(i, "en", "t " * 7) for i in range(10)]
+    df = spark.createDataFrame(
+        [(i, lang, t.strip()) for i, lang, t in rows], "doc_id long, lang string, text string"
+    )
+    out = sorted(pack_sequences(df, token_budget=20).collect(), key=lambda r: r["doc_id"])
+    cum = 0
+    for r in out:
+        assert r["n_tokens"] == 7
+        assert r["chunk_id"] == cum // 20
+        assert r["offset_in_chunk"] == cum % 20
+        cum += 7
+    # every chunk holds <= ceil(budget/tok)+1 docs and ids are contiguous
+    by_chunk = {}
+    for r in out:
+        by_chunk.setdefault(r["chunk_id"], []).append(r["doc_id"])
+    for ids in by_chunk.values():
+        assert ids == list(range(min(ids), max(ids) + 1))
+
+
+def test_contamination_check_finds_planted_overlap(spark):
+    from trend_o_meter_spark.llm.dedup import contamination_check
+
+    bench_text = "the held out benchmark question about spark shuffles and joins"
+    corpus = spark.createDataFrame(
+        [
+            (0, "prefix words then " + bench_text + " trailing contamination"),
+            (1, "totally unrelated corpus document about cooking pasta dishes tonight"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    out = contamination_check(corpus, bench, shingle_n=5).collect()
+    assert {(r["doc_id"], r["bench_id"]) for r in out} == {(0, 100)}
+    hit = out[0]
+    assert hit["n_shared"] >= 5 and hit["bench_coverage"] > 0.8

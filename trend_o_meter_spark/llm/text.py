@@ -345,3 +345,180 @@ SELECT CAST(floor(len(str_split({norm}, ' ')) / {bin_width}) * {bin_width} AS BI
        count(*) AS n_docs
 FROM {table} GROUP BY 1
 """
+
+
+# --- PII scrubbing ----------------------------------------------------------
+#
+# Patterns are kept to the regex subset Java (Spark) and RE2 (DuckDB)
+# interpret identically — char classes, bounded quantifiers, \b, \d —
+# so the oracle reproduces matches exactly.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "[PHONE]"),
+)
+
+
+def pii_scrub(df: DataFrame, *, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Compliance pass: count and redact emails / IPv4s / phone numbers.
+
+    Output: ``doc_id, n_email, n_ip, n_phone, clean_hash`` — counts are
+    matched on the ORIGINAL text (category patterns are disjoint), the
+    hash is md5 of the text after sequential redaction (email -> ip ->
+    phone), so a downstream exact-dedup over scrubbed text is stable.
+    Pure column expressions, embarrassingly parallel.
+    """
+    t = F.col(text)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = t
+    for _, pat, token in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return df.select(F.col(id_col), *counts, F.md5(scrubbed).alias("clean_hash"))
+
+
+def pii_scrub_sql(table: str, *, text: str = "text", id_col: str = "doc_id") -> str:
+    counts = ",\n  ".join(
+        f"len(regexp_extract_all({text}, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    scrubbed = text
+    for _, pat, token in PII_PATTERNS:
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{token}', 'g')"
+    return f"""
+SELECT {id_col},
+  {counts},
+  md5({scrubbed}) AS clean_hash
+FROM {table}
+"""
+
+
+# --- repetition / boilerplate signal ----------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame, *, text: str = "text", id_col: str = "doc_id", ngram: int = 3
+) -> DataFrame:
+    """Gopher-style repetition signal: fraction of duplicate word n-grams.
+
+    Output: ``doc_id, n_grams, n_distinct, dup_ratio`` (0.0 for docs too
+    short to have an n-gram).  Row-local array expressions — no shuffle,
+    no explode (the per-doc gram list never leaves its row).
+    """
+    staged = df.select(F.col(id_col), _tokens(F.col(text)).alias("__toks"))
+    grams = F.when(
+        F.size(F.col("__toks")) >= ngram,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("__toks")) - (ngram - 1)),
+            lambda i: F.array_join(F.slice(F.col("__toks"), i, ngram), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = staged.select(F.col(id_col), grams.alias("__g"))
+    n = F.size(F.col("__g"))
+    nd = F.size(F.array_distinct(F.col("__g")))
+    return g.select(
+        F.col(id_col),
+        n.alias("n_grams"),
+        nd.alias("n_distinct"),
+        F.when(n > 0, F.round(F.lit(1.0) - nd / n, 9)).otherwise(F.lit(0.0)).alias("dup_ratio"),
+    )
+
+
+def repetition_stats_sql(
+    table: str, *, text: str = "text", id_col: str = "doc_id", ngram: int = 3
+) -> str:
+    norm = NORM_SQL.format(c=text)
+    gram = " || ' ' || ".join(f"__t[i + {j}]" for j in range(ngram))
+    return f"""
+WITH staged AS (
+  SELECT {id_col}, str_split({norm}, ' ') AS __t FROM {table}
+),
+g AS (
+  SELECT {id_col},
+         CASE WHEN len(__t) >= {ngram}
+              THEN list_transform(range(1, len(__t) - {ngram - 2}), i -> {gram})
+              ELSE [] END AS __g
+  FROM staged
+)
+SELECT {id_col},
+  len(__g) AS n_grams,
+  len(list_distinct(__g)) AS n_distinct,
+  CASE WHEN len(__g) > 0
+       THEN round(1.0 - len(list_distinct(__g)) / CAST(len(__g) AS DOUBLE), 9)
+       ELSE 0.0 END AS dup_ratio
+FROM g
+"""
+
+
+# --- sequence packing -------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    shard: str = "lang",
+    token_budget: int = 256,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each document a chunk id
+    so concatenating a shard's docs in ``id`` order and cutting every
+    ``token_budget`` tokens yields the training sequences.
+
+    Output: ``doc_id, <shard>, n_tokens, chunk_id, offset_in_chunk``.
+    ``chunk_id = exclusive-prefix-token-sum div budget`` — the standard
+    approximation (a doc may straddle a boundary; the chunker downstream
+    splits it).  One keyed window per shard: packing is inherently
+    sequential WITHIN a shard, so at 100 TB the shard key (lang, source,
+    or an explicit shard column) is the parallelism unit — exactly how
+    production packers run.
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(_tokens(F.col(text)))
+    staged = df.select(F.col(id_col), F.col(shard), toks.alias("n_tokens"))
+    w = (
+        Window.partitionBy(shard)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = staged.withColumn(
+        "__cum", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    # integer div/mod (not floor of a double quotient): exact at any
+    # shard token count, and identical to DuckDB's // and %
+    return packed.select(
+        id_col,
+        shard,
+        "n_tokens",
+        F.expr(f"__cum div {token_budget}").alias("chunk_id"),
+        F.pmod(F.col("__cum"), F.lit(token_budget)).cast("long").alias("offset_in_chunk"),
+    )
+
+
+def pack_sequences_sql(
+    table: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    shard: str = "lang",
+    token_budget: int = 256,
+) -> str:
+    norm = NORM_SQL.format(c=text)
+    return f"""
+WITH staged AS (
+  SELECT {id_col}, {shard}, len(str_split({norm}, ' ')) AS n_tokens FROM {table}
+),
+packed AS (
+  SELECT *,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY {shard} ORDER BY {id_col}
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS __cum
+  FROM staged
+)
+SELECT {id_col}, {shard}, n_tokens,
+       __cum // {token_budget} AS chunk_id,
+       __cum % {token_budget} AS offset_in_chunk
+FROM packed
+"""

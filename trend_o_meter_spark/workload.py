@@ -81,6 +81,11 @@ _SCORE_FIRST = (
     "resample_1h_locf",
     "sliding_rates_10s",
     "hash_sample_10pct",
+    # new in round 2 — never scored
+    "pii_scrub",
+    "repetition_stats",
+    "pack_sequences",
+    "contamination_check",
 )
 
 
@@ -1227,3 +1232,60 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: compliance / curation / packing / decontamination
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "pii_scrub",
+    text.pii_scrub_sql("documents"),
+    doc="Compliance pass: count + redact emails/IPv4/phone patterns, hash "
+    "the scrubbed text (stable key for post-redaction dedup).  Pure "
+    "column expressions, map-side only.",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.pii_scrub(d)
+
+
+@_q(
+    "repetition_stats",
+    text.repetition_stats_sql("documents"),
+    doc="Gopher-style repetition signal: duplicate word-3-gram fraction "
+    "per document (boilerplate detector).  Row-local array expressions, "
+    "no shuffle.",
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.repetition_stats(d)
+
+
+@_q(
+    "pack_sequences",
+    text.pack_sequences_sql("documents", token_budget=256),
+    doc="Concat-and-chunk sequence packing: chunk_id/offset per doc from "
+    "an exclusive prefix token sum, keyed per lang shard (the shard key "
+    "is the parallelism unit at scale).",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.pack_sequences(d, token_budget=256)
+
+
+@_q(
+    "contamination_check",
+    dedup.contamination_check_sql(
+        "documents", "SELECT * FROM documents WHERE doc_id % 97 = 0", shingle_n=4
+    ),
+    doc="Benchmark decontamination: corpus docs sharing 4-grams with a "
+    "held-out slice (doc_id % 97 = 0 stands in for the eval suite).  "
+    "Shingle-keyed join; ONLY the benchmark side broadcasts (small by "
+    "construction).",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return dedup.contamination_check(d, bench, shingle_n=4)
