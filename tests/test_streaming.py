@@ -461,3 +461,34 @@ def test_watermark_drops_late_rows(spark, stream_dirs):
     # the late 99.0 never lands
     assert rows[0.0]["n_samples"] == 1
     assert rows[0.0]["mean_value"] == 10.0
+
+
+def test_stream_exact_dedup_within_watermark(spark, stream_dirs):
+    """Streaming dedup: duplicate content (after normalization) inside the
+    watermark horizon is emitted exactly once; distinct content passes;
+    state is keyed by content hash so the op survives micro-batch splits."""
+    from trend_o_meter_spark.streaming.pipeline import stream_exact_dedup
+
+    def doc(off, text):
+        return {"ts": BASE + off, "source": "docs", "value": {"t": 0.0}, "text": text}
+
+    in_dir, ckpt = stream_dirs
+    batches = [
+        [doc(0, "Alpha Doc"), doc(1, "  alpha   doc  "), doc(2, "beta doc")],
+        [doc(3, "ALPHA DOC"), doc(4, "gamma doc")],  # dup arrives a batch later
+    ]
+
+    def transform(raw):
+        parsed = raw.select(
+            F.get_json_object("value", "$.text").alias("text"),
+            F.timestamp_seconds(F.get_json_object("value", "$.ts").cast("double")).alias("ts"),
+        ).filter(F.col("text").isNotNull())
+        return stream_exact_dedup(parsed, ts="ts", text="text", watermark="10 minutes")
+
+    out = _run_batches(spark, in_dir, ckpt, transform, batches, "dedup_stream_out")
+    rows = out.collect()
+    # one row per distinct normalized content: alpha, beta, gamma
+    hashes = [r["content_hash"] for r in rows]
+    assert len(hashes) == len(set(hashes)) == 3
+    kept_texts = {r["text"].strip().lower().replace("   ", " ").replace("  ", " ") for r in rows}
+    assert kept_texts == {"alpha doc", "beta doc", "gamma doc"}

@@ -80,6 +80,34 @@ def stream_sliding_rates(
     )
 
 
+def stream_exact_dedup(
+    docs: DataFrame,
+    *,
+    ts: str = "ts",
+    text: str = "text",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``llm.dedup.exact_dedup``: emit each distinct
+    normalized-content document once, drop re-arrivals inside the
+    watermark horizon (``dropDuplicatesWithinWatermark`` — state for a
+    content hash is evicted once the watermark passes it, so dedup state
+    is bounded by the horizon, not the stream length).
+
+    The horizon IS the semantic contract: a duplicate arriving later than
+    ``watermark`` after its twin is re-emitted.  Batch-exact global dedup
+    over unbounded history is the batch operator's job (run it in the
+    backfill leg of the lambda shape, this one on the tail).
+    """
+    from ..llm.dedup import _norm
+
+    keyed = docs.withColumn("__content_hash", F.md5(_norm(F.col(text))))
+    return (
+        keyed.withWatermark(ts, watermark)
+        .dropDuplicatesWithinWatermark(["__content_hash"])
+        .withColumnRenamed("__content_hash", "content_hash")
+    )
+
+
 def stream_session_channels(
     messages: DataFrame,
     *,
