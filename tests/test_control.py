@@ -121,3 +121,27 @@ def test_command_stream_dispatcher(spark, tmp_path):
     assert len(log) == 4
     assert [r["valid"] for r in log] == [True, True, False, True]
     assert "unknown command" in log[2]["error"]
+
+
+def test_get_stats_device_rpc_leg(spark):
+    """trend-o-meter:178-183: 'get stats' issues the 'uptime' custom
+    command to the display device; a working RPC reports its value, a
+    failing (or absent) one reports -1 — never an error."""
+    from trend_o_meter_spark.control.plane import ControlPlane
+
+    # no device attached
+    plane = ControlPlane(spark)
+    assert plane.execute("get stats").ret_val["uptime"]["display"] == -1
+
+    # working device
+    plane = ControlPlane(spark, device_rpc=lambda cmd: 1234 if cmd == "uptime" else None)
+    assert plane.execute("get stats").ret_val["uptime"]["display"] == 1234
+
+    # failing device: swallowed, -1 (the reference's try/catch)
+    def boom(cmd):
+        raise RuntimeError("device gone")
+
+    plane = ControlPlane(spark, device_rpc=boom)
+    res = plane.execute("get stats")
+    assert res.valid and res.ret_val["uptime"]["display"] == -1
+    assert "reconnects" in res.ret_val

@@ -112,12 +112,18 @@ class ControlPlane:
         audit_path: str | None = None,
         on_rebind: Callable[[EngineConfig], DataFrame | None] | None = None,
         clock: Callable[[], float] = time.time,
+        device_rpc: Callable[[str], Any] | None = None,
     ) -> None:
         self.spark = spark
         self.config = config or EngineConfig()
         self.audit_path = audit_path
         self.on_rebind = on_rebind
         self.clock = clock
+        # Optional device command channel (the reference's
+        # display.issueCustomCommand, trend-o-meter:178-183): a callable
+        # taking the command name.  None = no device attached.
+        self.device_rpc = device_rpc
+        self.reconnects = 0  # reference's reconnect counter (:186-190,:277)
         # Ephemeral 8-char app id, as the reference (uuid at trend-o-meter:115).
         self.app_id = uuid.uuid4().hex[:8]
         self.started_at = clock()
@@ -138,17 +144,25 @@ class ControlPlane:
         return out
 
     def get_stats(self) -> dict[str, Any]:
-        """trend-o-meter:177-194: uptime + message counters.
+        """trend-o-meter:177-194: uptime (app + device RPC) + counters.
 
-        The reference also RPCs the display device for its uptime
-        (``issueCustomCommand('uptime')``) and reports -1 on failure; we
-        have no device, so the display slot is -1 by construction.
+        The display-uptime leg mirrors the reference exactly: issue the
+        ``uptime`` custom command over ``device_rpc`` and report ``-1``
+        when there is no device or the RPC fails
+        (``issueCustomCommand('uptime')`` in a try/catch, :178-183).
         """
+        device_uptime: Any = -1
+        if self.device_rpc is not None:
+            try:
+                device_uptime = self.device_rpc("uptime")
+            except Exception:  # noqa: BLE001 — reference logs and returns -1
+                device_uptime = -1
         progresses = [
             q.lastProgress for q in self.spark.streams.active if q.lastProgress
         ]
         return {
-            "uptime": {"app": self.clock() - self.started_at, "display": -1},
+            "uptime": {"app": self.clock() - self.started_at, "display": device_uptime},
+            "reconnects": self.reconnects,
             "messages": dict(self.message_stats),
             "streaming_input_rows": sum(
                 int(p.get("numInputRows", 0)) for p in progresses
