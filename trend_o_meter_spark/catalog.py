@@ -88,6 +88,23 @@ def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFram
     return df
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Widen a narrow scan to one task per core before CPU-heavy map work.
+
+    Byte-based split planning undercounts CPU cost: a few-MB single-row-
+    group parquet file is one split, so interpreted higher-order functions
+    (shingling, minhash folds, cosine dot products) run on one core.  This
+    round-robin repartitions ONLY when the plan has fewer partitions than
+    ``defaultParallelism`` — at 100 TB every scan already has thousands of
+    splits, so this is a no-op there (no extra shuffle at scale; the
+    shuffle it does add on small inputs is bounded by the input size).
+    """
+    want = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    return df.repartition(want)
+
+
 def load_all(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
     return {name: table(spark, name, sf_dir) for name in TABLES}
 

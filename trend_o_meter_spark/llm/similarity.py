@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..catalog import spread
+
 
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -70,7 +72,7 @@ def cosine_topk(
         F.round(F.col("cos_sim"), 9).desc(), F.col("neighbor_id").asc()
     )
     return (
-        df.crossJoin(F.broadcast(queries))
+        spread(df).crossJoin(F.broadcast(queries))
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
@@ -267,7 +269,9 @@ def embedding_near_dup(
             for p in _LSH_PLANES
         ],
     )
-    keyed = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), bucket.alias("bucket"))
+    keyed = spread(df).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), bucket.alias("bucket")
+    )
     if max_bucket is not None:
         counts = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bn"))
         keyed = keyed.join(counts, "bucket").filter(F.col("__bn") <= max_bucket).drop("__bn")
@@ -321,7 +325,7 @@ def ivf_assign(
         F.col(id_col).alias("cluster"), F.col(vec_col).alias("cvec")
     )
     cos = cosine(F.col("cvec"), F.col(vec_col))
-    scored = df.crossJoin(F.broadcast(cents)).select(
+    scored = spread(df).crossJoin(F.broadcast(cents)).select(
         F.col(id_col), F.col("cluster"), cos.alias("cos")
     )
     best = scored.groupBy(id_col).agg(
