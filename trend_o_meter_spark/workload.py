@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from . import functions as tfn
 from .catalog import table
-from .llm import dedup, multimodal, similarity, text
+from .llm import cluster, dedup, multimodal, similarity, text
 from .operators import asof, daybins, downsample, rates, retention, rolling, topk, trend
 
 
@@ -86,6 +86,10 @@ _SCORE_FIRST = (
     "repetition_stats",
     "pack_sequences",
     "contamination_check",
+    "dedup_clusters",
+    "chunk_documents",
+    "balanced_sample",
+    "quantize_embeddings",
 )
 
 
@@ -1014,6 +1018,19 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def verified_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return dedup.verified_near_dups(d, threshold=0.3)
+
+
+@_q(
+    "dedup_clusters",
+    cluster.dedup_clusters_sql("documents", threshold=0.3),
+    doc="Cluster-level dedup: verified near-dup pairs closed into "
+    "transitive components (iterative min-label propagation, one keyed "
+    "join+agg shuffle per round, diameter-bounded); keep = canonical "
+    "min-id survivor per cluster.  Oracle: DuckDB recursive-CTE closure.",
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return cluster.dedup_clusters(d, threshold=0.3)
 
 
 @_q(
