@@ -195,3 +195,84 @@ def test_contamination_check_finds_planted_overlap(spark):
     assert {(r["doc_id"], r["bench_id"]) for r in out} == {(0, 100)}
     hit = out[0]
     assert hit["n_shared"] >= 5 and hit["bench_coverage"] > 0.8
+
+
+def test_connected_components_transitive_chain(spark):
+    from trend_o_meter_spark.llm.cluster import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    # chain 0-1-2-3 (transitive, no 0-3 edge), pair 5-6, singleton 4
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["cluster_id"] for r in connected_components(nodes, edges).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5}
+
+
+def test_dedup_clusters_keep_is_min_id(spark):
+    from trend_o_meter_spark.llm.cluster import dedup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [
+            (10, base),
+            (11, base + " extra"),   # near-dup of 10
+            (12, base + " extras"),  # near-dup of 11 (and transitively 10)
+            (20, "completely different text about database query optimizers at scale"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup_clusters(df, threshold=0.3).collect()}
+    assert rows[10]["keep"] and rows[20]["keep"]
+    assert not rows[11]["keep"] and rows[11]["cluster_id"] == 10
+    assert not rows[12]["keep"] and rows[12]["cluster_id"] == 10
+
+
+def test_chunk_documents_cover_and_overlap(spark):
+    from trend_o_meter_spark.llm.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "short doc")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_tokens=4, overlap=2).collect()
+    doc1 = sorted((r for r in out if r["doc_id"] == 1), key=lambda r: r["chunk_id"])
+    # n=10, C=4, stride=2 -> n_chunks = ceil(6/2)+1 = 4
+    assert [r["n_chunks"] for r in doc1] == [4, 4, 4, 4]
+    assert doc1[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert doc1[1]["chunk_text"] == "w2 w3 w4 w5"   # 2-token overlap
+    assert doc1[3]["chunk_text"] == "w6 w7 w8 w9"   # tail covered
+    assert all(r["chunk_len"] == 4 for r in doc1)
+    doc2 = [r for r in out if r["doc_id"] == 2]
+    assert len(doc2) == 1 and doc2[0]["chunk_text"] == "short doc" and doc2[0]["chunk_len"] == 2
+
+
+def test_balanced_sample_deterministic_and_capped(spark):
+    from trend_o_meter_spark.llm.text import balanced_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(60)], "doc_id long, lang string"
+    )
+    a = sorted(map(tuple, balanced_sample(df, k=5).collect()))
+    b = sorted(map(tuple, balanced_sample(df, k=5).collect()))
+    assert a == b  # reproducible, not rand()
+    by_lang = {}
+    for lang, _, rank in a:
+        by_lang.setdefault(lang, []).append(rank)
+    assert all(sorted(v) == list(range(1, 6)) for v in by_lang.values())
+
+
+def test_quantize_embeddings_roundtrip_error_bounded(spark):
+    from trend_o_meter_spark.llm.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    s1, q1 = rows[1]["scale"], rows[1]["qvec"]
+    assert q1[0] == 127 and q1[1] == -63  # -63.5 + 0.5 -> floor = -63
+    # dequantized error bounded by half a step
+    for orig, q in zip([1.0, -0.5, 0.25, 0.0], q1):
+        assert abs(q * s1 - orig) <= s1 / 2 + 1e-9
+    assert rows[2]["scale"] == 0.0 and rows[2]["qvec"] == [0, 0, 0, 0]

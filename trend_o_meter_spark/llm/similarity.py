@@ -356,3 +356,50 @@ best AS (
 )
 SELECT {id_col}, CAST(-(m.nc) AS BIGINT) AS cluster, (m.c) AS cos_to_centroid FROM best
 """
+
+
+# --- embedding quantization -------------------------------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: ``scale = max(|x|)/127``,
+    ``q_i = floor(x_i/scale + 0.5)`` — the storage/serving compression
+    step of an embedding pipeline (4x smaller, dot products stay
+    proportional).  ``floor(x + 0.5)`` is used instead of round() so both
+    engines share one deterministic midpoint rule.  All-zero vectors get
+    scale 0 and an all-zero code.  Output: ``vec_id, scale, qvec``.
+
+    Scale: pure per-row array expressions — map-side only, no shuffle.
+    """
+    v = _as_double(F.col(vec_col))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    q = F.when(
+        scale == 0, F.transform(v, lambda x: F.lit(0))
+    ).otherwise(F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")))
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 9).alias("scale"),
+        q.alias("qvec"),
+    )
+
+
+def quantize_embeddings_sql(
+    table: str, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    absmax = f"list_max(list_transform({vec_col}, x -> abs(CAST(x AS DOUBLE))))"
+    scale = f"({absmax} / 127.0)"
+    return f"""
+SELECT {id_col},
+       round({scale}, 9) AS scale,
+       CASE WHEN {scale} = 0
+            THEN list_transform({vec_col}, x -> 0)
+            ELSE list_transform({vec_col},
+                                x -> CAST(floor(CAST(x AS DOUBLE) / {scale} + 0.5) AS INTEGER))
+       END AS qvec
+FROM {table}
+"""

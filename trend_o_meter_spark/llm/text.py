@@ -522,3 +522,146 @@ SELECT {id_col}, {shard}, n_tokens,
        __cum % {token_budget} AS offset_in_chunk
 FROM packed
 """
+
+
+# --- document chunking ------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split each document into overlapping fixed-size token windows — the
+    pre-tokenizer chunking step of an embedding/RAG/pretraining pipeline.
+
+    Chunks start every ``stride = chunk_tokens - overlap`` tokens;
+    ``n_chunks = ceil(max(0, n - chunk_tokens) / stride) + 1`` so the
+    final chunk always covers the tail and a short document yields
+    exactly one chunk.  Output: ``doc_id, chunk_id, n_chunks,
+    chunk_text, chunk_len`` (chunk_len in tokens).
+
+    Scale: whitespace tokenization + slice/array_join are per-row column
+    expressions; the only row multiplication is the posexplode of chunk
+    indices (ints — the token array rides the Generate's carried row, it
+    is never duplicated per chunk by value).  No shuffle at all.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    from ..catalog import spread
+
+    staged = spread(df).select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text)), "\\s+").alias("__toks"),
+    )
+    sized = staged.select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.expr(
+            f"((greatest(size(__toks) - {chunk_tokens}, 0) + {stride - 1}) div {stride}) + 1"
+        ).alias("n_chunks"),
+    )
+    start = F.col("chunk_id") * stride + 1
+    return (
+        sized.select(
+            F.col(id_col),
+            "n_chunks",
+            "__toks",
+            F.explode(F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int"))).alias("chunk_id"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.array_join(F.slice(F.col("__toks"), start, chunk_tokens), " ").alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), F.size("__toks") - F.col("chunk_id") * stride).cast(
+                "long"
+            ).alias("chunk_len"),
+        )
+    )
+
+
+def chunk_documents_sql(
+    table: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> str:
+    stride = chunk_tokens - overlap
+    return f"""
+WITH sized AS (
+  SELECT {id_col},
+         str_split_regex(trim({text}), '\\s+') AS toks,
+         ((greatest(len(str_split_regex(trim({text}), '\\s+')) - {chunk_tokens}, 0)
+           + {stride - 1}) // {stride}) + 1 AS n_chunks
+  FROM {table}
+)
+SELECT {id_col},
+       unnest(generate_series(0, n_chunks - 1)) AS chunk_id,
+       n_chunks,
+       array_to_string(toks[unnest(generate_series(0, n_chunks - 1)) * {stride} + 1
+                            : unnest(generate_series(0, n_chunks - 1)) * {stride} + {chunk_tokens}],
+                       ' ') AS chunk_text,
+       least({chunk_tokens}, len(toks) - unnest(generate_series(0, n_chunks - 1)) * {stride}) AS chunk_len
+FROM sized
+"""
+
+
+# --- balanced sampling ------------------------------------------------------
+
+
+def balanced_sample(
+    df: DataFrame,
+    *,
+    strata: str = "lang",
+    id_col: str = "doc_id",
+    k: int = 20,
+    salt: str = "balance-v1",
+) -> DataFrame:
+    """Deterministic k-per-stratum sample: within each stratum keep the k
+    rows with the smallest salted id-hash (never ``rand()`` — the sample
+    is reproducible across runs, engines, and re-shards; see the module
+    note on id- vs content-keyed hashing).
+
+    Output: ``strata, doc_id, sample_rank`` (rank 1..k by hash order).
+
+    Scale: one shuffle keyed by stratum + an in-partition top-k.  A
+    degenerate stratum holding most of the corpus makes that one task
+    hot — the two-phase salted top-k in :mod:`..operators.skew` is the
+    drop-in for that shape (same output contract).
+    """
+    from pyspark.sql import Window
+
+    h = md5_int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.select(F.col(strata), F.col(id_col), F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def balanced_sample_sql(
+    table: str,
+    *,
+    strata: str = "lang",
+    id_col: str = "doc_id",
+    k: int = 20,
+    salt: str = "balance-v1",
+) -> str:
+    h = md5_int_sql(f"'{salt}:' || CAST({id_col} AS VARCHAR)")
+    return f"""
+WITH ranked AS (
+  SELECT {strata}, {id_col},
+         row_number() OVER (PARTITION BY {strata} ORDER BY ({h}) ASC, {id_col} ASC)
+           AS sample_rank
+  FROM {table}
+)
+SELECT {strata}, {id_col}, CAST(sample_rank AS INTEGER) AS sample_rank
+FROM ranked WHERE sample_rank <= {k}
+"""

@@ -1112,6 +1112,30 @@ def token_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "chunk_documents",
+    text.chunk_documents_sql("documents", chunk_tokens=32, overlap=8),
+    doc="Overlapping fixed-size token windows per document (RAG/pretraining "
+    "chunking); shuffle-free — chunk indices posexplode while the token "
+    "array rides the carried row.",
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.chunk_documents(d, chunk_tokens=32, overlap=8)
+
+
+@_q(
+    "balanced_sample",
+    text.balanced_sample_sql("documents", strata="lang", k=20),
+    doc="Deterministic k-per-stratum sample by salted id-hash rank "
+    "(reproducible across runs/engines; skew escape hatch: the salted "
+    "two-phase top-k in operators/skew.py).",
+)
+def balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.balanced_sample(d, strata="lang", k=20)
+
+
+@_q(
     "lang_id",
     text.lang_id_sql("documents"),
     doc="Marker-vocabulary language id with deterministic argmax.",
@@ -1173,6 +1197,17 @@ def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivf_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, "embeddings", sf_dir)
     return similarity.ivf_assign(e, n_centroids=8)
+
+
+@_q(
+    "quantize_embeddings",
+    similarity.quantize_embeddings_sql("embeddings"),
+    doc="Symmetric int8 embedding quantization (scale = max|x|/127, shared "
+    "floor(x+0.5) midpoint rule in both engines) — map-side only.",
+)
+def quantize_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "embeddings", sf_dir)
+    return similarity.quantize_embeddings(e)
 
 
 @_q(
