@@ -105,3 +105,67 @@ def test_register_source_seam(spark):
     # default path restored: the real parquet table with its full schema
     restored = table(spark, "events", "/root/testdata/sf0.001")
     assert "ts" in restored.columns and restored.count() > 1
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located bucketed tables join with zero shuffle — the layout
+    contract that makes repeated fact-fact joins survive 100 TB."""
+    orders = table(spark, "orders", "/root/testdata/sf0.001").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = table(spark, "lineitem", "/root/testdata/sf0.001").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    try:
+        tio.write_bucketed(orders, "b_orders", bucket_col="o_orderkey",
+                           n_buckets=8, sort_col="o_orderkey")
+        tio.write_bucketed(li, "b_lineitem", bucket_col="l_orderkey",
+                           n_buckets=8, sort_col="l_orderkey")
+        bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+        for k, v in (
+            ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+            ("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"),
+        ):
+            spark.conf.set(k, v)
+        try:
+            j = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert j.count() == li.count()
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_streaming_parquet_sink_exactly_once(spark, tmp_path):
+    """File sink + checkpoint: replaying input after a restart must not
+    duplicate rows in the output directory (the sink's commit log makes
+    re-processed batches idempotent)."""
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    schema = "event_id LONG, value DOUBLE"
+    spark.createDataFrame([(1, 1.0), (2, 2.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).json(str(src))
+
+    def run_once():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = stream.writeStream.format("parquet").option(
+            "checkpointLocation", str(ckpt)
+        ).option("path", str(out)).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(str(out)).count()
+    assert first == 2
+    # restart with the same checkpoint: old files must not re-emit,
+    # new file must arrive exactly once
+    spark.createDataFrame([(3, 3.0)], schema).coalesce(1).write.mode("append").json(str(src))
+    run_once()
+    rows = sorted(r["event_id"] for r in spark.read.parquet(str(out)).collect())
+    assert rows == [1, 2, 3]
