@@ -276,3 +276,29 @@ def test_quantize_embeddings_roundtrip_error_bounded(spark):
     for orig, q in zip([1.0, -0.5, 0.25, 0.0], q1):
         assert abs(q * s1 - orig) <= s1 / 2 + 1e-9
     assert rows[2]["scale"] == 0.0 and rows[2]["qvec"] == [0, 0, 0, 0]
+
+
+def test_epoch_shuffle_dense_deterministic_permutation(spark):
+    from trend_o_meter_spark.llm.text import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = {r["doc_id"]: r["position"] for r in epoch_shuffle(df, salt="e0").collect()}
+    b = {r["doc_id"]: r["position"] for r in epoch_shuffle(df, salt="e0").collect()}
+    c = {r["doc_id"]: r["position"] for r in epoch_shuffle(df, salt="e1").collect()}
+    assert a == b                                  # reproducible
+    assert sorted(a.values()) == list(range(200))  # dense 0..N-1
+    assert a != c                                  # new salt, new order
+    assert sorted(c.values()) == list(range(200))
+
+
+def test_bm25_ranks_planted_relevant_doc_first(spark):
+    from trend_o_meter_spark.llm.text import bm25_search
+
+    docs = [(0, "spark shuffle join optimizer spark join"),
+            (1, "spark mentioned once among many many other other words words here"),
+            (2, "cooking pasta with tomatoes and basil tonight")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = bm25_search(df, "spark join", k=3).collect()
+    assert [r["doc_id"] for r in out][0] == 0
+    assert {r["doc_id"] for r in out} == {0, 1}  # doc 2 matches no term
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2]

@@ -9,7 +9,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import NORM_SQL, _norm
-from .hashing import md5_int, md5_int_sql
+from .hashing import HEX_DIGITS, md5_int, md5_int_sql
 
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "for")
 
@@ -664,4 +664,159 @@ WITH ranked AS (
 )
 SELECT {strata}, {id_col}, CAST(sample_rank AS INTEGER) AS sample_rank
 FROM ranked WHERE sample_rank <= {k}
+"""
+
+
+# --- dataset ordering -------------------------------------------------------
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "epoch-0",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic global training order WITHOUT a global sort/window.
+
+    Every document gets a dense position 0..N-1 in salted-hash order
+    (change ``salt`` per epoch for a fresh permutation; same salt ==
+    same order on every run and engine — ``rand()`` can't give that).
+
+    Scale: the global rank is composed from order-preserving hash-range
+    buckets — ``bucket = h div (2^28/buckets)`` so (bucket, h, id) sorts
+    identically to (h, id): a per-bucket ``row_number`` (one shuffle,
+    ~N/buckets rows per task), plus a cumulative bucket-offset table
+    (``buckets`` rows — the only single-partition window, bounded by the
+    bucket count, not the data) broadcast back.  Output: ``doc_id,
+    position``.
+    """
+    from pyspark.sql import Window
+
+    width = (1 << (4 * HEX_DIGITS)) // buckets
+    h = md5_int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    keyed = df.select(F.col(id_col), h.alias("__h"), (h / width).cast("long").alias("__b"))
+    wb = Window.partitionBy("__b").orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    ranked = keyed.withColumn("__r", F.row_number().over(wb))
+    sizes = keyed.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    wo = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.withColumn("__off", F.coalesce(F.sum("__n").over(wo), F.lit(0)))
+    return (
+        ranked.join(F.broadcast(offsets.select("__b", "__off")), "__b")
+        .select(F.col(id_col), (F.col("__off") + F.col("__r") - 1).alias("position"))
+    )
+
+
+def epoch_shuffle_sql(
+    table: str, *, id_col: str = "doc_id", salt: str = "epoch-0", buckets: int = 1024
+) -> str:
+    h = md5_int_sql(f"'{salt}:' || CAST({id_col} AS VARCHAR)")
+    return f"""
+SELECT {id_col},
+       row_number() OVER (ORDER BY ({h}) ASC, {id_col} ASC) - 1 AS position
+FROM {table}
+"""
+
+
+# --- BM25 retrieval ---------------------------------------------------------
+
+
+def bm25_search(
+    df: DataFrame,
+    query: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 top-k retrieval over the corpus for a constant query string
+    (Lucene-style idf = ln(1 + (N - df + 0.5)/(df + 0.5))).
+
+    Scale: tokens are filtered to the query's terms BEFORE the explode
+    output shuffles (map-side isin), so the tf aggregation is keyed by
+    (doc, term) over matching tokens only; doc length comes from the
+    token array size (no second explode); N/avgdl is a 1-row aggregate
+    broadcast back.  Output: ``doc_id, score, rank``.
+    """
+    import re
+
+    from pyspark.sql import Window
+
+    qterms = sorted(set(re.sub(r"\s+", " ", query.lower().strip()).split(" ")))
+    toks = _tokens(F.col(text))
+    base = df.select(F.col(id_col), toks.alias("__toks")).select(
+        F.col(id_col), F.size("__toks").alias("dl"), F.explode("__toks").alias("term")
+    ).filter(F.col("term").isin(qterms))
+    tf = base.groupBy(id_col, "term", "dl").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    stats = df.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(_tokens(F.col(text)))).alias("avgdl"),
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5))
+    term_score = idf * (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(term_score), 6).alias("score"))
+    )
+    # top-k via orderBy+limit (TakeOrderedAndProject — distributed partial
+    # top-k per partition, never a single-partition global window); the
+    # rank window then runs over only k rows.
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def bm25_search_sql(
+    table: str,
+    query: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> str:
+    import re
+
+    qterms = sorted(set(re.sub(r"\s+", " ", query.lower().strip()).split(" ")))
+    terms_list = ", ".join(f"'{t}'" for t in qterms)
+    norm = NORM_SQL.format(c=text)
+    return f"""
+WITH base AS (
+  SELECT {id_col}, len(str_split({norm}, ' ')) AS dl,
+         unnest(str_split({norm}, ' ')) AS term
+  FROM {table}
+),
+tf AS (
+  SELECT {id_col}, term, dl, count(*) AS tf FROM base
+  WHERE term IN ({terms_list}) GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs, avg(len(str_split({norm}, ' '))) AS avgdl FROM {table}
+),
+scored AS (
+  SELECT tf.{id_col},
+         round(sum(
+           ln(1.0 + (stats.n_docs - dfreq.df_t + 0.5) / (dfreq.df_t + 0.5))
+           * (tf.tf * ({k1} + 1))
+           / (tf.tf + {k1} * (1 - {b} + {b} * tf.dl / stats.avgdl))
+         ), 6) AS score
+  FROM tf JOIN dfreq USING (term), stats
+  GROUP BY 1
+)
+SELECT {id_col}, score,
+       CAST(row_number() OVER (ORDER BY score DESC, {id_col} ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {k}
 """

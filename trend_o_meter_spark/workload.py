@@ -90,6 +90,8 @@ _SCORE_FIRST = (
     "chunk_documents",
     "balanced_sample",
     "quantize_embeddings",
+    "epoch_shuffle",
+    "bm25_search",
 )
 
 
@@ -1133,6 +1135,31 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return text.balanced_sample(d, strata="lang", k=20)
+
+
+@_q(
+    "epoch_shuffle",
+    text.epoch_shuffle_sql("documents", salt="epoch-0"),
+    doc="Deterministic global training order without a global sort: "
+    "order-preserving hash-range buckets + per-bucket row_number + "
+    "cumulative bucket offsets (the only single-partition window is over "
+    "the bucket-count table, bounded by 1024 rows).",
+)
+def epoch_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.epoch_shuffle(d, salt="epoch-0")
+
+
+@_q(
+    "bm25_search",
+    text.bm25_search_sql("documents", "spark join filter", k=10),
+    doc="BM25 top-k retrieval (Lucene idf): map-side term filter before "
+    "the (doc,term) shuffle, doc length from array size (one explode), "
+    "1-row corpus stats broadcast, TakeOrderedAndProject top-k.",
+)
+def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.bm25_search(d, "spark join filter", k=10)
 
 
 @_q(
