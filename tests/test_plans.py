@@ -122,3 +122,17 @@ def test_downsample_partial_aggregates(plans):
     # (partial_min_by before the exchange).
     p = plans("downsample_60s")
     assert "partial_min_by" in p
+
+
+def test_epoch_shuffle_rank_window_is_bucket_partitioned(plans):
+    # The per-row ranking window must be keyed by the hash-range bucket;
+    # the only single-partition window allowed is the bucket-offset
+    # cumulative sum over <= `buckets` aggregated rows, never the data.
+    p = plans("epoch_shuffle")
+    assert "hashpartitioning(__b" in p
+
+
+def test_bm25_topk_is_take_ordered(plans):
+    # Global top-k must go through TakeOrderedAndProject (per-partition
+    # partial top-k), not a global sort of all scored docs.
+    assert "TakeOrderedAndProject" in plans("bm25_search")
