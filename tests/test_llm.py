@@ -302,3 +302,19 @@ def test_bm25_ranks_planted_relevant_doc_first(spark):
     assert [r["doc_id"] for r in out][0] == 0
     assert {r["doc_id"] for r in out} == {0, 1}  # doc 2 matches no term
     assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from trend_o_meter_spark.llm.text import mixture_sample
+
+    rows = [(i, "keep_all" if i % 2 else "drop_all") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    w = {"keep_all": 1.0, "drop_all": 0.0}
+    out = mixture_sample(df, weights=w, default_rate=0.5)
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == [i for i in range(400) if i % 2]          # exact rates at 0/1
+    assert got == sorted(r["doc_id"] for r in mixture_sample(df, weights=w).collect())
+    # default_rate applies to unknown groups, roughly proportional
+    df2 = spark.createDataFrame([(i, "unknown") for i in range(1000)], "doc_id long, source string")
+    frac = mixture_sample(df2, weights=w, default_rate=0.3).count() / 1000
+    assert 0.2 < frac < 0.4

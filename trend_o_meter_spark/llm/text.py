@@ -820,3 +820,66 @@ SELECT {id_col}, score,
 FROM scored
 QUALIFY rank <= {k}
 """
+
+
+# --- mixture sampling -------------------------------------------------------
+
+MIXTURE_WEIGHTS: dict[str, float] = {"web": 0.5, "wiki": 1.0, "code": 0.8, "books": 1.0}
+
+
+def mixture_sample(
+    df: DataFrame,
+    *,
+    weights: dict[str, float] | None = None,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+    default_rate: float = 0.1,
+) -> DataFrame:
+    """Deterministic per-group sampling rates — the corpus-mixing step
+    (e.g. keep all wiki, half of web).  A document survives iff its
+    salted id-hash lands under its group's rate scaled to 10,000 parts;
+    the same doc always gets the same verdict across runs, engines, and
+    re-shards (never ``rand()``).  Groups absent from ``weights`` get
+    ``default_rate``.  Output: the surviving rows' ``id_col, group_col``.
+
+    Scale: pure map-side filter — no shuffle, no driver data; the
+    weights table is a literal CASE expression (bounded by the number of
+    distinct sources, a config-sized constant).
+    """
+    weights = MIXTURE_WEIGHTS if weights is None else weights
+    h = md5_int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % 10_000
+    rate = None
+    for g, w in sorted(weights.items()):
+        cut = int(round(w * 10_000))
+        rate = (
+            F.when(F.col(group_col) == g, cut)
+            if rate is None
+            else rate.when(F.col(group_col) == g, cut)
+        )
+    rate = rate.otherwise(int(round(default_rate * 10_000))) if rate is not None else F.lit(
+        int(round(default_rate * 10_000))
+    )
+    return df.select(F.col(id_col), F.col(group_col)).filter(h < rate)
+
+
+def mixture_sample_sql(
+    table: str,
+    *,
+    weights: dict[str, float] | None = None,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+    default_rate: float = 0.1,
+) -> str:
+    weights = MIXTURE_WEIGHTS if weights is None else weights
+    h = md5_int_sql(f"'{salt}:' || CAST({id_col} AS VARCHAR)")
+    cases = " ".join(
+        f"WHEN {group_col} = '{g}' THEN {int(round(w * 10_000))}"
+        for g, w in sorted(weights.items())
+    )
+    return f"""
+SELECT {id_col}, {group_col}
+FROM {table}
+WHERE ({h}) % 10000 < CASE {cases} ELSE {int(round(default_rate * 10_000))} END
+"""

@@ -92,6 +92,7 @@ _SCORE_FIRST = (
     "quantize_embeddings",
     "epoch_shuffle",
     "bm25_search",
+    "mixture_sample",
 )
 
 
@@ -1160,6 +1161,21 @@ def epoch_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return text.bm25_search(d, "spark join filter", k=10)
+
+
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+
+
+@_q(
+    "mixture_sample",
+    text.mixture_sample_sql("documents", weights=_MIX_WEIGHTS, default_rate=0.1),
+    doc="Corpus mixing: per-source deterministic sampling rates via salted "
+    "id-hash cut (keep all of src0, half of src1, ...); pure map-side "
+    "filter, no shuffle.",
+)
+def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.mixture_sample(d, weights=_MIX_WEIGHTS, default_rate=0.1)
 
 
 @_q(
