@@ -318,3 +318,19 @@ def test_mixture_sample_rates_and_determinism(spark):
     df2 = spark.createDataFrame([(i, "unknown") for i in range(1000)], "doc_id long, source string")
     frac = mixture_sample(df2, weights=w, default_rate=0.3).count() / 1000
     assert 0.2 < frac < 0.4
+
+
+def test_kmeans_separates_blobs(spark):
+    from trend_o_meter_spark.llm.similarity import kmeans_centroids
+
+    # two tight blobs; seeds 0 and 1 start one in each blob
+    blob_a = [[1.0, 1.0], [1.1, 0.9], [0.9, 1.1], [1.0, 0.9]]
+    blob_b = [[-1.0, -1.0], [-1.1, -0.9], [-0.9, -1.1], [-1.0, -0.9]]
+    rows = [(0, blob_a[0]), (1, blob_b[0])] + [
+        (i + 2, v) for i, v in enumerate(blob_a[1:] + blob_b[1:])
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["cluster"]: r for r in kmeans_centroids(df, k=2, iters=3).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["n_members"] == 4 and out[1]["n_members"] == 4
+    assert out[0]["centroid"][0] > 0.8 and out[1]["centroid"][0] < -0.8

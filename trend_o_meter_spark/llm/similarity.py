@@ -403,3 +403,119 @@ SELECT {id_col},
        END AS qvec
 FROM {table}
 """
+
+
+# --- k-means centroid training ----------------------------------------------
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _kmeans_assign(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid per vector: broadcast centroids, struct-min over
+    (rounded sqdist, cluster id) — the same lattice both engines share."""
+    d = F.round(_sqdist(F.col("vec"), F.col("cvec")), 9)
+    return (
+        base.crossJoin(F.broadcast(cents))
+        .select("vid", "vec", F.struct(d.alias("d"), F.col("cluster").alias("c")).alias("__s"))
+        .groupBy("vid")
+        .agg(F.min("__s")["c"].alias("cluster"), F.first("vec").alias("vec"))
+    )
+
+
+def _kmeans_recompute(assigned: DataFrame) -> DataFrame:
+    """Per-dimension means, rounded to 9 so iteration state is identical
+    across engines (float sums are otherwise order-sensitive)."""
+    ex = assigned.select("cluster", F.posexplode("vec").alias("dim", "val"))
+    means = ex.groupBy("cluster", "dim").agg(F.round(F.avg("val"), 9).alias("m"))
+    packed = means.groupBy("cluster").agg(
+        F.sort_array(F.collect_list(F.struct("dim", "m"))).alias("__dm")
+    )
+    return packed.select(
+        "cluster", F.transform(F.col("__dm"), lambda s: s["m"]).alias("cvec")
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means — the real trainer behind
+    :func:`ivf_assign`'s deterministic centroid stand-in.
+
+    Init = the vectors of the ``k`` smallest ids; each iteration is one
+    broadcast of the k centroids (KB-sized however big the corpus is) +
+    one (cluster, dim) shuffle to recompute means.  Distances and means
+    are rounded to 9 decimals each round so Spark and the oracle walk
+    bit-identical iteration states (float addition is order-sensitive
+    under parallel aggregation).  A cluster that loses all members drops
+    out in both engines.  Output: ``cluster, n_members, centroid``.
+
+    Iteration count is a fixed hyperparameter (classic for distributed
+    k-means at scale) — the oracle unrolls the same ``iters`` as CTEs.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    base = spread(df).select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    cents = base.filter(F.col("vid") < k).select(
+        F.col("vid").cast("long").alias("cluster"), F.col("vec").alias("cvec")
+    )
+    for _ in range(iters):
+        assigned = _kmeans_assign(base, cents)
+        cents = _kmeans_recompute(assigned)
+    final = _kmeans_assign(base, cents)
+    counts = final.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    return counts.join(cents, "cluster").select(
+        "cluster", "n_members", F.col("cvec").alias("centroid")
+    )
+
+
+def kmeans_centroids_sql(
+    table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+) -> str:
+    sq = (
+        "list_sum(list_transform(range(1, len(b.vec) + 1), "
+        "i -> (b.vec[i] - c.cvec[i]) * (b.vec[i] - c.cvec[i])))"
+    )
+    assign = (
+        "SELECT vid, any_value(vec) AS vec, "
+        f"(min(struct_pack(d := round({sq}, 9), c := c.cluster))).c AS cluster "
+        "FROM base b, c{i} c GROUP BY vid"
+    )
+    recompute = (
+        "SELECT cluster, list(m ORDER BY dim) AS cvec FROM ("
+        "  SELECT cluster, dim, round(avg(vec[dim]), 9) AS m"
+        "  FROM a{i}, unnest(generate_series(1, len(vec))) AS u(dim)"
+        "  GROUP BY 1, 2"
+        ") GROUP BY cluster"
+    )
+    ctes = [
+        f"base AS (SELECT {id_col} AS vid, "
+        f"list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS vec FROM {table})",
+        f"c0 AS (SELECT CAST(vid AS BIGINT) AS cluster, vec AS cvec FROM base WHERE vid < {k})",
+    ]
+    for i in range(iters):
+        ctes.append(f"a{i} AS ({assign.format(i=i)})")
+        ctes.append(f"c{i + 1} AS ({recompute.format(i=i)})")
+    ctes.append(f"afinal AS ({assign.format(i=iters)})")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT a.cluster, count(*) AS n_members, any_value(c.cvec) AS centroid
+FROM afinal a JOIN c{iters} c USING (cluster)
+GROUP BY a.cluster
+"""
+    )

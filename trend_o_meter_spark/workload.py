@@ -93,6 +93,7 @@ _SCORE_FIRST = (
     "epoch_shuffle",
     "bm25_search",
     "mixture_sample",
+    "kmeans_centroids",
 )
 
 
@@ -1251,6 +1252,19 @@ def ivf_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quantize_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, "embeddings", sf_dir)
     return similarity.quantize_embeddings(e)
+
+
+@_q(
+    "kmeans_centroids",
+    similarity.kmeans_centroids_sql("embeddings", k=4, iters=2),
+    doc="Fixed-iteration Lloyd's k-means (the real IVF centroid trainer): "
+    "per-iteration KB-sized centroid broadcast + (cluster,dim) mean "
+    "shuffle; distances/means rounded to 9 so both engines walk "
+    "identical iteration states; oracle unrolls the iterations as CTEs.",
+)
+def kmeans_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "embeddings", sf_dir)
+    return similarity.kmeans_centroids(e, k=4, iters=2)
 
 
 @_q(
