@@ -334,3 +334,45 @@ def test_kmeans_separates_blobs(spark):
     assert set(out) == {0, 1}
     assert out[0]["n_members"] == 4 and out[1]["n_members"] == 4
     assert out[0]["centroid"][0] > 0.8 and out[1]["centroid"][0] < -0.8
+
+
+def test_kmeans_feeds_ivf_assign(spark):
+    from trend_o_meter_spark.llm.similarity import ivf_assign, kmeans_centroids
+    from pyspark.sql import functions as SF
+
+    rows = [(0, [1.0, 0.0]), (1, [-1.0, 0.0])] + [
+        (i + 2, [1.0 + 0.01 * i, 0.05]) for i in range(5)
+    ] + [(i + 10, [-1.0 - 0.01 * i, -0.05]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    trained = kmeans_centroids(df, k=2, iters=2).select(
+        "cluster", SF.col("centroid").alias("cvec")
+    )
+    out = {r["vec_id"]: r["cluster"] for r in ivf_assign(df, centroids=trained).collect()}
+    pos = {v for k, v in out.items() if k in {0, *range(2, 7)}}
+    neg = {v for k, v in out.items() if k in {1, *range(10, 15)}}
+    assert len(pos) == 1 and len(neg) == 1 and pos != neg
+
+
+def test_chunk_documents_reconstructs_document(spark):
+    """Property over varied lengths: stripping each chunk's overlap prefix
+    (except the first) and concatenating reconstructs the token stream —
+    i.e. chunks cover everything exactly once beyond the overlap."""
+    from trend_o_meter_spark.llm.text import chunk_documents
+
+    C, O = 16, 4
+    stride = C - O
+    docs = [(n, " ".join(f"t{n}_{i}" for i in range(n))) for n in (1, 15, 16, 17, 40, 100, 101)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=C, overlap=O).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for n, _text in docs:
+        chunks = sorted(by_doc[n], key=lambda r: r["chunk_id"])
+        rebuilt = []
+        for j, r in enumerate(chunks):
+            toks = r["chunk_text"].split(" ")
+            start = r["chunk_id"] * stride  # 0-based token offset
+            keep_from = 0 if j == 0 else (len(rebuilt) - start)
+            rebuilt.extend(toks[keep_from:])
+        assert rebuilt == [f"t{n}_{i}" for i in range(n)], n

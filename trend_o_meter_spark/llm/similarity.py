@@ -314,15 +314,23 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 8,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF cell assignment: nearest (by cosine) of the first n centroid vectors.
+    """IVF cell assignment: nearest (by cosine) centroid per vector.
 
-    Deterministic "training": centroids are the ``n_centroids`` smallest ids
-    (a stand-in for k-means — the partitioning shape, which is what matters
-    at scale, is identical).  Output: ``vec_id, cluster, cos_to_centroid``.
+    Default "training" is deterministic — centroids are the
+    ``n_centroids`` smallest ids (a stand-in with the identical
+    partitioning shape; the oracle checks this form).  Pass
+    ``centroids`` (``cluster, cvec`` — e.g. :func:`kmeans_centroids`
+    output renamed) for real trained cells.  Output: ``vec_id, cluster,
+    cos_to_centroid``.
     """
-    cents = df.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cluster"), F.col(vec_col).alias("cvec")
+    cents = (
+        centroids.select("cluster", "cvec")
+        if centroids is not None
+        else df.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cluster"), F.col(vec_col).alias("cvec")
+        )
     )
     cos = cosine(F.col("cvec"), F.col(vec_col))
     scored = spread(df).crossJoin(F.broadcast(cents)).select(
