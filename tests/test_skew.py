@@ -44,3 +44,14 @@ def test_salted_agg_matches_direct(spark):
     assert plan.count("Exchange hashpartitioning") >= 2
     # the salt survives as a grouping expression on the first exchange
     assert "pmod(xxhash64" in plan
+
+
+def test_salted_topk_equals_plain_window(spark):
+    from trend_o_meter_spark.llm.text import balanced_sample
+
+    # one mega-stratum (90%) + small ones; both paths must agree exactly
+    rows = [(i, "mega" if i % 10 else f"s{i % 7}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    plain = sorted(map(tuple, balanced_sample(df, k=25).collect()))
+    safe = sorted(map(tuple, balanced_sample(df, k=25, skew_safe=True).collect()))
+    assert plain == safe

@@ -623,6 +623,7 @@ def balanced_sample(
     id_col: str = "doc_id",
     k: int = 20,
     salt: str = "balance-v1",
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Deterministic k-per-stratum sample: within each stratum keep the k
     rows with the smallest salted id-hash (never ``rand()`` — the sample
@@ -633,12 +634,27 @@ def balanced_sample(
 
     Scale: one shuffle keyed by stratum + an in-partition top-k.  A
     degenerate stratum holding most of the corpus makes that one task
-    hot — the two-phase salted top-k in :mod:`..operators.skew` is the
-    drop-in for that shape (same output contract).
+    hot — pass ``skew_safe=True`` to route through the two-phase salted
+    top-k (:func:`..operators.skew.salted_topk`): identical output,
+    n_salts-way parallel within the mega-stratum (equivalence is
+    property-tested).
     """
     from pyspark.sql import Window
 
     h = md5_int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    if skew_safe:
+        from ..operators.skew import salted_topk
+
+        return (
+            salted_topk(
+                df.select(F.col(strata), F.col(id_col), h.alias("__h")),
+                [strata],
+                [F.col("__h").asc(), F.col(id_col).asc()],
+                k=k,
+                salt_on=id_col,
+            )
+            .select(F.col(strata), F.col(id_col), F.col("__rank").alias("sample_rank"))
+        )
     w = Window.partitionBy(strata).orderBy(h.asc(), F.col(id_col).asc())
     return (
         df.select(F.col(strata), F.col(id_col), F.row_number().over(w).alias("sample_rank"))

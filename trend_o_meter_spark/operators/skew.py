@@ -45,3 +45,36 @@ def salted_agg(
         *[c.alias(a) for a, c in partial_aggs.items()]
     )
     return phase1.groupBy(*keys).agg(*[c.alias(a) for a, c in merge_aggs.items()])
+
+
+def salted_topk(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    *,
+    k: int,
+    salt_on: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase per-key top-k for skewed key distributions.
+
+    Phase 1 takes the top-k within each (key, salt) — n_salts-way
+    parallel even for one mega-key; phase 2 re-ranks the <= k*n_salts
+    survivors per key.  Exactly equivalent to a single per-key window
+    (the global top-k is contained in the union of per-salt top-ks);
+    the row_number emitted is the phase-2 (global) rank.
+    """
+    from pyspark.sql import Window
+
+    salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(n_salts))
+    w1 = Window.partitionBy(*keys, "__salt").orderBy(*order_by)
+    w2 = Window.partitionBy(*keys).orderBy(*order_by)
+    phase1 = (
+        df.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__r1", "__salt")
+    )
+    return phase1.withColumn("__rank", F.row_number().over(w2)).filter(
+        F.col("__rank") <= k
+    )
