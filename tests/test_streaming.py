@@ -492,3 +492,67 @@ def test_stream_exact_dedup_within_watermark(spark, stream_dirs):
     assert len(hashes) == len(set(hashes)) == 3
     kept_texts = {r["text"].strip().lower().replace("   ", " ").replace("  ", " ") for r in rows}
     assert kept_texts == {"alpha doc", "beta doc", "gamma doc"}
+
+
+def test_streaming_curation_pipeline(spark, tmp_path):
+    """LLM curation ops compose in Structured Streaming: a document
+    stream is quality-filtered and exact-deduped within the watermark,
+    and only clean, first-seen docs land in the parquet sink."""
+    import json as _json
+
+    from pyspark.sql import functions as SF
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from trend_o_meter_spark.llm.dedup import _norm
+    from trend_o_meter_spark.llm.text import quality_filter
+
+    in_dir, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+    in_dir.mkdir()
+    good = ("the quick brown fox jumps over the lazy dog and then the "
+            "fox naps in the warm garden for a while longer today")
+    rows = [
+        {"doc_id": 1, "ts": "2024-01-01 00:00:01", "text": good},
+        {"doc_id": 2, "ts": "2024-01-01 00:00:02", "text": good},      # exact dup
+        {"doc_id": 3, "ts": "2024-01-01 00:00:03", "text": "too short"},
+        {"doc_id": 4, "ts": "2024-01-01 00:00:04", "text": good.replace("fox", "cat")},
+    ]
+    (in_dir / "b0.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("text", StringType()),
+    ])
+    stream = spark.readStream.schema(schema).json(str(in_dir))
+
+    def curate(df):
+        # stateless quality rules are plain column exprs on the stream;
+        # the stateful leg is dropDuplicatesWithinWatermark on content
+        stats_keep = quality_filter(df.select("doc_id", "text")).filter("keep")
+        cleaned = (
+            df.join(SF.broadcast(stats_keep.select("doc_id")), "doc_id")
+            .withColumn("content_hash", SF.md5(_norm(SF.col("text"))))
+            .withWatermark("ts", "10 minutes")
+            .dropDuplicatesWithinWatermark(["content_hash"])
+        )
+        return cleaned.select("doc_id", "ts", "content_hash")
+
+    q = (
+        curate(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(str(out)).collect())
+    # exactly ONE of the exact-dup pair {1,2} survives (which one is
+    # batch-order dependent within a single micro-batch), 3 is dropped by
+    # quality, 4 (near-dup but not exact) passes
+    assert len(got) == 2 and got[1] == 4 and got[0] in (1, 2)
