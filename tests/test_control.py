@@ -145,3 +145,21 @@ def test_get_stats_device_rpc_leg(spark):
     res = plane.execute("get stats")
     assert res.valid and res.ret_val["uptime"]["display"] == -1
     assert "reconnects" in res.ret_val
+
+
+def test_get_stats_reports_reconnects_from_listener(spark):
+    """trend-o-meter:277-284: restarts after the first start count as
+    reconnects; the control plane reports the listener's tally."""
+    from trend_o_meter_spark.control.plane import ControlPlane
+    from trend_o_meter_spark.observability import ReconnectLog
+
+    class FakeLog(ReconnectLog):
+        def __init__(self, starts):
+            super().__init__()
+            self.starts = starts
+
+        def reconnects(self):
+            return self.starts[1:]
+
+    plane = ControlPlane(spark, reconnect_log=FakeLog([100.0, 200.0, 300.0]))
+    assert plane.execute("get stats").ret_val["reconnects"] == 2

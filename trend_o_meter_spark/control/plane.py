@@ -113,6 +113,7 @@ class ControlPlane:
         on_rebind: Callable[[EngineConfig], DataFrame | None] | None = None,
         clock: Callable[[], float] = time.time,
         device_rpc: Callable[[str], Any] | None = None,
+        reconnect_log: Any | None = None,
     ) -> None:
         self.spark = spark
         self.config = config or EngineConfig()
@@ -123,7 +124,11 @@ class ControlPlane:
         # display.issueCustomCommand, trend-o-meter:178-183): a callable
         # taking the command name.  None = no device attached.
         self.device_rpc = device_rpc
-        self.reconnects = 0  # reference's reconnect counter (:186-190,:277)
+        # Reference's reconnect counter (:186-190,:277).  Wire an
+        # observability.ReconnectLog (stream lifecycle listener) to report
+        # actual query restarts; without one the counter stays manual.
+        self.reconnect_log = reconnect_log
+        self.reconnects = 0
         # Ephemeral 8-char app id, as the reference (uuid at trend-o-meter:115).
         self.app_id = uuid.uuid4().hex[:8]
         self.started_at = clock()
@@ -160,9 +165,14 @@ class ControlPlane:
         progresses = [
             q.lastProgress for q in self.spark.streams.active if q.lastProgress
         ]
+        n_reconnects = (
+            len(self.reconnect_log.reconnects())
+            if self.reconnect_log is not None
+            else self.reconnects
+        )
         return {
             "uptime": {"app": self.clock() - self.started_at, "display": device_uptime},
-            "reconnects": self.reconnects,
+            "reconnects": n_reconnects,
             "messages": dict(self.message_stats),
             "streaming_input_rows": sum(
                 int(p.get("numInputRows", 0)) for p in progresses
