@@ -899,3 +899,85 @@ SELECT {id_col}, {group_col}
 FROM {table}
 WHERE ({h}) % 10000 < CASE {cases} ELSE {int(round(default_rate * 10_000))} END
 """
+
+
+# --- curation reporting -----------------------------------------------------
+
+
+def vocab_topk(
+    df: DataFrame, *, text: str = "text", id_col: str = "doc_id", k: int = 50
+) -> DataFrame:
+    """Corpus vocabulary induction: the k most frequent tokens with
+    counts and document frequency — the first step of building a
+    tokenizer or stopword list.  One token-keyed shuffle (map-side
+    partial counts); top-k via TakeOrderedAndProject.
+    Output: ``token, n_occurrences, n_docs, rank``."""
+    from pyspark.sql import Window
+
+    ex = df.select(F.col(id_col).alias("id"), F.explode(_tokens(F.col(text))).alias("token"))
+    agg = ex.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("id").alias("n_docs"),
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return (
+        agg.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def vocab_topk_sql(
+    table: str, *, text: str = "text", id_col: str = "doc_id", k: int = 50
+) -> str:
+    norm = NORM_SQL.format(c=text)
+    return f"""
+WITH ex AS (
+  SELECT {id_col} AS id, unnest(str_split({norm}, ' ')) AS token FROM {table}
+),
+agg AS (
+  SELECT token, count(*) AS n_occurrences, count(DISTINCT id) AS n_docs
+  FROM ex GROUP BY 1
+)
+SELECT token, n_occurrences, n_docs,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, token ASC) AS INTEGER) AS rank
+FROM agg
+QUALIFY rank <= {k}
+"""
+
+
+def curation_report(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    **thresholds,
+) -> DataFrame:
+    """Per-source curation outcome: docs kept/rejected by reason — the
+    audit table a pipeline publishes after a filtering pass.  Output:
+    ``source, reject_reason (NULL = kept), n_docs``."""
+    qf = quality_filter(df, text=text, id_col=id_col, **thresholds)
+    return (
+        df.select(F.col(id_col), F.col(group_col))
+        .join(qf.select(F.col(id_col), "reject_reason"), id_col)
+        .groupBy(group_col, "reject_reason")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def curation_report_sql(
+    table: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    **thresholds,
+) -> str:
+    qf = quality_filter_sql(table, text=text, id_col=id_col, **thresholds)
+    return f"""
+WITH qf AS ({qf})
+SELECT t.{group_col}, qf.reject_reason, count(*) AS n_docs
+FROM {table} t JOIN qf ON t.{id_col} = qf.{id_col}
+GROUP BY 1, 2
+"""

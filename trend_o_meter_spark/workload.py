@@ -94,6 +94,8 @@ _SCORE_FIRST = (
     "bm25_search",
     "mixture_sample",
     "kmeans_centroids",
+    "vocab_topk",
+    "curation_report",
 )
 
 
@@ -1177,6 +1179,28 @@ _MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
 def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return text.mixture_sample(d, weights=_MIX_WEIGHTS, default_rate=0.1)
+
+
+@_q(
+    "vocab_topk",
+    text.vocab_topk_sql("documents", k=50),
+    doc="Vocabulary induction: top-50 tokens by occurrence with document "
+    "frequency (token-keyed shuffle, TakeOrderedAndProject top-k).",
+)
+def vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.vocab_topk(d, k=50)
+
+
+@_q(
+    "curation_report",
+    text.curation_report_sql("documents"),
+    doc="Per-source curation audit: docs kept/rejected by rule "
+    "(NULL reason = kept).",
+)
+def curation_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.curation_report(d)
 
 
 @_q(
