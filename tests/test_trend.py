@@ -63,3 +63,21 @@ def test_resample_locf_fills_gaps(spark):
         assert out[h]["is_gap"] and out[h]["n_samples"] == 0
         assert out[h]["filled_value"] == pytest.approx(30.0)  # carried forward
     assert not out[5]["is_gap"] and out[5]["filled_value"] == pytest.approx(99.0)
+
+
+def test_resample_lerp_interpolates_gaps(spark):
+    from datetime import datetime
+
+    from trend_o_meter_spark.operators.trend import resample_lerp
+
+    rows = [
+        ("m", datetime(2024, 1, 1, 0, 30), 0.0),
+        ("m", datetime(2024, 1, 1, 3, 30), 30.0),   # 3 empty hours between
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts timestamp, value double")
+    out = sorted(
+        resample_lerp(df, keys=("metric",), step_seconds=3600).collect(),
+        key=lambda r: r["bucket_start"],
+    )
+    assert [r["is_gap"] for r in out] == [False, True, True, False]
+    assert [r["lerp_value"] for r in out] == [0.0, 10.0, 20.0, 30.0]

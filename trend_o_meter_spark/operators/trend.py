@@ -327,3 +327,113 @@ SELECT {ks}, make_timestamp(g.b * 1000000) AS bucket_start, a.mean_value,
        a.mean_value IS NULL AS is_gap
 FROM grid g LEFT JOIN agg a USING ({ks}, b)
 """
+
+
+def resample_lerp(
+    df: DataFrame,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    keys: Sequence[str] = ("metric",),
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Dense resample with LINEAR interpolation across gaps.
+
+    Same grid as :func:`resample_locf`; empty buckets interpolate between
+    the nearest known bucket means on either side:
+    ``prev + (next-prev) * (b-prev_b)/(next_b-prev_b)`` (grid edges are
+    observed buckets, so both neighbors always exist).  Interpolated
+    values round to 9 decimals — the shared cross-engine float rule.
+    Output: ``*keys, bucket_start, mean_value, n_samples, lerp_value,
+    is_gap``.
+
+    Scale: two per-key incremental windows (prev/next known sample) over
+    the dense grid — O(grid) state, no self-join against known rows.
+    """
+    step = step_seconds
+    b = (F.floor(F.unix_seconds(F.col(ts)) / step) * step).cast("long")
+    agg = (
+        df.withColumn("__b", b)
+        .groupBy(*keys, "__b")
+        .agg(
+            (F.sum(F.col(value).cast("decimal(28,8)")).cast("double") / F.count(F.lit(1)))
+            .alias("mean_value"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+    span = agg.groupBy(*keys).agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+    grid = span.select(
+        *keys,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))).alias("__b"),
+    )
+    joined = grid.join(agg, [*keys, "__b"], "left")
+    wp = Window.partitionBy(*keys).orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.partitionBy(*keys).orderBy("__b").rowsBetween(0, Window.unboundedFollowing)
+    known_b = F.when(F.col("mean_value").isNotNull(), F.col("__b"))
+    pv = F.last("mean_value", ignorenulls=True).over(wp)
+    pb = F.last(known_b, ignorenulls=True).over(wp)
+    nv = F.first("mean_value", ignorenulls=True).over(wn)
+    nb = F.first(known_b, ignorenulls=True).over(wn)
+    lerp = F.when(
+        F.col("mean_value").isNotNull(), F.col("mean_value")
+    ).otherwise(
+        F.round(
+            pv + (nv - pv) * ((F.col("__b") - pb) / (nb - pb)), 9
+        )
+    )
+    return joined.select(
+        *keys,
+        F.timestamp_seconds(F.col("__b")).alias("bucket_start"),
+        "mean_value",
+        F.coalesce(F.col("n_samples"), F.lit(0)).alias("n_samples"),
+        lerp.alias("lerp_value"),
+        F.col("mean_value").isNull().alias("is_gap"),
+    )
+
+
+def resample_lerp_sql(
+    table: str,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    keys: Sequence[str] = ("metric",),
+    step_seconds: int = 3600,
+) -> str:
+    ks = ", ".join(keys)
+    step = step_seconds
+    return f"""
+WITH agg AS (
+  SELECT {ks},
+         CAST(floor(epoch({ts}) / {step}) * {step} AS BIGINT) AS b,
+         CAST(sum(CAST({value} AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS mean_value,
+         count(*) AS n_samples
+  FROM {table} GROUP BY ALL
+),
+span AS (SELECT {ks}, min(b) AS lo, max(b) AS hi FROM agg GROUP BY ALL),
+grid AS (
+  SELECT {ks}, unnest(range(lo, hi + {step}, {step})) AS b FROM span
+),
+j AS (
+  SELECT {ks}, g.b, a.mean_value, a.n_samples
+  FROM grid g LEFT JOIN agg a USING ({ks}, b)
+),
+w AS (
+  SELECT *,
+    last_value(mean_value IGNORE NULLS) OVER wp AS pv,
+    last_value(CASE WHEN mean_value IS NOT NULL THEN b END IGNORE NULLS) OVER wp AS pb,
+    first_value(mean_value IGNORE NULLS) OVER wn AS nv,
+    first_value(CASE WHEN mean_value IS NOT NULL THEN b END IGNORE NULLS) OVER wn AS nb
+  FROM j
+  WINDOW wp AS (PARTITION BY {ks} ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY {ks} ORDER BY b
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT {ks}, make_timestamp(b * 1000000) AS bucket_start, mean_value,
+       coalesce(n_samples, 0) AS n_samples,
+       CASE WHEN mean_value IS NOT NULL THEN mean_value
+            ELSE round(pv + (nv - pv) * ((b - pb) / CAST(nb - pb AS DOUBLE)), 9)
+       END AS lerp_value,
+       mean_value IS NULL AS is_gap
+FROM w
+"""

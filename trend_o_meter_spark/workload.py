@@ -96,6 +96,7 @@ _SCORE_FIRST = (
     "kmeans_centroids",
     "vocab_topk",
     "curation_report",
+    "resample_1h_lerp",
 )
 
 
@@ -341,6 +342,18 @@ def trend_slope_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 def resample_1h_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir)
     return trend.resample_locf(ev, keys=("event_type",), step_seconds=3600)
+
+
+@_q(
+    "resample_1h_lerp",
+    trend.resample_lerp_sql("events", keys=("event_type",), step_seconds=3600),
+    doc="Dense hourly resample with linear interpolation across gaps "
+    "(two incremental prev/next windows per metric; grid edges are "
+    "observed buckets so both neighbors always exist).",
+)
+def resample_1h_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    return trend.resample_lerp(ev, keys=("event_type",), step_seconds=3600)
 
 
 @_q(
