@@ -376,3 +376,28 @@ def test_chunk_documents_reconstructs_document(spark):
             keep_from = 0 if j == 0 else (len(rebuilt) - start)
             rebuilt.extend(toks[keep_from:])
         assert rebuilt == [f"t{n}_{i}" for i in range(n)], n
+
+
+def test_distinctive_terms_log_lift(spark):
+    import math
+
+    import pytest
+
+    from trend_o_meter_spark.llm.text import distinctive_terms
+
+    rows = [
+        (1, "apple apple banana", "srcA"),
+        (2, "banana cherry cherry", "srcB"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = distinctive_terms(df, k=2).collect()
+    top = {r["source"]: r for r in out if r["rank"] == 1}
+    # the over-represented token wins each source
+    assert top["srcA"]["token"] == "apple" and top["srcB"]["token"] == "cherry"
+    # add-0.5-smoothed log-lift, hand-computed: ln(2.5/4.5) - ln(2.5/7.5)
+    expect = math.log(2.5 / 4.5) - math.log(2.5 / 7.5)
+    assert top["srcA"]["score"] == pytest.approx(expect, abs=1e-9)
+    assert top["srcA"]["n_in_source"] == 2 and top["srcA"]["n_corpus"] == 2
+    # shared token scores below the distinctive one everywhere
+    banana = {r["source"]: r["score"] for r in out if r["token"] == "banana"}
+    assert all(banana[s] < top[s]["score"] for s in ("srcA", "srcB"))

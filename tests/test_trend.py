@@ -81,3 +81,47 @@ def test_resample_lerp_interpolates_gaps(spark):
     )
     assert [r["is_gap"] for r in out] == [False, True, True, False]
     assert [r["lerp_value"] for r in out] == [0.0, 10.0, 20.0, 30.0]
+
+
+def test_trending_counts_z_score(spark):
+    from datetime import datetime, timedelta
+
+    from trend_o_meter_spark.operators.trend import trending_counts
+
+    day0 = datetime(2024, 1, 1, 12, 0)
+
+    def evs(key, per_day):
+        return [
+            (key, day0 + timedelta(days=d, seconds=i))
+            for d, c in enumerate(per_day)
+            for i in range(c)
+        ]
+
+    # global span = 5 daily buckets -> 4 baseline buckets, zero-filled
+    rows = (
+        evs("hot", [1, 2, 3, 2, 10])      # baseline [1,2,3,2]: mean 2, var 2/3
+        + evs("gone", [5, 5, 0, 0, 0])    # baseline [5,5,0,0]: mean 2.5
+        + evs("new", [0, 0, 0, 0, 7])     # baseline all zero -> std 0, z NULL
+    )
+    df = spark.createDataFrame(rows, "metric string, ts timestamp")
+    out = {r["metric"]: r for r in trending_counts(df, bucket_seconds=86400).collect()}
+
+    assert set(out) == {"hot", "gone", "new"}
+    for r in out.values():
+        assert r["n_baseline_buckets"] == 4
+        assert r["bucket_start"] == datetime(2024, 1, 5, 0, 0)
+
+    hot = out["hot"]
+    assert hot["current_count"] == 10
+    assert hot["baseline_mean"] == pytest.approx(2.0)
+    assert hot["z_score"] == pytest.approx(8.0 / (2.0 / 3.0) ** 0.5, rel=1e-8)
+
+    gone = out["gone"]
+    assert gone["current_count"] == 0  # vanished key still scored (falling)
+    assert gone["baseline_mean"] == pytest.approx(2.5)
+    assert gone["z_score"] == pytest.approx(-2.5 / (100.0 / 12.0) ** 0.5, rel=1e-8)
+
+    new = out["new"]
+    assert new["current_count"] == 7
+    assert new["baseline_mean"] == 0.0 and new["baseline_std"] == 0.0
+    assert new["z_score"] is None  # no baseline variance

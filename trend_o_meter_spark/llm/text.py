@@ -5,7 +5,7 @@ table; embarrassingly parallel (no shuffles except final aggregates).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import NORM_SQL, _norm
@@ -980,4 +980,90 @@ WITH qf AS ({qf})
 SELECT t.{group_col}, qf.reject_reason, count(*) AS n_docs
 FROM {table} t JOIN qf ON t.{id_col} = qf.{id_col}
 GROUP BY 1, 2
+"""
+
+
+def distinctive_terms(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    group_col: str = "source",
+    k: int = 10,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Terms over-represented in each source vs the whole corpus:
+    add-k-smoothed log-lift ``ln(P(term|source)) - ln(P(term|corpus))``,
+    top-k per source — the "what makes this source different" audit a
+    mixing/curation pass reads before setting sampling rates.
+
+    Output: ``source, token, n_in_source, n_corpus, score, rank``
+    (score rounded to 9 decimals BEFORE ranking so the rank order is
+    deterministic across engines; ties broken by token asc).
+
+    Scale: one (source, token) shuffle with map-side partial counts;
+    per-source and per-token totals re-aggregate those pairs (never the
+    raw tokens); corpus totals are a 1-row broadcast.  The token-keyed
+    totals join is shuffle-on-token (vocabulary-sized — NOT broadcast:
+    at corpus scale the vocabulary is large); the per-source top-k
+    window holds O(vocab-per-source) per task.
+    """
+    sm = float(smoothing)
+    ex = df.select(
+        F.col(group_col).alias("source"), F.explode(_tokens(F.col(text))).alias("token")
+    )
+    st = ex.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c_st"))
+    s_tot = st.groupBy("source").agg(F.sum("c_st").cast("long").alias("tot_s"))
+    t_tot = st.groupBy("token").agg(F.sum("c_st").cast("long").alias("c_t"))
+    corpus = F.broadcast(
+        t_tot.agg(F.sum("c_t").cast("long").alias("tot"), F.count(F.lit(1)).alias("v"))
+    )
+    scored = (
+        st.join(s_tot, "source")
+        .join(t_tot, "token")
+        .crossJoin(corpus)
+        .select(
+            "source",
+            "token",
+            F.col("c_st").alias("n_in_source"),
+            F.col("c_t").alias("n_corpus"),
+            F.round(
+                F.log((F.col("c_st") + F.lit(sm)) / (F.col("tot_s") + F.lit(sm) * F.col("v")))
+                - F.log((F.col("c_t") + F.lit(sm)) / (F.col("tot") + F.lit(sm) * F.col("v"))),
+                9,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("token").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def distinctive_terms_sql(
+    table: str,
+    *,
+    text: str = "text",
+    group_col: str = "source",
+    k: int = 10,
+    smoothing: float = 0.5,
+) -> str:
+    norm = NORM_SQL.format(c=text)
+    sm = float(smoothing)
+    return f"""
+WITH ex AS (
+  SELECT {group_col} AS source, unnest(str_split({norm}, ' ')) AS token FROM {table}
+),
+st AS (SELECT source, token, count(*) AS c_st FROM ex GROUP BY ALL),
+s_tot AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS tot_s FROM st GROUP BY 1),
+t_tot AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+corpus AS (SELECT CAST(sum(c_t) AS BIGINT) AS tot, count(*) AS v FROM t_tot),
+scored AS (
+  SELECT source, token, c_st AS n_in_source, c_t AS n_corpus,
+         round(ln((c_st + {sm}) / (tot_s + {sm} * v))
+               - ln((c_t + {sm}) / (tot + {sm} * v)), 9) AS score
+  FROM st JOIN s_tot USING (source) JOIN t_tot USING (token) CROSS JOIN corpus
+)
+SELECT source, token, n_in_source, n_corpus, score,
+       CAST(row_number() OVER (PARTITION BY source
+            ORDER BY score DESC, token ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {k}
 """

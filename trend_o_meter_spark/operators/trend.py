@@ -391,6 +391,128 @@ def resample_lerp(
     )
 
 
+def trending_counts(
+    df: DataFrame,
+    *,
+    ts: str = "ts",
+    keys: Sequence[str] = ("metric",),
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Trend detection per key: the newest bucket's event count scored
+    against the key's trailing baseline (all earlier buckets in the
+    dataset span, empty buckets counted as zero).
+
+    This is the "is X suddenly hot?" query a trend monitor serves —
+    positive ``z_score`` = rising, negative = falling, NULL = no
+    baseline variance.  Output: ``*keys, bucket_start, current_count,
+    n_baseline_buckets, baseline_mean, baseline_std, z_score``.
+
+    Scale: one (key, bucket) hash agg (map-side partial) + per-key
+    re-aggregation of the bucketed counts — state is O(keys x active
+    buckets), never O(events); the dataset span is a 1-row broadcast.
+    Zero-filled buckets are folded out algebraically (zeros add nothing
+    to sum or sum-of-squares; only the bucket COUNT needs the span), so
+    no dense grid is materialized.  Sums are exact decimal (the
+    trend_slope recipe), final algebra in double with identical operand
+    order in the SQL twin.
+    """
+    step = bucket_seconds
+    b = (F.floor(F.unix_seconds(F.col(ts)) / step) * step).cast("long")
+    counts = df.withColumn("__b", b).groupBy(*keys, "__b").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    span = counts.agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+    wc = counts.crossJoin(F.broadcast(span))
+    y = F.col("__c").cast("decimal(19,0)")
+    base = (
+        wc.filter(F.col("__b") < F.col("__hi"))
+        .groupBy(*keys)
+        .agg(F.sum("__c").alias("__sy"), F.sum(y * y).alias("__syy"))
+    )
+    cur = (
+        wc.filter(F.col("__b") == F.col("__hi"))
+        .groupBy(*keys)
+        .agg(F.sum("__c").alias("__cc"))
+    )
+    allk = counts.select(*keys).distinct()
+    j = (
+        allk.join(base, list(keys), "left")
+        .join(cur, list(keys), "left")
+        .crossJoin(F.broadcast(span))
+    )
+    nb = ((F.col("__hi") - F.col("__lo")) / F.lit(step)).cast("long")
+    cc = F.coalesce(F.col("__cc"), F.lit(0)).cast("long")
+    n = nb.cast("double")
+    sy = F.coalesce(F.col("__sy"), F.lit(0)).cast("long").cast("double")
+    # string-roundtrip decimal->double: see trend_slope (1-ulp cast
+    # divergence on >17-digit sums)
+    syy = F.coalesce(F.col("__syy"), F.lit(0).cast("decimal(38,0)")).cast("string").cast("double")
+    mean = sy / n
+    var = (n * syy - sy * sy) / (n * (n - F.lit(1.0)))
+    std = F.when(nb > 1, F.sqrt(var))
+    return j.select(
+        *keys,
+        F.timestamp_seconds(F.col("__hi")).alias("bucket_start"),
+        cc.alias("current_count"),
+        nb.alias("n_baseline_buckets"),
+        F.when(nb > 0, F.round(mean, 9)).alias("baseline_mean"),
+        F.round(std, 9).alias("baseline_std"),
+        F.when(std > 0, F.round((cc - mean) / std, 9)).alias("z_score"),
+    )
+
+
+def trending_counts_sql(
+    table: str,
+    *,
+    ts: str = "ts",
+    keys: Sequence[str] = ("metric",),
+    bucket_seconds: int = 86400,
+) -> str:
+    ks = ", ".join(keys)
+    step = bucket_seconds
+    return f"""
+WITH counts AS (
+  SELECT {ks}, CAST(floor(epoch({ts}) / {step}) * {step} AS BIGINT) AS b,
+         count(*) AS c
+  FROM {table} GROUP BY ALL
+),
+span AS (SELECT min(b) AS lo, max(b) AS hi FROM counts),
+base AS (
+  SELECT {ks}, CAST(sum(c) AS BIGINT) AS sy,
+         sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS syy
+  FROM counts, span WHERE b < hi GROUP BY {ks}
+),
+cur AS (
+  SELECT {ks}, CAST(sum(c) AS BIGINT) AS cc
+  FROM counts, span WHERE b = hi GROUP BY {ks}
+),
+allk AS (SELECT DISTINCT {ks} FROM counts),
+j AS (
+  SELECT {ks},
+         CAST((hi - lo) // {step} AS BIGINT) AS nb,
+         hi,
+         coalesce(cc, 0) AS cc,
+         CAST(coalesce(sy, 0) AS DOUBLE) AS syd,
+         CAST(CAST(coalesce(syy, CAST(0 AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS syyd
+  FROM allk LEFT JOIN base USING ({ks}) LEFT JOIN cur USING ({ks}) CROSS JOIN span
+)
+SELECT {ks},
+       make_timestamp(hi * 1000000) AS bucket_start,
+       cc AS current_count,
+       nb AS n_baseline_buckets,
+       CASE WHEN nb > 0 THEN round(syd / CAST(nb AS DOUBLE), 9) END AS baseline_mean,
+       round(CASE WHEN nb > 1 THEN sqrt((CAST(nb AS DOUBLE) * syyd - syd * syd)
+                  / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))) END, 9) AS baseline_std,
+       CASE WHEN (CASE WHEN nb > 1 THEN sqrt((CAST(nb AS DOUBLE) * syyd - syd * syd)
+                       / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))) END) > 0
+            THEN round((cc - syd / CAST(nb AS DOUBLE))
+                 / (CASE WHEN nb > 1 THEN sqrt((CAST(nb AS DOUBLE) * syyd - syd * syd)
+                         / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))) END), 9)
+       END AS z_score
+FROM j
+"""
+
+
 def resample_lerp_sql(
     table: str,
     *,

@@ -97,6 +97,8 @@ _SCORE_FIRST = (
     "vocab_topk",
     "curation_report",
     "resample_1h_lerp",
+    "trending_daily",
+    "distinctive_terms",
 )
 
 
@@ -354,6 +356,18 @@ def resample_1h_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def resample_1h_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir)
     return trend.resample_lerp(ev, keys=("event_type",), step_seconds=3600)
+
+
+@_q(
+    "trending_daily",
+    trend.trending_counts_sql("events", keys=("event_type",), bucket_seconds=86400),
+    doc="Trend detection: newest day's count per event type z-scored "
+    "against the type's trailing daily baseline (missing days = 0, "
+    "folded out algebraically — no dense grid; 1-row span broadcast).",
+)
+def trending_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    return trend.trending_counts(ev, keys=("event_type",), bucket_seconds=86400)
 
 
 @_q(
@@ -1214,6 +1228,19 @@ def vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def curation_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return text.curation_report(d)
+
+
+@_q(
+    "distinctive_terms",
+    text.distinctive_terms_sql("documents", k=10),
+    doc="Per-source distinctive terms: add-k-smoothed log-lift of "
+    "P(term|source) vs P(term|corpus), top-10 per source (score "
+    "rounded before ranking so rank order is engine-deterministic; "
+    "vocabulary-sized token join is shuffle, never broadcast).",
+)
+def distinctive_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.distinctive_terms(d, k=10)
 
 
 @_q(
