@@ -396,8 +396,58 @@ def test_distinctive_terms_log_lift(spark):
     assert top["srcA"]["token"] == "apple" and top["srcB"]["token"] == "cherry"
     # add-0.5-smoothed log-lift, hand-computed: ln(2.5/4.5) - ln(2.5/7.5)
     expect = math.log(2.5 / 4.5) - math.log(2.5 / 7.5)
-    assert top["srcA"]["score"] == pytest.approx(expect, abs=1e-9)
+    assert top["srcA"]["score"] == pytest.approx(expect, abs=1e-6)
     assert top["srcA"]["n_in_source"] == 2 and top["srcA"]["n_corpus"] == 2
     # shared token scores below the distinctive one everywhere
     banana = {r["source"]: r["score"] for r in out if r["token"] == "banana"}
     assert all(banana[s] < top[s]["score"] for s in ("srcA", "srcB"))
+
+
+def test_lm_bigram_score_hand_computed(spark):
+    import math
+
+    import pytest
+
+    from trend_o_meter_spark.llm.text import lm_bigram_score
+
+    rows = [
+        (1, "a b a b", None),   # bigrams: (a,b) x2, (b,a) x1
+        (2, "a b", None),
+        (3, "x", None),         # too short -> 0 bigrams, NULL score
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in lm_bigram_score(df, smoothing=0.5).collect()}
+
+    # corpus bigrams: (a,b)=3, (b,a)=1; left counts: a->3, b->1; V=3
+    p_ab = (3 + 0.5) / (3 + 0.5 * 3)   # P(b|a)
+    p_ba = (1 + 0.5) / (1 + 0.5 * 3)   # P(a|b)
+    lp_ab = round(math.log(p_ab), 6)   # operator quantizes log-probs at 1e-6
+    lp_ba = round(math.log(p_ba), 6)
+
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["lm_score"] == pytest.approx((2 * lp_ab + lp_ba) / 3, abs=1e-9)
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["lm_score"] == pytest.approx(lp_ab, abs=1e-9)
+    assert out[3]["n_bigrams"] == 0 and out[3]["lm_score"] is None
+
+
+def test_lm_bigram_score_external_model_unseen(spark):
+    import math
+
+    import pytest
+
+    from trend_o_meter_spark.llm.text import lm_bigram_score
+
+    model = spark.createDataFrame(
+        [(10, "a b a b", None)], "doc_id long, text string, source string"
+    )
+    # "a z": context 'a' seen (c_left=2), bigram unseen; "z q": context unseen
+    target = spark.createDataFrame(
+        [(1, "a z q", None)], "doc_id long, text string, source string"
+    )
+    out = {r["doc_id"]: r for r in lm_bigram_score(target, model_df=model, smoothing=0.5).collect()}
+    # model: bigrams (a,b)=2, (b,a)=1; lefts a->2, b->1; V=2 (a, b)
+    lp_az = round(math.log(0.5 / (2 + 0.5 * 2)), 6)  # unseen bigram, seen ctx
+    lp_zq = round(math.log(0.5 / (0 + 0.5 * 2)), 6)  # unseen context
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["lm_score"] == pytest.approx((lp_az + lp_zq) / 2, abs=1e-9)

@@ -983,6 +983,160 @@ GROUP BY 1, 2
 """
 
 
+def lm_bigram_score(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 0.5,
+    model_df: DataFrame | None = None,
+) -> DataFrame:
+    """Statistical-LM quality score (the CCNet-style curation signal):
+    per-document mean token-bigram log-probability under an add-k model
+    trained on ``model_df`` (default: the corpus itself — self-scoring).
+
+    ``P(w2|w1) = (c(w1,w2) + k) / (c(w1,*) + k*V)``; score = weighted
+    mean of ``ln P`` over the doc's bigrams.  Low scores = improbable
+    token sequences (gibberish, boilerplate soup) — the filter threshold
+    a curation pass sets from the score distribution.  Output:
+    ``doc_id, n_bigrams, lm_score`` (NULL score for docs with < 2
+    tokens, which still appear with ``n_bigrams = 0``).
+
+    Cross-engine determinism: each bigram's log-prob is rounded to 9
+    decimals and quantized to DECIMAL(18,6) BEFORE the per-doc sum, so
+    the accumulation is exact and order-insensitive (a raw double sum
+    would be shuffle-order-dependent); the final mean divides doubles
+    with identical operand order in the SQL twin.
+
+    Scale: doc-side bigrams reduce to (doc, bigram) counts before any
+    join; the model join is keyed on (w1,w2) — vocabulary-sized, a
+    shuffle join, never a broadcast; left-context totals re-aggregate
+    the model table (never raw tokens); V is a 1-row broadcast.
+    """
+    sm = float(smoothing)
+    staged = df.select(F.col(id_col).alias("id"), _tokens(F.col(text)).alias("__t"))
+    n = F.size(F.col("__t"))
+    pairs = (
+        staged.select(
+            "id",
+            F.slice("__t", F.lit(1), F.greatest(F.lit(0), n - 1)).alias("__l"),
+            F.slice("__t", F.lit(2), F.greatest(F.lit(0), n - 1)).alias("__r"),
+        )
+        .select("id", F.explode(F.arrays_zip("__l", "__r")).alias("__p"))
+        .select("id", F.col("__p.__l").alias("w1"), F.col("__p.__r").alias("w2"))
+    )
+    db = pairs.groupBy("id", "w1", "w2").agg(F.count(F.lit(1)).alias("c_d"))
+    src = model_df if model_df is not None else df
+    if model_df is not None:
+        mstaged = src.select(_tokens(F.col(text)).alias("__t"))
+        mn = F.size(F.col("__t"))
+        mpairs = (
+            mstaged.select(
+                F.slice("__t", F.lit(1), F.greatest(F.lit(0), mn - 1)).alias("__l"),
+                F.slice("__t", F.lit(2), F.greatest(F.lit(0), mn - 1)).alias("__r"),
+            )
+            .select(F.explode(F.arrays_zip("__l", "__r")).alias("__p"))
+            .select(F.col("__p.__l").alias("w1"), F.col("__p.__r").alias("w2"))
+        )
+        bg = mpairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    else:
+        bg = db.groupBy("w1", "w2").agg(F.sum("c_d").cast("long").alias("c_bg"))
+    lefts = bg.groupBy("w1").agg(F.sum("c_bg").cast("long").alias("c_left"))
+    voc = F.broadcast(
+        src.select(F.explode(_tokens(F.col(text))).alias("__tok"))
+        .agg(F.countDistinct("__tok").alias("v"))
+    )
+    # ln is NOT correctly-rounded IEEE (glibc vs Java differ by 1 ulp on
+    # some args; sqrt IS exact, ln/exp/pow are not).  Quantizing at 1e-6
+    # instead of 1e-9 cuts the boundary-flip probability (ulp/grid per
+    # distinct bigram) by 1000x — observed live at sf0.1 with a 1e-9 grid.
+    lp = F.round(
+        F.log((F.col("c_bg") + F.lit(sm)) / (F.col("c_left") + F.lit(sm) * F.col("v"))), 6
+    ).cast("decimal(18,6)")
+    scored = (
+        db.join(bg, ["w1", "w2"], "left")
+        .join(lefts, "w1", "left")
+        .crossJoin(voc)
+        .select(
+            "id",
+            "c_d",
+            (
+                F.col("c_d").cast("decimal(19,0)")
+                * F.when(
+                    lp.isNotNull(), lp
+                ).otherwise(
+                    # unseen bigram/context under an external model
+                    F.round(
+                        F.log(
+                            F.lit(sm)
+                            / (F.coalesce(F.col("c_left"), F.lit(0)) + F.lit(sm) * F.col("v"))
+                        ),
+                        6,
+                    ).cast("decimal(18,6)")
+                )
+            ).alias("__wlp"),
+        )
+    )
+    agg = scored.groupBy("id").agg(
+        F.sum("c_d").cast("long").alias("n_bigrams"),
+        F.sum("__wlp").alias("__swlp"),
+    )
+    allk = df.select(F.col(id_col).alias("id")).distinct()
+    out = allk.join(agg, "id", "left")
+    nb = F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+    mean = F.col("__swlp").cast("string").cast("double") / nb.cast("double")
+    return out.select(
+        F.col("id").alias(id_col),
+        nb.alias("n_bigrams"),
+        F.when(nb > 0, F.round(mean, 9)).alias("lm_score"),
+    )
+
+
+def lm_bigram_score_sql(
+    table: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 0.5,
+) -> str:
+    """Self-scoring oracle twin (external-model seam is Spark-only)."""
+    norm = NORM_SQL.format(c=text)
+    sm = float(smoothing)
+    return f"""
+WITH staged AS (
+  SELECT {id_col} AS id, str_split({norm}, ' ') AS __t FROM {table}
+),
+pairs AS (
+  SELECT id, __t[i] AS w1, __t[i + 1] AS w2
+  FROM (SELECT id, __t, unnest(range(1, len(__t))) AS i FROM staged)
+),
+db AS (SELECT id, w1, w2, count(*) AS c_d FROM pairs GROUP BY ALL),
+bg AS (SELECT w1, w2, CAST(sum(c_d) AS BIGINT) AS c_bg FROM db GROUP BY 1, 2),
+lefts AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_left FROM bg GROUP BY 1),
+voc AS (
+  SELECT count(DISTINCT __tok) AS v
+  FROM (SELECT unnest(str_split({norm}, ' ')) AS __tok FROM {table})
+),
+scored AS (
+  SELECT id, c_d,
+         CAST(c_d AS DECIMAL(19,0))
+         * CAST(round(ln((c_bg + {sm}) / (c_left + {sm} * v)), 6) AS DECIMAL(18,6)) AS wlp
+  FROM db JOIN bg USING (w1, w2) JOIN lefts USING (w1) CROSS JOIN voc
+),
+agg AS (
+  SELECT id, CAST(sum(c_d) AS BIGINT) AS n_bigrams, sum(wlp) AS swlp
+  FROM scored GROUP BY 1
+)
+SELECT a.id AS {id_col},
+       coalesce(n_bigrams, 0) AS n_bigrams,
+       CASE WHEN coalesce(n_bigrams, 0) > 0
+            THEN round(CAST(CAST(swlp AS VARCHAR) AS DOUBLE)
+                 / CAST(coalesce(n_bigrams, 0) AS DOUBLE), 9)
+       END AS lm_score
+FROM (SELECT DISTINCT {id_col} AS id FROM {table}) a LEFT JOIN agg USING (id)
+"""
+
+
 def distinctive_terms(
     df: DataFrame,
     *,
@@ -997,8 +1151,9 @@ def distinctive_terms(
     mixing/curation pass reads before setting sampling rates.
 
     Output: ``source, token, n_in_source, n_corpus, score, rank``
-    (score rounded to 9 decimals BEFORE ranking so the rank order is
-    deterministic across engines; ties broken by token asc).
+    (score rounded to 6 decimals BEFORE ranking so the rank order is
+    deterministic across engines — 6, not 9: ln is not correctly-rounded
+    cross-libm, see lm_bigram_score; ties broken by token asc).
 
     Scale: one (source, token) shuffle with map-side partial counts;
     per-source and per-token totals re-aggregate those pairs (never the
@@ -1026,10 +1181,12 @@ def distinctive_terms(
             "token",
             F.col("c_st").alias("n_in_source"),
             F.col("c_t").alias("n_corpus"),
+            # 6-decimal grid: ln is not correctly-rounded cross-libm (see
+            # lm_bigram_score); coarser grid -> negligible flip probability
             F.round(
                 F.log((F.col("c_st") + F.lit(sm)) / (F.col("tot_s") + F.lit(sm) * F.col("v")))
                 - F.log((F.col("c_t") + F.lit(sm)) / (F.col("tot") + F.lit(sm) * F.col("v"))),
-                9,
+                6,
             ).alias("score"),
         )
     )
@@ -1058,7 +1215,7 @@ corpus AS (SELECT CAST(sum(c_t) AS BIGINT) AS tot, count(*) AS v FROM t_tot),
 scored AS (
   SELECT source, token, c_st AS n_in_source, c_t AS n_corpus,
          round(ln((c_st + {sm}) / (tot_s + {sm} * v))
-               - ln((c_t + {sm}) / (tot + {sm} * v)), 9) AS score
+               - ln((c_t + {sm}) / (tot + {sm} * v)), 6) AS score
   FROM st JOIN s_tot USING (source) JOIN t_tot USING (token) CROSS JOIN corpus
 )
 SELECT source, token, n_in_source, n_corpus, score,

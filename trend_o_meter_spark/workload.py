@@ -99,6 +99,7 @@ _SCORE_FIRST = (
     "resample_1h_lerp",
     "trending_daily",
     "distinctive_terms",
+    "lm_score",
 )
 
 
@@ -1241,6 +1242,19 @@ def curation_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def distinctive_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return text.distinctive_terms(d, k=10)
+
+
+@_q(
+    "lm_score",
+    text.lm_bigram_score_sql("documents"),
+    doc="Statistical-LM quality score (CCNet-style): per-doc mean "
+    "token-bigram log-prob under a corpus-trained add-k model; "
+    "log-probs quantized to DECIMAL(18,9) before the per-doc sum so "
+    "accumulation is exact and order-insensitive.",
+)
+def lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.lm_bigram_score(d)
 
 
 @_q(
