@@ -556,3 +556,52 @@ def test_streaming_curation_pipeline(spark, tmp_path):
     # batch-order dependent within a single micro-batch), 3 is dropped by
     # quality, 4 (near-dup but not exact) passes
     assert len(got) == 2 and got[1] == 4 and got[0] in (1, 2)
+
+
+def test_stream_trending_matches_batch(spark, tmp_path):
+    """Streaming trend detection: partial counts appended per batch,
+    re-summed and re-scored — final scores identical to the batch
+    trending_counts over the full input (incremental-merge correctness,
+    including a late row landing in an old bucket)."""
+    from datetime import datetime, timedelta
+
+    from trend_o_meter_spark.operators.trend import trending_counts
+    from trend_o_meter_spark.streaming.pipeline import stream_trending
+
+    day0 = datetime(2024, 1, 1, 6, 0)
+
+    def evs(key, per_day):
+        return [
+            (key, day0 + timedelta(days=d, seconds=i))
+            for d, c in enumerate(per_day)
+            for i in range(c)
+        ]
+
+    full = evs("hot", [1, 2, 3, 2, 10]) + evs("flat", [2, 2, 2, 2, 2])
+    # batch 1: first three days; batch 2: the rest PLUS a late day-0 row
+    late = [("hot", day0 + timedelta(seconds=500))]
+    full_plus_late = full + late
+    b1 = [r for r in full if (r[1] - day0).days < 3]
+    b2 = [r for r in full if (r[1] - day0).days >= 3] + late
+
+    results = {}
+    per_batch = stream_trending(
+        state_path=str(tmp_path / "counts"),
+        keys=("metric",),
+        bucket_seconds=86400,
+        on_result=lambda bid, df: results.update({bid: df.collect()}),
+    )
+    schema = "metric string, ts timestamp"
+    per_batch(spark.createDataFrame(b1, schema), 0)
+    per_batch(spark.createDataFrame(b2, schema), 1)
+
+    expected = sorted(
+        map(tuple, trending_counts(spark.createDataFrame(full_plus_late, schema)).collect())
+    )
+    got = sorted(map(tuple, results[1]))
+    assert got == expected
+    # mid-stream result is the batch answer over the data seen so far
+    mid = sorted(
+        map(tuple, trending_counts(spark.createDataFrame(b1, schema)).collect())
+    )
+    assert sorted(map(tuple, results[0])) == mid

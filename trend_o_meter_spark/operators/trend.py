@@ -421,6 +421,20 @@ def trending_counts(
     counts = df.withColumn("__b", b).groupBy(*keys, "__b").agg(
         F.count(F.lit(1)).alias("__c")
     )
+    return score_bucket_counts(counts, keys=keys, bucket_seconds=bucket_seconds)
+
+
+def score_bucket_counts(
+    counts: DataFrame,
+    *,
+    keys: Sequence[str] = ("metric",),
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Score pre-bucketed counts (``*keys, __b, __c``) — the shared tail
+    of :func:`trending_counts`, also driven per micro-batch by
+    ``streaming.pipeline.stream_trending`` over its counts state table.
+    """
+    step = bucket_seconds
     span = counts.agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
     wc = counts.crossJoin(F.broadcast(span))
     y = F.col("__c").cast("decimal(19,0)")

@@ -221,6 +221,50 @@ def stream_day_bins(
     return kept, per_batch
 
 
+def stream_trending(
+    *,
+    state_path: str,
+    ts: str = "ts",
+    keys: tuple[str, ...] = ("metric",),
+    bucket_seconds: int = 86400,
+    on_result: "object" = None,
+):
+    """Live trend detection: the streaming twin of
+    ``operators.trend.trending_counts``.
+
+    Each micro-batch appends its PARTIAL per-(key, bucket) counts to a
+    parquet counts table (batch-land groupBy = true deltas, so late rows
+    within the retention horizon simply add to their bucket — no
+    update-mode double-counting), then re-scores the re-summed table and
+    hands the result to ``on_result(batch_id, DataFrame)``.
+
+    Recompute input is the counts table — O(keys x active buckets), never
+    O(events) — the same bounded-state argument as ``stream_day_bins``'s
+    downsampled history.  Returns the ``foreachBatch`` callable.
+    """
+    from ..operators.trend import score_bucket_counts
+
+    b = (F.floor(F.unix_seconds(F.col(ts)) / bucket_seconds) * bucket_seconds).cast("long")
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not batch_df.isEmpty():
+            partial = batch_df.withColumn("__b", b).groupBy(*keys, "__b").agg(
+                F.count(F.lit(1)).alias("__c")
+            )
+            partial.write.mode("append").parquet(state_path)
+        try:
+            state = spark.read.parquet(state_path)
+        except Exception:  # noqa: BLE001 — no state yet (all-empty batches)
+            return
+        counts = state.groupBy(*keys, "__b").agg(F.sum("__c").cast("long").alias("__c"))
+        result = score_bucket_counts(counts, keys=keys, bucket_seconds=bucket_seconds)
+        if on_result is not None:
+            on_result(batch_id, result)
+
+    return per_batch
+
+
 def run_to_memory_sink(
     df: DataFrame,
     *,
