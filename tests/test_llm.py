@@ -451,3 +451,24 @@ def test_lm_bigram_score_external_model_unseen(spark):
     lp_zq = round(math.log(0.5 / (0 + 0.5 * 2)), 6)  # unseen context
     assert out[1]["n_bigrams"] == 2
     assert out[1]["lm_score"] == pytest.approx((lp_az + lp_zq) / 2, abs=1e-9)
+
+
+def test_embedding_outliers_flags_far_vector(spark):
+    from trend_o_meter_spark.llm.similarity import embedding_outliers
+
+    # one tight blob around (1,1) plus a single far-away member; k=1 keeps
+    # everything in one cluster so the far point must z-score against the blob
+    # (with k>=2, k-means isolates it into a singleton whose z is NULL — also
+    # correct, but not what this test pins)
+    blob = [[1.0, 1.0], [1.05, 0.95], [0.95, 1.05], [1.0, 0.95], [1.02, 1.0],
+            [0.98, 1.03], [1.01, 0.97], [0.99, 1.0]]
+    rows = [(i, v) for i, v in enumerate(blob)] + [(99, [4.0, 4.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in embedding_outliers(df, k=1, iters=2, z_threshold=2.0).collect()}
+    assert len(out) == 9
+    flagged = {i for i, r in out.items() if r["is_outlier"]}
+    assert flagged == {99}        # the planted outlier and nothing else
+    assert out[99]["z_score"] > 2.0
+    # singleton clusters (k=2 isolates the far point) degrade to NULL z
+    out2 = {r["vec_id"]: r for r in embedding_outliers(df, k=2, iters=2, z_threshold=2.0).collect()}
+    assert out2[99]["z_score"] is None and not out2[99]["is_outlier"]

@@ -527,3 +527,120 @@ FROM afinal a JOIN c{iters} c USING (cluster)
 GROUP BY a.cluster
 """
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Semantic-outlier curation filter: distance of each embedding to
+    its k-means centroid, z-scored WITHIN the cluster — flags vectors
+    that sit far from everything semantically near them (mislabeled /
+    off-topic / garbage docs survive lexical filters but not this one).
+
+    Output: ``vec_id, cluster, dist, z_score, is_outlier`` (``dist`` =
+    squared L2 to the assigned centroid, rounded to 9; z NULL and
+    outlier false for clusters with < 2 members or zero variance).
+
+    Scale: centroids come from :func:`kmeans_centroids` (KB-sized
+    broadcast); the assign pass is one broadcast nested-loop over k
+    centroids; cluster stats are k rows.  The 9-rounded distance is
+    quantized to DECIMAL(18,9) before the per-cluster sums, so the
+    stats accumulate exactly in any order (the kmeans determinism
+    recipe extended one level up).
+    """
+    km = kmeans_centroids(df, id_col=id_col, vec_col=vec_col, k=k, iters=iters)
+    cents = km.select("cluster", F.col("centroid").alias("cvec"))
+    base = spread(df).select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    d = F.round(_sqdist(F.col("vec"), F.col("cvec")), 9)
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .select("vid", F.struct(d.alias("d"), F.col("cluster").alias("c")).alias("__s"))
+        .groupBy("vid")
+        .agg(F.min("__s").alias("__m"))
+        .select("vid", F.col("__m.c").alias("cluster"), F.col("__m.d").alias("dist"))
+    )
+    dd = F.col("dist").cast("decimal(18,9)")
+    stats = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(dd).alias("__sd"),
+        F.sum(dd * dd).alias("__sdd"),
+    )
+    n = F.col("__n").cast("double")
+    sd = F.col("__sd").cast("string").cast("double")
+    sdd = F.col("__sdd").cast("string").cast("double")
+    mean = sd / n
+    var = (n * sdd - sd * sd) / (n * (n - F.lit(1.0)))
+    std = F.when(F.col("__n") > 1, F.sqrt(var))
+    z = F.when(std > 0, F.round((F.col("dist") - mean) / std, 9))
+    return (
+        assigned.join(F.broadcast(stats), "cluster")
+        .select(
+            F.col("vid").alias(id_col),
+            "cluster",
+            "dist",
+            z.alias("z_score"),
+            F.coalesce(F.abs(z) > F.lit(float(z_threshold)), F.lit(False)).alias("is_outlier"),
+        )
+    )
+
+
+def embedding_outliers_sql(
+    table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+    z_threshold: float = 2.0,
+) -> str:
+    km = kmeans_centroids_sql(table, id_col=id_col, vec_col=vec_col, k=k, iters=iters)
+    sq = (
+        "list_sum(list_transform(range(1, len(b.vec) + 1), "
+        "i -> (b.vec[i] - km.centroid[i]) * (b.vec[i] - km.centroid[i])))"
+    )
+    return f"""
+WITH km AS ({km}),
+base2 AS (
+  SELECT {id_col} AS vid,
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS vec
+  FROM {table}
+),
+assigned AS (
+  SELECT b.vid,
+         (min(struct_pack(d := round({sq}, 9), c := km.cluster))).c AS cluster,
+         (min(struct_pack(d := round({sq}, 9), c := km.cluster))).d AS dist
+  FROM base2 b, km GROUP BY b.vid
+),
+stats AS (
+  SELECT cluster, count(*) AS n,
+         sum(CAST(dist AS DECIMAL(18,9))) AS sd,
+         sum(CAST(dist AS DECIMAL(18,9)) * CAST(dist AS DECIMAL(18,9))) AS sdd
+  FROM assigned GROUP BY 1
+),
+enr AS (
+  SELECT cluster,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(CAST(sd AS VARCHAR) AS DOUBLE) AS sdv,
+         CAST(CAST(sdd AS VARCHAR) AS DOUBLE) AS sddv
+  FROM stats
+),
+zz AS (
+  SELECT a.vid, a.cluster, a.dist,
+         CASE WHEN (CASE WHEN nd > 1 THEN sqrt((nd * sddv - sdv * sdv) / (nd * (nd - 1.0))) END) > 0
+              THEN round((a.dist - sdv / nd)
+                   / (CASE WHEN nd > 1 THEN sqrt((nd * sddv - sdv * sdv) / (nd * (nd - 1.0))) END), 9)
+         END AS z_score
+  FROM assigned a JOIN enr USING (cluster)
+)
+SELECT vid AS {id_col}, cluster, dist, z_score,
+       coalesce(abs(z_score) > {float(z_threshold)}, false) AS is_outlier
+FROM zz
+"""

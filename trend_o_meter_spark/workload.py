@@ -100,6 +100,7 @@ _SCORE_FIRST = (
     "trending_daily",
     "distinctive_terms",
     "lm_score",
+    "embedding_outliers",
 )
 
 
@@ -1343,6 +1344,19 @@ def quantize_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kmeans_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, "embeddings", sf_dir)
     return similarity.kmeans_centroids(e, k=4, iters=2)
+
+
+@_q(
+    "embedding_outliers",
+    similarity.embedding_outliers_sql("embeddings", k=4, iters=2, z_threshold=2.0),
+    doc="Semantic-outlier filter: squared-L2 distance to the assigned "
+    "k-means centroid, z-scored within the cluster (9-rounded distance "
+    "quantized to DECIMAL(18,9) before the per-cluster sums — exact, "
+    "order-insensitive stats; k-row broadcast join back).",
+)
+def embedding_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "embeddings", sf_dir)
+    return similarity.embedding_outliers(e, k=4, iters=2, z_threshold=2.0)
 
 
 @_q(
