@@ -472,3 +472,28 @@ def test_embedding_outliers_flags_far_vector(spark):
     # singleton clusters (k=2 isolates the far point) degrade to NULL z
     out2 = {r["vec_id"]: r for r in embedding_outliers(df, k=2, iters=2, z_threshold=2.0).collect()}
     assert out2[99]["z_score"] is None and not out2[99]["is_outlier"]
+
+
+def test_curation_decisions_precedence(spark):
+    from trend_o_meter_spark.llm.text import curation_decisions
+
+    long_ok = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (1, long_ok, "web"),                          # passes every gate
+        (2, "tiny", "web"),                           # quality: too_short
+        (3, ("spam ham " * 10) + "the a of is to in", "web"),  # repetitive
+        (4, "der die und ist das " * 4, "web"),       # wrong_lang (no en stopwords -> may
+                                                      # hit no_stopwords first: quality wins)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in curation_decisions(
+        df, max_dup_ratio=0.5, lm_threshold=-99.0, min_tokens=5
+    ).collect()}
+    assert out[1]["keep"] and out[1]["reject_reason"] is None
+    assert out[2]["reject_reason"] == "too_short"
+    assert out[3]["reject_reason"] == "repetitive" and not out[3]["keep"]
+    # precedence: the quality gate fires before the language gate
+    assert out[4]["reject_reason"] in ("no_stopwords", "wrong_lang")
+    assert not out[4]["keep"]
+    # signals are carried through for audit
+    assert out[3]["dup_ratio"] > 0.5 and out[1]["lang_guess"] == "en"

@@ -1137,6 +1137,106 @@ FROM (SELECT DISTINCT {id_col} AS id FROM {table}) a LEFT JOIN agg USING (id)
 """
 
 
+def curation_decisions(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    max_dup_ratio: float = 0.2,
+    lm_threshold: float = -6.0,
+    require_lang: str = "en",
+    **thresholds,
+) -> DataFrame:
+    """The master curation table: every per-doc signal joined into one
+    auditable keep/drop decision — rule-based quality gates, the Gopher
+    repetition signal, the bigram-LM score, and the language gate, with
+    a FIXED precedence so the named reason is deterministic.
+
+    ``lm_threshold`` is an absolute constant, not a data-derived
+    quantile — pick it from ``value_quantiles`` over ``lm_score`` and
+    pass it in (a cutoff interpolated inside the query would make the
+    keep/drop frontier 1-ulp fragile across engines AND cost an extra
+    full pass).  Output: ``doc_id, source, dup_ratio, lm_score,
+    lang_guess, reject_reason (NULL = kept), keep``.
+
+    Scale: four signal branches over the same scan, joined on doc_id —
+    every branch is map-side except lm_score's vocabulary joins; the
+    doc_id joins co-partition under AQE.  Docs with NULL lm_score
+    (< 2 tokens) are judged by the other gates only.
+    """
+    qf = quality_filter(df, text=text, id_col=id_col, **thresholds).select(
+        F.col(id_col), F.col("reject_reason").alias("__q")
+    )
+    rep = repetition_stats(df, text=text, id_col=id_col).select(
+        F.col(id_col), "dup_ratio"
+    )
+    lm = lm_bigram_score(df, text=text, id_col=id_col).select(
+        F.col(id_col), "lm_score"
+    )
+    lg = lang_id(df, text=text, id_col=id_col).select(F.col(id_col), "lang_guess")
+    j = (
+        df.select(F.col(id_col), F.col(group_col).alias("source"))
+        .join(qf, id_col)
+        .join(rep, id_col)
+        .join(lm, id_col)
+        .join(lg, id_col)
+    )
+    reason = (
+        F.when(F.col("__q").isNotNull(), F.col("__q"))
+        .when(F.col("dup_ratio") > F.lit(float(max_dup_ratio)), F.lit("repetitive"))
+        .when(F.col("lm_score") < F.lit(float(lm_threshold)), F.lit("low_lm_score"))
+        .when(F.col("lang_guess") != F.lit(require_lang), F.lit("wrong_lang"))
+    )
+    return j.select(
+        F.col(id_col),
+        "source",
+        "dup_ratio",
+        "lm_score",
+        "lang_guess",
+        reason.alias("reject_reason"),
+        reason.isNull().alias("keep"),
+    )
+
+
+def curation_decisions_sql(
+    table: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    max_dup_ratio: float = 0.2,
+    lm_threshold: float = -6.0,
+    require_lang: str = "en",
+    **thresholds,
+) -> str:
+    qf = quality_filter_sql(table, text=text, id_col=id_col, **thresholds)
+    rep = repetition_stats_sql(table, text=text, id_col=id_col)
+    lm = lm_bigram_score_sql(table, text=text, id_col=id_col)
+    lg = lang_id_sql(table, text=text, id_col=id_col)
+    reason = f"""CASE
+      WHEN qf.reject_reason IS NOT NULL THEN qf.reject_reason
+      WHEN rep.dup_ratio > {float(max_dup_ratio)} THEN 'repetitive'
+      WHEN lm.lm_score < {float(lm_threshold)} THEN 'low_lm_score'
+      WHEN lg.lang_guess != '{require_lang}' THEN 'wrong_lang'
+    END"""
+    return f"""
+WITH qf AS ({qf}),
+rep AS ({rep}),
+lm AS ({lm}),
+lg AS ({lg})
+SELECT t.{id_col}, t.{group_col} AS source,
+       rep.dup_ratio, lm.lm_score, lg.lang_guess,
+       {reason} AS reject_reason,
+       ({reason}) IS NULL AS keep
+FROM {table} t
+JOIN qf USING ({id_col})
+JOIN rep USING ({id_col})
+JOIN lm USING ({id_col})
+JOIN lg USING ({id_col})
+"""
+
+
 def distinctive_terms(
     df: DataFrame,
     *,

@@ -101,6 +101,7 @@ _SCORE_FIRST = (
     "distinctive_terms",
     "lm_score",
     "embedding_outliers",
+    "curation_decisions",
 )
 
 
@@ -1243,6 +1244,19 @@ def curation_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def distinctive_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return text.distinctive_terms(d, k=10)
+
+
+@_q(
+    "curation_decisions",
+    text.curation_decisions_sql("documents"),
+    doc="Master curation table: quality rules + repetition + bigram-LM "
+    "score + language gate joined into one keep/drop decision with "
+    "fixed reason precedence (LM threshold is an absolute constant — "
+    "a quantile cutoff inside the query would be 1-ulp fragile).",
+)
+def curation_decisions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.curation_decisions(d)
 
 
 @_q(
