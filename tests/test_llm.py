@@ -497,3 +497,32 @@ def test_curation_decisions_precedence(spark):
     assert not out[4]["keep"]
     # signals are carried through for audit
     assert out[3]["dup_ratio"] > 0.5 and out[1]["lang_guess"] == "en"
+
+
+def test_canonical_docs_keeps_longest(spark):
+    from trend_o_meter_spark.llm.cluster import canonical_docs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = {
+        10: base,
+        11: base + " extra",    # near-dup of 10
+        12: base + " extras",   # near-dup of 11; LONGEST member of the cluster
+        20: "completely different text about database query optimizers at scale",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in canonical_docs(df, threshold=0.3).collect()}
+
+    # same clustering as test_dedup_clusters_keep_is_min_id, but the
+    # survivor is the longest member (12), not the min id (10)
+    assert rows[12]["keep"] and not rows[10]["keep"] and not rows[11]["keep"]
+    assert rows[10]["cluster_id"] == 10  # cluster label still min-id
+    assert rows[20]["keep"]
+    # invariant over every cluster: exactly one survivor = argmax(len, id asc)
+    by_cluster = {}
+    for i, r in rows.items():
+        by_cluster.setdefault(r["cluster_id"], []).append(i)
+    for cid, members in by_cluster.items():
+        kept = [i for i in members if rows[i]["keep"]]
+        best = min(members, key=lambda i: (-len(texts[i]), i))
+        assert kept == [best]
+        assert all(rows[i]["n_chars_kept"] == len(texts[best]) for i in members)

@@ -147,3 +147,67 @@ reach(id, r) AS (
 SELECT id AS {id_col}, min(r) AS cluster_id, (min(r) = id) AS keep
 FROM reach GROUP BY id
 """
+
+
+def canonical_docs(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    **dedup_kwargs,
+) -> DataFrame:
+    """Quality-aware survivor selection: within each near-dup cluster
+    keep the LONGEST member (doc_id asc tie-break), not the smallest id
+    — the canonical doc a curation pass actually publishes (near-dup
+    clusters usually contain truncated/boilerplate variants of one
+    best document).
+
+    Output: ``doc_id, cluster_id, n_chars_kept, keep`` — one row per
+    document.  Scale: :func:`dedup_clusters` plus one (cluster)
+    arg-max via the shared ``min(struct(-len, id))`` lattice and one
+    cluster-keyed join back; both AQE shuffles, state O(docs).
+    """
+    cc = dedup_clusters(df, text=text, id_col=id_col, **dedup_kwargs).select(
+        F.col(id_col), "cluster_id"
+    )
+    lens = df.select(F.col(id_col), F.length(F.col(text)).alias("__len"))
+    j = cc.join(lens, id_col)
+    best = j.groupBy("cluster_id").agg(
+        F.min(F.struct((-F.col("__len")).alias("nl"), F.col(id_col).alias("i"))).alias("__b")
+    ).select(
+        "cluster_id",
+        F.col("__b.i").alias("__keep_id"),
+        (-F.col("__b.nl")).cast("bigint").alias("n_chars_kept"),
+    )
+    return j.join(best, "cluster_id").select(
+        F.col(id_col),
+        "cluster_id",
+        "n_chars_kept",
+        (F.col(id_col) == F.col("__keep_id")).alias("keep"),
+    )
+
+
+def canonical_docs_sql(
+    table: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    **dedup_kwargs,
+) -> str:
+    cc = dedup_clusters_sql(table, text=text, id_col=id_col, **dedup_kwargs).strip()
+    return f"""
+WITH cc AS ({cc}),
+j AS (
+  SELECT cc.{id_col}, cc.cluster_id, length(t.{text}) AS len
+  FROM cc JOIN {table} t USING ({id_col})
+),
+best AS (
+  SELECT cluster_id,
+         (min(struct_pack(nl := -len, i := {id_col}))).i AS keep_id,
+         CAST(-(min(struct_pack(nl := -len, i := {id_col}))).nl AS BIGINT) AS n_chars_kept
+  FROM j GROUP BY 1
+)
+SELECT j.{id_col}, j.cluster_id, best.n_chars_kept,
+       (j.{id_col} = best.keep_id) AS keep
+FROM j JOIN best USING (cluster_id)
+"""

@@ -102,6 +102,7 @@ _SCORE_FIRST = (
     "lm_score",
     "embedding_outliers",
     "curation_decisions",
+    "canonical_docs",
 )
 
 
@@ -1067,6 +1068,18 @@ def verified_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return cluster.dedup_clusters(d, threshold=0.3)
+
+
+@_q(
+    "canonical_docs",
+    cluster.canonical_docs_sql("documents", threshold=0.3),
+    doc="Quality-aware dedup survivor: within each near-dup cluster keep "
+    "the LONGEST member (id tie-break) via the shared "
+    "min(struct(-len,id)) lattice — the doc a curation pass publishes.",
+)
+def canonical_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return cluster.canonical_docs(d, threshold=0.3)
 
 
 @_q(
