@@ -169,3 +169,45 @@ def test_streaming_parquet_sink_exactly_once(spark, tmp_path):
     run_once()
     rows = sorted(r["event_id"] for r in spark.read.parquet(str(out)).collect())
     assert rows == [1, 2, 3]
+
+
+def test_write_training_shards_reconstructs_epoch_order(spark, tmp_path):
+    from trend_o_meter_spark.io import write_training_shards
+    from trend_o_meter_spark.llm.text import epoch_shuffle
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "doc_id long, text string"
+    )
+    n = write_training_shards(df, str(tmp_path / "ep0"), n_shards=4, salt="epoch-0")
+    assert n == 100
+
+    back = spark.read.parquet(str(tmp_path / "ep0"))
+    rows = back.select("shard", "position", "doc_id").collect()
+    assert len(rows) == 100
+    # shards hold contiguous, balanced position ranges covering 0..N-1
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["position"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    bounds = sorted((min(v), max(v), len(v)) for v in by_shard.values())
+    assert [b[2] for b in bounds] == [25, 25, 25, 25]
+    assert bounds[0][0] == 0 and bounds[-1][1] == 99
+    for (lo, hi, cnt) in bounds:
+        assert hi - lo + 1 == cnt  # contiguous
+    # (shard, position) order == the epoch_shuffle global order, reproducibly
+    order = [r["doc_id"] for r in sorted(rows, key=lambda r: (r["shard"], r["position"]))]
+    expect = [
+        r["doc_id"]
+        for r in sorted(epoch_shuffle(df, salt="epoch-0").collect(), key=lambda r: r["position"])
+    ]
+    assert order == expect
+    # a different salt yields a different permutation
+    write_training_shards(df, str(tmp_path / "ep1"), n_shards=4, salt="epoch-1")
+    other = [
+        r["doc_id"]
+        for r in sorted(
+            spark.read.parquet(str(tmp_path / "ep1")).select("shard", "position", "doc_id").collect(),
+            key=lambda r: (r["shard"], r["position"]),
+        )
+    ]
+    assert other != order and sorted(other) == sorted(order)

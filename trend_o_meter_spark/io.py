@@ -71,6 +71,51 @@ def write_bucketed(
     w.mode(mode).format("parquet").saveAsTable(table_name)
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "epoch-0",
+    n_shards: int = 8,
+    mode: str = "overwrite",
+) -> int:
+    """Materialize a training epoch: deterministic shuffled order cut
+    into ``n_shards`` contiguous-position shards (parquet, one
+    ``shard=<s>`` partition directory each).
+
+    Reading shards in order and rows by ``position`` within each shard
+    reconstructs the exact global :func:`llm.text.epoch_shuffle` order —
+    change ``salt`` per epoch for a fresh reproducible permutation.
+    Shard = ``floor(position * n_shards / N)`` (sizes differ by at most
+    one) — an explicit value, NOT ``repartitionByRange``, whose sampled
+    boundaries are not reproducible across runs.
+
+    Scale: epoch_shuffle's bucketed rank (no global sort) + one
+    id-keyed join + one shard-keyed shuffle; the only driver-side value
+    is the row count N (an O(1)-result job any fixed-count sharder
+    needs).  Returns N.
+    """
+    from .llm.text import epoch_shuffle
+
+    n = df.count()
+    if n == 0:
+        return 0
+    pos = epoch_shuffle(df, id_col=id_col, salt=salt)
+    shard = F.least(
+        F.lit(n_shards - 1), (F.col("position") * n_shards / F.lit(n)).cast("long")
+    )
+    out = df.join(pos, id_col).withColumn("shard", shard)
+    (
+        out.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "position")
+        .write.partitionBy("shard")
+        .mode(mode)
+        .parquet(path)
+    )
+    return n
+
+
 def _with_corrupt(schema: StructType) -> StructType:
     if CORRUPT_COL in schema.fieldNames():
         return schema
