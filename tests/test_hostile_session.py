@@ -1,0 +1,29 @@
+"""Driver-session hostility: the driver hands us ITS SparkSession — the
+contract must survive configs we didn't choose.  UTC is forced by
+catalog.tune(); ANSI mode (the Spark 4 default posture) must be
+survivable as-is: no bare int division, out-of-bounds element_at, or
+overflow-throwing cast in any registry expression."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# expression-heavy sample across operator families (full-registry ANSI
+# sweep is run out-of-band; this pins the riskiest shapes in CI time)
+SAMPLE = [
+    "scalar_funcs", "datetime_funcs", "text_stats", "lang_id",
+    "flagship_day_bins", "q1_pricing_summary", "sliding_rates_10s",
+    "lm_score", "repetition_stats", "trending_daily", "pack_sequences",
+]
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_query_survives_ansi_mode(spark, name):
+    before = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        assert entry_mod.queries()[name](spark, SF_DIR).count() >= 0
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", before)
