@@ -526,3 +526,27 @@ def test_canonical_docs_keeps_longest(spark):
         best = min(members, key=lambda i: (-len(texts[i]), i))
         assert kept == [best]
         assert all(rows[i]["n_chars_kept"] == len(texts[best]) for i in members)
+
+
+def test_token_budget_sample_greedy_prefix(spark):
+    from trend_o_meter_spark.llm.text import token_budget_sample
+
+    rows = [(i, "w " * 10, "a") for i in range(10)] + [(100, "w " * 10, "b")]
+    df = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows], "doc_id long, text string, source string"
+    )
+    out = token_budget_sample(df, budget_tokens=35).collect()
+    a = sorted((r for r in out if r["source"] == "a"), key=lambda r: r["cum_tokens"])
+    # 10-token docs against a 35-token budget: exactly 3 kept, prefix order
+    assert [r["keep"] for r in a] == [True] * 3 + [False] * 7
+    assert [r["cum_tokens"] for r in a] == [10 * (i + 1) for i in range(10)]
+    # per-source budgets override the default
+    out2 = {
+        (r["source"], r["doc_id"]): r
+        for r in token_budget_sample(df, budget_tokens=35, budgets={"b": 5}).collect()
+    }
+    assert not out2[("b", 100)]["keep"]  # 10 tokens > budget 5
+    # determinism: same salt = same kept set; different salt = (likely) different
+    k1 = {r["doc_id"] for r in token_budget_sample(df, budget_tokens=35).collect() if r["keep"]}
+    k2 = {r["doc_id"] for r in token_budget_sample(df, budget_tokens=35).collect() if r["keep"]}
+    assert k1 == k2

@@ -1137,6 +1137,104 @@ FROM (SELECT DISTINCT {id_col} AS id FROM {table}) a LEFT JOIN agg USING (id)
 """
 
 
+def token_budget_sample(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    budget_tokens: int = 1000,
+    budgets: dict[str, int] | None = None,
+    salt: str = "budget-v1",
+) -> DataFrame:
+    """Mixture sampling by TOKEN budget, not doc rate: per source, keep
+    docs in deterministic salted-hash order until the cumulative token
+    count exceeds the source's budget — "give me 10B tokens of source A"
+    is the unit mixing recipes are actually written in
+    (:func:`mixture_sample` keeps a doc RATE; this keeps a token mass).
+
+    ``budgets`` overrides ``budget_tokens`` per source.  Output:
+    ``doc_id, source, n_tokens, cum_tokens, keep`` (greedy prefix; the
+    doc that would cross the budget is dropped, like every fixed-budget
+    packer here).
+
+    Scale: one per-source sort (the cumulative window); state is
+    O(docs-per-source) per task.  A mega-source can reuse
+    epoch_shuffle's hash-range bucket decomposition (order-preserving
+    buckets + offset broadcast) — same trade as the dense rank there.
+    """
+    from .hashing import md5_int
+
+    staged = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("source"),
+        F.size(_tokens(F.col(text))).alias("n_tokens"),
+        md5_int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))).alias("__h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w).cast("long")
+    if budgets:
+        budget = F.lit(None).cast("long")
+        expr = None
+        for src, b in sorted(budgets.items()):
+            cond = F.col("source") == src
+            expr = F.when(cond, F.lit(int(b))) if expr is None else expr.when(cond, F.lit(int(b)))
+        budget = expr.otherwise(F.lit(int(budget_tokens)))
+    else:
+        budget = F.lit(int(budget_tokens))
+    return staged.select(
+        F.col(id_col),
+        "source",
+        "n_tokens",
+        cum.alias("cum_tokens"),
+        (cum <= budget).alias("keep"),
+    )
+
+
+def token_budget_sample_sql(
+    table: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    budget_tokens: int = 1000,
+    budgets: dict[str, int] | None = None,
+    salt: str = "budget-v1",
+) -> str:
+    from .hashing import md5_int_sql
+
+    norm = NORM_SQL.format(c=text)
+    h = md5_int_sql(f"'{salt}:' || CAST({id_col} AS VARCHAR)")
+    if budgets:
+        cases = " ".join(
+            f"WHEN source = '{s}' THEN {int(b)}" for s, b in sorted(budgets.items())
+        )
+        budget = f"CASE {cases} ELSE {int(budget_tokens)} END"
+    else:
+        budget = str(int(budget_tokens))
+    return f"""
+WITH staged AS (
+  SELECT {id_col}, {group_col} AS source,
+         len(str_split({norm}, ' ')) AS n_tokens,
+         {h} AS __h
+  FROM {table}
+),
+c AS (
+  SELECT {id_col}, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY __h ASC, {id_col} ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM staged
+)
+SELECT {id_col}, source, n_tokens, cum_tokens,
+       cum_tokens <= {budget} AS keep
+FROM c
+"""
+
+
 def curation_decisions(
     df: DataFrame,
     *,

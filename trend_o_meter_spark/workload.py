@@ -103,6 +103,7 @@ _SCORE_FIRST = (
     "embedding_outliers",
     "curation_decisions",
     "canonical_docs",
+    "token_budget_sample",
 )
 
 
@@ -1257,6 +1258,19 @@ def curation_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def distinctive_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return text.distinctive_terms(d, k=10)
+
+
+@_q(
+    "token_budget_sample",
+    text.token_budget_sample_sql("documents", budget_tokens=2000),
+    doc="Mixture sampling by token budget: per source, keep docs in "
+    "salted-hash order until the cumulative token count exceeds the "
+    "budget — the unit mixing recipes are written in (vs "
+    "mixture_sample's doc rate).  One per-source cumulative window.",
+)
+def token_budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.token_budget_sample(d, budget_tokens=2000)
 
 
 @_q(
