@@ -550,3 +550,34 @@ def test_token_budget_sample_greedy_prefix(spark):
     k1 = {r["doc_id"] for r in token_budget_sample(df, budget_tokens=35).collect() if r["keep"]}
     k2 = {r["doc_id"] for r in token_budget_sample(df, budget_tokens=35).collect() if r["keep"]}
     assert k1 == k2
+
+
+def test_tfidf_cosine_pairs_hand_computed(spark):
+    import math
+
+    import pytest
+
+    from trend_o_meter_spark.llm.dedup import tfidf_cosine_pairs
+
+    # 4 docs; "rare" appears in docs 1,2 only; "common" in all (df-capped
+    # away at max_df_ratio=0.6: df 4 > 2.4)
+    rows = [
+        (1, "rare alpha common"),
+        (2, "rare beta common"),
+        (3, "gamma delta common"),
+        (4, "epsilon zeta common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r
+           for r in tfidf_cosine_pairs(df, max_df_ratio=0.6, threshold=0.01).collect()}
+    # only (1,2) share a surviving term
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    assert r["shared_terms"] == 1
+    # every surviving term has df<=2 over N=4: idf values ln(4/2) or ln(4/1)
+    idf_rare = round(math.log(4 / 2), 6)
+    idf_uni = round(math.log(4 / 1), 6)
+    # doc1 vector: rare=idf_rare, alpha=idf_uni; doc2 symmetric
+    dot = idf_rare * idf_rare
+    nrm = math.sqrt(idf_rare**2 + idf_uni**2)
+    assert r["cosine"] == pytest.approx(dot / (nrm * nrm), abs=1e-8)

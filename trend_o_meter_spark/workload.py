@@ -104,6 +104,7 @@ _SCORE_FIRST = (
     "curation_decisions",
     "canonical_docs",
     "token_budget_sample",
+    "tfidf_cosine_pairs",
 )
 
 
@@ -1081,6 +1082,19 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def canonical_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return cluster.canonical_docs(d, threshold=0.3)
+
+
+@_q(
+    "tfidf_cosine_pairs",
+    dedup.tfidf_cosine_pairs_sql("documents"),
+    doc="Sparse tf-idf cosine near-dup pairs: shared-term equi-join over "
+    "a df-capped vocabulary (stop-term cap bounds posting lists); "
+    "weights stay exact DECIMAL through dots and norms; idf uses the "
+    "1e-6 ln grid.",
+)
+def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return dedup.tfidf_cosine_pairs(d)
 
 
 @_q(
