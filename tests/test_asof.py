@@ -61,3 +61,32 @@ def test_asof_pandas_path_matches_declarative(spark):
     ka = sorted([tuple(r) for r in a.select("eid", "rid", "payload").collect()])
     kb = sorted([tuple(r) for r in b.select("eid", "rid", "payload").collect()])
     assert ka == kb
+
+
+def test_interval_join_contains_and_plans_equi(spark):
+    """Chunked interval join: exact containment semantics (inclusive
+    edges), one match per containing interval, and an equi-join plan —
+    never BroadcastNestedLoop — even for intervals spanning chunks."""
+    from datetime import datetime
+
+    from trend_o_meter_spark.operators.interval import interval_join
+
+    t = lambda h, m=0: datetime(2024, 1, 1, h, m)
+    points = spark.createDataFrame(
+        [(1, "u1", t(1)), (2, "u1", t(5)), (3, "u1", t(23, 59)), (4, "u2", t(1))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("u1", t(0), t(2), "a"),            # catches 1
+            ("u1", t(5), t(6), "b"),            # catches 2 (inclusive start)
+            ("u1", t(23), datetime(2024, 1, 2, 1), "c"),  # spans a chunk edge; catches 3
+            ("u2", t(0), t(0, 30), "d"),        # u2's point at 01:00 NOT contained
+        ],
+        "user_id string, session_start timestamp, session_end timestamp, tag string",
+    )
+    out = interval_join(points, intervals, keys=("user_id",), chunk_seconds=3600)
+    rows = {(r["event_id"], r["tag"]) for r in out.collect()}
+    assert rows == {(1, "a"), (2, "b"), (3, "c")}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

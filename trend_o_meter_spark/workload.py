@@ -105,6 +105,7 @@ _SCORE_FIRST = (
     "canonical_docs",
     "token_budget_sample",
     "tfidf_cosine_pairs",
+    "events_in_sessions",
 )
 
 
@@ -233,6 +234,31 @@ def active_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir)
     return rates.sessionize(ev, ts="ts", keys=("user_id",), gap_seconds=1800)
+
+
+@_q(
+    "events_in_sessions",
+    f"""
+WITH sess AS ({{sess_sql}})
+SELECT e.event_id, e.user_id, e.ts, s.session_start, s.session_end
+FROM events e JOIN sess s ON e.user_id = s.user_id
+  AND s.session_start <= e.ts AND e.ts <= s.session_end
+""".format(sess_sql=rates.sessionize_sql("events", ts="ts", keys=("user_id",), gap_seconds=1800)),
+    doc="Interval (point-in-range) join: each event attached to its "
+    "containing session via chunk bucketing — intervals explode into "
+    "their overlapped day chunks, the join is a plain (key, chunk) "
+    "equi-join + exact range filter (never a BroadcastNestedLoop; "
+    "fan-in bounded per chunk, not per key).",
+)
+def events_in_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.interval import interval_join
+
+    ev = table(spark, "events", sf_dir)
+    sess = rates.sessionize(ev, ts="ts", keys=("user_id",), gap_seconds=1800)
+    return interval_join(
+        ev.select("event_id", "user_id", "ts"), sess,
+        keys=("user_id",), chunk_seconds=86400,
+    ).select("event_id", "user_id", "ts", "session_start", "session_end")
 
 
 @_q(
