@@ -26,3 +26,26 @@ def test_approx_sketches_accuracy(spark):
         assert abs(ap["approx_users"] - ex["users"]) <= 0.10 * ex["users"] + 1
         # percentile_approx with accuracy 1000 on ~3k rows: near-exact
         assert abs(ap["approx_p50"] - ex["p50"]) <= abs(ex["p50"]) * 0.05 + 1.0
+
+
+def test_sketch_rollup_mergeable_and_accurate(spark):
+    """Union of per-day HLL sketches must equal the sketch of the whole
+    range (the property that makes pre-aggregated rollups answer
+    arbitrary ranges), and the estimate must be near exact."""
+    from pyspark.sql import functions as F
+
+    from trend_o_meter_spark.catalog import table as cat_table
+
+    ev = cat_table(spark, "events", "/root/testdata/sf0.01")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0]["est"]
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).collect()[0]["est"]
+    exact = ev.select("user_id").distinct().count()
+    assert merged == direct  # lossless mergeability
+    assert abs(merged - exact) / exact < 0.05

@@ -106,6 +106,7 @@ _SCORE_FIRST = (
     "token_budget_sample",
     "tfidf_cosine_pairs",
     "events_in_sessions",
+    "sketch_rollup",
 )
 
 
@@ -540,6 +541,32 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 1000).alias("approx_p50"),
         F.percentile_approx("value", 0.99, 1000).alias("approx_p99"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@_q(
+    "sketch_rollup",
+    None,  # HLL binary internals are engine-specific -> rows-only;
+    # mergeability (union of daily == sketch of whole range) and accuracy
+    # vs exact are pinned by tests/test_sketches.py
+    doc="Mergeable sketch rollup (the hypertable pattern): per-day HLL "
+    "user sketches stored once, any range answered by hll_union_agg "
+    "over the daily sketches — range queries never rescan raw events. "
+    "At 100 TB the daily sketch table is O(keys x days) KB-sized rows; "
+    "re-aggregation cost is independent of event volume.",
+)
+def sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.hll_sketch_agg("user_id").alias("__sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("n_events"),
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("approx_users_range"),
     )
 
 
