@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from trend_o_meter_spark.llm.dedup import (
+    cross_doc_ngram_stats,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -37,6 +38,27 @@ def test_exact_dedup_normalization(spark):
     assert len(out) == 3
     dup = [r for r in out if r["dup_count"] == 3][0]
     assert dup["keep_id"] == 0
+
+
+def test_cross_doc_ngram_stats_hand_computed(spark):
+    """Three docs: A and B are word-identical (every gram shared), C is
+    disjoint (no gram shared), D is too short for a 3-gram (omitted)."""
+    rows = [
+        (0, "alpha beta gamma delta"),   # grams: abg, bgd (shared with 1)
+        (1, "alpha beta gamma delta"),
+        (2, "one two three four"),       # grams: ott, ttf (unique)
+        (3, "tiny doc"),                 # < 3 tokens -> no grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cross_doc_ngram_stats(df).collect()}
+    assert set(out) == {0, 1, 2}
+    for d in (0, 1):
+        assert out[d]["n_grams"] == 2
+        assert out[d]["n_shared_grams"] == 2
+        assert out[d]["dup_fraction"] == 1.0
+    assert out[2]["n_grams"] == 2
+    assert out[2]["n_shared_grams"] == 0
+    assert out[2]["dup_fraction"] == 0.0
 
 
 def test_minhash_finds_near_dup_not_unrelated(spark):

@@ -107,6 +107,7 @@ _SCORE_FIRST = (
     "tfidf_cosine_pairs",
     "events_in_sessions",
     "sketch_rollup",
+    "cross_doc_ngram_dup",
 )
 
 
@@ -1098,6 +1099,19 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return dedup.ngram_jaccard_pairs(d, threshold=0.3)
+
+
+@_q(
+    "cross_doc_ngram_dup",
+    dedup.cross_doc_ngram_stats_sql("documents"),
+    doc="Cross-document duplicated-n-gram fraction: per doc, the share of "
+    "its distinct 3-grams occurring in >=1 other doc (the corpus-level "
+    "signal exact-substring dedup acts on). Linear — gram-keyed "
+    "doc-frequency agg + fan-out-1 join back; never pairwise.",
+)
+def cross_doc_ngram_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return dedup.cross_doc_ngram_stats(d)
 
 
 @_q(
