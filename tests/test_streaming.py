@@ -16,6 +16,7 @@ from trend_o_meter_spark.operators.downsample import downsample_anchored
 from trend_o_meter_spark.streaming.display import render_frame
 from trend_o_meter_spark.streaming.pipeline import (
     stream_session_channels,
+    stream_stream_enrich,
     stream_tumbling_mean,
 )
 from trend_o_meter_spark.streaming.sources import decode_sensor_stream
@@ -65,6 +66,76 @@ def _run_batches(spark, in_dir, ckpt, transform, batches, query_name, output_mod
         q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def test_stream_stream_enrich_matches_batch_join(spark, tmp_path):
+    """Watermarked stream-stream join == the batch equi-join + range
+    filter when nothing is late: each reading picks up every annotation
+    of its metric from the preceding 60 s (inclusive both ends)."""
+    l_dir, r_dir = tmp_path / "l_in", tmp_path / "r_in"
+    l_dir.mkdir(); r_dir.mkdir()
+    readings = [  # (offset_s, metric, value)
+        (100, "m0", 1.0), (130, "m0", 2.0), (200, "m0", 3.0),
+        (100, "m1", 9.0), (400, "m1", 8.0),
+    ]
+    notes = [  # (offset_s, metric, note) — 55 pairs with readings per the rule
+        (50, "m0", "a"),   # within 60s of reading@100 only
+        (95, "m0", "b"),   # within 60s of readings@100,130
+        (130, "m0", "c"),  # ==ts of reading@130, within 60s of @130,@200 (gap 70>60? 200-130=70 -> only @130)
+        (90, "m1", "d"),   # within 60s of reading@100 (m1)
+        (500, "m1", "e"),  # after every m1 reading -> no match
+    ]
+    (l_dir / "l.json").write_text(
+        "\n".join(
+            json.dumps({"ts": BASE + o, "metric": m, "value": v}) for o, m, v in readings
+        )
+    )
+    (r_dir / "r.json").write_text(
+        "\n".join(
+            json.dumps({"r_ts": BASE + o, "metric": m, "note": n}) for o, m, n in notes
+        )
+    )
+    l_schema = "ts long, metric string, value double"
+    r_schema = "r_ts long, metric string, note string"
+
+    def prep(df, ts_col):
+        return df.withColumn(ts_col, F.timestamp_seconds(F.col(ts_col)))
+
+    l_stream = prep(spark.readStream.schema(l_schema).json(str(l_dir)), "ts")
+    r_stream = prep(spark.readStream.schema(r_schema).json(str(r_dir)), "r_ts")
+    joined = stream_stream_enrich(
+        l_stream, r_stream, keys=("metric",), lookback_seconds=60
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_enrich")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["metric"], int(r["ts"].timestamp()) - BASE, r["note"])
+        for r in spark.sql("SELECT metric, ts, note FROM ss_enrich").collect()
+    }
+    # batch twin on the same frames
+    lb = prep(spark.createDataFrame([(BASE + o, m, v) for o, m, v in readings], l_schema), "ts")
+    rb = prep(spark.createDataFrame([(BASE + o, m, n) for o, m, n in notes], r_schema), "r_ts")
+    rb = rb.withColumnRenamed("metric", "r_metric")
+    batch = lb.join(
+        rb,
+        (F.col("metric") == F.col("r_metric"))
+        & (F.col("r_ts") <= F.col("ts"))
+        & (F.col("r_ts") >= F.col("ts") - F.expr("INTERVAL 60 SECONDS")),
+    )
+    want = {
+        (r["metric"], int(r["ts"].timestamp()) - BASE, r["note"])
+        for r in batch.select("metric", "ts", "note").collect()
+    }
+    assert got == want
+    assert ("m0", 100, "a") in got and ("m1", 400, "e") not in got
+    assert ("m0", 200, "c") not in got  # 70 s gap > lookback
 
 
 def test_decode_and_tumbling_mean(spark, stream_dirs):

@@ -135,6 +135,48 @@ def stream_session_channels(
     )
 
 
+def stream_stream_enrich(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    keys: tuple[str, ...] = ("metric",),
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    lookback_seconds: int = 60,
+    left_watermark: str = "2 minutes",
+    right_watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: attach to each left event the
+    right-side rows of the same key whose timestamp falls inside
+    ``[left_ts - lookback_seconds, left_ts]`` — the live enrichment shape
+    (a reading joined to the command/annotation that preceded it).
+
+    Both sides carry a watermark and the join condition carries the time
+    bound, so Spark evicts join state once the watermark passes the
+    lookback horizon: state is O(events inside horizon) per side, never
+    O(stream).  ``left_ts`` and ``right_ts`` must be distinct column
+    names (the output carries both).
+
+    The batch twin is a plain equi-join + range filter (interval-join
+    family); the test pins stream output == batch output when nothing is
+    late.
+    """
+    lw = left.withWatermark(left_ts, left_watermark)
+    rw = right.withWatermark(right_ts, right_watermark)
+    # rename right keys so the joined frame has no ambiguous columns
+    for k in keys:
+        rw = rw.withColumnRenamed(k, f"__r_{k}")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"__r_{k}"))
+    cond = (
+        cond
+        & (F.col(right_ts) <= F.col(left_ts))
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback_seconds} SECONDS"))
+    )
+    return lw.join(rw, cond).drop(*[f"__r_{k}" for k in keys])
+
+
 def seed_history(
     backfill: DataFrame,
     *,
