@@ -12,7 +12,7 @@ from trend_o_meter_spark.llm.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from trend_o_meter_spark.llm.similarity import cosine_topk, cosine
+from trend_o_meter_spark.llm.similarity import cosine_topk, cosine, ivf_recall
 
 BASE = (
     "the quick brown fox jumps over the lazy dog while the cat watches "
@@ -139,6 +139,22 @@ def test_cosine_topk_nearest_is_most_similar(spark):
     assert [r["neighbor_id"] for r in out] == [1, 2, 3]
     assert out[0]["cos_sim"] > 0.99
     assert out[-1]["cos_sim"] == -1.0
+
+
+def test_ivf_recall_full_probe_is_perfect(spark):
+    """Probing every cell makes IVF exhaustive -> recall exactly 1.0 per
+    query; probing 1 of 8 cells on random vectors loses some neighbors."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    full = ivf_recall(df, n_queries=3, k=5, n_centroids=8, n_probe=8).collect()
+    assert len(full) == 3
+    assert all(r["recall"] == 1.0 and r["n_hit"] == r["n_exact"] == 5 for r in full)
+    probed = ivf_recall(df, n_queries=3, k=5, n_centroids=8, n_probe=1).collect()
+    assert all(0.0 <= r["recall"] <= 1.0 for r in probed)
+    assert any(r["recall"] < 1.0 for r in probed)
 
 
 def test_pii_scrub_counts_and_redacts(spark):

@@ -232,6 +232,83 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def ivf_recall(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 5,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """ANN quality eval: recall@k of the IVF-probed search against the
+    brute-force baseline, per query — the measurement that justifies (or
+    rejects) an ``n_probe`` setting before pointing it at the corpus.
+
+    Output: ``query_id, n_exact, n_hit, recall`` where ``n_hit`` counts
+    exact top-k neighbors the IVF path also returned.
+
+    Scale: both sides are the existing operators (broadcast-query scan /
+    cell-keyed candidate join); the comparison adds one (query_id,
+    neighbor_id)-keyed left join over 2·k·n_queries rows — noise.  In
+    production you run this on a sampled query set, never the full
+    corpus (the baseline side is the O(corpus · queries) scan).
+    """
+    ex = cosine_topk(
+        df, id_col=id_col, vec_col=vec_col, n_queries=n_queries, k=k
+    ).select("query_id", "neighbor_id")
+    ap = (
+        cosine_topk_ivf(
+            df, id_col=id_col, vec_col=vec_col, n_queries=n_queries, k=k,
+            n_centroids=n_centroids, n_probe=n_probe,
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    j = ex.join(ap, ["query_id", "neighbor_id"], "left")
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 9).alias("recall"),
+        )
+    )
+
+
+def ivf_recall_sql(
+    table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 5,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> str:
+    ex = cosine_topk_sql(table, id_col=id_col, vec_col=vec_col, n_queries=n_queries, k=k)
+    ap = cosine_topk_ivf_sql(
+        table, id_col=id_col, vec_col=vec_col, n_queries=n_queries, k=k,
+        n_centroids=n_centroids, n_probe=n_probe,
+    )
+    return f"""
+WITH ex AS ({ex}),
+ap AS ({ap})
+SELECT ex.query_id, count(*) AS n_exact,
+       CAST(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       round(CAST(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(count(*) AS DOUBLE), 9) AS recall
+FROM ex LEFT JOIN ap USING (query_id, neighbor_id)
+GROUP BY 1
+"""
+
+
 # Axis-aligned sign-bit LSH: the bucket key is the sign pattern of a fixed
 # subset of components — a degenerate (axis-aligned) random-hyperplane LSH
 # that both engines can express identically.  Near-identical vectors land

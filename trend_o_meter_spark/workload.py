@@ -108,6 +108,7 @@ _SCORE_FIRST = (
     "events_in_sessions",
     "sketch_rollup",
     "cross_doc_ngram_dup",
+    "ivf_recall_at_k",
 )
 
 
@@ -1431,6 +1432,18 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, "embeddings", sf_dir)
     return similarity.cosine_topk_ivf(e, n_queries=5, k=10, n_centroids=8, n_probe=2)
+
+
+@_q(
+    "ivf_recall_at_k",
+    similarity.ivf_recall_sql("embeddings", n_queries=5, k=10, n_centroids=8, n_probe=2),
+    doc="ANN quality eval: recall@10 of the IVF-probed search vs the "
+    "brute-force baseline per query — the probe-count justification "
+    "measurement, run on a sampled query set at scale.",
+)
+def ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "embeddings", sf_dir)
+    return similarity.ivf_recall(e, n_queries=5, k=10, n_centroids=8, n_probe=2)
 
 
 @_q(
