@@ -27,11 +27,17 @@ def plans(spark):
 
 def test_no_cartesian_products_anywhere(spark):
     """Only the deliberately-broadcast ANN baselines may nested-loop join;
-    nothing may ever fall back to a non-broadcast cartesian product."""
+    nothing may ever fall back to a non-broadcast cartesian product.
+    Also runs tools/plan_audit.py's full red-flag detector per query —
+     1PART-WINDOW (a window fed by a single-partition exchange) must
+    never reappear anywhere in the contract (the r1 sliding_rates bug)."""
+    from tools.plan_audit import audit_plan
+
     for spec in registry():
         df = spec.spark(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, spec.name
+        assert audit_plan(plan)["flags"] == "-", spec.name
 
 
 def test_topk_uses_take_ordered(plans):
