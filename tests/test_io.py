@@ -14,6 +14,36 @@ from trend_o_meter_spark import io as tio
 from trend_o_meter_spark.catalog import table
 
 
+def test_compact_table_shrinks_file_count_preserves_rows(spark, tmp_path):
+    """200 tiny appended files compact into a handful; rows identical;
+    the partitioned variant keeps the directory layout."""
+    ev = table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    flat = str(tmp_path / "flat")
+    ev.repartition(200).write.parquet(flat)
+    import pathlib
+
+    n_before = len(list(pathlib.Path(flat).rglob("*.parquet")))
+    assert n_before >= 200
+    want = sorted(tuple(r) for r in ev.collect())
+    n = tio.compact_table(spark, flat, target_file_bytes=64 * 1024 * 1024)
+    files = list(pathlib.Path(flat).rglob("*.parquet"))
+    assert len(files) <= n < n_before
+    got = sorted(tuple(r) for r in spark.read.parquet(flat).collect())
+    assert got == want
+
+    part = str(tmp_path / "part")
+    tio.write_daily_partitioned(ev.repartition(40), part)
+    tio.compact_table(
+        spark, part, target_file_bytes=64 * 1024 * 1024, partition_col="ds"
+    )
+    back = spark.read.parquet(part)
+    assert sorted(back.columns) == sorted([*ev.columns, "ds"])
+    assert back.count() == len(want)
+    assert any(p.name.startswith("ds=") for p in pathlib.Path(part).iterdir())
+
+
 def test_daily_partition_roundtrip_and_pruning(spark, tmp_path):
     ev = table(spark, "events", "/root/testdata/sf0.001").select(
         "event_id", "ts", "event_type", "value"

@@ -49,3 +49,34 @@ def test_sketch_rollup_mergeable_and_accurate(spark):
     exact = ev.select("user_id").distinct().count()
     assert merged == direct  # lossless mergeability
     assert abs(merged - exact) / exact < 0.05
+
+
+def test_cms_overestimates_and_merges_losslessly(spark):
+    """CMS invariants: estimate >= exact for every key; the merged grid
+    of two shards equals the grid of the union (so heavy-hitter answers
+    from merged shard sketches match the single-pass sketch exactly)."""
+    from trend_o_meter_spark.operators.cms import (
+        cms_build,
+        cms_heavy_hitters,
+        cms_merge,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = table(spark, "events", sf)
+    hh = cms_heavy_hitters(ev, key="user_id", width=64, depth=4).collect()
+    assert len(hh) == ev.select("user_id").distinct().count()
+    assert all(r["overestimate"] >= 0 for r in hh)
+    # error bound: eps = 2/width over total mass, holds w.h.p. per key —
+    # with depth 4 and a 10k-row table every key should sit inside it
+    n_total = ev.count()
+    assert all(r["overestimate"] <= 2 * n_total / 64 for r in hh)
+
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = cms_merge(
+        cms_build(a, key="user_id"), cms_build(b, key="user_id")
+    )
+    whole = cms_build(ev, key="user_id")
+    m = {(r["row_id"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    w = {(r["row_id"], r["bucket"]): r["cnt"] for r in whole.collect()}
+    assert m == w

