@@ -46,12 +46,37 @@ def test_topk_uses_take_ordered(plans):
     assert "TakeOrderedAndProject" in plans("topk_recent")
 
 
-def test_fact_dim_joins_broadcast(plans):
-    # q3/q5: the filtered dimension side must broadcast (no shuffle of the
-    # fact table onto a dim key).
-    for q in ("q3_shipping_priority", "q5_region_revenue"):
-        p = plans(q)
-        assert "BroadcastHashJoin" in p, q
+def test_customer_joins_carry_no_broadcast_hint(spark):
+    # q3/q5/q18: customer grows with scale factor (~150k rows x sf) — a
+    # forced broadcast(customer) is a guaranteed OOM at the 100 TB target.
+    # The logical plan must carry no hint on the customer side; AQE elects
+    # the join strategy from runtime sizes (asserted below).
+    specs = {s.name: s for s in registry()}
+    # q5 keeps exactly 2 hints (nation, region — fixed 25/5-row dims);
+    # q3/q18 carry none at all.
+    expected_hints = {
+        "q3_shipping_priority": 0,
+        "q5_region_revenue": 2,
+        "q18_large_volume_orders": 0,
+    }
+    for q, n_hints in expected_hints.items():
+        df = specs[q].spark(spark, SF)
+        logical = df._jdf.queryExecution().analyzed().toString()
+        assert "UnresolvedHint" not in logical, q
+        assert logical.count("ResolvedHint") == n_hints, q
+
+
+def test_customer_joins_broadcast_via_aqe_at_small_sf(spark):
+    # With no hint, AQE must still pick a broadcast join at small sf from
+    # its runtime size estimate (q17-style assertion) — proving we lost no
+    # performance at test scale by dropping the hint.
+    specs = {s.name: s for s in registry()}
+    for q in ("q3_shipping_priority", "q5_region_revenue", "q18_large_volume_orders"):
+        df = specs[q].spark(spark, SF)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, q
+        assert "CartesianProduct" not in plan, q
 
 
 def test_flagship_prunes_columns(plans):

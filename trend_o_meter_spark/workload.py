@@ -66,50 +66,54 @@ def _q(name: str, oracle: str | None, doc: str = ""):
 # verdict across rounds even under a query-count/time cap; remaining
 # entries keep declaration order (stable sort).
 _SCORE_FIRST = (
-    # no driver verdict in CORRECTNESS_r01 (cap cut them off)
-    "doc_fingerprint",
-    "cosine_topk",
-    "cosine_topk_ivf",
-    "ivf_assign",
-    "embedding_near_dup",
-    "multimodal_meta",
-    "frame_sample",
-    "decode_features",
-    "label_centroids",
-    # failed r1 on oracle typing (fixed this round) — re-score early
-    "trend_slope_daily",
-    "resample_1h_locf",
-    "sliding_rates_10s",
-    "hash_sample_10pct",
-    # new in round 2 — never scored
-    "pii_scrub",
-    "repetition_stats",
-    "pack_sequences",
-    "contamination_check",
-    "dedup_clusters",
-    "chunk_documents",
-    "balanced_sample",
+    # --- round 3: just-changed queries first ------------------------------
+    # array outputs now serialized for the driver canonicalizer (r2 errors)
     "quantize_embeddings",
-    "epoch_shuffle",
-    "bm25_search",
-    "mixture_sample",
     "kmeans_centroids",
-    "vocab_topk",
-    "curation_report",
-    "resample_1h_lerp",
-    "trending_daily",
-    "distinctive_terms",
-    "lm_score",
-    "embedding_outliers",
-    "curation_decisions",
-    "canonical_docs",
-    "token_budget_sample",
-    "tfidf_cosine_pairs",
-    "events_in_sessions",
-    "sketch_rollup",
-    "cross_doc_ngram_dup",
-    "ivf_recall_at_k",
-    "cms_heavy_hitters",
+    "decode_features",
+    # forced customer-broadcast hints dropped (r2 perf-weak)
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q18_large_volume_orders",
+    # new registry entries this round (never scored)
+    "resize_image_meta",
+    "stream_rate_probe",
+    "dedup_clusters_star",
+    # --- r1-only greens: re-score so no verdict is older than 2 rounds ----
+    "scalar_funcs",
+    "datetime_funcs",
+    "json_extract_props",
+    "set_ops_nations",
+    "metric_format_join",
+    "q1_pricing_summary",
+    "q17_small_quantity_revenue",
+    "semi_join_urgent_customers",
+    "anti_join_orderless_customers",
+    "asof_join_orders",
+    "window_rank",
+    "window_distribution",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "verified_near_dups",
+    "simhash_fingerprints",
+    "simhash_near_dup",
+    "text_stats",
+    "quality_filter",
+    "lang_id",
+    "token_count",
+    "token_histogram",
+    "ewma_02",
+    "approx_sketches",
+    "dataset_split",
+    "cube_order_priority",
+    "distinct_agg",
+    "pivot_events",
+    "rollup_returns",
+    "sql_orders_by_year",
+    "unpivot_lineitem_charges",
+    "value_quantiles",
+    "zscore_anomalies",
 )
 
 
@@ -748,8 +752,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
     ).cast("string").cast("double")
     return (
+        # no broadcast hint on customer: it grows with scale factor (~150k
+        # rows x sf) — at the 100 TB target a forced broadcast is a
+        # guaranteed OOM.  AQE picks broadcast at small sf from its runtime
+        # size estimate; plan asserted in tests/test_plans.py.
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(rev.alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -783,8 +791,12 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast("decimal(18,2)")
         * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
     ).cast("string").cast("double")
-    dims = F.broadcast(
-        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)), c.c_nationkey == n.n_nationkey)
+    # nation/region are fixed-size dims (25/5 rows at every sf) — hint them.
+    # customer grows with scale factor, so it carries NO hint: AQE elects
+    # broadcast at small sf and shuffle-join at 100x (tests/test_plans.py).
+    dims = c.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        c.c_nationkey == n.n_nationkey,
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -872,9 +884,11 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, "orders", sf_dir)
     c = table(spark, "customer", sf_dir)
     return (
+        # customer is UNFILTERED here and scales with sf — never hint it;
+        # AQE decides (broadcast at small sf, shuffle join at scale).
         li.join(big.withColumnRenamed("l_orderkey", "__bk"), li.l_orderkey == F.col("__bk"), "left_semi")
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(28,8)"))
@@ -1474,18 +1488,39 @@ def ivf_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "quantize_embeddings",
-    similarity.quantize_embeddings_sql("embeddings"),
+    # driver discipline: the canonicalizer cannot sort array cells, so the
+    # wrapper serializes qvec to a CSV string on BOTH engines (the llm/
+    # library API keeps the native array<int>).
+    "SELECT vec_id, scale, array_to_string(list_transform(qvec, "
+    "x -> CAST(x AS VARCHAR)), ',') AS qvec_csv FROM ("
+    + similarity.quantize_embeddings_sql("embeddings")
+    + ")",
     doc="Symmetric int8 embedding quantization (scale = max|x|/127, shared "
     "floor(x+0.5) midpoint rule in both engines) — map-side only.",
 )
 def quantize_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, "embeddings", sf_dir)
-    return similarity.quantize_embeddings(e)
+    q = similarity.quantize_embeddings(e)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(
+            F.transform("qvec", lambda x: x.cast("string")), ","
+        ).alias("qvec_csv"),
+    )
 
 
 @_q(
     "kmeans_centroids",
-    similarity.kmeans_centroids_sql("embeddings", k=4, iters=2),
+    # driver discipline: array cells crash the canonicalizer, so the wrapper
+    # quantizes each centroid component (already 9-rounded) to a q9 integer
+    # and serializes the vector to a CSV string — identical in both engines
+    # because the component doubles are bit-identical by construction.
+    "SELECT cluster, n_members, array_to_string(list_transform(centroid, "
+    "x -> CAST(CAST(round(x * 1000000000.0) AS BIGINT) AS VARCHAR)), ',') "
+    "AS centroid_q9 FROM ("
+    + similarity.kmeans_centroids_sql("embeddings", k=4, iters=2)
+    + ")",
     doc="Fixed-iteration Lloyd's k-means (the real IVF centroid trainer): "
     "per-iteration KB-sized centroid broadcast + (cluster,dim) mean "
     "shuffle; distances/means rounded to 9 so both engines walk "
@@ -1493,7 +1528,18 @@ def quantize_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def kmeans_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, "embeddings", sf_dir)
-    return similarity.kmeans_centroids(e, k=4, iters=2)
+    cents = similarity.kmeans_centroids(e, k=4, iters=2)
+    return cents.select(
+        "cluster",
+        "n_members",
+        F.array_join(
+            F.transform(
+                "centroid",
+                lambda x: F.round(x * F.lit(1e9), 0).cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("centroid_q9"),
+    )
 
 
 @_q(
@@ -1554,7 +1600,24 @@ def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
-    return multimodal.decode_media(multimodal.media_table(d))
+    feats = multimodal.decode_media(multimodal.media_table(d))
+    # driver discipline: serialize the array columns to strings so the
+    # rows-only canonicalizer can sort the frame (no oracle: the decode
+    # kernel is Python-side by design).
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "mean_byte",
+        "std_byte",
+        F.array_join(
+            F.transform("byte_histogram", lambda x: x.cast("string")), ","
+        ).alias("byte_histogram_csv"),
+        F.array_join(
+            F.transform("feature_vec", lambda x: F.round(x * F.lit(1e6), 0).cast("bigint").cast("string")),
+            ",",
+        ).alias("feature_vec_q6"),
+    )
 
 
 @_q(
