@@ -247,6 +247,87 @@ def test_connected_components_transitive_chain(spark):
     assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5}
 
 
+def test_star_components_path_graph_1000_nodes(spark):
+    # Large-star/small-star must collapse a 1000-node path (diameter 999 —
+    # label propagation would need 999 rounds) in O(log^2 n) rounds.
+    from trend_o_meter_spark.llm.cluster import connected_components
+
+    n = 1000
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    out = connected_components(nodes, edges, algorithm="star").collect()
+    assert len(out) == n
+    assert all(r["cluster_id"] == 0 for r in out)
+
+
+def test_star_matches_label_propagation(spark):
+    # Same graph, both algorithms, identical labels — including multiple
+    # components, a singleton, and duplicate/reversed edges.
+    from trend_o_meter_spark.llm.cluster import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(12)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (5, 6), (6, 5), (7, 8), (8, 9), (9, 10)],
+        "id_a long, id_b long",
+    )
+    lab = {r["id"]: r["cluster_id"] for r in connected_components(nodes, edges, algorithm="label").collect()}
+    star = {r["id"]: r["cluster_id"] for r in connected_components(nodes, edges, algorithm="star").collect()}
+    assert lab == star
+    assert star[4] == 4 and star[11] == 11  # singletons label themselves
+
+
+def test_auto_falls_back_to_star_past_max_iter(spark):
+    # A 40-node path with max_iter=3: label propagation cannot converge,
+    # auto must hand off to star instead of raising.
+    import pytest
+
+    from trend_o_meter_spark.llm.cluster import connected_components
+
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    out = connected_components(nodes, edges, max_iter=3).collect()
+    assert all(r["cluster_id"] == 0 for r in out)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=3, algorithm="label")
+
+
+def test_checkpoint_dir_cuts_lineage_same_result(spark, tmp_path):
+    # Reliable checkpoint: results identical to the localCheckpoint path,
+    # lineage actually truncated (logical plan bottoms out at a scan of
+    # checkpointed data, not the original joins), files on disk.
+    import os
+
+    from trend_o_meter_spark.llm.cluster import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    edges = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], "id_a long, id_b long")
+    ckpt = str(tmp_path / "ckpt")
+    out_local = {r["id"]: r["cluster_id"] for r in connected_components(nodes, edges).collect()}
+    out_ckpt_df = connected_components(nodes, edges, checkpoint_dir=ckpt)
+    out_ckpt = {r["id"]: r["cluster_id"] for r in out_ckpt_df.collect()}
+    assert out_local == out_ckpt
+    assert any(files for _, _, files in os.walk(ckpt)), "no checkpoint files written"
+    plan = out_ckpt_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan  # lineage cut
+
+
+def test_kmeans_checkpoint_dir_same_centroids(spark, tmp_path):
+    import os
+
+    from trend_o_meter_spark.llm.similarity import kmeans_centroids
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3) * 10 + d for d in range(4)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    plain = sorted(map(tuple, kmeans_centroids(df, k=3, iters=2).collect()))
+    ckpt = str(tmp_path / "kmeans_ckpt")
+    with_ckpt = sorted(map(tuple, kmeans_centroids(df, k=3, iters=2, checkpoint_dir=ckpt).collect()))
+    assert plain == with_ckpt
+    assert any(files for _, _, files in os.walk(ckpt)), "no checkpoint files written"
+
+
 def test_dedup_clusters_keep_is_min_id(spark):
     from trend_o_meter_spark.llm.cluster import dedup_clusters
 

@@ -15,13 +15,14 @@ dedup pass must keep ONE document per transitive cluster (A~B, B~C =>
 100 TB design: each round is one equi-join (edges x labels, keyed by
 node id) plus one groupBy(node) min — both AQE-planned shuffles, no
 driver-side data.  The driver sees only the per-round convergence COUNT
-(an aggregate, O(1) rows).  Lineage is truncated every round with
-``localCheckpoint`` so the plan does not grow with iterations (on a real
-cluster prefer a reliable ``checkpoint`` dir; same call shape).  For
-adversarially long chains (diameter ~ n), the named alternative is the
-large-star/small-star algorithm (Kiveris et al., "Connected Components
-in MapReduce and Beyond") — same join/agg primitives, O(log^2 n) rounds;
-not needed for dedup-shaped graphs.
+(an aggregate, O(1) rows).  Lineage is truncated every round —
+``localCheckpoint`` by default (executor block store), or a reliable
+``checkpoint(dir)`` when ``checkpoint_dir`` is passed, which survives
+executor loss on preemptible clusters.  For adversarially long chains
+(diameter ~ n), label propagation hands off automatically to
+large-star/small-star (Kiveris et al., "Connected Components in
+MapReduce and Beyond", KDD'14) — the same join/agg primitives, but
+O(log^2 n) rounds regardless of diameter.
 """
 
 from __future__ import annotations
@@ -32,6 +33,19 @@ from pyspark.sql import functions as F
 from .dedup import verified_near_dups, verified_near_dups_sql
 
 
+def _truncate(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Cut lineage between iterations.  ``localCheckpoint`` stores blocks
+    on executors — fast, but one lost executor kills the job mid-iteration;
+    with ``checkpoint_dir`` set we use reliable ``checkpoint`` to that
+    (HDFS/object-store) path instead, the right call on preemptible
+    1000-executor clusters."""
+    if checkpoint_dir is not None:
+        sc = df.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -40,36 +54,49 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 25,
+    algorithm: str = "auto",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Min-label connected components.
 
     ``nodes``: one row per node (``id_col``); ``edges``: undirected pairs
     (``src_col``, ``dst_col``).  Returns ``(id_col, cluster_id)`` where
-    ``cluster_id`` is the smallest node id in the component.  Raises if
-    ``max_iter`` rounds don't converge (diameter > max_iter — switch to
-    large-star/small-star at that point, see module docstring).
+    ``cluster_id`` is the smallest node id in the component.
+
+    ``algorithm``: ``"label"`` = min-label propagation (diameter-bounded
+    rounds; raises past ``max_iter``), ``"star"`` = large-star/small-star
+    (O(log^2 n) rounds, diameter-independent), ``"auto"`` (default) =
+    label propagation, handing off to star if ``max_iter`` rounds don't
+    converge — dedup graphs are short-diameter so the fast path almost
+    always wins, and pathological chains still terminate.
     """
+    if algorithm not in ("auto", "label", "star"):
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     # Materialize the directed edge list ONCE, then symmetrize on top of
     # the materialized data: the upstream pair pipeline (LSH + verify over
     # the full corpus) must execute exactly once, not once per union
     # branch and again per round through the loop's lineage.
-    one = edges.select(
-        F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
-    ).localCheckpoint(eager=True)
-    sym = one.union(one.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    labels = nodes.select(F.col(id_col).cast("long").alias("id")).distinct().withColumn(
-        "lbl", F.col("id")
+    one = _truncate(
+        edges.select(
+            F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
+        ),
+        checkpoint_dir,
     )
+    node_ids = nodes.select(F.col(id_col).cast("long").alias("id")).distinct()
+    if algorithm == "star":
+        return _star_components(node_ids, one, id_col=id_col, checkpoint_dir=checkpoint_dir)
+    sym = one.union(one.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = node_ids.withColumn("lbl", F.col("id"))
     for _ in range(max_iter):
         msgs = sym.join(labels, sym["src"] == labels["id"]).select(
             F.col("dst").alias("id"), F.col("lbl")
         )
-        new = (
+        new = _truncate(
             labels.select("id", "lbl")
             .union(msgs)
             .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("lbl").alias("lbl")),
+            checkpoint_dir,
         )
         changed = (
             new.join(labels.withColumnRenamed("lbl", "old"), "id")
@@ -79,9 +106,88 @@ def connected_components(
         labels = new
         if changed == 0:
             return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
+    if algorithm == "auto":
+        return _star_components(node_ids, one, id_col=id_col, checkpoint_dir=checkpoint_dir)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
-        "(graph diameter too large — use large-star/small-star)"
+        "(graph diameter too large — use algorithm='star')"
+    )
+
+
+def _star_components(
+    node_ids: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str,
+    checkpoint_dir: str | None,
+    max_rounds: int = 60,
+) -> DataFrame:
+    """Large-star/small-star components (Kiveris et al., KDD'14).
+
+    Alternates two per-node local moves until the edge set is a fixpoint:
+
+    * large-star: every neighbor LARGER than u re-attaches to the minimum
+      of u's closed neighborhood;
+    * small-star: every neighbor SMALLER than u (and u itself) attaches
+      to the minimum neighbor.
+
+    Each phase is one groupBy(node) min + one node-keyed join — the same
+    shuffle primitives as label propagation, but the component collapses
+    geometrically: O(log^2 n) rounds on ANY graph, independent of
+    diameter.  At the fixpoint every surviving edge points a node at its
+    component's minimum id (a star), so labels fall out of one left join.
+    ``max_rounds=60`` is a safety net far beyond log^2 of any real corpus
+    (2^~7.7 nodes per doubling — 60 rounds covers >10^9 nodes many times
+    over), not a tunable.
+    """
+    e = edges.filter(F.col("src") != F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).distinct()
+    prev: tuple[int, int] | None = None
+    for _ in range(max_rounds):
+        # -- large-star ---------------------------------------------------
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        e = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star ---------------------------------------------------
+        # orient larger -> smaller (large-star already emits that way, but
+        # keep the normalization explicit so the phase is self-contained)
+        o = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")).distinct()
+        mins = o.groupBy("u").agg(F.min("v").alias("m"))  # all v < u, so m < u
+        e = _truncate(
+            o.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct(),
+            checkpoint_dir,
+        )
+        # convergence: edge multiset unchanged (count + order-insensitive
+        # hash-sum — one cheap aggregate, no exceptAll shuffle; summed as
+        # decimal so ANSI mode can't overflow on the long hash values)
+        sig_row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")
+            ).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev:
+            break
+        prev = sig
+    else:
+        raise RuntimeError(f"star components did not converge in {max_rounds} rounds")
+    stars = e.groupBy("u").agg(F.min("v").alias("lbl"))
+    return node_ids.join(stars, node_ids["id"] == stars["u"], "left").select(
+        node_ids["id"].alias(id_col),
+        F.coalesce(F.col("lbl"), node_ids["id"]).alias("cluster_id"),
     )
 
 
@@ -95,6 +201,8 @@ def dedup_clusters(
     shingle_n: int = 3,
     seed: int = 42,
     threshold: float = 0.3,
+    algorithm: str = "auto",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Full dedup decision: LSH -> exact verify -> transitive clusters.
 
@@ -102,12 +210,17 @@ def dedup_clusters(
     ``cluster_id`` is the min doc id of its near-dup component (own id
     for singletons) and ``keep`` marks the canonical survivor.  Filtering
     ``keep`` is the actual dedup a training pipeline applies.
+    ``algorithm``/``checkpoint_dir`` pass through to
+    :func:`connected_components`.
     """
     pairs = verified_near_dups(
         df, text=text, id_col=id_col, num_perm=num_perm, bands=bands,
         shingle_n=shingle_n, seed=seed, threshold=threshold,
     ).select("id_a", "id_b")
-    cc = connected_components(df.select(id_col), pairs, id_col=id_col)
+    cc = connected_components(
+        df.select(id_col), pairs, id_col=id_col,
+        algorithm=algorithm, checkpoint_dir=checkpoint_dir,
+    )
     return cc.select(
         F.col(id_col),
         F.col("cluster_id"),

@@ -531,6 +531,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     k: int = 4,
     iters: int = 2,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration Lloyd's k-means — the real trainer behind
     :func:`ivf_assign`'s deterministic centroid stand-in.
@@ -545,9 +546,15 @@ def kmeans_centroids(
 
     Iteration count is a fixed hyperparameter (classic for distributed
     k-means at scale) — the oracle unrolls the same ``iters`` as CTEs.
+    With ``checkpoint_dir`` set, the per-iteration centroid frame is cut
+    from its lineage via reliable ``checkpoint`` (the right call on
+    preemptible clusters with many iterations); default is plain lazy
+    lineage — k x dim rows per round stay trivially re-computable.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
+    from .cluster import _truncate
+
     base = spread(df).select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
     )
@@ -557,6 +564,8 @@ def kmeans_centroids(
     for _ in range(iters):
         assigned = _kmeans_assign(base, cents)
         cents = _kmeans_recompute(assigned)
+        if checkpoint_dir is not None:
+            cents = _truncate(cents, checkpoint_dir)
     final = _kmeans_assign(base, cents)
     counts = final.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
     return counts.join(cents, "cluster").select(

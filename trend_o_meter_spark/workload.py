@@ -1170,6 +1170,19 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_clusters_star",
+    cluster.dedup_clusters_sql("documents", threshold=0.3),
+    doc="Same cluster-level dedup via large-star/small-star (Kiveris et "
+    "al. KDD'14) — O(log^2 n) rounds independent of graph diameter, the "
+    "scale path for adversarially chained near-dup graphs.  Must produce "
+    "byte-identical clusters to the label-propagation path (same oracle).",
+)
+def dedup_clusters_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return cluster.dedup_clusters(d, threshold=0.3, algorithm="star")
+
+
+@_q(
     "canonical_docs",
     cluster.canonical_docs_sql("documents", threshold=0.3),
     doc="Quality-aware dedup survivor: within each near-dup cluster keep "
