@@ -19,6 +19,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from trend_o_meter_spark.session import get_spark
 from trend_o_meter_spark.workload import registry
 
@@ -44,7 +46,49 @@ HEADLINE = (
     "frame_sample",
     "text_stats",
     "label_centroids",
+    # round-3 additions: the round-2 operator families now tracked
+    # round-over-round (baselines recorded in BASELINE.md the same session)
+    "q18_large_volume_orders",
+    "bm25_search",
+    "tfidf_cosine_pairs",
+    "dedup_clusters",
+    "kmeans_centroids",
+    "trending_daily",
+    "cms_heavy_hitters",
 )
+
+
+def stream_probe(spark, sf_dir: str) -> dict:
+    """Streaming throughput probe: rows/sec through the stateful anchored
+    downsample (the custom applyInPandasWithState operator — the slowest
+    streaming path we ship) over the whole events table replayed as a
+    file stream, availableNow trigger, noop-equivalent memory-free sink.
+    """
+    import tempfile
+
+    from trend_o_meter_spark.catalog import table as cat_table
+    from trend_o_meter_spark.streaming.stateful import stream_anchored_downsample
+
+    batch = cat_table(spark, "events", sf_dir).select(
+        "ts", F.col("event_type").alias("metric"), "value"
+    )
+    n_rows = batch.count()
+    with tempfile.TemporaryDirectory() as tmp:
+        src_dir = os.path.join(tmp, "src")
+        batch.write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+        kept = stream_anchored_downsample(stream, metric="metric")
+        t0 = time.time()
+        q = (
+            kept.writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sec = round(time.time() - t0, 3)
+    return {"operator": "stream_anchored_downsample", "rows": n_rows,
+            "sec": sec, "rows_per_sec": round(n_rows / sec)}
 
 
 def main() -> None:
@@ -71,6 +115,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "streaming": stream_probe(spark, sf_dir),
     }
     print(json.dumps(out))
 

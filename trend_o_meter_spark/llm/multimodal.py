@@ -137,6 +137,25 @@ FROM media
 """
 
 
+def resize_meta_sql(
+    table: str, *, width: int, height: int, id_col: str = "doc_id", text: str = "text"
+) -> str:
+    """Oracle for :func:`media_meta` AFTER :func:`resize_image`: image
+    rows carry the target width/height, every other column is the
+    media_meta projection unchanged (the fake resize rewrites metadata
+    only — payload bytes, and so the fingerprint, are untouched)."""
+    cte = _media_table_sql_parts(table, id_col=id_col, text=text)
+    return f"""
+WITH {cte}
+SELECT media_id, media_type, n_bytes, md5(atext) AS content_md5,
+  CAST(CASE WHEN media_type = 'image' THEN {width} END AS INT) AS width,
+  CAST(CASE WHEN media_type = 'image' THEN {height} END AS INT) AS height,
+  CAST(CASE WHEN media_type = 'audio' THEN ((media_id % 3) + 1) * 8000 END AS INT) AS sample_rate,
+  CAST(CASE WHEN media_type = 'video' THEN floor(n_bytes / {FRAME_BYTES}) END AS INT) AS n_frames
+FROM media
+"""
+
+
 def frame_sample(
     media: DataFrame, *, every: int = 4, frame_bytes: int = FRAME_BYTES
 ) -> DataFrame:

@@ -24,6 +24,16 @@ never write them again:
   Spark returns BIGINT — always ``CAST(sum(...) AS BIGINT)`` when the
   sum is emitted as an output column.  (``count(*)`` is BIGINT, safe;
   sums feeding a float division are fine too.)
+
+Array-output discipline (bit the driver in round 2 — three queries errored
+with ``TypeError: unhashable type: 'list'``): the driver's canonicalizer
+sorts the result frame with pandas, which cannot factorize list cells, so
+**no registry query may emit a bare array-typed output column** — even
+rows-only ones.  Serialize arrays to a canonical string in the wrapper:
+int arrays via ``array_join`` / ``array_to_string`` CSV; float arrays are
+quantized to integers first (``round(x * 10^q)``) because raw
+float-to-string formatting is engine-specific.  Keep native arrays in the
+library APIs — only the driver-facing wrapper flattens.
 """
 
 from __future__ import annotations
@@ -77,7 +87,6 @@ _SCORE_FIRST = (
     "q18_large_volume_orders",
     # new registry entries this round (never scored)
     "resize_image_meta",
-    "stream_rate_probe",
     "dedup_clusters_star",
     # --- r1-only greens: re-score so no verdict is older than 2 rounds ----
     "scalar_funcs",
@@ -1602,6 +1611,20 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return multimodal.frame_sample(multimodal.media_table(d), every=4)
+
+
+@_q(
+    "resize_image_meta",
+    multimodal.resize_meta_sql("documents", width=224, height=224),
+    doc="Image-resize transform contract: media_meta after resize_image "
+    "(fake path — metadata rewrite + unchanged fingerprint; real codec "
+    "stubbed behind NotImplementedError).  Proves the schema/meta "
+    "contract of the multimodal transform pipeline driver-visibly.",
+)
+def resize_image_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    resized = multimodal.resize_image(multimodal.media_table(d), width=224, height=224)
+    return multimodal.media_meta(resized)
 
 
 @_q(
