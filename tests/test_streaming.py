@@ -709,3 +709,86 @@ def test_stream_trending_matches_batch(spark, tmp_path):
         map(tuple, trending_counts(spark.createDataFrame(b1, schema)).collect())
     )
     assert sorted(map(tuple, results[0])) == mid
+
+
+def test_rowwise_minhash_matches_grouped(spark):
+    """The streaming per-row signature must be value-identical to the
+    batch grouped-agg signature (same shingles, hashes, permutations,
+    and no-shingle exclusion)."""
+    from trend_o_meter_spark.llm.dedup import minhash_signatures
+    from trend_o_meter_spark.streaming.lsh import rowwise_minhash_signatures
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumped over the lazy dog"),
+            (3, "completely different text about database engines"),
+            (4, "too short"),  # < shingle_n tokens: excluded by BOTH paths
+        ],
+        "doc_id long, text string",
+    )
+    batch = {r["id"]: r["sig"] for r in minhash_signatures(df).collect()}
+    stream = {r["id"]: r["sig"] for r in rowwise_minhash_signatures(df).collect()}
+    assert batch == stream
+    assert 4 not in batch
+
+
+def test_stream_near_dup_lsh_matches_batch(spark, stream_dirs):
+    """Incremental LSH over two micro-batches finds exactly the batch
+    operator's candidate pairs — including pairs whose members arrive in
+    DIFFERENT batches (the state store carries bucket membership)."""
+    from trend_o_meter_spark.llm.dedup import minhash_lsh_pairs
+    from trend_o_meter_spark.streaming.lsh import stream_near_dup_lsh
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [
+        (10, base),
+        (11, base + " extra"),
+        (20, "completely different text about database query optimizers at scale"),
+        (12, base + " extras"),  # arrives a batch later; dups 10 and 11
+        (21, "another unrelated document discussing storage formats and codecs"),
+    ]
+    batches = [
+        [{"doc_id": i, "text": t} for i, t in docs[:3]],
+        [{"doc_id": i, "text": t} for i, t in docs[3:]],
+    ]
+    in_dir, ckpt = stream_dirs
+
+    def transform(raw):
+        parsed = raw.select(
+            F.get_json_object("value", "$.doc_id").cast("long").alias("doc_id"),
+            F.get_json_object("value", "$.text").alias("text"),
+        ).filter(F.col("text").isNotNull())
+        return stream_near_dup_lsh(parsed)
+
+    out = _run_batches(spark, in_dir, ckpt, transform, batches, "lsh_stream_out")
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}  # dedupe across bands
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(df).collect()}
+    assert got == want
+    assert any(a == 10 and b == 12 for a, b in got)  # cross-batch pair found
+
+
+def test_stream_near_dup_bucket_cap(spark, stream_dirs):
+    """max_bucket stops admitting members: with a cap of 2, the third+
+    copy of identical boilerplate emits no new pairs (degenerate-bucket
+    protection — O(cap^2) pairs per bucket, never O(n^2))."""
+    from trend_o_meter_spark.streaming.lsh import stream_near_dup_lsh
+
+    boiler = "identical boilerplate text repeated across the corpus every day"
+    batches = [
+        [{"doc_id": i, "text": boiler} for i in range(5)],
+    ]
+    in_dir, ckpt = stream_dirs
+
+    def transform(raw):
+        parsed = raw.select(
+            F.get_json_object("value", "$.doc_id").cast("long").alias("doc_id"),
+            F.get_json_object("value", "$.text").alias("text"),
+        ).filter(F.col("text").isNotNull())
+        return stream_near_dup_lsh(parsed, max_bucket=2)
+
+    out = _run_batches(spark, in_dir, ckpt, transform, batches, "lsh_cap_out")
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    # only ids 0 and 1 are admitted to each bucket -> the single pair (0, 1)
+    assert pairs == {(0, 1)}

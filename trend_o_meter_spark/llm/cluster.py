@@ -46,6 +46,23 @@ def _truncate(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _multiset_sig(df: DataFrame, c1: str, c2: str) -> tuple:
+    """Order-insensitive fixpoint signature of a two-column frame: row
+    count + hash-sum (summed as decimal so ANSI mode can't overflow the
+    long hash values).  One cheap aggregate — never an exceptAll/join."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64(c1, c2).cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")
+        ).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def _label_sig(labels: DataFrame) -> tuple:
+    return _multiset_sig(labels, "id", "lbl")
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -87,6 +104,7 @@ def connected_components(
         return _star_components(node_ids, one, id_col=id_col, checkpoint_dir=checkpoint_dir)
     sym = one.union(one.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labels = node_ids.withColumn("lbl", F.col("id"))
+    prev_sig = None
     for _ in range(max_iter):
         msgs = sym.join(labels, sym["src"] == labels["id"]).select(
             F.col("dst").alias("id"), F.col("lbl")
@@ -98,14 +116,15 @@ def connected_components(
             .agg(F.min("lbl").alias("lbl")),
             checkpoint_dir,
         )
-        changed = (
-            new.join(labels.withColumnRenamed("lbl", "old"), "id")
-            .filter(F.col("lbl") != F.col("old"))
-            .count()
-        )
+        # convergence: labels are monotone non-increasing per node, so the
+        # (id,lbl) multiset hash is a fixpoint detector — one cheap
+        # aggregate over the just-materialized frame, no join against the
+        # previous round (halves the per-round job count)
+        sig = _label_sig(new)
         labels = new
-        if changed == 0:
+        if sig == prev_sig:
             return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
+        prev_sig = sig
     if algorithm == "auto":
         return _star_components(node_ids, one, id_col=id_col, checkpoint_dir=checkpoint_dir)
     raise RuntimeError(
@@ -169,16 +188,8 @@ def _star_components(
             .distinct(),
             checkpoint_dir,
         )
-        # convergence: edge multiset unchanged (count + order-insensitive
-        # hash-sum — one cheap aggregate, no exceptAll shuffle; summed as
-        # decimal so ANSI mode can't overflow on the long hash values)
-        sig_row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(
-                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")
-            ).alias("h"),
-        ).collect()[0]
-        sig = (sig_row["n"], sig_row["h"])
+        # convergence: edge multiset unchanged
+        sig = _multiset_sig(e, "u", "v")
         if sig == prev:
             break
         prev = sig
