@@ -700,3 +700,28 @@ def test_tfidf_cosine_pairs_hand_computed(spark):
     dot = idf_rare * idf_rare
     nrm = math.sqrt(idf_rare**2 + idf_uni**2)
     assert r["cosine"] == pytest.approx(dot / (nrm * nrm), abs=1e-8)
+
+
+def test_cooc_pmi_window_semantics(spark):
+    """Pairs are (w1, w2-within-window-AFTER); PMI from pair-table
+    marginals, hand-checked on a 4-token doc."""
+    import math
+
+    import pytest as _pytest
+
+    from trend_o_meter_spark.llm.text import cooc_pmi_topk
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    rows = {
+        (r["w1"], r["w2"]): r
+        for r in cooc_pmi_topk(df, window=2, min_count=1, k=100).collect()
+    }
+    # window=2 over [a b c d]: (a,b) (a,c) (b,c) (b,d) (c,d) — each once
+    assert set(rows) == {("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")}
+    assert all(r["n_pair"] == 1 for r in rows.values())
+    # T=5; (a,b): c_left(a)=2, c_right(b)=1 -> pmi = ln(1*5/(2*1))
+    assert rows[("a", "b")]["pmi"] == _pytest.approx(round(math.log(5 / 2), 6))
+    # (c,d): c_left(c)=1, c_right(d)=2 -> ln(5/2); (b,c): 2*2 -> ln(5/4)
+    assert rows[("b", "c")]["pmi"] == _pytest.approx(round(math.log(5 / 4), 6))
+    # ranks are dense 1..5, ordered by pmi desc then pair
+    assert sorted(r["rank"] for r in rows.values()) == [1, 2, 3, 4, 5]

@@ -946,6 +946,118 @@ QUALIFY rank <= {k}
 """
 
 
+def cooc_pmi_topk(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    window: int = 3,
+    min_count: int = 5,
+    k: int = 200,
+) -> DataFrame:
+    """Windowed token co-occurrence + PMI top-k: the distributional
+    statistic under embedding training (word2vec/GloVe-style corpora) and
+    collocation mining.  An ordered pair ``(w1, w2)`` is counted once per
+    occurrence of ``w2`` within ``window`` tokens AFTER ``w1``.
+
+    ``pmi = ln(n_pair * T / (c_left * c_right))`` over pair-table
+    marginals (self-consistent: all four counts come from the same pair
+    multiset), computed on the ``min_count``-filtered pairs but with
+    marginals over ALL pairs.  The ln is rounded to 6 decimals (the
+    lm_score cross-libm discipline — ln is not correctly-rounded IEEE);
+    the ratio is built double x double / (double x double) in both
+    engines so the argument is bit-identical.
+
+    Scale: pair generation is map-side (one staged-token pass emitting
+    ~len x window structs per doc — no self-join on doc id); one
+    (w1, w2)-keyed count shuffle; marginals are two aggregates OVER THE
+    PAIR-COUNT table (distinct pairs, not occurrences) whose identical
+    scan Spark reuses via ReusedExchange; marginal joins are token-keyed
+    shuffles (vocabulary grows with the corpus — never broadcast); the
+    pair total is a 1-row broadcast; top-k is TakeOrderedAndProject.
+    Output: ``w1, w2, n_pair, pmi, rank``.
+    """
+    staged = df.select(_tokens(F.col(text)).alias("__t"))
+    n = F.size("__t")
+    pair_struct = "array<struct<w1:string,w2:string>>"
+    pairs_arr = F.when(
+        n >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                # tokens at positions i+1 .. i+window follow position i
+                # (slice is 1-based); one element_at per emitted struct
+                lambda i: F.transform(
+                    F.slice(F.col("__t"), i + F.lit(1), F.lit(window)),
+                    lambda t2: F.struct(
+                        F.element_at(F.col("__t"), i).alias("w1"), t2.alias("w2")
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast(pair_struct))
+    pairs = staged.select(F.explode(pairs_arr).alias("__p")).select("__p.w1", "__p.w2")
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    left = pc.groupBy("w1").agg(F.sum("n_pair").cast("long").alias("c_left"))
+    right = pc.groupBy("w2").agg(F.sum("n_pair").cast("long").alias("c_right"))
+    total = F.broadcast(pc.agg(F.sum("n_pair").cast("long").alias("__T")))
+    ratio = (F.col("n_pair").cast("double") * F.col("__T").cast("double")) / (
+        F.col("c_left").cast("double") * F.col("c_right").cast("double")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return (
+        pc.filter(F.col("n_pair") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(total)
+        .select("w1", "w2", "n_pair", F.round(F.log(ratio), 6).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def cooc_pmi_topk_sql(
+    table: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    window: int = 3,
+    min_count: int = 5,
+    k: int = 200,
+) -> str:
+    norm = NORM_SQL.format(c=text)
+    per_d = ", ".join(
+        f"list_transform(range(1, greatest(len(t) - {d}, 0) + 1), "
+        f"i -> struct_pack(w1 := t[i], w2 := t[i + {d}]))"
+        for d in range(1, window + 1)
+    )
+    return f"""
+WITH toks AS (SELECT str_split({norm}, ' ') AS t FROM {table}),
+pairs AS (
+  SELECT unnest(flatten([{per_d}]), recursive := true) FROM toks
+),
+pc AS (SELECT w1, w2, count(*) AS n_pair FROM pairs GROUP BY 1, 2),
+lefts AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS c_left FROM pc GROUP BY 1),
+rights AS (SELECT w2, CAST(sum(n_pair) AS BIGINT) AS c_right FROM pc GROUP BY 1),
+total AS (SELECT CAST(sum(n_pair) AS BIGINT) AS T FROM pc),
+scored AS (
+  SELECT w1, w2, n_pair,
+         round(ln((CAST(n_pair AS DOUBLE) * CAST(T AS DOUBLE))
+                  / (CAST(c_left AS DOUBLE) * CAST(c_right AS DOUBLE))), 6) AS pmi
+  FROM pc JOIN lefts USING (w1) JOIN rights USING (w2) CROSS JOIN total
+  WHERE n_pair >= {min_count}
+)
+SELECT w1, w2, n_pair, pmi,
+       CAST(row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS INTEGER) AS rank
+FROM scored
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT {k}
+"""
+
+
 def curation_report(
     df: DataFrame,
     *,

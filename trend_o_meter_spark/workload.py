@@ -88,6 +88,7 @@ _SCORE_FIRST = (
     # new registry entries this round (never scored)
     "resize_image_meta",
     "dedup_clusters_star",
+    "cooc_pmi_topk",
     # --- r1-only greens: re-score so no verdict is older than 2 rounds ----
     "scalar_funcs",
     "datetime_funcs",
@@ -1367,6 +1368,22 @@ def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return text.vocab_topk(d, k=50)
+
+
+@_q(
+    "cooc_pmi_topk",
+    text.cooc_pmi_topk_sql("documents", window=3, min_count=5, k=200),
+    doc="Windowed token co-occurrence + PMI top-k (the distributional "
+    "statistic under word2vec/GloVe-style embedding corpora and "
+    "collocation mining): map-side pair generation (no doc self-join), "
+    "one (w1,w2)-keyed count shuffle, marginals over the pair-count "
+    "table, token-keyed marginal joins (vocab grows with corpus — "
+    "never broadcast), 6-decimal ln quantization for cross-libm "
+    "determinism.",
+)
+def cooc_pmi_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.cooc_pmi_topk(d, window=3, min_count=5, k=200)
 
 
 @_q(
