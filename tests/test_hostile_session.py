@@ -16,6 +16,9 @@ SAMPLE = [
     "scalar_funcs", "datetime_funcs", "text_stats", "lang_id",
     "flagship_day_bins", "q1_pricing_summary", "sliding_rates_10s",
     "lm_score", "repetition_stats", "trending_daily", "pack_sequences",
+    # round-3 additions (array serialization, star CC, PMI ln math)
+    "quantize_embeddings", "kmeans_centroids", "dedup_clusters_star",
+    "cooc_pmi_topk", "resize_image_meta",
 ]
 
 

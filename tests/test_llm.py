@@ -725,3 +725,34 @@ def test_cooc_pmi_window_semantics(spark):
     assert rows[("b", "c")]["pmi"] == _pytest.approx(round(math.log(5 / 4), 6))
     # ranks are dense 1..5, ordered by pmi desc then pair
     assert sorted(r["rank"] for r in rows.values()) == [1, 2, 3, 4, 5]
+
+
+def test_curation_funnel_monotone_and_attributed(spark):
+    """Funnel counts are monotone non-increasing and each stage actually
+    bites on a corpus built to trigger it: a too-short doc (quality), an
+    exact dup, a near dup, and a token budget that crops the tail."""
+    from trend_o_meter_spark.llm.funnel import curation_funnel
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing outside in the garden"
+    )
+    rows = [
+        (1, base, "web"),
+        (2, base, "web"),                      # exact dup -> exact_dedup stage
+        (3, base + " extra tail words", "web"),  # near dup -> near_dedup stage
+        (4, "too short", "web"),               # quality reject
+        (5, base.replace("fox", "owl").replace("dog", "hen"), "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curation_funnel(df, budget_tokens=30).collect()
+    stages = [(r["stage"], r["n_docs"]) for r in out]
+    names = [s for s, _ in stages]
+    counts = [n for _, n in stages]
+    assert names == ["total", "quality", "exact_dedup", "near_dedup", "token_budget"]
+    assert counts[0] == 5
+    assert all(a >= b for a, b in zip(counts, counts[1:]))  # monotone
+    assert counts[1] == 4          # quality drops doc 4
+    assert counts[2] == 3          # exact dedup drops doc 2
+    assert counts[3] <= counts[2]  # near-dup collapses 1/3 cluster
+    assert counts[4] < counts[3]   # 30-token budget crops the tail

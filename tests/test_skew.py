@@ -55,3 +55,45 @@ def test_salted_topk_equals_plain_window(spark):
     plain = sorted(map(tuple, balanced_sample(df, k=25).collect()))
     safe = sorted(map(tuple, balanced_sample(df, k=25, skew_safe=True).collect()))
     assert plain == safe
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from trend_o_meter_spark.operators.skew import salted_join
+
+    # 95% of fact rows share one hot key; dim has one row per key + one
+    # key with NO fact rows (exercises left-join nulls)
+    fact = spark.createDataFrame(
+        [(i, "hot" if i % 20 else f"k{i % 5}", float(i)) for i in range(2000)],
+        "row_id long, k string, v double",
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1), ("k0", 2), ("k5", 3)], "k string, attr int"
+    )
+    plain_inner = sorted(map(tuple, fact.join(dim, ["k"], "inner").collect()))
+    salted_inner = sorted(
+        map(tuple, salted_join(fact, dim, ["k"], salt_on="row_id").collect())
+    )
+    assert salted_inner == plain_inner
+
+    plain_left = sorted(map(tuple, fact.join(dim, ["k"], "left").collect()))
+    salted_left = sorted(
+        map(tuple, salted_join(fact, dim, ["k"], salt_on="row_id", how="left").collect())
+    )
+    assert salted_left == plain_left
+
+    # the hot key must actually spread: all n_salts buckets populated
+    n = (
+        fact.withColumn("__salt", F.pmod(F.xxhash64("row_id"), F.lit(16)))
+        .filter(F.col("k") == "hot")
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n == 16
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(fact, dim, ["k"], salt_on="row_id", how="full")

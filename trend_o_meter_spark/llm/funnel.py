@@ -1,0 +1,112 @@
+"""The end-to-end curation funnel: one call, the whole pipeline.
+
+Every stage of a training-data curation pass exists in this package as
+an independent operator; this module composes them in the canonical
+order and reports the attrition funnel — the table a data lead actually
+reviews before a training run:
+
+    total -> quality rules -> exact dedup -> near-dup clusters -> token budget
+
+Each stage consumes the SURVIVORS of the previous one (rejections are
+attributed to the FIRST stage that drops a doc, like reject-reason
+precedence in ``text.curation_decisions``).  The result is a tiny
+funnel table (one row per stage), so the operator is aggregate-shaped:
+whatever the corpus size, the driver sees five rows.
+
+Scale: the stages chain linearly — each is its own documented shuffle
+shape (map-side rules, content-hash groupBy, LSH + label propagation,
+per-source cumulative window); composing them adds doc-id-keyed
+semi-joins between stages, nothing quadratic.  The funnel aggregates
+share the stage prefix via Spark's ReusedExchange where plans are
+identical; at 100 TB you would persist each stage's survivor id set
+anyway (they ARE the pipeline's checkpoint artifacts).
+
+Reference: the reference has no curation pipeline (north-star surface);
+stage semantics cite their own operators' reference notes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import cluster, dedup, text
+
+
+def curation_funnel(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    budget_tokens: int = 1000,
+) -> DataFrame:
+    """Sequential curation: quality -> exact dedup -> near-dup survivor
+    -> per-source token budget.  Output: ``stage_order, stage, n_docs``
+    — the attrition funnel, one row per stage."""
+    spark = df.sparkSession
+
+    def _count(frame: DataFrame, order: int, name: str) -> DataFrame:
+        return frame.agg(
+            F.lit(order).alias("stage_order"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+
+    qf = text.quality_filter(df, text=text_col, id_col=id_col)
+    s1 = df.join(qf.filter("keep").select(id_col), id_col)
+
+    ed = dedup.exact_dedup(s1, text=text_col, id_col=id_col)
+    s2 = s1.join(ed.select(F.col("keep_id").alias(id_col)), id_col)
+
+    dc = cluster.dedup_clusters(s2, text=text_col, id_col=id_col, threshold=threshold)
+    s3 = s2.join(dc.filter("keep").select(id_col), id_col)
+
+    tb = text.token_budget_sample(
+        s3, text=text_col, id_col=id_col, budget_tokens=budget_tokens
+    )
+    s4 = s3.join(tb.filter("keep").select(id_col), id_col)
+
+    funnel = (
+        _count(df, 1, "total")
+        .unionAll(_count(s1, 2, "quality"))
+        .unionAll(_count(s2, 3, "exact_dedup"))
+        .unionAll(_count(s3, 4, "near_dedup"))
+        .unionAll(_count(s4, 5, "token_budget"))
+    )
+    return funnel.orderBy("stage_order")
+
+
+def curation_funnel_sql(
+    table: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    budget_tokens: int = 1000,
+) -> str:
+    """Oracle twin: each stage's builder SQL nested as a subquery CTE
+    (DuckDB supports WITH inside subqueries, including the recursive
+    closure), chained by doc-id semi-joins, counts unioned."""
+    qf = text.quality_filter_sql(table, text=text_col, id_col=id_col).strip()
+    ed = dedup.exact_dedup_sql("s1", text=text_col, id_col=id_col).strip()
+    dc = cluster.dedup_clusters_sql("s2", text=text_col, id_col=id_col, threshold=threshold).strip()
+    tb = text.token_budget_sample_sql(
+        "s3", text=text_col, id_col=id_col, budget_tokens=budget_tokens
+    ).strip()
+    return f"""
+WITH qf AS (SELECT * FROM ({qf}) t WHERE keep),
+s1 AS (SELECT d.* FROM {table} d JOIN qf USING ({id_col})),
+ed AS (SELECT * FROM ({ed}) t),
+s2 AS (SELECT d.* FROM s1 d JOIN (SELECT keep_id AS {id_col} FROM ed) k USING ({id_col})),
+dc AS (SELECT * FROM ({dc}) t WHERE keep),
+s3 AS (SELECT d.* FROM s2 d JOIN dc USING ({id_col})),
+tb AS (SELECT * FROM ({tb}) t WHERE keep),
+s4 AS (SELECT d.* FROM s3 d JOIN tb USING ({id_col}))
+SELECT 1 AS stage_order, 'total' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM {table}
+UNION ALL SELECT 2, 'quality', CAST(count(*) AS BIGINT) FROM s1
+UNION ALL SELECT 3, 'exact_dedup', CAST(count(*) AS BIGINT) FROM s2
+UNION ALL SELECT 4, 'near_dedup', CAST(count(*) AS BIGINT) FROM s3
+UNION ALL SELECT 5, 'token_budget', CAST(count(*) AS BIGINT) FROM s4
+ORDER BY stage_order
+"""

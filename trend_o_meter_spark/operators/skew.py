@@ -47,6 +47,48 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(*[c.alias(a) for a, c in merge_aggs.items()])
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    *,
+    salt_on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: replicate-and-salt.
+
+    The ``small`` side is replicated ``n_salts``x with an explicit salt
+    column; each ``big`` row picks one salt deterministically (hash of
+    ``salt_on``, content-derived — never ``rand()``, per the oracle
+    determinism contract), so a single hot join key spreads over
+    ``n_salts`` reducers instead of pinning one.
+
+    When to use over AQE: AQE's skew-join split works on the sort-merge
+    path when runtime stats reveal the skew — but it cannot split a
+    partition that a downstream stateful/co-partitioned requirement pins
+    together, and stats can miss skew hidden behind a filter.  This is
+    the explicit escape hatch; cost = ``n_salts``x replication of the
+    small side's shuffle (keep ``small`` the dimension-sized side).
+
+    Exactly equivalent to ``big.join(small, on, how)`` for ``inner`` and
+    ``left`` joins (every big row still meets every matching small row —
+    in exactly one salt bucket).  Right/full joins would need the small
+    side deduped post-join; not supported.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins only")
+    salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(n_salts))
+    b = big.withColumn("__salt", salt)
+    s = small.withColumn(
+        "__salt",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.lit(n_salts - 1).cast("bigint"))
+        ),
+    )
+    return b.join(s, on=[*on, "__salt"], how=how).drop("__salt")
+
+
 def salted_topk(
     df: DataFrame,
     keys: Sequence[str],

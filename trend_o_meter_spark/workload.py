@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 from . import functions as tfn
 from .catalog import table
-from .llm import cluster, dedup, multimodal, similarity, text
+from .llm import cluster, dedup, funnel, multimodal, similarity, text
 from .operators import asof, cms, daybins, downsample, rates, retention, rolling, topk, trend
 
 
@@ -89,6 +89,7 @@ _SCORE_FIRST = (
     "resize_image_meta",
     "dedup_clusters_star",
     "cooc_pmi_topk",
+    "curation_funnel",
     # --- r1-only greens: re-score so no verdict is older than 2 rounds ----
     "scalar_funcs",
     "datetime_funcs",
@@ -1177,6 +1178,20 @@ def verified_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return cluster.dedup_clusters(d, threshold=0.3)
+
+
+@_q(
+    "curation_funnel",
+    funnel.curation_funnel_sql("documents"),
+    doc="End-to-end curation attrition funnel: quality rules -> exact "
+    "dedup -> near-dup cluster survivor -> per-source token budget, "
+    "each stage over the previous stage's survivors; output is one row "
+    "per stage (aggregate-shaped — five rows whatever the corpus "
+    "size).  Proves the pipeline operators COMPOSE, engine vs oracle.",
+)
+def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return funnel.curation_funnel(d)
 
 
 @_q(
