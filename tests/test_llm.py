@@ -756,3 +756,48 @@ def test_curation_funnel_monotone_and_attributed(spark):
     assert counts[2] == 3          # exact dedup drops doc 2
     assert counts[3] <= counts[2]  # near-dup collapses 1/3 cluster
     assert counts[4] < counts[3]   # 30-token budget crops the tail
+
+
+def test_dup_span_longest_run_hand_computed(spark):
+    """Doc 0 embeds a verbatim 6-token quote from doc 1 inside otherwise
+    original text: longest run = 4 shingles (6 tokens - 2), while its
+    overall dup fraction stays low."""
+    from trend_o_meter_spark.llm.dedup import dup_span_stats
+
+    quote = "to be or not to be"
+    rows = [
+        (0, "my original essay argues " + quote + " remains the famous question ever"),
+        (1, quote + " that is the question"),
+        (2, "entirely unrelated content about distributed query execution engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dup_span_stats(df).collect()}
+    # the 6-token quote yields 4 consecutive shared 3-gram positions in both docs
+    assert out[0]["longest_dup_run"] == 4
+    assert out[1]["longest_dup_run"] == 4
+    assert out[2]["longest_dup_run"] == 0 and out[2]["n_shared_grams"] == 0
+    # doc 0 has 15 tokens -> 13 grams, only the quote's 4 shared
+    assert out[0]["n_grams"] == 13 and out[0]["n_shared_grams"] == 4
+
+
+def test_cross_corpus_lsh_only_cross_pairs(spark):
+    """New x ref collisions only: two near-identical docs INSIDE the new
+    corpus must not pair; a new doc matching a ref doc must."""
+    from trend_o_meter_spark.llm.dedup import cross_corpus_lsh_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the garden outside"
+    )
+    new = spark.createDataFrame(
+        [(100, base), (101, base + " tail"), (102, "unrelated new page about kernels and drivers")],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(1, base), (2, "existing training document about optimizers and planners")],
+        "doc_id long, text string",
+    )
+    got = {(r["new_id"], r["ref_id"]) for r in cross_corpus_lsh_pairs(new, ref).collect()}
+    assert (100, 1) in got and (101, 1) in got    # new dups of the training set
+    assert not any(a in (100, 101, 102) and b in (100, 101, 102) for a, b in got)
+    assert not any(a in (1, 2) for a, _ in got)   # ref never appears as new side

@@ -90,6 +90,8 @@ _SCORE_FIRST = (
     "dedup_clusters_star",
     "cooc_pmi_topk",
     "curation_funnel",
+    "dup_span_stats",
+    "cross_corpus_lsh",
     # --- r1-only greens: re-score so no verdict is older than 2 rounds ----
     "scalar_funcs",
     "datetime_funcs",
@@ -1153,6 +1155,37 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cross_doc_ngram_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return dedup.cross_doc_ngram_stats(d)
+
+
+@_q(
+    "dup_span_stats",
+    dedup.dup_span_stats_sql("documents"),
+    doc="Longest cross-doc duplicated span per document (the ExactSubstr "
+    "signal, Lee et al. 2022): positional shingles, gram-keyed "
+    "distinct-doc agg marks shared positions, gaps-and-islands window "
+    "per doc measures the longest verbatim run.  Nothing pairwise.",
+)
+def dup_span_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return dedup.dup_span_stats(d)
+
+
+@_q(
+    "cross_corpus_lsh",
+    dedup.cross_corpus_lsh_pairs_sql(
+        "(SELECT * FROM documents WHERE doc_id % 2 = 1)",
+        "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+    ),
+    doc="Cross-corpus LSH dedup: which 'new crawl' documents (odd ids as "
+    "the stand-in) near-duplicate the existing 'training set' (even "
+    "ids) — the incremental-ingest decision.  Same signatures/banding "
+    "as the self-join; the bucket join is new x ref only.",
+)
+def cross_corpus_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return dedup.cross_corpus_lsh_pairs(
+        d.filter(F.col("doc_id") % 2 == 1), d.filter(F.col("doc_id") % 2 == 0)
+    )
 
 
 @_q(
