@@ -192,3 +192,96 @@ def test_sessionize_gap_invariants(spark, rows, gap):
     )
     for (gs, ge, gn), model in zip(got, expected_sessions):
         assert (gs, ge, gn) == (model[0], model[-1], len(model))
+
+
+# --- round-3 ops: dup-span invariants, star-CC equivalence -----------------
+
+words = st.sampled_from(
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+)
+docs_strategy = st.lists(
+    st.lists(words, min_size=3, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(texts=docs_strategy)
+@settings(**SETTINGS)
+def test_dup_span_invariants(spark, texts):
+    """0 <= longest run <= shared positions <= total positions; and a
+    naive O(n^2) python model agrees on every count."""
+    from collections import Counter
+
+    from trend_o_meter_spark.llm.dedup import dup_span_stats
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dup_span_stats(df).collect()}
+
+    def grams(t):
+        toks = t.split()
+        return [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+
+    docs_of = {}
+    for i, t in enumerate(texts):
+        for g in set(grams(t)):
+            docs_of.setdefault(g, set()).add(i)
+    for i, t in enumerate(texts):
+        gs = grams(t)
+        if not gs:
+            assert i not in out
+            continue
+        marked = [len(docs_of[g]) >= 2 for g in gs]
+        longest = run = 0
+        for m in marked:
+            run = run + 1 if m else 0
+            longest = max(longest, run)
+        r = out[i]
+        assert r["n_grams"] == len(gs)
+        assert r["n_shared_grams"] == sum(marked)
+        assert r["longest_dup_run"] == longest
+        assert 0 <= r["longest_dup_run"] <= r["n_shared_grams"] <= r["n_grams"]
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(edges=edges_strategy)
+@settings(**SETTINGS)
+def test_star_cc_equals_label_cc_random_graphs(spark, edges):
+    """Large-star/small-star and label propagation agree on arbitrary
+    graphs (self-loops, duplicates, reversed edges included), and both
+    agree with a naive union-find."""
+    from trend_o_meter_spark.llm.cluster import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(15)], "id long")
+    e = spark.createDataFrame(edges, "id_a long, id_b long") if edges else (
+        spark.createDataFrame([], "id_a long, id_b long")
+    )
+    lab = {r["id"]: r["cluster_id"] for r in connected_components(nodes, e, algorithm="label").collect()}
+    star = {r["id"]: r["cluster_id"] for r in connected_components(nodes, e, algorithm="star").collect()}
+
+    parent = list(range(15))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(15)}
+    # canonicalize union-find labels to component minima
+    comp_min = {}
+    for i, r in want.items():
+        comp_min[r] = min(comp_min.get(r, i), i)
+    want = {i: comp_min[find(i)] for i in range(15)}
+    assert lab == want
+    assert star == want
