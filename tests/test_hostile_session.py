@@ -18,7 +18,7 @@ SAMPLE = [
     "lm_score", "repetition_stats", "trending_daily", "pack_sequences",
     # round-3 additions (array serialization, star CC, PMI ln math)
     "quantize_embeddings", "kmeans_centroids", "dedup_clusters_star",
-    "cooc_pmi_topk", "resize_image_meta",
+    "cooc_pmi_topk", "resize_image_meta", "pq_codes", "dup_span_stats",
 ]
 
 

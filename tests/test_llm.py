@@ -801,3 +801,26 @@ def test_cross_corpus_lsh_only_cross_pairs(spark):
     assert (100, 1) in got and (101, 1) in got    # new dups of the training set
     assert not any(a in (100, 101, 102) and b in (100, 101, 102) for a, b in got)
     assert not any(a in (1, 2) for a, _ in got)   # ref never appears as new side
+
+
+def test_pq_codes_subspaces_quantize_independently(spark):
+    """PQ: identical vectors share codes; a vector whose two HALVES match
+    different training exemplars gets each half's code independently —
+    the property that makes the m-subspace decomposition a product."""
+    from trend_o_meter_spark.llm.similarity import pq_codes
+
+    a = [0.0, 0.0, 100.0, 100.0]   # id 0 -> subspace codebooks see these
+    b = [50.0, 50.0, -40.0, -40.0]  # id 1
+    rows = [
+        (0, a),
+        (1, b),
+        (2, a),                      # exact copy of 0 -> same codes
+        (3, [0.1, -0.1, -39.9, -40.2]),  # half like a, half like b
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: list(r["codes"]) for r in pq_codes(df, m=2, k=2, iters=2).collect()}
+    assert all(len(c) == 2 for c in out.values())
+    assert out[0] == out[2]              # identical vectors, identical codes
+    assert out[3][0] == out[0][0]        # first half quantizes like a
+    assert out[3][1] == out[1][1]        # second half quantizes like b
+    assert out[0] != out[1]

@@ -615,6 +615,134 @@ GROUP BY a.cluster
     )
 
 
+def pq_codes(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 2,
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Product-quantization codes — the compression half of an IVF-PQ
+    ANN index (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011): each vector splits into ``m`` contiguous
+    subvectors; each subspace trains its own ``k``-centroid codebook
+    (the same deterministic Lloyd's walk as :func:`kmeans_centroids` —
+    k-smallest-id init, 9-rounded distances/means); the code word is
+    the per-subspace nearest-centroid id, so a vector stores ``m``
+    small integers instead of ``dim`` floats (dim x 32 bits ->
+    m x log2(k) bits).
+
+    Scale: the subspace split is one map-side explode (m rows per
+    vector, each 1/m-th the width); training is the kmeans shape with
+    (subspace) added to every key — per iteration one m*k-row codebook
+    broadcast + one (subspace, cluster, dim) mean shuffle; assignment is
+    codebook-broadcast + struct-min.  Output: ``vec_id,
+    codes array<bigint>`` (codes ordered by subspace).  Vector length
+    must be divisible by ``m`` (asserted per row by construction: the
+    slice grid covers the vector exactly).
+    """
+    if iters < 1 or m < 1:
+        raise ValueError("m and iters must be >= 1")
+    base0 = spread(df).select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    sub = (F.size("vec") / m).cast("int")
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("s"),
+                F.slice(F.col("vec"), sub * s + 1, sub).alias("svec"),
+            )
+            for s in range(m)
+        ]
+    )
+    base = base0.select("vid", F.explode(parts).alias("__p")).select(
+        "vid", "__p.s", F.col("__p.svec").alias("vec")
+    )
+    cents = base.filter(F.col("vid") < k).select(
+        "s", F.col("vid").cast("long").alias("cluster"), F.col("vec").alias("cvec")
+    )
+
+    def assign(b: DataFrame, c: DataFrame) -> DataFrame:
+        d9 = F.round(_sqdist(F.col("vec"), F.col("cvec")), 9)
+        return (
+            b.join(F.broadcast(c), "s")
+            .select(
+                "vid", "s", "vec",
+                F.struct(d9.alias("d"), F.col("cluster").alias("c")).alias("__s"),
+            )
+            .groupBy("vid", "s")
+            .agg(F.min("__s")["c"].alias("cluster"), F.first("vec").alias("vec"))
+        )
+
+    def recompute(assigned: DataFrame) -> DataFrame:
+        ex = assigned.select("s", "cluster", F.posexplode("vec").alias("dim", "val"))
+        means = ex.groupBy("s", "cluster", "dim").agg(F.round(F.avg("val"), 9).alias("m"))
+        packed = means.groupBy("s", "cluster").agg(
+            F.sort_array(F.collect_list(F.struct("dim", "m"))).alias("__dm")
+        )
+        return packed.select(
+            "s", "cluster", F.transform(F.col("__dm"), lambda x: x["m"]).alias("cvec")
+        )
+
+    for _ in range(iters):
+        cents = recompute(assign(base, cents))
+    final = assign(base, cents)
+    ordered = final.groupBy("vid").agg(
+        F.sort_array(F.collect_list(F.struct("s", "cluster"))).alias("__sc")
+    )
+    return ordered.select(
+        F.col("vid").alias(id_col),
+        F.transform(F.col("__sc"), lambda x: x["cluster"]).alias("codes"),
+    )
+
+
+def pq_codes_sql(
+    table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 2,
+    k: int = 4,
+    iters: int = 2,
+) -> str:
+    sub = f"CAST(floor(len({vec_col}) / {m}) AS INT)"
+    sq = (
+        "list_sum(list_transform(range(1, len(b.vec) + 1), "
+        "i -> (b.vec[i] - c.cvec[i]) * (b.vec[i] - c.cvec[i])))"
+    )
+    assign = (
+        "SELECT vid, s, any_value(b.vec) AS vec, "
+        f"(min(struct_pack(d := round({sq}, 9), c := c.cluster))).c AS cluster "
+        "FROM base b JOIN c{i} c USING (s) GROUP BY vid, s"
+    )
+    recompute = (
+        "SELECT s, cluster, list(m ORDER BY dim) AS cvec FROM ("
+        "  SELECT s, cluster, dim, round(avg(vec[dim]), 9) AS m"
+        "  FROM a{i}, unnest(generate_series(1, len(vec))) AS u(dim)"
+        "  GROUP BY 1, 2, 3"
+        ") GROUP BY s, cluster"
+    )
+    ctes = [
+        f"base AS (SELECT {id_col} AS vid, CAST(u.s AS INT) AS s, "
+        f"list_transform(list_slice({vec_col}, {sub} * u.s + 1, {sub} * (u.s + 1)), "
+        f"x -> CAST(x AS DOUBLE)) AS vec FROM {table}, unnest(range({m})) AS u(s))",
+        f"c0 AS (SELECT s, CAST(vid AS BIGINT) AS cluster, vec AS cvec FROM base WHERE vid < {k})",
+    ]
+    for i in range(iters):
+        ctes.append(f"a{i} AS ({assign.format(i=i)})")
+        ctes.append(f"c{i + 1} AS ({recompute.format(i=i)})")
+    ctes.append(f"afinal AS ({assign.format(i=iters)})")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT vid AS {id_col}, list(cluster ORDER BY s) AS codes
+FROM afinal GROUP BY vid
+"""
+    )
+
+
 def embedding_outliers(
     df: DataFrame,
     *,

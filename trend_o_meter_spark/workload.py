@@ -92,6 +92,7 @@ _SCORE_FIRST = (
     "curation_funnel",
     "dup_span_stats",
     "cross_corpus_lsh",
+    "pq_codes",
     # --- r1-only greens: re-score so no verdict is older than 2 rounds ----
     "scalar_funcs",
     "datetime_funcs",
@@ -1626,6 +1627,30 @@ def kmeans_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ",",
         ).alias("centroid_q9"),
+    )
+
+
+@_q(
+    "pq_codes",
+    # array-output discipline: codes serialized to CSV in both engines
+    "SELECT vec_id, array_to_string(list_transform(codes, "
+    "x -> CAST(x AS VARCHAR)), ',') AS codes_csv FROM ("
+    + similarity.pq_codes_sql("embeddings", m=2, k=4, iters=2)
+    + ")",
+    doc="Product-quantization codes (Jegou et al. 2011) — the compression "
+    "half of IVF-PQ: per-subspace Lloyd's codebooks (same deterministic "
+    "walk as kmeans_centroids, subspace added to every key), vector -> "
+    "m small code words.  Per iteration one m*k-row codebook broadcast "
+    "+ one (subspace,cluster,dim) mean shuffle.",
+)
+def pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "embeddings", sf_dir)
+    codes = similarity.pq_codes(e, m=2, k=4, iters=2)
+    return codes.select(
+        "vec_id",
+        F.array_join(
+            F.transform("codes", lambda x: x.cast("string")), ","
+        ).alias("codes_csv"),
     )
 
 
