@@ -824,3 +824,28 @@ def test_pq_codes_subspaces_quantize_independently(spark):
     assert out[3][0] == out[0][0]        # first half quantizes like a
     assert out[3][1] == out[1][1]        # second half quantizes like b
     assert out[0] != out[1]
+
+
+def test_pq_adc_retrieves_own_cluster(spark):
+    """ADC search on well-separated clusters: a query's top neighbors are
+    the members of its own cluster (approximate distance preserves
+    coarse geometry), and ADC distance to them is smaller than to any
+    cross-cluster vector."""
+    from trend_o_meter_spark.llm.similarity import pq_adc_topk
+
+    # ids 0/1 near the origin-cluster, ids 10-14 far cluster; queries are
+    # ids < 2 (both in the near cluster along with ids 2-4)
+    near = [[float(j % 3), 1.0, 0.0, -1.0] for j in range(5)]
+    far = [[100.0 + j, -50.0, 80.0, 60.0] for j in range(5)]
+    rows = [(i, v) for i, v in enumerate(near)] + [(10 + j, v) for j, v in enumerate(far)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_adc_topk(df, m=2, k=4, iters=2, n_queries=2, topk=9).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        near_ids = {i for i in range(5) if i != q}
+        # the 4 nearest by ADC are exactly the same-cluster members
+        assert {r["neighbor_id"] for r in rs[:4]} == near_ids
+        assert max(r["adc_dist"] for r in rs[:4]) < min(r["adc_dist"] for r in rs[4:])

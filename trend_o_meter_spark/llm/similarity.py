@@ -615,6 +615,61 @@ GROUP BY a.cluster
     )
 
 
+def _pq_assign(b: DataFrame, c: DataFrame) -> DataFrame:
+    d9 = F.round(_sqdist(F.col("vec"), F.col("cvec")), 9)
+    return (
+        b.join(F.broadcast(c), "s")
+        .select(
+            "vid", "s", "vec",
+            F.struct(d9.alias("d"), F.col("cluster").alias("c")).alias("__s"),
+        )
+        .groupBy("vid", "s")
+        .agg(F.min("__s")["c"].alias("cluster"), F.first("vec").alias("vec"))
+    )
+
+
+def _pq_recompute(assigned: DataFrame) -> DataFrame:
+    ex = assigned.select("s", "cluster", F.posexplode("vec").alias("dim", "val"))
+    means = ex.groupBy("s", "cluster", "dim").agg(F.round(F.avg("val"), 9).alias("m"))
+    packed = means.groupBy("s", "cluster").agg(
+        F.sort_array(F.collect_list(F.struct("dim", "m"))).alias("__dm")
+    )
+    return packed.select(
+        "s", "cluster", F.transform(F.col("__dm"), lambda x: x["m"]).alias("cvec")
+    )
+
+
+def _pq_train(
+    df: DataFrame, *, id_col: str, vec_col: str, m: int, k: int, iters: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared PQ trainer: subspace split, Lloyd's walk, final assignment.
+    Returns ``(base, codebook, assigned)`` — base rows ``(vid, s, vec)``,
+    codebook rows ``(s, cluster, cvec)``, assignment ``(vid, s, cluster,
+    vec)``."""
+    base0 = spread(df).select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    sub = (F.size("vec") / m).cast("int")
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("s"),
+                F.slice(F.col("vec"), sub * s + 1, sub).alias("svec"),
+            )
+            for s in range(m)
+        ]
+    )
+    base = base0.select("vid", F.explode(parts).alias("__p")).select(
+        "vid", "__p.s", F.col("__p.svec").alias("vec")
+    )
+    cents = base.filter(F.col("vid") < k).select(
+        "s", F.col("vid").cast("long").alias("cluster"), F.col("vec").alias("cvec")
+    )
+    for _ in range(iters):
+        cents = _pq_recompute(_pq_assign(base, cents))
+    return base, cents, _pq_assign(base, cents)
+
+
 def pq_codes(
     df: DataFrame,
     *,
@@ -645,51 +700,7 @@ def pq_codes(
     """
     if iters < 1 or m < 1:
         raise ValueError("m and iters must be >= 1")
-    base0 = spread(df).select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
-    )
-    sub = (F.size("vec") / m).cast("int")
-    parts = F.array(
-        *[
-            F.struct(
-                F.lit(s).cast("int").alias("s"),
-                F.slice(F.col("vec"), sub * s + 1, sub).alias("svec"),
-            )
-            for s in range(m)
-        ]
-    )
-    base = base0.select("vid", F.explode(parts).alias("__p")).select(
-        "vid", "__p.s", F.col("__p.svec").alias("vec")
-    )
-    cents = base.filter(F.col("vid") < k).select(
-        "s", F.col("vid").cast("long").alias("cluster"), F.col("vec").alias("cvec")
-    )
-
-    def assign(b: DataFrame, c: DataFrame) -> DataFrame:
-        d9 = F.round(_sqdist(F.col("vec"), F.col("cvec")), 9)
-        return (
-            b.join(F.broadcast(c), "s")
-            .select(
-                "vid", "s", "vec",
-                F.struct(d9.alias("d"), F.col("cluster").alias("c")).alias("__s"),
-            )
-            .groupBy("vid", "s")
-            .agg(F.min("__s")["c"].alias("cluster"), F.first("vec").alias("vec"))
-        )
-
-    def recompute(assigned: DataFrame) -> DataFrame:
-        ex = assigned.select("s", "cluster", F.posexplode("vec").alias("dim", "val"))
-        means = ex.groupBy("s", "cluster", "dim").agg(F.round(F.avg("val"), 9).alias("m"))
-        packed = means.groupBy("s", "cluster").agg(
-            F.sort_array(F.collect_list(F.struct("dim", "m"))).alias("__dm")
-        )
-        return packed.select(
-            "s", "cluster", F.transform(F.col("__dm"), lambda x: x["m"]).alias("cvec")
-        )
-
-    for _ in range(iters):
-        cents = recompute(assign(base, cents))
-    final = assign(base, cents)
+    base, cents, final = _pq_train(df, id_col=id_col, vec_col=vec_col, m=m, k=k, iters=iters)
     ordered = final.groupBy("vid").agg(
         F.sort_array(F.collect_list(F.struct("s", "cluster"))).alias("__sc")
     )
@@ -699,15 +710,9 @@ def pq_codes(
     )
 
 
-def pq_codes_sql(
-    table: str,
-    *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    m: int = 2,
-    k: int = 4,
-    iters: int = 2,
-) -> str:
+def _pq_ctes(table: str, *, id_col: str, vec_col: str, m: int, k: int, iters: int) -> list[str]:
+    """Shared oracle CTEs: ``base``, codebooks ``c0..c{iters}``, and the
+    final assignment ``afinal`` — the SQL twin of :func:`_pq_train`."""
     sub = f"CAST(floor(len({vec_col}) / {m}) AS INT)"
     sq = (
         "list_sum(list_transform(range(1, len(b.vec) + 1), "
@@ -735,10 +740,125 @@ def pq_codes_sql(
         ctes.append(f"a{i} AS ({assign.format(i=i)})")
         ctes.append(f"c{i + 1} AS ({recompute.format(i=i)})")
     ctes.append(f"afinal AS ({assign.format(i=iters)})")
+    return ctes
+
+
+def pq_codes_sql(
+    table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 2,
+    k: int = 4,
+    iters: int = 2,
+) -> str:
+    ctes = _pq_ctes(table, id_col=id_col, vec_col=vec_col, m=m, k=k, iters=iters)
     return (
         "WITH " + ",\n".join(ctes) + f"""
 SELECT vid AS {id_col}, list(cluster ORDER BY s) AS codes
 FROM afinal GROUP BY vid
+"""
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 2,
+    k: int = 4,
+    iters: int = 2,
+    n_queries: int = 5,
+    topk: int = 10,
+) -> DataFrame:
+    """PQ search with asymmetric distance computation (ADC) — the serving
+    half of IVF-PQ: each query precomputes an m x k distance table to
+    the codebooks (query subvector vs centroid, exact), then every
+    corpus vector's approximate distance is the SUM OF m TABLE LOOKUPS
+    over its code words — no corpus floats touched at query time.
+
+    Scale: the distance table is n_queries x m x k rows (KB however big
+    the corpus — broadcast); the corpus side joins its code rows to the
+    table on (subspace, code) and sums per (query, vector) — one keyed
+    join + one agg, never query x corpus float math.  Per-subspace
+    distances are 9-rounded and summed as exact DECIMAL so the total is
+    order-insensitive.  Output: ``query_id, neighbor_id, adc_dist,
+    rank`` (ascending distance, id tie-break; self excluded).
+    """
+    base, cents, assigned = _pq_train(
+        df, id_col=id_col, vec_col=vec_col, m=m, k=k, iters=iters
+    )
+    d9 = F.round(_sqdist(F.col("vec"), F.col("cvec")), 9)
+    dtab = (
+        base.filter(F.col("vid") < n_queries)
+        .join(F.broadcast(cents), "s")
+        .select(
+            F.col("vid").alias("query_id"), "s", "cluster",
+            d9.cast("decimal(18,9)").alias("d"),
+        )
+    )
+    scored = (
+        assigned.select("vid", "s", "cluster")
+        .join(F.broadcast(dtab), ["s", "cluster"])
+        .filter(F.col("vid") != F.col("query_id"))
+        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+        .agg(F.sum("d").alias("__adc"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("__adc").cast("string").cast("double").alias("adc_dist"),
+            "rank",
+        )
+    )
+
+
+def pq_adc_topk_sql(
+    table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 2,
+    k: int = 4,
+    iters: int = 2,
+    n_queries: int = 5,
+    topk: int = 10,
+) -> str:
+    ctes = _pq_ctes(table, id_col=id_col, vec_col=vec_col, m=m, k=k, iters=iters)
+    sq = (
+        "list_sum(list_transform(range(1, len(b.vec) + 1), "
+        "i -> (b.vec[i] - c.cvec[i]) * (b.vec[i] - c.cvec[i])))"
+    )
+    ctes.append(
+        "dtab AS (SELECT b.vid AS query_id, b.s, c.cluster, "
+        f"CAST(round({sq}, 9) AS DECIMAL(18,9)) AS d "
+        f"FROM base b JOIN c{iters} c USING (s) WHERE b.vid < {n_queries})"
+    )
+    ctes.append(
+        "scored AS (SELECT dtab.query_id, a.vid AS neighbor_id, sum(dtab.d) AS adc "
+        "FROM afinal a JOIN dtab ON dtab.s = a.s AND dtab.cluster = a.cluster "
+        "WHERE a.vid != dtab.query_id GROUP BY 1, 2)"
+    )
+    ctes.append(
+        "ranked AS (SELECT query_id, neighbor_id, adc, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rank "
+        "FROM scored)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT query_id, neighbor_id,
+       CAST(CAST(adc AS VARCHAR) AS DOUBLE) AS adc_dist,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {topk}
 """
     )
 

@@ -93,6 +93,7 @@ _SCORE_FIRST = (
     "dup_span_stats",
     "cross_corpus_lsh",
     "pq_codes",
+    "pq_adc_topk",
     # --- r1-only greens: re-score so no verdict is older than 2 rounds ----
     "scalar_funcs",
     "datetime_funcs",
@@ -1652,6 +1653,20 @@ def pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("codes", lambda x: x.cast("string")), ","
         ).alias("codes_csv"),
     )
+
+
+@_q(
+    "pq_adc_topk",
+    similarity.pq_adc_topk_sql("embeddings", m=2, k=4, iters=2, n_queries=5, topk=10),
+    doc="PQ search via asymmetric distance computation — the IVF-PQ "
+    "serving path: per-query m x k distance table (KB, broadcast), "
+    "corpus distance = sum of m table lookups over code words (keyed "
+    "join + agg, no corpus floats at query time); per-subspace "
+    "distances 9-rounded and summed as exact DECIMAL.",
+)
+def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "embeddings", sf_dir)
+    return similarity.pq_adc_topk(e, m=2, k=4, iters=2, n_queries=5, topk=10)
 
 
 @_q(
