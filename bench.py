@@ -55,6 +55,10 @@ HEADLINE = (
     "kmeans_centroids",
     "trending_daily",
     "cms_heavy_hitters",
+    # round-3 operator families
+    "dup_span_stats",
+    "cooc_pmi_topk",
+    "pq_adc_topk",
 )
 
 
