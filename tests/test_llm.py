@@ -849,3 +849,30 @@ def test_pq_adc_retrieves_own_cluster(spark):
         # the 4 nearest by ADC are exactly the same-cluster members
         assert {r["neighbor_id"] for r in rs[:4]} == near_ids
         assert max(r["adc_dist"] for r in rs[:4]) < min(r["adc_dist"] for r in rs[4:])
+
+
+def test_split_drift_ks_model_and_extremes(spark):
+    """KS = 0 when every doc has the same token count; otherwise matches
+    a hand-rolled ECDF model computed from the same split assignment."""
+    from trend_o_meter_spark.llm.text import dataset_split, split_drift_ks
+
+    same = [(i, "one two three four five") for i in range(40)]
+    df_same = spark.createDataFrame(same, "doc_id long, text string")
+    r = split_drift_ks(df_same).collect()[0]
+    assert r["ks_stat"] == 0.0
+    assert r["n_a"] + r["n_b"] <= 40  # train+val only, test excluded
+
+    rows = [(i, "w " * (2 + 3 * (i % 7))) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = split_drift_ks(df).collect()[0]
+    splits = {x["doc_id"]: x["split"] for x in dataset_split(df).collect()}
+    a = sorted(2 + 3 * (i % 7) for i, _ in rows if splits[i] == "train")
+    b = sorted(2 + 3 * (i % 7) for i, _ in rows if splits[i] == "val")
+    vals = sorted(set(a) | set(b))
+    best = max(
+        abs(sum(1 for x in a if x <= v) * len(b) - sum(1 for x in b if x <= v) * len(a))
+        for v in vals
+    )
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert got["ks_stat"] == best / (len(a) * len(b))
+    assert 0.0 <= got["ks_stat"] <= 1.0

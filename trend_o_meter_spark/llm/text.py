@@ -322,6 +322,123 @@ def dataset_split_sql(table: str, *, id_col: str = "doc_id", salt: str = "split-
     return f"SELECT {id_col}, CASE {cases} END AS split FROM {table}"
 
 
+def split_drift_ks(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+    split_a: str = "train",
+    split_b: str = "val",
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift between dataset splits over
+    the token-count feature — the QA check that a heldout split is
+    distributionally representative of train (a bad split silently
+    biases eval).  ``KS = max over v of |ECDF_a(v) - ECDF_b(v)|``,
+    computed EXACTLY in integer arithmetic: ``|cum_a(v)*n_b -
+    cum_b(v)*n_a|`` maximized, divided once at the end.
+
+    Scale: one (value)-keyed count shuffle; the cumulative ECDF uses the
+    epoch_shuffle decomposition — per-bucket (``floor(v/width)``,
+    order-preserving) running sums plus a broadcast bucket-offset table
+    (the only single-partition window, bounded by the feature's support
+    / width, not the corpus).  Output: one row ``n_a, n_b, ks_stat,
+    at_value`` (the value achieving the max; smallest on ties).
+    """
+    from pyspark.sql import Window
+
+    sp = dataset_split(df, id_col=id_col, salt=salt)
+    feat = (
+        df.select(F.col(id_col), F.size(_tokens(F.col(text))).alias("v"))
+        .join(sp, id_col)
+        .filter(F.col("split").isin(split_a, split_b))
+    )
+    counts = feat.groupBy("v").agg(
+        F.sum(F.when(F.col("split") == split_a, 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("split") == split_b, 1).otherwise(0)).cast("long").alias("cb"),
+    ).withColumn("__b", F.floor(F.col("v") / bucket_width).cast("long"))
+    wb = Window.partitionBy("__b").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    local = counts.select(
+        "v", "__b",
+        F.sum("ca").over(wb).alias("la"), F.sum("cb").over(wb).alias("lb"),
+    )
+    sizes = counts.groupBy("__b").agg(
+        F.sum("ca").alias("sa"), F.sum("cb").alias("sb")
+    )
+    wo = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "__b",
+        F.coalesce(F.sum("sa").over(wo), F.lit(0)).alias("oa"),
+        F.coalesce(F.sum("sb").over(wo), F.lit(0)).alias("ob"),
+    )
+    tot = counts.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    cum = local.join(F.broadcast(offsets), "__b").select(
+        "v",
+        (F.col("oa") + F.col("la")).cast("decimal(38,0)").alias("cuma"),
+        (F.col("ob") + F.col("lb")).cast("decimal(38,0)").alias("cumb"),
+    )
+    diff = cum.crossJoin(F.broadcast(tot)).select(
+        "v", "na", "nb",
+        F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")).alias("dnum"),
+    )
+    best = F.max(F.struct(F.col("dnum").alias("d"), (-F.col("v")).cast("long").alias("nv")))
+    return diff.groupBy().agg(
+        F.first("na").alias("n_a"),
+        F.first("nb").alias("n_b"),
+        (
+            best["d"].cast("double")
+            / (F.first("na").cast("double") * F.first("nb").cast("double"))
+        ).alias("ks_stat"),
+        (-best["nv"]).cast("long").alias("at_value"),
+    )
+
+
+def split_drift_ks_sql(
+    table: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+    split_a: str = "train",
+    split_b: str = "val",
+) -> str:
+    norm = NORM_SQL.format(c=text)
+    sp = dataset_split_sql(table, id_col=id_col, salt=salt).strip()
+    return f"""
+WITH sp AS ({sp}),
+feat AS (
+  SELECT d.{id_col}, len(str_split({norm}, ' ')) AS v, sp.split
+  FROM {table} d JOIN sp USING ({id_col})
+  WHERE sp.split IN ('{split_a}', '{split_b}')
+),
+counts AS (
+  SELECT v,
+         CAST(sum(CASE WHEN split = '{split_a}' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN split = '{split_b}' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM feat GROUP BY 1
+),
+tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM counts),
+cum AS (
+  SELECT v,
+         CAST(sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) AS cuma,
+         CAST(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) AS cumb
+  FROM counts
+),
+diff AS (
+  SELECT v, na, nb, abs(cuma * nb - cumb * na) AS dnum
+  FROM cum CROSS JOIN tot
+)
+SELECT any_value(na) AS n_a, any_value(nb) AS n_b,
+       CAST((max(struct_pack(d := dnum, nv := -v))).d AS DOUBLE)
+         / (CAST(any_value(na) AS DOUBLE) * CAST(any_value(nb) AS DOUBLE)) AS ks_stat,
+       CAST(-(max(struct_pack(d := dnum, nv := -v))).nv AS BIGINT) AS at_value
+FROM diff
+"""
+
+
 def token_histogram(
     df: DataFrame, *, text: str = "text", id_col: str = "doc_id", bin_width: int = 10
 ) -> DataFrame:

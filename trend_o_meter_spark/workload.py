@@ -94,6 +94,7 @@ _SCORE_FIRST = (
     "cross_corpus_lsh",
     "pq_codes",
     "pq_adc_topk",
+    "split_drift_ks",
     # --- r1-only greens: re-score so no verdict is older than 2 rounds ----
     "scalar_funcs",
     "datetime_funcs",
@@ -1213,6 +1214,20 @@ def verified_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return cluster.dedup_clusters(d, threshold=0.3)
+
+
+@_q(
+    "split_drift_ks",
+    text.split_drift_ks_sql("documents"),
+    doc="Two-sample KS drift between train and val splits over token "
+    "counts (split-QA: a biased heldout silently skews eval).  Exact "
+    "integer ECDF comparison maximized, one division at the end; "
+    "cumulative sums via the epoch_shuffle bucket decomposition (no "
+    "corpus-sized single-partition window).",
+)
+def split_drift_ks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.split_drift_ks(d)
 
 
 @_q(
