@@ -876,3 +876,23 @@ def test_split_drift_ks_model_and_extremes(spark):
     assert got["n_a"] == len(a) and got["n_b"] == len(b)
     assert got["ks_stat"] == best / (len(a) * len(b))
     assert 0.0 <= got["ks_stat"] <= 1.0
+
+
+def test_pq_recall_well_separated_clusters_is_high(spark):
+    """With clusters far apart relative to quantization error, ADC@k
+    recovers most exact-L2 neighbors; recall is always within [0, 1]."""
+    from trend_o_meter_spark.llm.similarity import pq_recall
+
+    near = [[float(j % 3), 1.0, 0.0, -1.0] for j in range(6)]
+    far = [[100.0 + j, -50.0, 80.0, 60.0] for j in range(6)]
+    rows = [(i, v) for i, v in enumerate(near)] + [(10 + j, v) for j, v in enumerate(far)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_recall(df, m=2, k_codebook=4, iters=2, n_queries=2, k=5).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["n_exact"] == 5
+        assert 0.0 <= r["recall"] <= 1.0
+        # the 5 exact neighbors of a near-cluster query include the 5
+        # other near vectors; ADC must find at least the 4 same-cluster
+        # ones it can distinguish coarsely
+        assert r["recall"] >= 0.8

@@ -615,6 +615,142 @@ GROUP BY a.cluster
     )
 
 
+def l2_topk(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force squared-L2 top-k (broadcast queries, JVM fold) — the
+    exact baseline the PQ/ADC path is measured against.  Output:
+    ``query_id, neighbor_id, l2_sq, rank`` (ascending distance,
+    9-rounded for rank determinism, reported at 6)."""
+    from pyspark.sql import Window
+
+    queries = df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
+    )
+    d = _sqdist(F.col("qvec"), _as_double(F.col(vec_col)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("l2_sq"), 9).asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        spread(df).crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), d.alias("l2_sq"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("l2_sq", F.round("l2_sq", 6))
+    )
+
+
+def l2_topk_sql(
+    table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 5,
+    k: int = 10,
+) -> str:
+    sq = (
+        "list_sum(list_transform(range(1, len(q.qvec) + 1), "
+        f"i -> (q.qvec[i] - CAST(c.{vec_col}[i] AS DOUBLE)) "
+        f"* (q.qvec[i] - CAST(c.{vec_col}[i] AS DOUBLE))))"
+    )
+    return f"""
+WITH q AS (
+  SELECT {id_col} AS query_id,
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS qvec
+  FROM {table} WHERE {id_col} < {n_queries}
+),
+scored AS (
+  SELECT q.query_id, c.{id_col} AS neighbor_id, {sq} AS l2_sq
+  FROM {table} c, q WHERE c.{id_col} != q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, l2_sq,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(l2_sq, 9) ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(l2_sq, 6) AS l2_sq, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def pq_recall(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 2,
+    k_codebook: int = 4,
+    iters: int = 2,
+    n_queries: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """PQ quality eval: recall@k of the ADC search against the exact
+    squared-L2 baseline per query — the measurement that sizes (m, k)
+    codebooks before trusting the compressed index.  Same comparison
+    shape as :func:`ivf_recall`; run on a sampled query set at scale
+    (the baseline side is the O(corpus x queries) scan)."""
+    ex = l2_topk(df, id_col=id_col, vec_col=vec_col, n_queries=n_queries, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    ap = (
+        pq_adc_topk(
+            df, id_col=id_col, vec_col=vec_col, m=m, k=k_codebook, iters=iters,
+            n_queries=n_queries, topk=k,
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    j = ex.join(ap, ["query_id", "neighbor_id"], "left")
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 9).alias("recall"),
+        )
+    )
+
+
+def pq_recall_sql(
+    table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 2,
+    k_codebook: int = 4,
+    iters: int = 2,
+    n_queries: int = 5,
+    k: int = 10,
+) -> str:
+    ex = l2_topk_sql(table, id_col=id_col, vec_col=vec_col, n_queries=n_queries, k=k).strip()
+    ap = pq_adc_topk_sql(
+        table, id_col=id_col, vec_col=vec_col, m=m, k=k_codebook, iters=iters,
+        n_queries=n_queries, topk=k,
+    ).strip()
+    return f"""
+WITH ex AS (SELECT * FROM ({ex}) t),
+ap AS (SELECT * FROM ({ap}) t)
+SELECT ex.query_id, count(*) AS n_exact,
+       CAST(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       round(CAST(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(count(*) AS DOUBLE), 9) AS recall
+FROM ex LEFT JOIN ap USING (query_id, neighbor_id)
+GROUP BY 1
+"""
+
+
 def _pq_assign(b: DataFrame, c: DataFrame) -> DataFrame:
     d9 = F.round(_sqdist(F.col("vec"), F.col("cvec")), 9)
     return (

@@ -94,6 +94,7 @@ _SCORE_FIRST = (
     "cross_corpus_lsh",
     "pq_codes",
     "pq_adc_topk",
+    "pq_recall_at_k",
     "split_drift_ks",
     # --- r1-only greens: re-score so no verdict is older than 2 rounds ----
     "scalar_funcs",
@@ -1682,6 +1683,18 @@ def pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, "embeddings", sf_dir)
     return similarity.pq_adc_topk(e, m=2, k=4, iters=2, n_queries=5, topk=10)
+
+
+@_q(
+    "pq_recall_at_k",
+    similarity.pq_recall_sql("embeddings", m=2, k_codebook=4, iters=2, n_queries=5, k=10),
+    doc="PQ quality eval: recall@10 of the ADC search vs the exact "
+    "squared-L2 baseline per query — the codebook-sizing measurement "
+    "(composes l2_topk and pq_adc_topk; both SQL twins nested as CTEs).",
+)
+def pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "embeddings", sf_dir)
+    return similarity.pq_recall(e, m=2, k_codebook=4, iters=2, n_queries=5, k=10)
 
 
 @_q(
