@@ -792,3 +792,38 @@ def test_stream_near_dup_bucket_cap(spark, stream_dirs):
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     # only ids 0 and 1 are admitted to each bucket -> the single pair (0, 1)
     assert pairs == {(0, 1)}
+
+
+def test_stream_cms_equals_batch_sketch(spark, tmp_path):
+    """The streaming CMS (per-batch partial grids, elementwise-sum merge)
+    must be bit-identical to the batch sketch over the union — the
+    mergeability contract, live."""
+    from trend_o_meter_spark.operators.cms import cms_build, cms_estimate
+    from trend_o_meter_spark.streaming.pipeline import stream_cms
+
+    rows = [("m%d" % (i % 7),) for i in range(300)] + [("hot",)] * 120
+    b1 = rows[:200]
+    b2 = rows[200:]
+    results = {}
+    per_batch = stream_cms(
+        state_path=str(tmp_path / "grid"),
+        key="metric",
+        on_result=lambda bid, df: results.update({bid: sorted(map(tuple, df.collect()))}),
+    )
+    per_batch(spark.createDataFrame(b1, "metric string"), 0)
+    per_batch(spark.createDataFrame(b2, "metric string"), 1)
+
+    full = spark.createDataFrame(rows, "metric string")
+    want = sorted(map(tuple, cms_build(full, key="metric").collect()))
+    assert results[1] == want
+    # and the merged stream sketch answers point queries like the batch one
+    merged = spark.createDataFrame(
+        [tuple(r) for r in results[1]], "row_id int, bucket bigint, cnt long"
+    )
+    est = {
+        r["metric"]: r["cms_estimate"]
+        for r in cms_estimate(
+            merged, full.groupBy("metric").count(), key="metric"
+        ).collect()
+    }
+    assert est["hot"] >= 120  # CMS never undercounts

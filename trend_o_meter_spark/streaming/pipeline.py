@@ -307,6 +307,48 @@ def stream_trending(
     return per_batch
 
 
+def stream_cms(
+    *,
+    state_path: str,
+    key: str = "metric",
+    width: int = 64,
+    depth: int = 4,
+    on_result: "object" = None,
+):
+    """Live frequency sketching: the streaming twin of
+    ``operators.cms.cms_build`` — each micro-batch builds its PARTIAL
+    count-min grid and appends it to a parquet grid table; the merged
+    sketch (elementwise sum — CMS grids merge losslessly) is re-read and
+    handed to ``on_result(batch_id, DataFrame)``.
+
+    The same bounded-state argument as ``stream_trending``: the state
+    table is O(batches x depth x width) grid rows (compact it with
+    ``io.compact_table`` on a cadence), the merged sketch is
+    O(depth x width) whatever the stream length, and the merge is the
+    associative grid sum — so the streaming sketch EQUALS the batch
+    sketch of the union (test-pinned).  Returns the ``foreachBatch``
+    callable.
+    """
+    from ..operators.cms import cms_build
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not batch_df.isEmpty():
+            partial = cms_build(batch_df, key=key, width=width, depth=depth)
+            partial.write.mode("append").parquet(state_path)
+        try:
+            state = spark.read.parquet(state_path)
+        except Exception:  # noqa: BLE001 — no state yet (all-empty batches)
+            return
+        merged = state.groupBy("row_id", "bucket").agg(
+            F.sum("cnt").cast("long").alias("cnt")
+        )
+        if on_result is not None:
+            on_result(batch_id, merged)
+
+    return per_batch
+
+
 def run_to_memory_sink(
     df: DataFrame,
     *,
