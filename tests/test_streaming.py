@@ -827,3 +827,40 @@ def test_stream_cms_equals_batch_sketch(spark, tmp_path):
         ).collect()
     }
     assert est["hot"] >= 120  # CMS never undercounts
+
+
+def test_stream_hll_rollup_equals_batch_estimate(spark, tmp_path):
+    """Streaming HLL rollup (per-batch partial sketches, register-max
+    union) estimates exactly what the batch union-of-daily-sketches
+    estimates — including a user seen in BOTH batches counted once."""
+    from datetime import datetime, timezone
+
+    from trend_o_meter_spark.streaming.pipeline import stream_hll_rollup
+
+    def ev(metric, day, user):
+        return (metric, datetime(2024, 1, day, 12, 0, tzinfo=timezone.utc), user)
+
+    b1 = [ev("m0", 1, u) for u in range(30)] + [ev("m1", 1, u) for u in range(5)]
+    b2 = [ev("m0", 2, u) for u in range(15, 45)] + [ev("m1", 2, 4)]  # overlaps b1
+    schema = "event_type string, ts timestamp, user_id long"
+    results = {}
+    per_batch = stream_hll_rollup(
+        state_path=str(tmp_path / "sk"),
+        on_result=lambda bid, df: results.update({bid: {r["event_type"]: r["approx_users"] for r in df.collect()}}),
+    )
+    per_batch(spark.createDataFrame(b1, schema), 0)
+    per_batch(spark.createDataFrame(b2, schema), 1)
+
+    full = spark.createDataFrame(b1 + b2, schema)
+    want = {
+        r["event_type"]: r["est"]
+        for r in full.groupBy("event_type", F.date_trunc("day", "ts"))
+        .agg(F.hll_sketch_agg("user_id").alias("__sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("est"))
+        .collect()
+    }
+    assert results[1] == want
+    # accuracy sanity: 45 distinct users for m0, 5 for m1 — HLL within 10%
+    assert abs(results[1]["m0"] - 45) <= 5
+    assert abs(results[1]["m1"] - 5) <= 1

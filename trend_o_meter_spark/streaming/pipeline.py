@@ -349,6 +349,56 @@ def stream_cms(
     return per_batch
 
 
+def stream_hll_rollup(
+    *,
+    state_path: str,
+    ts: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    id_col: str = "user_id",
+    bucket_seconds: int = 86400,
+    on_result: "object" = None,
+):
+    """Live distinct-count rollup: the streaming twin of
+    ``workload.sketch_rollup`` — each micro-batch appends its PARTIAL
+    per-(key, day) HLL sketches (binary register state) to a parquet
+    sketch table; estimates come from ``hll_union_agg`` over the merged
+    table.  HLL union is the lossless register-wise max, so the
+    streaming estimate EQUALS the batch estimate over the union
+    (test-pinned) — late rows within the retention horizon union into
+    their day like any other partial.
+
+    State is O(keys x days x batches) KB-sized sketch rows (compact on
+    a cadence); the estimate re-aggregation never rescans raw events —
+    the same hypertable argument as the batch rollup.  Returns the
+    ``foreachBatch`` callable; ``on_result(batch_id, DataFrame)`` gets
+    ``*keys, approx_users`` per key over all days seen.
+    """
+    b = F.date_trunc("day", F.col(ts)) if bucket_seconds == 86400 else (
+        F.timestamp_seconds(
+            (F.floor(F.unix_seconds(F.col(ts)) / bucket_seconds) * bucket_seconds).cast("long")
+        )
+    )
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not batch_df.isEmpty():
+            partial = batch_df.withColumn("__day", b).groupBy(*keys, "__day").agg(
+                F.hll_sketch_agg(id_col).alias("__sk")
+            )
+            partial.write.mode("append").parquet(state_path)
+        try:
+            state = spark.read.parquet(state_path)
+        except Exception:  # noqa: BLE001 — no state yet
+            return
+        result = state.groupBy(*keys).agg(
+            F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("approx_users")
+        )
+        if on_result is not None:
+            on_result(batch_id, result)
+
+    return per_batch
+
+
 def run_to_memory_sink(
     df: DataFrame,
     *,
