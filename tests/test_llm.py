@@ -896,3 +896,62 @@ def test_pq_recall_well_separated_clusters_is_high(spark):
         # other near vectors; ADC must find at least the 4 same-cluster
         # ones it can distinguish coarsely
         assert r["recall"] >= 0.8
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """The distributed trainer must learn the exact merge sequence of a
+    pure-Python Sennrich-style reference on the same corpus (count desc,
+    (left, right) asc tie-break), and encoding must compress."""
+    from collections import Counter
+
+    from trend_o_meter_spark.llm.bpe import EOW, bpe_encode, bpe_train
+
+    texts = [
+        "low lower lowest",
+        "new newer newest newest",
+        "low low new wider wide",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+    # pure-python reference (naive, can't share a bug with the Spark impl)
+    freqs = Counter(w for t in texts for w in t.lower().split())
+    vocab = {w: list(w) + [EOW] for w in freqs}
+
+    def ref_merges(n, min_count=2):
+        out = []
+        for _ in range(n):
+            pc = Counter()
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += freqs[w]
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            (a, b), c = best
+            if c < min_count:
+                break
+            out.append((a, b, a + b, c))
+            for w, syms in vocab.items():
+                ns, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        ns.append(a + b)
+                        i += 2
+                    else:
+                        ns.append(syms[i])
+                        i += 1
+                vocab[w] = ns
+        return out
+
+    want = ref_merges(12)
+    got = [
+        (r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train(df, num_merges=12).orderBy("rank").collect()
+    ]
+    assert got == want
+    assert len(got) >= 5  # the corpus supports a real rule list
+
+    rules = [(a, b) for a, b, _, _ in want]
+    enc = {r["doc_id"]: r["n_tokens_bpe"] for r in bpe_encode(df, rules).collect()}
+    raw = {i: sum(len(w) + 1 for w in t.split()) for i, t in enumerate(texts)}
+    assert all(enc[i] < raw[i] for i in enc)  # merges compress every doc

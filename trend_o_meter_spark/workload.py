@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 from . import functions as tfn
 from .catalog import table
-from .llm import cluster, dedup, funnel, multimodal, similarity, text
+from .llm import bpe, cluster, dedup, funnel, multimodal, similarity, text
 from .operators import asof, cms, daybins, downsample, rates, retention, rolling, topk, trend
 
 
@@ -96,6 +96,7 @@ _SCORE_FIRST = (
     "pq_adc_topk",
     "pq_recall_at_k",
     "split_drift_ks",
+    "bpe_merges",
     # --- r1-only greens: re-score so no verdict is older than 2 rounds ----
     "scalar_funcs",
     "datetime_funcs",
@@ -1215,6 +1216,20 @@ def verified_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return cluster.dedup_clusters(d, threshold=0.3)
+
+
+@_q(
+    "bpe_merges",
+    None,  # iterative, data-dependent merge choices: not SQL-expressible;
+    # pinned against a pure-python reference trainer in tests/test_llm.py
+    doc="Distributed BPE tokenizer training (Sennrich 2016): merge rules "
+    "learned from the word-frequency table (state O(distinct words), "
+    "not O(corpus)); per round one pair-count shuffle + a 1-row argmax "
+    "+ a vocab-sized fold applying the merge.  Rows-only by design.",
+)
+def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return bpe.bpe_train(d, num_merges=20)
 
 
 @_q(
