@@ -831,8 +831,11 @@ def pq_codes(
     broadcast + one (subspace, cluster, dim) mean shuffle; assignment is
     codebook-broadcast + struct-min.  Output: ``vec_id,
     codes array<bigint>`` (codes ordered by subspace).  Vector length
-    must be divisible by ``m`` (asserted per row by construction: the
-    slice grid covers the vector exactly).
+    should be divisible by ``m``: the subspace grid is ``floor(dim/m)``
+    wide, so a non-divisible tail of ``dim % m`` dimensions is NOT
+    quantized (standard PQ pads or asserts upstream — documented, not
+    hidden; both engines truncate identically so the oracle still
+    matches).
     """
     if iters < 1 or m < 1:
         raise ValueError("m and iters must be >= 1")
