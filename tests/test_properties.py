@@ -285,3 +285,46 @@ def test_star_cc_equals_label_cc_random_graphs(spark, edges):
     want = {i: comp_min[find(i)] for i in range(15)}
     assert lab == want
     assert star == want
+
+
+@given(texts=docs_strategy)
+@settings(**SETTINGS)
+def test_cooc_pmi_matches_naive_model(spark, texts):
+    """cooc_pmi_topk against a naive O(n^2) python model: identical pair
+    counts, marginals, and PMI (rounded the same way)."""
+    import math
+    from collections import Counter
+
+    from trend_o_meter_spark.llm.text import cooc_pmi_topk
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in cooc_pmi_topk(df, window=2, min_count=1, k=1000).collect()
+    }
+
+    pc = Counter()
+    for t in texts:
+        toks = t.split()
+        for i, w1 in enumerate(toks):
+            for j in range(i + 1, min(i + 3, len(toks))):
+                pc[(w1, toks[j])] += 1
+    left = Counter()
+    right = Counter()
+    for (a, b), c in pc.items():
+        left[a] += c
+        right[b] += c
+    total = sum(pc.values())
+    assert set(out) == set(pc)
+    for pair, c in pc.items():
+        r = out[pair]
+        assert r["n_pair"] == c
+        want = round(math.log((c * total) / (left[pair[0]] * right[pair[1]])), 6)
+        assert abs(r["pmi"] - want) < 1e-9, (pair, r["pmi"], want)
+    # ranks are a permutation of 1..n in (pmi desc, pair asc) order
+    ranked = sorted(out.values(), key=lambda r: r["rank"])
+    assert [r["rank"] for r in ranked] == list(range(1, len(out) + 1))
+    for x, y in zip(ranked, ranked[1:]):
+        assert x["pmi"] > y["pmi"] or (
+            x["pmi"] == y["pmi"] and (x["w1"], x["w2"]) < (y["w1"], y["w2"])
+        )
