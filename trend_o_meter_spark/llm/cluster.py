@@ -103,8 +103,18 @@ def connected_components(
     if algorithm == "star":
         return _star_components(node_ids, one, id_col=id_col, checkpoint_dir=checkpoint_dir)
     sym = one.union(one.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    labels = node_ids.withColumn("lbl", F.col("id"))
-    prev_sig = None
+    # round 0 fused into initialization: lbl = min(id, min neighbor) is
+    # exactly the first propagation round's output, for one aggregate and
+    # no checkpoint/convergence barrier — clique-ish dedup graphs then
+    # finish in 1-2 checked rounds instead of 2-3
+    minn = sym.groupBy(F.col("src").alias("id")).agg(F.min("dst").alias("__mn"))
+    labels = _truncate(
+        node_ids.join(minn, "id", "left").select(
+            "id", F.least(F.col("id"), F.coalesce(F.col("__mn"), F.col("id"))).alias("lbl")
+        ),
+        checkpoint_dir,
+    )
+    prev_sig = _label_sig(labels)
     for _ in range(max_iter):
         msgs = sym.join(labels, sym["src"] == labels["id"]).select(
             F.col("dst").alias("id"), F.col("lbl")
