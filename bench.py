@@ -95,6 +95,35 @@ def stream_probe(spark, sf_dir: str) -> dict:
             "sec": sec, "rows_per_sec": round(n_rows / sec)}
 
 
+def stream_lsh_probe(spark, sf_dir: str) -> dict:
+    """Second streaming probe: docs/sec through the incremental
+    MinHash-LSH near-dup operator (per-row signatures + stateful
+    band-bucket store) replaying the documents table as a file stream."""
+    import tempfile
+
+    from trend_o_meter_spark.catalog import table as cat_table
+    from trend_o_meter_spark.streaming.lsh import stream_near_dup_lsh
+
+    batch = cat_table(spark, "documents", sf_dir).select("doc_id", "text")
+    n_rows = batch.count()
+    with tempfile.TemporaryDirectory() as tmp:
+        src_dir = os.path.join(tmp, "src")
+        batch.write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+        pairs = stream_near_dup_lsh(stream)
+        t0 = time.time()
+        q = (
+            pairs.writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sec = round(time.time() - t0, 3)
+    return {"operator": "stream_near_dup_lsh", "rows": n_rows,
+            "sec": sec, "rows_per_sec": round(n_rows / sec)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -120,6 +149,7 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "streaming": stream_probe(spark, sf_dir),
+        "streaming_lsh": stream_lsh_probe(spark, sf_dir),
     }
     print(json.dumps(out))
 
