@@ -19,6 +19,7 @@ SAMPLE = [
     # round-3 additions (array serialization, star CC, PMI ln math)
     "quantize_embeddings", "kmeans_centroids", "dedup_clusters_star",
     "cooc_pmi_topk", "resize_image_meta", "pq_codes", "dup_span_stats",
+    "pq_adc_topk", "split_drift_ks", "cross_corpus_lsh", "curation_funnel",
 ]
 
 
