@@ -97,6 +97,7 @@ _SCORE_FIRST = (
     "pq_recall_at_k",
     "split_drift_ks",
     "bpe_merges",
+    "bpe_encode_fixed",
     # --- r1-only greens: re-score so no verdict is older than 2 rounds ----
     "scalar_funcs",
     "datetime_funcs",
@@ -1230,6 +1231,24 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return bpe.bpe_train(d, num_merges=20)
+
+
+_BPE_FIXED_RULES = [("t", "h"), ("th", "e</w>"), ("i", "n"), ("a", "n")]
+
+
+@_q(
+    "bpe_encode_fixed",
+    None,  # the left-to-right non-overlapping merge fold has no clean SQL
+    # twin (string-replace approximations break on shared delimiters);
+    # encode correctness is pinned vs the python reference in tests
+    doc="BPE encoding with a fixed rule list: tokens-per-doc after "
+    "applying 4 merges in rank order — the compression measurement on "
+    "the corpus; each rule is a corpus-wide map-side fold, no shuffle "
+    "until the final per-doc sum.  Rows-only by design.",
+)
+def bpe_encode_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return bpe.bpe_encode(d, _BPE_FIXED_RULES)
 
 
 @_q(
