@@ -955,3 +955,16 @@ def test_bpe_train_matches_reference_implementation(spark):
     enc = {r["doc_id"]: r["n_tokens_bpe"] for r in bpe_encode(df, rules).collect()}
     raw = {i: sum(len(w) + 1 for w in t.split()) for i, t in enumerate(texts)}
     assert all(enc[i] < raw[i] for i in enc)  # merges compress every doc
+
+
+def test_cc_ignores_edges_outside_node_set_both_algorithms(spark):
+    """Edges referencing ids absent from `nodes` must not leak into the
+    output, and label/star must agree on the row set (the algorithm=auto
+    determinism contract — was a divergence found in review)."""
+    from trend_o_meter_spark.llm.cluster import connected_components
+
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    edges = spark.createDataFrame([(0, 1), (1, 99), (98, 97)], "id_a long, id_b long")
+    lab = {r["id"]: r["cluster_id"] for r in connected_components(nodes, edges, algorithm="label").collect()}
+    star = {r["id"]: r["cluster_id"] for r in connected_components(nodes, edges, algorithm="star").collect()}
+    assert lab == star == {0: 0, 1: 0, 2: 2}

@@ -65,23 +65,30 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
-def _apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
-    # left-to-right non-overlapping merge: fold symbols, replacing a
-    # trailing `a` when `b` follows — "aaa" + (a,a) -> [aa, a], and a
-    # just-produced "ab" never re-merges (it no longer equals `a`)
-    merged = F.aggregate(
-        F.col("syms"),
-        F.array().cast("array<string>"),
-        lambda acc, s: F.when(
+def _merge_fold(a: str, b: str):
+    """The left-to-right non-overlapping merge as an ``F.aggregate``
+    fold: replace a trailing ``a`` when ``b`` follows — "aaa" + (a,a)
+    -> [aa, a], and a just-produced "ab" never re-merges (it no longer
+    equals ``a``).  ONE definition shared by trainer and encoder so the
+    two can never drift."""
+
+    def fold(acc, s):
+        return F.when(
             (F.size(acc) > 0)
             & (F.element_at(acc, -1) == F.lit(a))
             & (s == F.lit(b)),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
-            ),
-        ).otherwise(F.concat(acc, F.array(s))),
-    )
-    return vocab.select("word", "freq", merged.alias("syms"))
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return fold
+
+
+def _merged_syms(a: str, b: str):
+    return F.aggregate(F.col("syms"), F.array().cast("array<string>"), _merge_fold(a, b))
+
+
+def _apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
+    return vocab.select("word", "freq", _merged_syms(a, b).alias("syms"))
 
 
 def bpe_train(
@@ -129,30 +136,23 @@ def bpe_encode(
 ) -> DataFrame:
     """Apply a learned rule list to a corpus: ``doc_id, n_tokens_bpe``
     (the compression measurement — BPE quality is tokens-per-doc).
-    Rules apply in rank order, each a corpus-wide map (no shuffle)."""
+    Rules apply in rank order, each a corpus-wide map (no shuffle);
+    the fold is the SAME ``_merge_fold`` the trainer uses.  Documents
+    with no words (empty / whitespace-only / NULL text) are reported
+    with ``n_tokens_bpe = 0``, not dropped."""
     words = df.select(
         F.col(id_col),
         F.explode(F.split(_norm(F.col(text)), " ")).alias("word"),
     ).filter(F.col("word") != "")
     syms = F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW)))
     enc = words.select(F.col(id_col), syms.alias("syms"))
-
-    def _folder(a: str, b: str):
-        def fold(acc, s):
-            return F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a))
-                & (s == F.lit(b)),
-                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))),
-            ).otherwise(F.concat(acc, F.array(s)))
-
-        return fold
-
     for a, b in rules:
-        merged = F.aggregate(
-            F.col("syms"), F.array().cast("array<string>"), _folder(a, b)
-        )
-        enc = enc.select(F.col(id_col), merged.alias("syms"))
-    return enc.groupBy(id_col).agg(
-        F.sum(F.size("syms")).cast("long").alias("n_tokens_bpe")
+        enc = enc.select(F.col(id_col), _merged_syms(a, b).alias("syms"))
+    counts = enc.groupBy(id_col).agg(
+        F.sum(F.size("syms")).cast("long").alias("__n")
+    )
+    allk = df.select(F.col(id_col)).distinct()
+    return allk.join(counts, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_tokens_bpe"),
     )

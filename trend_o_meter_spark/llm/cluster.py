@@ -93,13 +93,21 @@ def connected_components(
     # the materialized data: the upstream pair pipeline (LSH + verify over
     # the full corpus) must execute exactly once, not once per union
     # branch and again per round through the loop's lineage.
+    node_ids = nodes.select(F.col(id_col).cast("long").alias("id")).distinct()
+    # restrict edges to the node set ONCE (two semi-joins on the
+    # materialized list): endpoints outside `nodes` would otherwise leak
+    # into the label path's output (the per-round union adds edge ids)
+    # while the star path drops them — the two algorithms must return the
+    # same row set for algorithm="auto" to be deterministic.
     one = _truncate(
         edges.select(
             F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
-        ),
+        )
+        .join(node_ids.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(node_ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .select("src", "dst"),
         checkpoint_dir,
     )
-    node_ids = nodes.select(F.col(id_col).cast("long").alias("id")).distinct()
     if algorithm == "star":
         return _star_components(node_ids, one, id_col=id_col, checkpoint_dir=checkpoint_dir)
     sym = one.union(one.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

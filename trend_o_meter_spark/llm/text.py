@@ -350,7 +350,10 @@ def split_drift_ks(
 
     sp = dataset_split(df, id_col=id_col, salt=salt)
     feat = (
-        df.select(F.col(id_col), F.size(_tokens(F.col(text))).alias("v"))
+        # NULL text is excluded (Spark's size(NULL) is -1, a nonsense
+        # ECDF point the oracle's len(str_split(NULL)) would not emit)
+        df.filter(F.col(text).isNotNull())
+        .select(F.col(id_col), F.size(_tokens(F.col(text))).alias("v"))
         .join(sp, id_col)
         .filter(F.col("split").isin(split_a, split_b))
     )
@@ -412,7 +415,7 @@ WITH sp AS ({sp}),
 feat AS (
   SELECT d.{id_col}, len(str_split({norm}, ' ')) AS v, sp.split
   FROM {table} d JOIN sp USING ({id_col})
-  WHERE sp.split IN ('{split_a}', '{split_b}')
+  WHERE sp.split IN ('{split_a}', '{split_b}') AND d.{text} IS NOT NULL
 ),
 counts AS (
   SELECT v,

@@ -78,6 +78,12 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins only")
+    if salt_on in on:
+        # salting by the join key is a no-op: every row of a hot key gets
+        # the SAME salt, so the hot partition never splits while the small
+        # side still pays n_salts-x replication — always a caller mistake
+        raise ValueError("salt_on must be a column that varies within a join key "
+                         "(e.g. a row id), not the join key itself")
     salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(n_salts))
     b = big.withColumn("__salt", salt)
     s = small.withColumn(

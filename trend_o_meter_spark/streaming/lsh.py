@@ -130,18 +130,21 @@ def stream_near_dup_lsh(
         known = set(ids)
         out_a: list[int] = []
         out_b: list[int] = []
-        for pdf in pdfs:
-            # sorted admission keeps emission deterministic per (batch, key)
-            for i in sorted(int(x) for x in pdf["id"]):
-                if i in known:
-                    continue
-                if len(ids) >= max_bucket:
-                    break  # degenerate bucket: stop admitting members
-                for j in ids:
-                    out_a.append(min(i, j))
-                    out_b.append(max(i, j))
-                ids.append(i)
-                known.add(i)
+        # drain ALL Arrow chunks before sorting: a group larger than the
+        # Arrow batch size arrives as several pdfs, and per-chunk sorting
+        # would make admission order (and so the max_bucket member set)
+        # depend on chunk boundaries — not replay-stable across recovery
+        batch_ids = sorted(int(x) for pdf in pdfs for x in pdf["id"])
+        for i in batch_ids:
+            if i in known:
+                continue
+            if len(ids) >= max_bucket:
+                break  # degenerate bucket: stop admitting members
+            for j in ids:
+                out_a.append(min(i, j))
+                out_b.append(max(i, j))
+            ids.append(i)
+            known.add(i)
         state.update((ids,))
         if out_a:
             yield pd.DataFrame({"band": band, "bh": bh, "id_a": out_a, "id_b": out_b})

@@ -14,6 +14,7 @@ Divergences from the reference, by design (documented, principled):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql.utils import AnalysisException
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -249,7 +250,7 @@ def stream_day_bins(
             batch_df.write.mode("append").parquet(state_path)
         try:
             state = spark.read.parquet(state_path)
-        except Exception:  # noqa: BLE001 — no state yet (all-empty batches)
+        except AnalysisException:  # state path not created yet (all-empty batches)
             return
         if retention_days is not None:
             state = retain_window(state, ts="ts", keys=(metric,), days=retention_days)
@@ -297,7 +298,7 @@ def stream_trending(
             partial.write.mode("append").parquet(state_path)
         try:
             state = spark.read.parquet(state_path)
-        except Exception:  # noqa: BLE001 — no state yet (all-empty batches)
+        except AnalysisException:  # state path not created yet (all-empty batches)
             return
         counts = state.groupBy(*keys, "__b").agg(F.sum("__c").cast("long").alias("__c"))
         result = score_bucket_counts(counts, keys=keys, bucket_seconds=bucket_seconds)
@@ -338,7 +339,7 @@ def stream_cms(
             partial.write.mode("append").parquet(state_path)
         try:
             state = spark.read.parquet(state_path)
-        except Exception:  # noqa: BLE001 — no state yet (all-empty batches)
+        except AnalysisException:  # state path not created yet (all-empty batches)
             return
         merged = state.groupBy("row_id", "bucket").agg(
             F.sum("cnt").cast("long").alias("cnt")
@@ -388,7 +389,7 @@ def stream_hll_rollup(
             partial.write.mode("append").parquet(state_path)
         try:
             state = spark.read.parquet(state_path)
-        except Exception:  # noqa: BLE001 — no state yet
+        except AnalysisException:  # state path not created yet (all-empty batches)
             return
         result = state.groupBy(*keys).agg(
             F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("approx_users")
