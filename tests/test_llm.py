@@ -878,6 +878,21 @@ def test_split_drift_ks_model_and_extremes(spark):
     assert 0.0 <= got["ks_stat"] <= 1.0
 
 
+def test_split_drift_ks_empty_split_is_explicit_null(spark):
+    """Empty-split contract: KS vs a split no document lands in is
+    NULL (never NaN), so a `ks_stat < t` QA gate fails closed."""
+    import math
+
+    from trend_o_meter_spark.llm.text import split_drift_ks
+
+    rows = [(i, "w " * (2 + (i % 5))) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = split_drift_ks(df, split_b="no-such-split").collect()[0]
+    assert r["n_b"] == 0 and r["n_a"] > 0
+    assert r["ks_stat"] is None  # explicit NULL, not NaN
+    assert not (r["ks_stat"] is not None and math.isnan(r["ks_stat"]))
+
+
 def test_pq_recall_well_separated_clusters_is_high(spark):
     """With clusters far apart relative to quantization error, ADC@k
     recovers most exact-L2 neighbors; recall is always within [0, 1]."""

@@ -38,10 +38,19 @@ def _truncate(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     on executors — fast, but one lost executor kills the job mid-iteration;
     with ``checkpoint_dir`` set we use reliable ``checkpoint`` to that
     (HDFS/object-store) path instead, the right call on preemptible
-    1000-executor clusters."""
+    1000-executor clusters.
+
+    NOTE: the checkpoint directory is SparkContext-global (there is one
+    per session, not one per job), so we mutate it only when it actually
+    differs from the current setting.  Two concurrent jobs in one session
+    passing *different* ``checkpoint_dir`` values would still stomp each
+    other mid-loop — callers sharing a session should share one dir (the
+    per-job subdirectory layout under it is Spark's own rdd-id naming).
+    """
     if checkpoint_dir is not None:
         sc = df.sparkSession.sparkContext
-        sc.setCheckpointDir(checkpoint_dir)
+        if sc.getCheckpointDir() != checkpoint_dir:
+            sc.setCheckpointDir(checkpoint_dir)
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
 
@@ -86,6 +95,18 @@ def connected_components(
     label propagation, handing off to star if ``max_iter`` rounds don't
     converge — dedup graphs are short-diameter so the fast path almost
     always wins, and pathological chains still terminate.
+
+    Convergence detection is PROBABILISTIC: a round is declared a
+    fixpoint when the label multiset's (count, xxhash64-sum) signature
+    stops changing — one cheap aggregate per round instead of an exact
+    changed-row join.  A hash-sum collision (~2^-64 per round on random
+    data, though adversarially constructible input could force one)
+    would declare convergence early and return not-yet-converged labels.
+    For dedup workloads this is the right trade (the alternative exact
+    check is a full join per round); callers needing a hard guarantee
+    can verify the returned labels with one extra propagation round and
+    an equality check, or use ``algorithm="star"`` whose round count is
+    structurally bounded.
     """
     if algorithm not in ("auto", "label", "star"):
         raise ValueError(f"unknown algorithm: {algorithm!r}")

@@ -626,7 +626,14 @@ def l2_topk(
     """Brute-force squared-L2 top-k (broadcast queries, JVM fold) — the
     exact baseline the PQ/ADC path is measured against.  Output:
     ``query_id, neighbor_id, l2_sq, rank`` (ascending distance,
-    9-rounded for rank determinism, reported at 6)."""
+    9-rounded for rank determinism, reported at 6).
+
+    Query selection is ``id_col < n_queries`` — it assumes ids are DENSE
+    FROM 0 (the fixtures satisfy this; so do the PQ/kmeans init paths,
+    which share the convention).  On a corpus with sparse or offset ids
+    this evaluates fewer (possibly zero) queries; pre-map ids to a dense
+    0..n-1 range (``row_number() - 1``) before calling if yours aren't.
+    """
     from pyspark.sql import Window
 
     queries = df.filter(F.col(id_col) < n_queries).select(
@@ -695,7 +702,8 @@ def pq_recall(
     squared-L2 baseline per query — the measurement that sizes (m, k)
     codebooks before trusting the compressed index.  Same comparison
     shape as :func:`ivf_recall`; run on a sampled query set at scale
-    (the baseline side is the O(corpus x queries) scan)."""
+    (the baseline side is the O(corpus x queries) scan).  Inherits the
+    dense-ids-from-0 query-selection convention of :func:`l2_topk`."""
     ex = l2_topk(df, id_col=id_col, vec_col=vec_col, n_queries=n_queries, k=k).select(
         "query_id", "neighbor_id"
     )
@@ -923,7 +931,9 @@ def pq_adc_topk(
     join + one agg, never query x corpus float math.  Per-subspace
     distances are 9-rounded and summed as exact DECIMAL so the total is
     order-insensitive.  Output: ``query_id, neighbor_id, adc_dist,
-    rank`` (ascending distance, id tie-break; self excluded).
+    rank`` (ascending distance, id tie-break; self excluded).  Query
+    selection inherits the dense-ids-from-0 convention of
+    :func:`l2_topk` (see its docstring).
     """
     base, cents, assigned = _pq_train(
         df, id_col=id_col, vec_col=vec_col, m=m, k=k, iters=iters

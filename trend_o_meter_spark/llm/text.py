@@ -345,6 +345,13 @@ def split_drift_ks(
     (the only single-partition window, bounded by the feature's support
     / width, not the corpus).  Output: one row ``n_a, n_b, ks_stat,
     at_value`` (the value achieving the max; smallest on ties).
+
+    Empty-split contract: if either split has zero documents (tiny
+    corpus, or a salt that assigns nothing to one split) the KS statistic
+    is undefined — ``ks_stat`` is emitted as an EXPLICIT NULL (never
+    NaN).  A threshold gate ``ks_stat < t`` then evaluates NULL → the
+    gate FAILS rather than silently passing; check ``n_a``/``n_b`` > 0
+    to distinguish "no drift" from "not measurable".
     """
     from pyspark.sql import Window
 
@@ -388,12 +395,15 @@ def split_drift_ks(
         F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")).alias("dnum"),
     )
     best = F.max(F.struct(F.col("dnum").alias("d"), (-F.col("v")).cast("long").alias("nv")))
+    na0 = F.first("na")
+    nb0 = F.first("nb")
     return diff.groupBy().agg(
-        F.first("na").alias("n_a"),
-        F.first("nb").alias("n_b"),
-        (
-            best["d"].cast("double")
-            / (F.first("na").cast("double") * F.first("nb").cast("double"))
+        na0.alias("n_a"),
+        nb0.alias("n_b"),
+        # empty split => KS undefined: explicit NULL, never a 0/0 NaN
+        F.when(
+            (na0 > 0) & (nb0 > 0),
+            best["d"].cast("double") / (na0.cast("double") * nb0.cast("double")),
         ).alias("ks_stat"),
         (-best["nv"]).cast("long").alias("at_value"),
     )
@@ -435,8 +445,10 @@ diff AS (
   FROM cum CROSS JOIN tot
 )
 SELECT any_value(na) AS n_a, any_value(nb) AS n_b,
-       CAST((max(struct_pack(d := dnum, nv := -v))).d AS DOUBLE)
-         / (CAST(any_value(na) AS DOUBLE) * CAST(any_value(nb) AS DOUBLE)) AS ks_stat,
+       CASE WHEN any_value(na) > 0 AND any_value(nb) > 0 THEN
+         CAST((max(struct_pack(d := dnum, nv := -v))).d AS DOUBLE)
+           / (CAST(any_value(na) AS DOUBLE) * CAST(any_value(nb) AS DOUBLE))
+       END AS ks_stat,
        CAST(-(max(struct_pack(d := dnum, nv := -v))).nv AS BIGINT) AS at_value
 FROM diff
 """
