@@ -14,7 +14,6 @@ Divergences from the reference, by design (documented, principled):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql.utils import AnalysisException
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -190,17 +189,19 @@ def seed_history(
     """Backfill half of the lambda shape (SURVEY §1.1 "backfill + tail").
 
     Downsamples a bounded historical frame with the SAME cadence the live
-    stream uses and writes it to the history table that
-    :func:`stream_day_bins` appends to — the Spark equivalent of the
-    reference's startup list replay (trend-o-meter:289-310) feeding the
-    same state the pub/sub handler appends to.
+    stream uses and writes it to the history table's base partition —
+    the Spark equivalent of the reference's startup list replay
+    (trend-o-meter:289-310) feeding the same state the pub/sub handler
+    appends to.  Re-seeding replaces the previous backfill (the base
+    partition), never the live micro-batch partitions.
     """
     from ..operators.downsample import downsample_fixed_grid
+    from .statestore import PartialStateTable
 
     ds = downsample_fixed_grid(
         backfill.select(metric, ts, value), ts=ts, keys=(metric,), gap_seconds=gap_seconds
     )
-    ds.select(metric, ts, value).write.mode("append").parquet(state_path)
+    PartialStateTable(state_path).seed(ds.select(metric, ts, value))
 
 
 def stream_day_bins(
@@ -213,25 +214,37 @@ def stream_day_bins(
     gap_seconds: float = 60.0,
     day_bins: tuple[int, ...] = (1, 3, 5, 7),
     min_data_hours: int = 18,
-    retention_days: float | None = None,
+    retention_days: float | None | str = "auto",
+    compact_every: int = 25,
     on_result: "object" = None,
 ):
     """The reference's live loop (§3.2) end-to-end as a continuous query.
 
     backfill+tail shape: the gap-anchored downsample keeps its anchor in
     the state store (``stream_anchored_downsample``); each micro-batch's
-    kept samples append to a parquet state table (the durable stand-in
-    for the reference's in-memory ``metricHistory`` — its Redis list WAL,
-    trend-o-meter:142-144), then the flagship day-bin aggregation re-runs
-    over the state table and the result goes to ``on_result(batch_id,
-    DataFrame)`` (e.g. the display renderer).
+    kept samples land in a replay-idempotent parquet state table (the
+    durable stand-in for the reference's in-memory ``metricHistory`` —
+    its Redis list WAL, trend-o-meter:142-144; see
+    :class:`.statestore.PartialStateTable` for the at-least-once story),
+    then the flagship day-bin aggregation re-runs over the state table
+    and the result goes to ``on_result(batch_id, DataFrame)`` (e.g. the
+    display renderer).
 
     The full recompute per batch mirrors the reference's ``runParse()``
     per accepted sample (trend-o-meter:418) — but columnar, and over the
     downsampled table (1 row/min/metric), so the recompute input at any
     scale is tiny: the A3 anchor is data-derived (max ts per metric),
     which no incremental streaming agg can window on — SURVEY §7.3.
-    ``retention_days`` applies the F4 range cull to the state table scan.
+
+    State is BOUNDED by default: ``retention_days="auto"`` applies the
+    F4 range cull at ``max(day_bins)`` days (the reference's own
+    retention horizon, trend-o-meter:421-435) to every scan, and every
+    ``compact_every`` batches the state table folds its per-batch
+    partitions into one culled base — so both the row count AND the
+    file count stay flat on a long-running query instead of growing
+    O(#batches).  Pass ``retention_days=None`` to keep history forever
+    (compaction still bounds the file count) or a number to override
+    the horizon.
 
     Returns the function for ``writeStream.foreachBatch`` — caller starts
     the query (checkpointing recommended).
@@ -239,21 +252,31 @@ def stream_day_bins(
     from ..operators.daybins import day_binned_extremes
     from ..operators.retention import retain_window
     from .stateful import stream_anchored_downsample
+    from .statestore import PartialStateTable
 
+    if retention_days == "auto":
+        retention_days = float(max(day_bins))
     kept = stream_anchored_downsample(
         readings, ts=ts, value=value, metric=metric, gap_seconds=gap_seconds
+    )
+    st = PartialStateTable(state_path)
+    cull = (
+        None
+        if retention_days is None
+        else (lambda df: retain_window(df, ts="ts", keys=(metric,), days=retention_days))
     )
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            st.compact(spark, transform=cull)
         if not batch_df.isEmpty():
-            batch_df.write.mode("append").parquet(state_path)
-        try:
-            state = spark.read.parquet(state_path)
-        except AnalysisException:  # state path not created yet (all-empty batches)
+            st.append(batch_df, batch_id)
+        state = st.read(spark)
+        if state is None:  # state path not created yet (all-empty batches)
             return
-        if retention_days is not None:
-            state = retain_window(state, ts="ts", keys=(metric,), days=retention_days)
+        if cull is not None:
+            state = cull(state)
         result = day_binned_extremes(
             state, ts="ts", value="value", metric=metric,
             day_bins=day_bins, min_data_hours=min_data_hours,
@@ -270,38 +293,47 @@ def stream_trending(
     ts: str = "ts",
     keys: tuple[str, ...] = ("metric",),
     bucket_seconds: int = 86400,
+    compact_every: int = 25,
     on_result: "object" = None,
 ):
     """Live trend detection: the streaming twin of
     ``operators.trend.trending_counts``.
 
-    Each micro-batch appends its PARTIAL per-(key, bucket) counts to a
-    parquet counts table (batch-land groupBy = true deltas, so late rows
-    within the retention horizon simply add to their bucket — no
-    update-mode double-counting), then re-scores the re-summed table and
+    Each micro-batch writes its PARTIAL per-(key, bucket) counts to a
+    replay-idempotent counts table (:class:`.statestore
+    .PartialStateTable` — a replayed micro-batch overwrites its own
+    partition instead of double-counting; late rows within the horizon
+    simply add to their bucket), then re-scores the re-summed table and
     hands the result to ``on_result(batch_id, DataFrame)``.
 
     Recompute input is the counts table — O(keys x active buckets), never
     O(events) — the same bounded-state argument as ``stream_day_bins``'s
-    downsampled history.  Returns the ``foreachBatch`` callable.
+    downsampled history; every ``compact_every`` batches the partials
+    fold into one pre-summed base so the file count stays flat too.
+    Returns the ``foreachBatch`` callable.
     """
     from ..operators.trend import score_bucket_counts
+    from .statestore import PartialStateTable
 
     b = (F.floor(F.unix_seconds(F.col(ts)) / bucket_seconds) * bucket_seconds).cast("long")
+    st = PartialStateTable(state_path)
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.groupBy(*keys, "__b").agg(F.sum("__c").cast("long").alias("__c"))
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            st.compact(spark, transform=merge)
         if not batch_df.isEmpty():
             partial = batch_df.withColumn("__b", b).groupBy(*keys, "__b").agg(
                 F.count(F.lit(1)).alias("__c")
             )
-            partial.write.mode("append").parquet(state_path)
-        try:
-            state = spark.read.parquet(state_path)
-        except AnalysisException:  # state path not created yet (all-empty batches)
+            st.append(partial, batch_id)
+        state = st.read(spark)
+        if state is None:  # state path not created yet (all-empty batches)
             return
-        counts = state.groupBy(*keys, "__b").agg(F.sum("__c").cast("long").alias("__c"))
-        result = score_bucket_counts(counts, keys=keys, bucket_seconds=bucket_seconds)
+        result = score_bucket_counts(merge(state), keys=keys, bucket_seconds=bucket_seconds)
         if on_result is not None:
             on_result(batch_id, result)
 
@@ -314,38 +346,45 @@ def stream_cms(
     key: str = "metric",
     width: int = 64,
     depth: int = 4,
+    compact_every: int = 25,
     on_result: "object" = None,
 ):
     """Live frequency sketching: the streaming twin of
     ``operators.cms.cms_build`` — each micro-batch builds its PARTIAL
-    count-min grid and appends it to a parquet grid table; the merged
-    sketch (elementwise sum — CMS grids merge losslessly) is re-read and
-    handed to ``on_result(batch_id, DataFrame)``.
+    count-min grid and writes it to a replay-idempotent grid table; the
+    merged sketch (elementwise sum — CMS grids merge losslessly) is
+    re-read and handed to ``on_result(batch_id, DataFrame)``.
 
-    The same bounded-state argument as ``stream_trending``: the state
-    table is O(batches x depth x width) grid rows (compact it with
-    ``io.compact_table`` on a cadence), the merged sketch is
-    O(depth x width) whatever the stream length, and the merge is the
-    associative grid sum — so the streaming sketch EQUALS the batch
-    sketch of the union (test-pinned).  Returns the ``foreachBatch``
-    callable.
+    The sum-merge is ADDITIVE, so at-least-once replay protection
+    matters here more than anywhere (a re-appended partial grid would
+    double every count it carries): :class:`.statestore
+    .PartialStateTable` makes the per-batch write idempotent and the
+    read replay-filtered, so the streaming sketch EQUALS the batch
+    sketch of the union (test-pinned, including the replay case).
+    State is O(batches x depth x width) grid rows between compactions;
+    every ``compact_every`` batches the partials fold into one
+    pre-summed O(depth x width) base grid.  Returns the
+    ``foreachBatch`` callable.
     """
     from ..operators.cms import cms_build
+    from .statestore import PartialStateTable
+
+    st = PartialStateTable(state_path)
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.groupBy("row_id", "bucket").agg(F.sum("cnt").cast("long").alias("cnt"))
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            st.compact(spark, transform=merge)
         if not batch_df.isEmpty():
-            partial = cms_build(batch_df, key=key, width=width, depth=depth)
-            partial.write.mode("append").parquet(state_path)
-        try:
-            state = spark.read.parquet(state_path)
-        except AnalysisException:  # state path not created yet (all-empty batches)
+            st.append(cms_build(batch_df, key=key, width=width, depth=depth), batch_id)
+        state = st.read(spark)
+        if state is None:  # state path not created yet (all-empty batches)
             return
-        merged = state.groupBy("row_id", "bucket").agg(
-            F.sum("cnt").cast("long").alias("cnt")
-        )
         if on_result is not None:
-            on_result(batch_id, merged)
+            on_result(batch_id, merge(state))
 
     return per_batch
 
@@ -357,39 +396,49 @@ def stream_hll_rollup(
     keys: tuple[str, ...] = ("event_type",),
     id_col: str = "user_id",
     bucket_seconds: int = 86400,
+    compact_every: int = 25,
     on_result: "object" = None,
 ):
     """Live distinct-count rollup: the streaming twin of
-    ``workload.sketch_rollup`` — each micro-batch appends its PARTIAL
-    per-(key, day) HLL sketches (binary register state) to a parquet
-    sketch table; estimates come from ``hll_union_agg`` over the merged
-    table.  HLL union is the lossless register-wise max, so the
-    streaming estimate EQUALS the batch estimate over the union
-    (test-pinned) — late rows within the retention horizon union into
-    their day like any other partial.
+    ``workload.sketch_rollup`` — each micro-batch writes its PARTIAL
+    per-(key, day) HLL sketches (binary register state) to a
+    replay-idempotent sketch table; estimates come from
+    ``hll_union_agg`` over the merged table.  HLL union is the lossless
+    register-wise max — idempotent, so a replayed partial could never
+    skew the estimate anyway — but the shared
+    :class:`.statestore.PartialStateTable` still bounds the file count
+    (folding partials into per-(key, day) union sketches every
+    ``compact_every`` batches) and keeps all four foreachBatch
+    pipelines on one state discipline.
 
-    State is O(keys x days x batches) KB-sized sketch rows (compact on
-    a cadence); the estimate re-aggregation never rescans raw events —
-    the same hypertable argument as the batch rollup.  Returns the
+    The estimate re-aggregation never rescans raw events — the same
+    hypertable argument as the batch rollup.  Returns the
     ``foreachBatch`` callable; ``on_result(batch_id, DataFrame)`` gets
     ``*keys, approx_users`` per key over all days seen.
     """
+    from .statestore import PartialStateTable
+
     b = F.date_trunc("day", F.col(ts)) if bucket_seconds == 86400 else (
         F.timestamp_seconds(
             (F.floor(F.unix_seconds(F.col(ts)) / bucket_seconds) * bucket_seconds).cast("long")
         )
     )
+    st = PartialStateTable(state_path)
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.groupBy(*keys, "__day").agg(F.hll_union_agg("__sk").alias("__sk"))
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            st.compact(spark, transform=merge)
         if not batch_df.isEmpty():
             partial = batch_df.withColumn("__day", b).groupBy(*keys, "__day").agg(
                 F.hll_sketch_agg(id_col).alias("__sk")
             )
-            partial.write.mode("append").parquet(state_path)
-        try:
-            state = spark.read.parquet(state_path)
-        except AnalysisException:  # state path not created yet (all-empty batches)
+            st.append(partial, batch_id)
+        state = st.read(spark)
+        if state is None:  # state path not created yet (all-empty batches)
             return
         result = state.groupBy(*keys).agg(
             F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("approx_users")
