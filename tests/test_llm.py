@@ -826,6 +826,36 @@ def test_pq_codes_subspaces_quantize_independently(spark):
     assert out[0] != out[1]
 
 
+def test_pq_codes_non_divisible_dim_pads_not_truncates(spark):
+    """dim=17, m=4: the subspace grid is ceil(17/4)=5 wide with 3 pad
+    zeros — the 17th dimension is QUANTIZED (old floor() behavior dropped
+    it), and the DuckDB oracle twin pads identically."""
+    import duckdb
+    import pandas as pd
+
+    from trend_o_meter_spark.llm.similarity import pq_codes, pq_codes_sql
+
+    # two groups identical in dims 0..15, differing ONLY in dim 16 — the
+    # tail a truncating floor(17/4)*4 = 16 split would silently discard
+    shared = [1.0] * 16
+    rows = [(i, shared + [0.0 if i % 2 == 0 else 90.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: list(r["codes"]) for r in pq_codes(df, m=4, k=2, iters=2).collect()}
+    assert all(len(c) == 4 for c in out.values())
+    # tail signal preserved: groups separate in the LAST subspace
+    assert out[0][3] != out[1][3]
+    assert out[0] == out[2] == out[4] and out[1] == out[3] == out[5]
+
+    # oracle twin: identical padding, identical codes
+    vecs = pd.DataFrame(
+        {"vec_id": [i for i, _ in rows], "embedding": [v for _, v in rows]}
+    )
+    con = duckdb.connect()
+    con.register("vecs", vecs)
+    got = con.execute(pq_codes_sql("vecs", m=4, k=2, iters=2)).fetchall()
+    assert {vid: list(codes) for vid, codes in got} == out
+
+
 def test_pq_adc_retrieves_own_cluster(spark):
     """ADC search on well-separated clusters: a query's top neighbors are
     the members of its own cluster (approximate distance preserves

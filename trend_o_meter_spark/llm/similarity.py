@@ -790,15 +790,28 @@ def _pq_train(
     Returns ``(base, codebook, assigned)`` — base rows ``(vid, s, vec)``,
     codebook rows ``(s, cluster, cvec)``, assignment ``(vid, s, cluster,
     vec)``."""
-    base0 = spread(df).select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    raw = spread(df).select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec0")
     )
-    sub = (F.size("vec") / m).cast("int")
+    # Non-divisible dims: PAD the vector with zeros to ceil(dim/m)*m (the
+    # Jegou et al. convention) so the tail dimensions are quantized, not
+    # silently dropped.  Zero-padding is signal-neutral: every vector pads
+    # with the same zeros, so pad dimensions contribute (0-0)^2 = 0 to
+    # every training and ADC distance; when dim % m == 0 this is a no-op.
+    sub = F.ceil(F.size("vec0") / m).cast("int")
+    base0 = raw.select(
+        "vid",
+        F.concat(
+            F.col("vec0"),
+            F.array_repeat(F.lit(0.0), sub * m - F.size("vec0")),
+        ).alias("vec"),
+    )
+    sub_p = (F.size("vec") / m).cast("int")  # exact after padding
     parts = F.array(
         *[
             F.struct(
                 F.lit(s).cast("int").alias("s"),
-                F.slice(F.col("vec"), sub * s + 1, sub).alias("svec"),
+                F.slice(F.col("vec"), sub_p * s + 1, sub_p).alias("svec"),
             )
             for s in range(m)
         ]
@@ -838,12 +851,12 @@ def pq_codes(
     (subspace) added to every key — per iteration one m*k-row codebook
     broadcast + one (subspace, cluster, dim) mean shuffle; assignment is
     codebook-broadcast + struct-min.  Output: ``vec_id,
-    codes array<bigint>`` (codes ordered by subspace).  Vector length
-    should be divisible by ``m``: the subspace grid is ``floor(dim/m)``
-    wide, so a non-divisible tail of ``dim % m`` dimensions is NOT
-    quantized (standard PQ pads or asserts upstream — documented, not
-    hidden; both engines truncate identically so the oracle still
-    matches).
+    codes array<bigint>`` (codes ordered by subspace).  When ``dim`` is
+    not divisible by ``m`` the vectors are ZERO-PADDED to
+    ``ceil(dim/m) * m`` (the Jegou et al. convention) so the tail
+    dimensions are quantized rather than dropped — pad dimensions are
+    identical across vectors and contribute 0 to every distance; both
+    engines pad identically so the oracle matches.
     """
     if iters < 1 or m < 1:
         raise ValueError("m and iters must be >= 1")
@@ -859,8 +872,8 @@ def pq_codes(
 
 def _pq_ctes(table: str, *, id_col: str, vec_col: str, m: int, k: int, iters: int) -> list[str]:
     """Shared oracle CTEs: ``base``, codebooks ``c0..c{iters}``, and the
-    final assignment ``afinal`` — the SQL twin of :func:`_pq_train`."""
-    sub = f"CAST(floor(len({vec_col}) / {m}) AS INT)"
+    final assignment ``afinal`` — the SQL twin of :func:`_pq_train`
+    (including the zero-padding of non-divisible dims)."""
     sq = (
         "list_sum(list_transform(range(1, len(b.vec) + 1), "
         "i -> (b.vec[i] - c.cvec[i]) * (b.vec[i] - c.cvec[i])))"
@@ -877,10 +890,17 @@ def _pq_ctes(table: str, *, id_col: str, vec_col: str, m: int, k: int, iters: in
         "  GROUP BY 1, 2, 3"
         ") GROUP BY s, cluster"
     )
+    sub0 = f"CAST(ceil(len({vec_col}) / {m}) AS INT)"
     ctes = [
-        f"base AS (SELECT {id_col} AS vid, CAST(u.s AS INT) AS s, "
-        f"list_transform(list_slice({vec_col}, {sub} * u.s + 1, {sub} * (u.s + 1)), "
-        f"x -> CAST(x AS DOUBLE)) AS vec FROM {table}, unnest(range({m})) AS u(s))",
+        # zero-pad to ceil(dim/m)*m, mirroring _pq_train
+        f"padded AS (SELECT {id_col} AS vid, list_concat("
+        f"list_transform({vec_col}, x -> CAST(x AS DOUBLE)), "
+        f"list_transform(range({sub0} * {m} - len({vec_col})), "
+        f"x -> CAST(0.0 AS DOUBLE))) AS pvec FROM {table})",
+        f"base AS (SELECT vid, CAST(u.s AS INT) AS s, "
+        f"list_slice(pvec, CAST(len(pvec) / {m} AS INT) * u.s + 1, "
+        f"CAST(len(pvec) / {m} AS INT) * (u.s + 1)) AS vec "
+        f"FROM padded, unnest(range({m})) AS u(s))",
         f"c0 AS (SELECT s, CAST(vid AS BIGINT) AS cluster, vec AS cvec FROM base WHERE vid < {k})",
     ]
     for i in range(iters):
