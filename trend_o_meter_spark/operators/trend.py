@@ -273,28 +273,89 @@ def ewma(
     value: str = "value",
     keys: Sequence[str] = ("metric",),
     alpha: float = 0.2,
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Exponentially-weighted moving average per key, time-ascending.
 
-    ``ewma_t = alpha*y_t + (1-alpha)*ewma_{t-1}`` — inherently recursive,
-    so (like the exact anchored downsample) it runs as an Arrow-batched
-    ``applyInPandas`` scan per key: parallel across keys, sequential
-    within one.  Not ANSI-SQL-expressible without recursive CTE gymnastics
-    -> covered by the pandas-equivalence unit test rather than the DuckDB
-    oracle.  Output: ``*keys, ts, value, ewma``.
+    ``ewma_t = alpha*y_t + (1-alpha)*ewma_{t-1}`` (seeded ``ewma_0 =
+    y_0``) — inherently recursive, so (like the exact anchored
+    downsample) it runs as an Arrow-batched ``applyInPandas`` scan per
+    key: parallel across keys, sequential within one.  The recursion is
+    evaluated with EXACTLY the op order ``alpha*y + (1-alpha)*e`` so the
+    DuckDB recursive-CTE oracle (:func:`ewma_sql`) reproduces it
+    bit-for-bit; it is also bit-identical to pandas
+    ``ewm(alpha, adjust=False).mean()`` (same two products, commuted
+    addition — pinned by the equivalence test).
+
+    Rows sort by ``(ts, *tiebreak, value)`` within a key; pass a unique
+    ``tiebreak`` column (e.g. an event id) to make the walk fully
+    deterministic when timestamps can collide.  Output: ``*keys,
+    *tiebreak, ts, value, ewma``.
     """
     import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
-    key_fields = ", ".join(f"{k} string" for k in keys)
-    schema = f"{key_fields}, {ts} timestamp, {value} double, ewma double"
+    cols = [*keys, *tiebreak, ts, value]
+    out_schema = StructType(
+        [df.schema[c] for c in cols] + [StructField("ewma", DoubleType())]
+    )
+    one_minus = 1.0 - alpha
+    sort_cols = [ts, *tiebreak, value]
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts, kind="mergesort")
-        out = pdf[[*keys, ts, value]].copy()
-        out["ewma"] = pdf[value].ewm(alpha=alpha, adjust=False).mean()
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        out = pdf[cols].copy()
+        acc = []
+        e = 0.0
+        for i, y in enumerate(pdf[value].astype("float64")):
+            e = y if i == 0 else alpha * y + one_minus * e
+            acc.append(e)
+        out["ewma"] = acc
         return out
 
-    return df.select(*keys, ts, value).groupBy(*keys).applyInPandas(scan, schema=schema)
+    return df.select(*cols).groupBy(*keys).applyInPandas(scan, schema=out_schema)
+
+
+def ewma_sql(
+    table: str,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    keys: Sequence[str] = ("metric",),
+    alpha: float = 0.2,
+    tiebreak: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`ewma`: a recursive CTE stepping ``rn ->
+    rn + 1`` per key with the identical double expression
+    ``alpha*y + (1-alpha)*e``, so the hashes match without quantization.
+    All keys advance in parallel (one frontier row per key per step), so
+    the iteration count is the LONGEST single key's row count — bound the
+    series span (retention / a time filter) before asking for an exact
+    oracle at large SF, same as any sequential-semantics twin."""
+    ks = ", ".join(keys)
+    out_cols = [*keys, *tiebreak, ts, value]
+    sel = ", ".join(out_cols)
+    o_sel = ", ".join(f"o.{c}" for c in out_cols)
+    order_by = ", ".join([ts, *tiebreak, value])
+    join_on = " AND ".join(f"o.{k} = r.{k}" for k in keys)
+    a, b = repr(alpha), repr(1.0 - alpha)
+    # MATERIALIZED is load-bearing: without it DuckDB re-evaluates the
+    # ordered CTE (scan + window) on EVERY recursion step — ~45x slower
+    return f"""
+WITH RECURSIVE ordered AS MATERIALIZED (
+  SELECT {sel},
+         row_number() OVER (PARTITION BY {ks} ORDER BY {order_by}) AS rn
+  FROM {table}
+),
+rec AS (
+  SELECT {sel}, rn, CAST({value} AS DOUBLE) AS ewma FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT {o_sel}, o.rn,
+         CAST({a} AS DOUBLE) * o.{value} + CAST({b} AS DOUBLE) * r.ewma
+  FROM ordered o JOIN rec r ON {join_on} AND o.rn = r.rn + 1
+)
+SELECT {sel}, ewma FROM rec
+"""
 
 
 def resample_locf_sql(

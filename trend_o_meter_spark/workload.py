@@ -431,14 +431,18 @@ def trending_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "ewma_02",
-    None,  # recursive per-key scan -> not SQL-expressible; rows-only check
-    # + pandas-equivalence unit test in tests/test_trend.py
+    trend.ewma_sql(
+        "events", keys=("event_type",), alpha=0.2, tiebreak=("event_id",)
+    ),
     doc="EWMA (alpha=0.2) per metric via Arrow-batched applyInPandas — "
-    "recursive smoothing, parallel across keys, sequential within one.",
+    "recursive smoothing, parallel across keys, sequential within one. "
+    "Oracle: DuckDB recursive CTE stepping the identical double "
+    "expression, bit-exact (no quantization); event_id tiebreak makes "
+    "the walk order deterministic under timestamp collisions.",
 )
 def ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, "events", sf_dir).select("ts", "event_type", "value")
-    return trend.ewma(ev, keys=("event_type",), alpha=0.2)
+    ev = table(spark, "events", sf_dir).select("event_id", "ts", "event_type", "value")
+    return trend.ewma(ev, keys=("event_type",), alpha=0.2, tiebreak=("event_id",))
 
 
 @_q(
