@@ -17,11 +17,14 @@ surface (SURVEY §7.2 phase 6), built Spark-first:
 * frame sampling is expressed with ``sequence`` + ``transform`` (JVM,
   whole-stage codegen) — one output row per sampled frame without a
   Python round-trip;
-* the actual image/audio codecs are NOT in this container, so
-  :func:`decode_media` runs a clearly-marked deterministic fake decoder
-  (`numpy.frombuffer` over the raw bytes) unless ``real=True``, which
-  raises ``NotImplementedError``.  The Spark-side plumbing — schema,
-  Arrow batch shape, partitioning — is real and tested either way.
+* PIL/libav are NOT in this container, so :func:`decode_media` defaults
+  to a clearly-marked deterministic fake decoder (`numpy.frombuffer`
+  over the raw bytes); ``real=True`` dispatches to the dependency-free
+  pure-Python codecs in :mod:`.codecs` (uncompressed 24-bit BMP, binary
+  PPM) and decodes ACTUAL pixels — any other format (PNG/JPEG/audio/
+  video) raises ``NotImplementedError`` loudly.  The Spark-side
+  plumbing — schema, Arrow batch shape, partitioning — is identical on
+  both kernels and tested on both.
 
 The synthetic media table derives from ``documents``: the payload is the
 UTF-8 encoding of the ASCII-sanitized text (so byte offsets == char
@@ -223,41 +226,60 @@ DECODE_FEATURES_SCHEMA = StructType(
 
 FEATURE_DIM = 8
 
+REAL_DECODE_SCHEMA = StructType(
+    list(DECODE_FEATURES_SCHEMA.fields)
+    + [
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+    ]
+)
+
 
 def decode_media(media: DataFrame, *, real: bool = False) -> DataFrame:
     """Decode payloads and extract a feature vector per media row.
 
-    ``real=True`` would dispatch to actual codecs (PIL / libav) — not
-    present in this container, so it raises ``NotImplementedError`` (the
-    clearly-marked stub).  The default path is a deterministic fake
-    decoder: the payload is interpreted as a uint8 array and reduced to
-    byte statistics + an ``FEATURE_DIM``-chunk mean vector — exercising
-    the exact production plumbing (Arrow batches into ``mapInPandas``,
-    stable output schema, no driver collect) with a codec-free kernel.
+    Two kernels over the same Arrow/``mapInPandas`` plumbing:
+
+    * default (``real=False``): a deterministic fake decoder — the
+      payload is interpreted as a raw uint8 array and reduced to byte
+      statistics + an ``FEATURE_DIM``-chunk mean vector.  Schema
+      ``DECODE_FEATURES_SCHEMA``; this is the driver-visible path.
+    * ``real=True``: ACTUAL image decoding via the dependency-free
+      :mod:`.codecs` (uncompressed 24-bit BMP and binary PPM — the
+      formats a no-PIL container can honestly ship).  The same feature
+      family is computed over DECODED PIXEL values, plus ``width`` /
+      ``height`` from the decoded geometry (schema
+      ``REAL_DECODE_SCHEMA``).  Payloads in any other format raise
+      ``NotImplementedError`` (PNG/JPEG/audio/video codecs need
+      PIL/libav, absent here) — loudly, per-row, on the executor.
 
     Scale notes: batches arrive Arrow-encoded per input partition; with
     ~MB-sized payloads tune ``spark.sql.execution.arrow.maxRecordsPerBatch``
     down so a batch fits executor memory.  Output drops the payload
     column, so downstream stages shuffle features, not bytes.
     """
-    if real:
-        raise NotImplementedError(
-            "real media codecs (PIL/libav) are not available in this "
-            "environment; only the deterministic fake decoder is shipped"
-        )
-
     import numpy as np  # local import: runs on executors
 
+    schema = REAL_DECODE_SCHEMA if real else DECODE_FEATURES_SCHEMA
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs  # executor-side import
+
         for pdf in it:
             out = []
             for mid, mtype, content in zip(
                 pdf["media_id"], pdf["media_type"], pdf["content"]
             ):
-                arr = np.frombuffer(content, dtype=np.uint8)
+                wh: tuple = ()
+                if real:
+                    img = codecs.decode_image(bytes(content))
+                    arr = img.reshape(-1)
+                    wh = (img.shape[1], img.shape[0])
+                else:
+                    arr = np.frombuffer(content, dtype=np.uint8)
                 n = int(arr.size)
                 if n == 0:
-                    out.append((int(mid), mtype, 0, None, None, None, None))
+                    out.append((int(mid), mtype, 0, None, None, None, None, *wh))
                     continue
                 hist = np.bincount(arr >> 5, minlength=8).astype("int64")
                 chunks = np.array_split(arr.astype("float64"), FEATURE_DIM)
@@ -271,29 +293,58 @@ def decode_media(media: DataFrame, *, real: bool = False) -> DataFrame:
                         float(arr.std()),
                         hist.tolist(),
                         feat,
+                        *wh,
                     )
                 )
-            yield pd.DataFrame(
-                out, columns=[f.name for f in DECODE_FEATURES_SCHEMA.fields]
-            )
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
     return media.select("media_id", "media_type", "content").mapInPandas(
-        batches, schema=DECODE_FEATURES_SCHEMA
+        batches, schema=schema
     )
 
 
 def resize_image(media: DataFrame, *, width: int, height: int, real: bool = False) -> DataFrame:
-    """Resize stub: real path needs PIL (absent) — the fake path re-tags
-    metadata and re-fingerprints, proving the transform's schema contract
-    (same columns in/out, meta.width/height updated)."""
-    if real:
-        raise NotImplementedError("image resize requires PIL; not in this container")
-    return media.withColumn(
-        "meta",
-        F.struct(
-            F.when(F.col("media_type") == "image", F.lit(width)).cast("int").alias("width"),
-            F.when(F.col("media_type") == "image", F.lit(height)).cast("int").alias("height"),
-            F.col("meta.sample_rate").alias("sample_rate"),
-            F.col("meta.n_frames").alias("n_frames"),
-        ),
+    """Resize to ``width x height``.
+
+    Fake path (default): re-tags image metadata only — proves the
+    transform's schema contract (same columns in/out, meta.width/height
+    updated) without touching payload bytes.
+
+    ``real=True``: decodes image-typed payloads with :mod:`.codecs`
+    (BMP/PPM), nearest-neighbor resamples the pixels, and RE-ENCODES in
+    the payload's own format — content, fingerprint, and metadata all
+    change, like a production resize.  Non-image rows pass through
+    untouched; an image row in an unsupported format raises
+    ``NotImplementedError`` on the executor.
+    """
+    new_meta = F.struct(
+        F.when(F.col("media_type") == "image", F.lit(width)).cast("int").alias("width"),
+        F.when(F.col("media_type") == "image", F.lit(height)).cast("int").alias("height"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.n_frames").alias("n_frames"),
     )
+    if not real:
+        return media.withColumn("meta", new_meta)
+
+    from pyspark.sql.types import BinaryType
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def _resize(content: pd.Series, mtype: pd.Series) -> pd.Series:
+        from . import codecs  # executor-side import
+
+        out = []
+        for b, t in zip(content, mtype):
+            if t != "image":
+                out.append(b)
+                continue
+            raw = bytes(b)
+            fmt = codecs.sniff(raw)
+            img = codecs.decode_image(raw)
+            resized = codecs.resize_nearest(img, width=width, height=height)
+            out.append(codecs.encode_image(resized, fmt))
+        return pd.Series(out)
+
+    return media.withColumn(
+        "content", _resize(F.col("content"), F.col("media_type"))
+    ).withColumn("meta", new_meta)
