@@ -866,6 +866,116 @@ def test_stream_hll_rollup_equals_batch_estimate(spark, tmp_path):
     assert abs(results[1]["m1"] - 5) <= 1
 
 
+def test_stream_lsh_restart_from_checkpoint(spark, stream_dirs):
+    """Kill-and-restart for the stateful LSH operator: bucket membership
+    lives in the checkpointed state store, so after a restart a new
+    arrival still pairs with documents admitted BEFORE the crash, and
+    already-emitted pairs are not replayed."""
+    from trend_o_meter_spark.streaming.lsh import stream_near_dup_lsh
+
+    in_dir, ckpt = stream_dirs
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    seen: list[tuple[int, tuple]] = []
+
+    def transform(raw):
+        parsed = raw.select(
+            F.get_json_object("value", "$.doc_id").cast("long").alias("doc_id"),
+            F.get_json_object("value", "$.text").alias("text"),
+        ).filter(F.col("text").isNotNull())
+        return stream_near_dup_lsh(parsed)
+
+    def start(run):
+        return (
+            transform(_read_text_stream(spark, in_dir))
+            .writeStream.foreachBatch(
+                lambda bdf, bid: seen.extend(
+                    (run, (r["id_a"], r["id_b"])) for r in bdf.collect()
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+
+    q1 = start(1)
+    _write_batch(
+        in_dir / "b0.json",
+        [{"doc_id": 10, "text": base}, {"doc_id": 11, "text": base + " extra"}],
+    )
+    q1.processAllAvailable()
+    q1.stop()
+    # doc 12 arrives while "down"; after restart it must pair with the
+    # PRE-crash bucket members 10 and 11
+    _write_batch(in_dir / "b1.json", [{"doc_id": 12, "text": base + " extras"}])
+    q2 = start(2)
+    q2.processAllAvailable()
+    q2.stop()
+    run1 = {p for run, p in seen if run == 1}
+    run2 = {p for run, p in seen if run == 2}
+    assert run1 == {(10, 11)}
+    assert run2 == {(10, 12), (11, 12)}  # state recovered, nothing replayed
+
+
+def test_stream_cms_restart_resumes_state_table(spark, tmp_path):
+    """Process-restart for the CMS twin: the grid state table is on
+    disk, so a NEW per_batch instance (fresh process) resumes it — and
+    the at-least-once replay of the in-flight batch still sums exactly
+    once.  Final sketch == batch sketch of the union."""
+    from trend_o_meter_spark.operators.cms import cms_build
+    from trend_o_meter_spark.streaming.pipeline import stream_cms
+
+    rows = [("m%d" % (i % 4),) for i in range(180)]
+    b1, b2, b3 = rows[:60], rows[60:120], rows[120:]
+    results = {}
+    path = str(tmp_path / "grid")
+    on = lambda bid, df: results.update({bid: sorted(map(tuple, df.collect()))})  # noqa: E731
+    per_batch = stream_cms(state_path=path, key="metric", on_result=on)
+    per_batch(spark.createDataFrame(b1, "metric string"), 0)
+    per_batch(spark.createDataFrame(b2, "metric string"), 1)
+    # "crash": a fresh instance over the same path; batch 1 replays first
+    per_batch2 = stream_cms(state_path=path, key="metric", on_result=on)
+    per_batch2(spark.createDataFrame(b2, "metric string"), 1)
+    per_batch2(spark.createDataFrame(b3, "metric string"), 2)
+    want = sorted(
+        map(tuple, cms_build(spark.createDataFrame(rows, "metric string"), key="metric").collect())
+    )
+    assert results[2] == want
+
+
+def test_stream_hll_restart_resumes_state_table(spark, tmp_path):
+    """Same process-restart shape for the HLL rollup twin."""
+    from datetime import datetime, timezone
+
+    from trend_o_meter_spark.streaming.pipeline import stream_hll_rollup
+
+    def ev(day, user):
+        return ("m0", datetime(2024, 1, day, 12, 0, tzinfo=timezone.utc), user)
+
+    b1 = [ev(1, u) for u in range(20)]
+    b2 = [ev(2, u) for u in range(10, 30)]
+    b3 = [ev(3, u) for u in range(25, 40)]
+    schema = "event_type string, ts timestamp, user_id long"
+    results = {}
+    path = str(tmp_path / "sk")
+    on = lambda bid, df: results.update({bid: {r["event_type"]: r["approx_users"] for r in df.collect()}})  # noqa: E731
+    per_batch = stream_hll_rollup(state_path=path, on_result=on)
+    per_batch(spark.createDataFrame(b1, schema), 0)
+    per_batch(spark.createDataFrame(b2, schema), 1)
+    per_batch2 = stream_hll_rollup(state_path=path, on_result=on)
+    per_batch2(spark.createDataFrame(b2, schema), 1)  # replay
+    per_batch2(spark.createDataFrame(b3, schema), 2)
+    full = spark.createDataFrame(b1 + b2 + b3, schema)
+    want = {
+        r["event_type"]: r["est"]
+        for r in full.groupBy("event_type", F.date_trunc("day", "ts"))
+        .agg(F.hll_sketch_agg("user_id").alias("__sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("est"))
+        .collect()
+    }
+    assert results[2] == want
+
+
 def test_stream_cms_replay_is_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: replaying a micro-batch (same
     batch_id, crash before checkpoint commit) must NOT double-count the
