@@ -95,10 +95,17 @@ def stream_probe(spark, sf_dir: str) -> dict:
             "sec": sec, "rows_per_sec": round(n_rows / sec)}
 
 
-def stream_lsh_probe(spark, sf_dir: str) -> dict:
+def stream_lsh_probe(spark, sf_dir: str, n_batches: int = 20) -> dict:
     """Second streaming probe: docs/sec through the incremental
     MinHash-LSH near-dup operator (per-row signatures + stateful
-    band-bucket store) replaying the documents table as a file stream."""
+    band-bucket store) replaying the documents table as ``n_batches``
+    micro-batches (one parquet file per trigger).
+
+    Reports both whole-run throughput and the **marginal** docs/sec over
+    batches 2..n — batch 1 absorbs stream startup plus the bulk of the
+    bucket-state initializations, so the marginal number is what a
+    long-running deployment would actually see.
+    """
     import tempfile
 
     from trend_o_meter_spark.catalog import table as cat_table
@@ -108,8 +115,12 @@ def stream_lsh_probe(spark, sf_dir: str) -> dict:
     n_rows = batch.count()
     with tempfile.TemporaryDirectory() as tmp:
         src_dir = os.path.join(tmp, "src")
-        batch.write.mode("overwrite").parquet(src_dir)
-        stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+        batch.repartition(n_batches).write.mode("overwrite").parquet(src_dir)
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
         pairs = stream_near_dup_lsh(stream)
         t0 = time.time()
         q = (
@@ -120,8 +131,17 @@ def stream_lsh_probe(spark, sf_dir: str) -> dict:
         )
         q.awaitTermination()
         sec = round(time.time() - t0, 3)
-    return {"operator": "stream_near_dup_lsh", "rows": n_rows,
-            "sec": sec, "rows_per_sec": round(n_rows / sec)}
+        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    out = {"operator": "stream_near_dup_lsh", "rows": n_rows,
+           "sec": sec, "rows_per_sec": round(n_rows / sec),
+           "batches": len(progress)}
+    if len(progress) > 1:
+        tail = progress[1:]
+        tail_rows = sum(p["numInputRows"] for p in tail)
+        tail_sec = sum(p["durationMs"]["triggerExecution"] for p in tail) / 1000.0
+        if tail_sec > 0:
+            out["marginal_rows_per_sec"] = round(tail_rows / tail_sec)
+    return out
 
 
 def main() -> None:
@@ -136,17 +156,27 @@ def main() -> None:
     # Warm the JVM + parquet footer caches once (not timed).
     specs["q1_pricing_summary"].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        specs[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+    # Three full passes; report the per-query MEDIAN so a single ambient-load
+    # spike (e.g. the driver's own correctness jobs sharing the host) cannot
+    # manufacture a false >2x outlier in the recorded artifact.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(n_runs):
+        for name in HEADLINE:
+            t0 = time.time()
+            specs[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(round(time.time() - t0, 3))
+
+    times = {name: sorted(ts)[len(ts) // 2] for name, ts in samples.items()}
 
     out = {
         "metric": "headline_suite_wall_clock",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "runs": n_runs,
+        "aggregation": "per_query_median",
+        "samples": samples,
         "sf": sf,
         "streaming": stream_probe(spark, sf_dir),
         "streaming_lsh": stream_lsh_probe(spark, sf_dir),
