@@ -952,6 +952,323 @@ def anti_join_orderless_customers(spark: SparkSession, sf_dir: str) -> DataFrame
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
+# -- round-4 widening: the remaining TPC-H plan shapes expressible over the
+# harness's reduced star schema (no partsupp / commitdate / phone columns —
+# each adaptation is noted per query).  New entries deliberately queue
+# BEHIND the 50-query _SCORE_FIRST rotation: round 4's driver sample
+# re-scores the r2-dated verdicts first (VERDICT r3 top ask); these get
+# their first driver verdict in round 5, selfcheck-proven meanwhile.
+
+
+@_q(
+    "q4_priority_returns",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4 shape: EXISTS over the fact table planned as a left-semi "
+    "join, then a tiny count-by-priority aggregate.  (The schema has no "
+    "l_commitdate/l_receiptdate; the existence predicate is returnflag='R' "
+    "— the plan shape, a date-pruned orders scan semi-joined against a "
+    "filtered lineitem, is identical.)",
+)
+def q4_priority_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@_q(
+    "q7_volume_shipping",
+    """
+SELECT supp_nation, cust_nation, l_year,
+  CAST(CAST(sum(volume) AS VARCHAR) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_19')
+      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_7'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    doc="TPC-H Q7 shape: two roles of the same dimension (nation) joined "
+    "through supplier and customer sides of the fact, disjunctive "
+    "cross-nation predicate, year rollup.  nation is a fixed 25-row dim "
+    "(broadcast-hinted both times); supplier/customer scale with sf, so "
+    "AQE elects their join strategy.",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1 = table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = table(spark, "supplier", sf_dir)
+    c = table(spark, "customer", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    li = table(spark, "lineitem", sf_dir)
+    volume = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    pair = (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_19") | (
+        F.col("supp_nation") == "NATION_19"
+    ) & (F.col("cust_nation") == "NATION_7")
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(volume).cast("string").cast("double").alias("revenue"))
+    )
+
+
+@_q(
+    "q10_returned_items",
+    """
+SELECT c_custkey, c_name,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
+  c_acctbal, n_name
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    doc="TPC-H Q10 shape: returned-item revenue per customer over one "
+    "quarter, top-20 by aggregate (TakeOrderedAndProject; ties broken on "
+    "c_custkey for a deterministic hash).",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, "customer", sf_dir)
+    n = table(spark, "nation", sf_dir)
+    o = table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01")) & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    li = table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("string").cast("double")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(rev.alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@_q(
+    "q13_order_count_distribution",
+    """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+""",
+    doc="TPC-H Q13 shape: left outer join with an extra join-side "
+    "predicate (customers keep a row even with zero matches), per-customer "
+    "order count, then the distribution of those counts.  (The schema has "
+    "no o_comment; the non-equi predicate is on o_orderpriority.)",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, "customer", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_q(
+    "q14_promo_revenue",
+    """
+SELECT
+  100.00 * (CAST(CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      ELSE CAST(0 AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE))
+    / (CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE))
+    AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+""",
+    doc="TPC-H Q14 shape: conditional aggregate ratio (promo share of one "
+    "month's revenue).  Both sums accumulate exactly in decimal and "
+    "convert once; the final division is a single double op, identical in "
+    "both engines.",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01")) & (F.col("l_shipdate") < F.lit("1997-07-01"))
+    )
+    p = table(spark, "part", sf_dir)
+    disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), disc_price).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        # part scales with sf — no hint; AQE elects the join strategy
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.00)
+                * F.sum(promo).cast("string").cast("double")
+                / F.sum(disc_price).cast("string").cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@_q(
+    "q21_waiting_suppliers",
+    """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+  AND n_name = 'NATION_3'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+    doc="TPC-H Q21 shape: the sole-late-supplier query — correlated EXISTS "
+    "+ NOT EXISTS against the same fact table.  (The schema has no "
+    "l_commitdate/l_receiptdate; 'late' is l_shipdate > o_orderdate + 60 "
+    "days.)  The DataFrame side decorrelates both subqueries into "
+    "per-order distinct-supplier counts — one extra keyed aggregate "
+    "instead of two correlated rescans, the shape that survives 100 TB: "
+    "EXISTS(other supplier) == n_supp >= 2, NOT EXISTS(other LATE "
+    "supplier) == n_late_supp == 1 (l1 itself is late, so it is the only "
+    "one).",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, "supplier", sf_dir)
+    n = table(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_3")
+    o = table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
+    li = table(spark, "lineitem", sf_dir)
+
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    l1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(late)
+        .select("l_orderkey", "l_suppkey")
+    )
+    n_supp = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supp")
+    ).withColumnRenamed("l_orderkey", "__ok_all")
+    n_late = l1.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_late")
+    ).withColumnRenamed("l_orderkey", "__ok_late")
+    return (
+        l1.join(n_supp, l1.l_orderkey == F.col("__ok_all"))
+        .join(n_late, l1.l_orderkey == F.col("__ok_late"))
+        .filter((F.col("__n_supp") >= 2) & (F.col("__n_late") == 1))
+        .join(s, l1.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@_q(
+    "q22_dormant_customers",
+    """
+SELECT n_name, count(*) AS numcust,
+  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS totacctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (
+    SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) / count(*)
+    FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n_name
+""",
+    doc="TPC-H Q22 shape: scalar aggregate subquery (above-average "
+    "positive balance) + anti join (customers dormant since 2000 — every "
+    "customer in this data has SOME order, so the pure no-orders form is "
+    "vacuous), rolled up by nation.  (The schema has no c_phone; the "
+    "grouping key is the nation dim.)  The threshold is a 1-row broadcast "
+    "crossJoin — the anchor pattern — and accumulates exactly in decimal "
+    "before one double conversion, so both engines compare against the "
+    "identical double.",
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, "customer", sf_dir)
+    n = table(spark, "nation", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    thresh = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(28,8)")).cast("string").cast("double")
+                / F.count(F.lit(1))
+            ).alias("__avg_bal")
+        )
+    )
+    recent = o.filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(28,8)")).cast("string").cast("double").alias("totacctbal"),
+        )
+    )
+
+
 @_q(
     "rollup_returns",
     """
