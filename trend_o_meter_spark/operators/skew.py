@@ -111,6 +111,18 @@ def salted_topk(
     survivors per key.  Exactly equivalent to a single per-key window
     (the global top-k is contained in the union of per-salt top-ks);
     the row_number emitted is the phase-2 (global) rank.
+
+    MEASURED CAVEAT (BASELINE.md round-4 skew probe): Spark >= 3.5
+    already plans a plain ``row_number() <= k`` filter as Partial+Final
+    ``WindowGroupLimit`` — a map-side per-key top-k that collapses a
+    hot key to <= k rows per map task BEFORE the shuffle.  On such
+    plans the plain window is skew-safe and this helper's second
+    shuffle costs ~2x (15.6 s vs 31.2 s at 90%-hot / 14.4 M rows).
+    Reach for it only where the group-limit rewrite cannot fire:
+    rank-over-aggregate orderings the optimizer cannot push, or
+    engines/versions without the rule.  ``salted_join`` is different —
+    it measurably beats both plain AND AQE-skew-join sort-merge plans
+    (7.9 s vs ~14 s, same probe).
     """
     from pyspark.sql import Window
 
