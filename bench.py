@@ -113,25 +113,34 @@ def stream_lsh_probe(spark, sf_dir: str, n_batches: int = 20) -> dict:
 
     batch = cat_table(spark, "documents", sf_dir).select("doc_id", "text")
     n_rows = batch.count()
-    with tempfile.TemporaryDirectory() as tmp:
-        src_dir = os.path.join(tmp, "src")
-        batch.repartition(n_batches).write.mode("overwrite").parquet(src_dir)
-        stream = (
-            spark.readStream.schema(batch.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src_dir)
-        )
-        pairs = stream_near_dup_lsh(stream)
-        t0 = time.time()
-        q = (
-            pairs.writeStream.format("noop")
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        sec = round(time.time() - t0, 3)
-        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    # state partitions sized to per-batch volume, not the batch suite's 32:
+    # each micro-batch pays one state-store commit + one Python stateful
+    # task PER partition, a fixed cost that dominates small batches
+    # (BASELINE.md round-4 attribution: 32 -> 8 partitions is 1.5x marginal)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with tempfile.TemporaryDirectory() as tmp:
+            src_dir = os.path.join(tmp, "src")
+            batch.repartition(n_batches).write.mode("overwrite").parquet(src_dir)
+            stream = (
+                spark.readStream.schema(batch.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src_dir)
+            )
+            pairs = stream_near_dup_lsh(stream)
+            t0 = time.time()
+            q = (
+                pairs.writeStream.format("noop")
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            sec = round(time.time() - t0, 3)
+            progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = {"operator": "stream_near_dup_lsh", "rows": n_rows,
            "sec": sec, "rows_per_sec": round(n_rows / sec),
            "batches": len(progress)}

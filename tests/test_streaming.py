@@ -728,9 +728,35 @@ def test_rowwise_minhash_matches_grouped(spark):
         "doc_id long, text string",
     )
     batch = {r["id"]: r["sig"] for r in minhash_signatures(df).collect()}
-    stream = {r["id"]: r["sig"] for r in rowwise_minhash_signatures(df).collect()}
-    assert batch == stream
+    arrow = {r["id"]: r["sig"] for r in rowwise_minhash_signatures(df).collect()}
+    expr = {
+        r["id"]: r["sig"] for r in rowwise_minhash_signatures(df, impl="expr").collect()
+    }
+    assert batch == arrow == expr
     assert 4 not in batch
+
+
+def test_rowwise_minhash_arrow_java_canonicalization(spark):
+    """Arrow path vs expression path on texts that stress the JVM/Python
+    semantic gap: Java \\s is ASCII-only (Python's matches U+00A0),
+    Spark trim() strips only U+0020 (a leading \\x0b becomes an empty
+    first token after the squash), mixed case, nulls."""
+    from trend_o_meter_spark.streaming.lsh import rowwise_minhash_signatures
+
+    df = spark.createDataFrame(
+        [
+            (1, "  The\tQuick  BROWN fox\n jumps high "),
+            (2, "nbsp glued words stay one token here ok"),
+            (3, "\x0b\x0cleading controls trimmed like java does\r\n"),
+            (4, None),
+            (5, "two toks"),
+        ],
+        "doc_id long, text string",
+    )
+    expr = {r["id"]: r["sig"] for r in rowwise_minhash_signatures(df, impl="expr").collect()}
+    arrow = {r["id"]: r["sig"] for r in rowwise_minhash_signatures(df, impl="arrow").collect()}
+    assert arrow == expr
+    assert 4 not in arrow and 5 not in arrow
 
 
 def test_stream_near_dup_lsh_matches_batch(spark, stream_dirs):

@@ -66,6 +66,51 @@ PAIRS_SCHEMA = StructType(
 _BUCKET_STATE = StructType([StructField("ids", ArrayType(LongType()), True)])
 
 
+# JVM-semantics text canonicalization twins (the expression path is
+# lower/trim/regexp_replace('\\s+')): Java regex \s is ASCII-only
+# ([ \t\n\x0B\f\r], unlike Python's unicode-aware default) and Spark
+# SQL's trim() strips ONLY U+0020 (not Java String.trim()'s <= 0x20 —
+# a leading \x0b survives trim and becomes a leading " " after the
+# whitespace squash, yielding an empty first token; the Python twin
+# must reproduce exactly that, test-pinned).
+_JAVA_WS_RE = __import__("re").compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _py_minhash_rows(
+    texts, ids, *, num_perm: int, shingle_n: int, seed: int
+) -> tuple[list[int], list[list[int]]]:
+    """NumPy minhash over an Arrow batch — bit-identical to the
+    expression path (same md5-derived 28-bit hashes, same permutation
+    constants, same no-shingles exclusion)."""
+    import hashlib
+
+    import numpy as np
+
+    perms = minhash_perms(num_perm, seed)
+    A = np.array([a for a, _ in perms], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in perms], dtype=np.int64)[:, None]
+    out_ids: list[int] = []
+    out_sigs: list[list[int]] = []
+    for doc_id, t in zip(ids, texts):
+        if t is None:
+            continue
+        norm = _JAVA_WS_RE.sub(" ", str(t).strip(" ").lower())
+        toks = norm.split(" ")
+        if len(toks) < shingle_n:
+            continue
+        grams = {
+            " ".join(toks[i : i + shingle_n]) for i in range(len(toks) - shingle_n + 1)
+        }
+        hs = np.array(
+            [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:7], 16) for g in grams],
+            dtype=np.int64,
+        )[None, :]
+        sig = ((A * hs + B) % MERSENNE_P).min(axis=1)
+        out_ids.append(int(doc_id))
+        out_sigs.append([int(x) for x in sig])
+    return out_ids, out_sigs
+
+
 def rowwise_minhash_signatures(
     docs: DataFrame,
     *,
@@ -74,20 +119,65 @@ def rowwise_minhash_signatures(
     num_perm: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Per-ROW MinHash signatures: ``id, sig`` with no shuffle.
 
     Identical values to the batch ``minhash_signatures`` (same shingles,
     same md5-derived hashes, same permutation constants, same
-    no-shingles exclusion) but computed as array expressions on each row
-    instead of a grouped aggregate — the form a streaming append
-    pipeline can host.  The shingle hashes are staged into one array
-    column first so the tokenize+md5 subtree evaluates once, not once
-    per permutation.  At batch corpus scale prefer the grouped-agg twin
-    (interpreted HOFs are ~60x slower there — dedup.py docstring); on a
-    micro-batch tail the row count is small and the shuffle-free shape
-    wins.
+    no-shingles exclusion) but computed per row instead of a grouped
+    aggregate — the form a streaming append pipeline can host.
+
+    Two implementations, equivalence pytest-pinned:
+
+    * ``impl="arrow"`` (default) — ``mapInPandas`` with NumPy-vectorized
+      permutations and Java-semantics text canonicalization.  Measured
+      ~0.2 ms/doc vs ~1.9 ms/doc for the expression path at sf0.1
+      (BASELINE.md round-4 streaming attribution): Spark's higher-order
+      functions run INTERPRETED (no codegen), so 16 transform+array_min
+      passes per row lose to one Arrow batch transfer + numpy matmul —
+      the classic "when you must leave codegen, batch through Arrow"
+      tradeoff, which this hot per-batch path must take.
+    * ``impl="expr"`` — pure JVM array expressions (no Python workers);
+      the shingle hashes are staged into one array column so the
+      tokenize+md5 subtree evaluates once, not once per permutation.
+      Zero-dependency fallback and the reference semantics the arrow
+      path is tested against.
+
+    At batch corpus scale prefer the grouped-agg twin (dedup.py).
     """
+    if impl == "arrow":
+        import pandas as pd
+
+        from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+        out_schema = StructType(
+            [
+                StructField("id", LongType(), True),
+                StructField("sig", ArrayType(LongType(), True), True),
+            ]
+        )
+        np_, sn, sd = num_perm, shingle_n, seed
+
+        def gen(pdfs):
+            for pdf in pdfs:
+                ids, sigs = _py_minhash_rows(
+                    pdf[text], pdf[id_col], num_perm=np_, shingle_n=sn, seed=sd
+                )
+                yield pd.DataFrame(
+                    {
+                        "id": pd.Series(ids, dtype="int64"),
+                        # object dtype: an EMPTY chunk otherwise infers
+                        # float64, which Arrow cannot cast to list<int64>
+                        "sig": pd.Series(sigs, dtype="object"),
+                    }
+                )
+
+        return docs.select(F.col(id_col).cast("long").alias(id_col), text).mapInPandas(
+            gen, schema=out_schema
+        )
+    if impl != "expr":
+        raise ValueError(f"unknown impl {impl!r} (use 'arrow' or 'expr')")
     perms = minhash_perms(num_perm, seed)
     staged = (
         docs.withColumn("__sh", _word_shingles(F.col(text), shingle_n))
@@ -115,6 +205,7 @@ def stream_near_dup_lsh(
     shingle_n: int = 3,
     seed: int = 42,
     max_bucket: int = 64,
+    sig_impl: str = "arrow",
 ) -> DataFrame:
     """Incremental LSH candidate pairs over a document stream.
 
@@ -150,7 +241,13 @@ def stream_near_dup_lsh(
             yield pd.DataFrame({"band": band, "bh": bh, "id_a": out_a, "id_b": out_b})
 
     sigs = rowwise_minhash_signatures(
-        docs, text=text, id_col=id_col, num_perm=num_perm, shingle_n=shingle_n, seed=seed
+        docs,
+        text=text,
+        id_col=id_col,
+        num_perm=num_perm,
+        shingle_n=shingle_n,
+        seed=seed,
+        impl=sig_impl,
     )
     banded = banded_rows(sigs, num_perm=num_perm, bands=bands)
     return banded.groupBy("band", "bh").applyInPandasWithState(
