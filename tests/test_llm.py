@@ -1013,3 +1013,74 @@ def test_cc_ignores_edges_outside_node_set_both_algorithms(spark):
     lab = {r["id"]: r["cluster_id"] for r in connected_components(nodes, edges, algorithm="label").collect()}
     star = {r["id"]: r["cluster_id"] for r in connected_components(nodes, edges, algorithm="star").collect()}
     assert lab == star == {0: 0, 1: 0, 2: 2}
+
+
+def test_semantic_dedup_keeps_the_centroid_outlier(spark):
+    """Hand-built geometry: three near-identical vectors + one
+    orthogonal.  The near-dup group must lose all but ONE member, and
+    the survivor must be the group's member LEAST similar to the
+    centroid (SemDeDup's keep-the-outlier rule)."""
+    from trend_o_meter_spark.llm.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # near-dup of 0
+        (2, [0.95, 0.25, 0.0]),    # near-dup, furthest from the group centroid
+        (3, [0.0, 0.0, 1.0]),      # orthogonal: always kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semantic_dedup(df, k=2, iters=1, threshold=0.95).collect()}
+    assert len(out) == 4
+    assert out[3]["kept"] is True
+    group = [out[i] for i in (0, 1, 2)]
+    kept = [r for r in group if r["kept"]]
+    assert len(kept) == 1
+    # the survivor has the group's minimum cos_to_centroid
+    assert kept[0]["cos_to_centroid"] == min(r["cos_to_centroid"] for r in group)
+
+
+def test_semantic_dedup_survivor_always_exists_per_cluster(spark):
+    """Even when EVERY pair in a cluster is above threshold (all
+    identical vectors), exactly one member survives — the drop rule can
+    never empty a duplicate group."""
+    from trend_o_meter_spark.llm.similarity import semantic_dedup
+
+    rows = [(i, [1.0, 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, k=1, iters=1, threshold=0.5).collect()
+    assert sum(1 for r in out if r["kept"]) == 1
+    assert len(out) == 6
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """Docs n-gram-similar to the quality keep set must out-weigh docs
+    that resemble the rejected mass — the direction DSIR resamples in."""
+    from trend_o_meter_spark.llm.text import dsir_weights, quality_filter
+
+    clean = "the report is ready for review and the team is happy with it"
+    junk = "@@@@ !!!! #### $$$$ %%%% ^^^^ &&&& **** (((( ))))"
+    rows = (
+        [(i, clean + f" item {i}") for i in range(8)]
+        + [(100 + i, junk + f" {i}") for i in range(8)]
+        + [(200, clean + " extra words here"), (201, junk + " more")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    keep = {r["doc_id"] for r in quality_filter(df).filter("keep").collect()}
+    assert any(i in keep for i in range(8)) and not any(100 + i in keep for i in range(8))
+    w = {r["doc_id"]: r["dsir_weight"] for r in dsir_weights(df).collect()}
+    assert len(w) == len(rows)
+    # target-like held-out doc scores above the junk-like held-out doc
+    assert w[200] > w[201]
+
+
+def test_dsir_weights_grams_counted_with_multiplicity(spark):
+    """n_grams = unigrams + bigrams PER OCCURRENCE (DSIR's bag-of-words
+    features are term frequencies, not distinct sets)."""
+    from trend_o_meter_spark.llm.text import dsir_weights
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "x y z")], "doc_id long, text string"
+    )
+    n = {r["doc_id"]: r["n_grams"] for r in dsir_weights(df).collect()}
+    assert n[0] == 4 + 3  # 4 unigram occurrences + 3 bigram occurrences
+    assert n[1] == 3 + 2

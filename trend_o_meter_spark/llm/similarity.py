@@ -573,14 +573,13 @@ def kmeans_centroids(
     )
 
 
-def kmeans_centroids_sql(
-    table: str,
-    *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 4,
-    iters: int = 2,
-) -> str:
+def _kmeans_sql_ctes(
+    table: str, *, id_col: str, vec_col: str, k: int, iters: int
+) -> list[str]:
+    """The CTE chain of the k-means oracle (base, c0..c{iters}, a0..,
+    afinal) — shared by :func:`kmeans_centroids_sql` and
+    :func:`semantic_dedup_sql` so both oracles walk the identical
+    iteration lattice."""
     sq = (
         "list_sum(list_transform(range(1, len(b.vec) + 1), "
         "i -> (b.vec[i] - c.cvec[i]) * (b.vec[i] - c.cvec[i])))"
@@ -606,11 +605,163 @@ def kmeans_centroids_sql(
         ctes.append(f"a{i} AS ({assign.format(i=i)})")
         ctes.append(f"c{i + 1} AS ({recompute.format(i=i)})")
     ctes.append(f"afinal AS ({assign.format(i=iters)})")
+    return ctes
+
+
+def kmeans_centroids_sql(
+    table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+) -> str:
+    ctes = _kmeans_sql_ctes(table, id_col=id_col, vec_col=vec_col, k=k, iters=iters)
     return (
         "WITH " + ",\n".join(ctes) + f"""
 SELECT a.cluster, count(*) AS n_members, any_value(c.cvec) AS centroid
 FROM afinal a JOIN c{iters} c USING (cluster)
 GROUP BY a.cluster
+"""
+    )
+
+
+# --- semantic deduplication (SemDeDup) ---------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): cluster the
+    embedding space with k-means, then drop near-duplicate members
+    WITHIN each cluster, keeping per duplicate group the member least
+    similar to its centroid (the paper's "keep the outlier" rule — the
+    kept example carries the most marginal information).
+
+    Deterministic variant of the paper's greedy sweep: a member is
+    dropped iff SOME same-cluster member with higher keep-priority
+    (lower ``(round(cos_to_centroid, 9), id)``) sits within
+    ``threshold`` cosine of it.  The minimum-priority member of every
+    duplicate group always survives; order-free, so Spark and the
+    oracle agree bit-exactly.  (The paper iterates a Python loop over
+    the similarity matrix — sequential semantics a distributed engine
+    should not emulate row-by-row.)
+
+    Output: ``vec_id, cluster, cos_to_centroid, kept``.
+
+    Scale: the only quadratic term is per-cluster (the paper's own
+    trick — its published config uses k=50 000 clusters on LAION
+    precisely so cells stay small); the pair generator is an equi-join
+    keyed by cluster, never corpus x corpus, and the k-means rounds are
+    one KB-sized centroid broadcast + one (cluster, dim) shuffle each
+    (:func:`kmeans_centroids`).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    from .cluster import _truncate
+
+    base = spread(df).select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    cents = base.filter(F.col("vid") < k).select(
+        F.col("vid").cast("long").alias("cluster"), F.col("vec").alias("cvec")
+    )
+    for _ in range(iters):
+        cents = _kmeans_recompute(_kmeans_assign(base, cents))
+        if checkpoint_dir is not None:
+            cents = _truncate(cents, checkpoint_dir)
+    cosc = (
+        _kmeans_assign(base, cents)
+        .join(cents, "cluster")
+        .select(
+            "vid",
+            "cluster",
+            "vec",
+            F.round(cosine(F.col("vec"), F.col("cvec")), 9).alias("cos_c"),
+        )
+    )
+    a = cosc.select(
+        F.col("cluster"),
+        F.col("vid").alias("va"),
+        F.col("vec").alias("veca"),
+        F.col("cos_c").alias("ca"),
+    )
+    b = cosc.select(
+        F.col("cluster"),
+        F.col("vid").alias("vb"),
+        F.col("vec").alias("vecb"),
+        F.col("cos_c").alias("cb"),
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(F.round(cosine(F.col("veca"), F.col("vecb")), 9) >= threshold)
+    )
+    losers = pairs.select(
+        F.when(
+            F.struct(F.col("ca").alias("c"), F.col("va").alias("v"))
+            > F.struct(F.col("cb").alias("c"), F.col("vb").alias("v")),
+            F.col("va"),
+        )
+        .otherwise(F.col("vb"))
+        .alias("vid")
+    ).distinct()
+    return (
+        cosc.join(losers.withColumn("__drop", F.lit(True)), "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cluster",
+            F.col("cos_c").alias("cos_to_centroid"),
+            F.col("__drop").isNull().alias("kept"),
+        )
+    )
+
+
+def semantic_dedup_sql(
+    table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+) -> str:
+    ctes = _kmeans_sql_ctes(table, id_col=id_col, vec_col=vec_col, k=k, iters=iters)
+    cos_cent = cosine_sql("a.vec", "c.cvec")
+    cos_pair = cosine_sql("x.vec", "y.vec")
+    ctes.append(
+        f"""cosc AS (
+  SELECT a.vid, a.cluster, a.vec, round({cos_cent}, 9) AS cos_c
+  FROM afinal a JOIN c{iters} c USING (cluster)
+)"""
+    )
+    ctes.append(
+        f"""pairs AS (
+  SELECT x.vid AS vx, x.cos_c AS cx, y.vid AS vy, y.cos_c AS cy
+  FROM cosc x JOIN cosc y ON x.cluster = y.cluster AND x.vid < y.vid
+  WHERE round({cos_pair}, 9) >= {threshold}
+)"""
+    )
+    ctes.append(
+        """losers AS (
+  SELECT DISTINCT CASE WHEN struct_pack(c := cx, v := vx) > struct_pack(c := cy, v := vy)
+                       THEN vx ELSE vy END AS vid
+  FROM pairs
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT c.vid AS {id_col}, c.cluster, c.cos_c AS cos_to_centroid,
+       l.vid IS NULL AS kept
+FROM cosc c LEFT JOIN losers l USING (vid)
 """
     )
 

@@ -1666,3 +1666,130 @@ SELECT source, token, n_in_source, n_corpus, score,
 FROM scored
 QUALIFY rank <= {k}
 """
+
+
+def dsir_weights(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    smoothing: float = 1.0,
+    **quality_thresholds,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023): score every
+    document by how much its hashed-n-gram distribution looks like a
+    TARGET distribution vs the raw corpus.
+
+    Features are unigrams + bigrams of the normalized text hashed into
+    ``n_buckets`` buckets (the md5 28-bit hash shared with the oracle);
+    bucket log-ratios ``ln p_target - ln p_raw`` come from
+    add-``smoothing`` bag-of-words estimates; a document's weight is the
+    sum of its occurrences' log-ratios.  The target here is the
+    :func:`quality_filter` keep set — DSIR then UP-weights docs that
+    n-gram-resemble the clean subset, the composition the paper runs
+    (target = formal text, raw = web crawl).  Downstream: resample by
+    ``exp(weight)`` or take top-weight — both trivial over this output.
+
+    Output: ``doc_id, n_grams, dsir_weight``.
+
+    Determinism: each bucket log-ratio is rounded to 6 (ln is not
+    correctly-rounded cross-libm, see lm_bigram_score) and cast
+    DECIMAL(18,6); per-doc sums accumulate exactly in decimal, so both
+    engines produce the identical double.
+
+    Scale: the bucket-count tables are <= ``n_buckets`` rows (broadcast
+    by construction — that is WHY DSIR hashes its n-grams); the doc side
+    is two map-side gram passes + one (doc, bucket) aggregate.  No
+    vocabulary-sized shuffle ever forms.
+    """
+    sm = float(smoothing)
+    toks = _tokens(F.col(text))
+    t1 = F.slice(toks, 1, F.size(toks) - 1)
+    t2 = F.slice(toks, 2, F.size(toks) - 1)
+    grams_expr = F.concat(toks, F.zip_with(t1, t2, lambda a, b: F.concat(a, F.lit(" "), b)))
+    # stage the gram array before exploding (the shingle-Generate lesson,
+    # dedup.py:38 — inlining the subtree re-tokenizes per element)
+    bg = (
+        df.select(F.col(id_col), grams_expr.alias("__g"))
+        .select(F.col(id_col), F.explode("__g").alias("gram"))
+        .select(
+            F.col(id_col),
+            F.pmod(md5_int(F.col("gram")), F.lit(n_buckets)).alias("bucket"),
+        )
+    )
+    keep = quality_filter(df, text=text, id_col=id_col, **quality_thresholds).filter(
+        F.col("keep")
+    ).select(id_col)
+    tgt_bg = bg.join(keep, id_col, "left_semi")
+    raw = bg.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
+    tgt = tgt_bg.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t"))
+    raw_tot = F.broadcast(bg.agg(F.count(F.lit(1)).cast("long").alias("tot_r")))
+    tgt_tot = F.broadcast(tgt_bg.agg(F.count(F.lit(1)).cast("long").alias("tot_t")))
+    lam_b = sm * n_buckets
+    lr = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(raw_tot)
+        .crossJoin(tgt_tot)
+        .select(
+            "bucket",
+            F.round(
+                F.log((F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(sm)) / (F.col("tot_t") + F.lit(lam_b)))
+                - F.log((F.col("c_r") + F.lit(sm)) / (F.col("tot_r") + F.lit(lam_b))),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lr"),
+        )
+    )
+    docb = bg.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        docb.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_grams"),
+            F.sum(F.col("n_occ") * F.col("lr")).cast("string").cast("double").alias("dsir_weight"),
+        )
+    )
+
+
+def dsir_weights_sql(
+    table: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    smoothing: float = 1.0,
+    **quality_thresholds,
+) -> str:
+    norm = NORM_SQL.format(c=text)
+    sm = float(smoothing)
+    lam_b = sm * n_buckets
+    bucket = md5_int_sql("gram")
+    return f"""
+WITH q AS ({quality_filter_sql(table, text=text, id_col=id_col, **quality_thresholds)}),
+toks AS (SELECT {id_col}, str_split({norm}, ' ') AS t FROM {table}),
+grams AS (
+  SELECT {id_col}, g.gram
+  FROM toks, unnest(list_concat(t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))) AS g(gram)
+),
+bg AS (SELECT {id_col}, ({bucket}) % {n_buckets} AS bucket FROM grams),
+raw AS (SELECT bucket, count(*) AS c_r FROM bg GROUP BY 1),
+raw_tot AS (SELECT CAST(count(*) AS BIGINT) AS tot_r FROM bg),
+tgt_bg AS (SELECT bg.* FROM bg JOIN q USING ({id_col}) WHERE q.keep),
+tgt AS (SELECT bucket, count(*) AS c_t FROM tgt_bg GROUP BY 1),
+tgt_tot AS (SELECT CAST(count(*) AS BIGINT) AS tot_t FROM tgt_bg),
+lr AS (
+  SELECT r.bucket,
+         CAST(round(ln((COALESCE(t.c_t, 0) + {sm}) / (tt.tot_t + {lam_b}))
+                    - ln((r.c_r + {sm}) / (rt.tot_r + {lam_b})), 6) AS DECIMAL(18,6)) AS lr
+  FROM raw r LEFT JOIN tgt t USING (bucket) CROSS JOIN raw_tot rt CROSS JOIN tgt_tot tt
+),
+docb AS (SELECT {id_col}, bucket, count(*) AS n_occ FROM bg GROUP BY 1, 2)
+SELECT d.{id_col},
+       CAST(sum(d.n_occ) AS BIGINT) AS n_grams,
+       CAST(CAST(sum(d.n_occ * l.lr) AS VARCHAR) AS DOUBLE) AS dsir_weight
+FROM docb d JOIN lr l USING (bucket)
+GROUP BY d.{id_col}
+"""

@@ -1832,6 +1832,20 @@ def distinctive_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dsir_weights",
+    text.dsir_weights_sql("documents"),
+    doc="DSIR importance weights (Xie et al. 2023): hashed uni+bigram "
+    "bucket log-ratios ln(p_target/p_raw) summed per doc, target = the "
+    "quality_filter keep set.  Bucket tables are <= n_buckets rows "
+    "(broadcast by construction); per-bucket ratios rounded to 6 and "
+    "decimal-summed so both engines emit the identical double.",
+)
+def dsir_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.dsir_weights(d)
+
+
+@_q(
     "token_budget_sample",
     text.token_budget_sample_sql("documents", budget_tokens=2000),
     doc="Mixture sampling by token budget: per source, keep docs in "
@@ -2000,6 +2014,24 @@ def kmeans_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("centroid_q9"),
     )
+
+
+@_q(
+    "semantic_dedup",
+    # threshold 0.35, not the paper's 0.95: the synthetic embeddings are
+    # near-orthogonal (max pairwise cos 0.51 at sf0.01), so the published
+    # default would exercise nothing — 0.35 drops ~19% here, a realistic
+    # dedup rate.  The operator default stays 0.95.
+    similarity.semantic_dedup_sql("embeddings", k=8, iters=2, threshold=0.35),
+    doc="SemDeDup (Abbas et al. 2023): k-means the embedding space, drop "
+    "within-cluster cosine near-dups, keep each duplicate group's member "
+    "least similar to its centroid.  Pair generation is equi-joined by "
+    "cluster (never corpus x corpus); oracle walks the identical k-means "
+    "lattice via shared CTEs.",
+)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "embeddings", sf_dir)
+    return similarity.semantic_dedup(e, k=8, iters=2, threshold=0.35)
 
 
 @_q(
