@@ -989,6 +989,78 @@ def q4_priority_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q6_forecast_revenue",
+    """
+SELECT
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24
+""",
+    doc="TPC-H Q6 shape: pure scan-filter-aggregate, no join — the query "
+    "whose whole cost is how much of the parquet scan the pushed filters "
+    "prune.  All four predicates reach PushedFilters; the aggregate is a "
+    "single map-side partial.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * F.col("l_discount").cast("decimal(18,2)")
+        ).cast("string").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@_q(
+    "q19_discounted_revenue",
+    """
+SELECT
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
+  count(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+""",
+    doc="TPC-H Q19 shape: disjunctive multi-branch predicate spanning "
+    "BOTH join sides — Catalyst cannot push the whole OR below the join, "
+    "but derives the common p_size/l_quantity envelope per side; the "
+    "residual disjunction evaluates post-join in codegen.",
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir)
+    p = table(spark, "part", sf_dir)
+    b = F.col("p_brand")
+    s = F.col("p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((b == "Brand#13") & s.between(1, 15) & q.between(1, 21))
+        | ((b == "Brand#20") & s.between(1, 25) & q.between(10, 30))
+        | ((b == "Brand#23") & s.between(1, 35) & q.between(20, 40))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("string").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_q(
     "q7_volume_shipping",
     """
 SELECT supp_nation, cust_nation, l_year,
