@@ -59,6 +59,10 @@ HEADLINE = (
     "dup_span_stats",
     "cooc_pmi_topk",
     "pq_adc_topk",
+    # round-4 operator families
+    "semantic_dedup",
+    "dsir_weights",
+    "q21_waiting_suppliers",
 )
 
 

@@ -20,6 +20,10 @@ SAMPLE = [
     "quantize_embeddings", "kmeans_centroids", "dedup_clusters_star",
     "cooc_pmi_topk", "resize_image_meta", "pq_codes", "dup_span_stats",
     "pq_adc_topk", "split_drift_ks", "cross_corpus_lsh", "curation_funnel",
+    # round-4 additions (decimal ratio division, interval arithmetic,
+    # struct-comparison survivor rule, ln bucket ratios)
+    "q14_promo_revenue", "q21_waiting_suppliers", "q22_dormant_customers",
+    "semantic_dedup", "dsir_weights",
 ]
 
 

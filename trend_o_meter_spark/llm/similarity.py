@@ -657,11 +657,16 @@ def semantic_dedup(
 
     Output: ``vec_id, cluster, cos_to_centroid, kept``.
 
-    Scale: the only quadratic term is per-cluster (the paper's own
-    trick — its published config uses k=50 000 clusters on LAION
-    precisely so cells stay small); the pair generator is an equi-join
-    keyed by cluster, never corpus x corpus, and the k-means rounds are
-    one KB-sized centroid broadcast + one (cluster, dim) shuffle each
+    Scale: the only quadratic term is per-cluster, so ``k`` MUST grow
+    with the corpus — size it so ``n/k`` (expected cell size) stays
+    bounded, exactly the paper's own deployment rule (k=50 000 clusters
+    on LAION).  Measured (BASELINE.md round-4 scaling probe): with k
+    fixed at 8, 4x corpus = 7x wall-clock (cells grow linearly, pairs
+    quadratically); with k scaled to corpus, 16x corpus = 9.2x
+    wall-clock (near-linear).  The pair generator is an equi-join keyed
+    by cluster,
+    never corpus x corpus, and the k-means rounds are one KB-sized
+    centroid broadcast + one (cluster, dim) shuffle each
     (:func:`kmeans_centroids`).
     """
     if iters < 1:

@@ -20,6 +20,11 @@ BUILD_CONF: dict[str, str] = {
     # local[32] single-JVM testing default; a real cluster would size this
     # to ~2-3x total cores via spark-submit conf.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # In local mode the driver JVM IS the executor; Spark's 1g default
+    # starves 32 concurrent tasks (GC stalls at bench scale, OOM in the
+    # 16x scaling probes).  Only takes effect when get_spark launches the
+    # JVM itself — a driver-owned session keeps its own sizing.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
 # Conf that is runtime-settable: applied by tune() even on a SparkSession
