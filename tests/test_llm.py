@@ -1084,3 +1084,36 @@ def test_dsir_weights_grams_counted_with_multiplicity(spark):
     n = {r["doc_id"]: r["n_grams"] for r in dsir_weights(df).collect()}
     assert n[0] == 4 + 3  # 4 unigram occurrences + 3 bigram occurrences
     assert n[1] == 3 + 2
+
+
+def test_dup_span_removal_cuts_span_keeps_survivor(spark):
+    """Hand-built ExactSubstr case: doc 1 embeds doc 0's 10-token text
+    verbatim.  The survivor (smallest id) keeps its text; doc 1 loses
+    exactly the duplicated span; short shared runs are left alone."""
+    from trend_o_meter_spark.llm.dedup import dup_span_removal
+
+    rows = [
+        (0, "a b c d e f g h i j"),
+        (1, "x y a b c d e f g h i j z"),
+        (2, "p q r s t u v w"),
+        (3, "m n a b c d o p"),  # shares only a 2-shingle run: below min_run
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dup_span_removal(df, min_run=5).collect()}
+    assert out[0]["n_removed_tokens"] == 0 and out[0]["clean_text"] == "a b c d e f g h i j"
+    assert out[1]["n_removed_tokens"] == 10 and out[1]["clean_text"] == "x y z"
+    assert out[2]["n_removed_tokens"] == 0
+    assert out[3]["n_removed_tokens"] == 0 and out[3]["clean_text"] == "m n a b c d o p"
+
+
+def test_dup_span_removal_fully_duplicated_doc_empties(spark):
+    """An exact duplicate of the survivor is removed in full — clean_text
+    becomes '' and every token counts as removed (doc-level exact dedup
+    emerges as the span-removal limit case)."""
+    from trend_o_meter_spark.llm.dedup import dup_span_removal
+
+    t = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame([(7, t), (9, t)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dup_span_removal(df, min_run=5).collect()}
+    assert out[7]["n_removed_tokens"] == 0 and out[7]["clean_text"] == t
+    assert out[9]["n_removed_tokens"] == 10 and out[9]["clean_text"] == ""

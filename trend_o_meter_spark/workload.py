@@ -1570,6 +1570,20 @@ def dup_span_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dup_span_removal",
+    dedup.dup_span_removal_sql("documents"),
+    doc="ExactSubstr removal (Lee et al. 2022): cut cross-doc duplicated "
+    "spans of >= min_run shingles out of each doc, keeping the gram's "
+    "smallest-id doc as the corpus-wide surviving copy; cleaned text "
+    "rebuilt from the kept tokens.  Same gram-keyed + islands shape as "
+    "dup_span_stats — nothing pairwise, no suffix array materialized.",
+)
+def dup_span_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return dedup.dup_span_removal(d)
+
+
+@_q(
     "cross_corpus_lsh",
     dedup.cross_corpus_lsh_pairs_sql(
         "(SELECT * FROM documents WHERE doc_id % 2 = 1)",
