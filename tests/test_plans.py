@@ -167,3 +167,46 @@ def test_bm25_topk_is_take_ordered(plans):
     # Global top-k must go through TakeOrderedAndProject (per-partition
     # partial top-k), not a global sort of all scored docs.
     assert "TakeOrderedAndProject" in plans("bm25_search")
+
+
+def test_q7_nation_dims_broadcast_both_roles(plans):
+    """q7 joins nation twice (supplier role + customer role); both are
+    fixed 25-row dims and must broadcast — no shuffle exchange keyed on
+    a 25-row table."""
+    p = plans("q7_volume_shipping")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_q4_exists_plans_as_semi_join(plans):
+    """The EXISTS subquery must plan as a left-semi join, not a full
+    join + dedup."""
+    p = plans("q4_priority_returns")
+    assert "LeftSemi" in p
+
+
+def test_q21_decorrelation_has_no_per_row_rescans(plans):
+    """The double-correlated EXISTS/NOT EXISTS is decorrelated into two
+    keyed aggregates — the plan must show hash aggregates over
+    l_orderkey and NO nested-loop/cartesian rescans of lineitem."""
+    p = plans("q21_waiting_suppliers")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashAggregate" in p
+
+
+def test_q6_filters_reach_scan(plans):
+    """Q6 is nothing but pushdown: every predicate must arrive at the
+    parquet scan as a PushedFilter."""
+    p = plans("q6_forecast_revenue")
+    assert "PushedFilters: [" in p
+    seg = p[p.index("PushedFilters: [") :][:400]
+    assert "l_shipdate" in seg and "l_discount" in seg and "l_quantity" in seg
+
+
+def test_dsir_bucket_tables_broadcast(plans):
+    """DSIR's whole design point: the bucket-count side stays
+    <= n_buckets rows and must broadcast into the per-doc join — a
+    shuffle join on bucket would mean the hashing bought nothing."""
+    p = plans("dsir_weights")
+    assert "BroadcastHashJoin" in p

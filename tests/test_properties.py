@@ -328,3 +328,25 @@ def test_cooc_pmi_matches_naive_model(spark, texts):
         assert x["pmi"] > y["pmi"] or (
             x["pmi"] == y["pmi"] and (x["w1"], x["w2"]) < (y["w1"], y["w2"])
         )
+
+
+def test_dup_span_removal_is_idempotent(spark):
+    """Removing duplicated spans once removes them for good: running the
+    operator over its own cleaned output must remove ZERO further tokens
+    (the survivor copies are now the only copies)."""
+    from trend_o_meter_spark.llm.dedup import dup_span_removal
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base),
+        (1, "prefix words here " + base + " and a suffix"),
+        (2, base + " trailing text of its own right here"),
+        (3, "an unrelated document about entirely different things"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = dup_span_removal(df, min_run=5)
+    assert once.filter("n_removed_tokens > 0").count() >= 1  # it did cut
+    again = dup_span_removal(
+        once.select("doc_id", once.clean_text.alias("text")), min_run=5
+    )
+    assert again.filter("n_removed_tokens > 0").count() == 0
