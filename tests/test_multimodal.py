@@ -189,3 +189,16 @@ def test_resize_retags_metadata(media):
         F.col("meta.width").isNotNull() | F.col("meta.height").isNotNull()
     )
     assert others.count() == 0
+
+
+def test_decode_ppm_rejects_ambiguous_crlf_header():
+    """A CRLF after maxval makes the pixel offset ambiguous (is the \\n
+    the separator's second byte or the first pixel?) — fail loudly
+    instead of decoding everything off by one."""
+    import pytest
+
+    from trend_o_meter_spark.llm.codecs import decode_ppm
+
+    data = b"P6\r\n2 1\r\n255\r\n" + bytes([1, 2, 3, 4, 5, 6])
+    with pytest.raises(ValueError, match="CRLF"):
+        decode_ppm(data)

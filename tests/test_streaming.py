@@ -1111,3 +1111,61 @@ def test_stream_day_bins_state_bounded_on_long_run(spark, tmp_path):
     per_batch(df54, 54)
     replay = {r["day_bin"]: r for r in results[54]}
     assert sum(r["n_samples"] for r in replay.values()) == n_total
+
+
+def test_statestore_recovers_mid_swap_crash(spark, tmp_path):
+    """A crash between compaction's two renames leaves the table
+    displaced at .__old__ (or fully rewritten at .__compact__); the next
+    access must heal either state with no data loss."""
+    import shutil
+    from pathlib import Path
+
+    from trend_o_meter_spark.streaming.statestore import _MARKER, PartialStateTable
+
+    p = str(tmp_path / "state")
+    st = PartialStateTable(p)
+    st.append(spark.createDataFrame([(1, 10)], "k int, v int"), 0)
+    st.append(spark.createDataFrame([(2, 20)], "k int, v int"), 1)
+
+    # crash state A: src moved away, rewrite incomplete (no marker)
+    shutil.move(p, p + ".__old__")
+    assert {r["k"] for r in st.read(spark).collect()} == {1, 2}
+
+    # crash state B: src moved away, rewrite COMPLETE (marker present)
+    st.compact(spark)
+    shutil.move(p, p + ".__compact__")
+    assert (Path(p + ".__compact__") / _MARKER).exists()
+    assert {r["k"] for r in st.read(spark).collect()} == {1, 2}
+    # healed: normal appends keep working
+    st.append(spark.createDataFrame([(3, 30)], "k int, v int"), 2)
+    assert {r["k"] for r in st.read(spark).collect()} == {1, 2, 3}
+
+
+def test_statestore_reseed_preserves_compacted_live_state(spark, tmp_path):
+    """Re-seeding after a compaction must replace ONLY the backfill —
+    live micro-batch rows already folded into the base survive (the
+    seed lives in its own partition, never in the fold)."""
+    from trend_o_meter_spark.streaming.statestore import PartialStateTable
+
+    st = PartialStateTable(str(tmp_path / "state"))
+    st.seed(spark.createDataFrame([("seed1", 0)], "k string, v int"))
+    st.append(spark.createDataFrame([("live", 1)], "k string, v int"), 0)
+    st.compact(spark)  # folds the live partition into the base
+    st.seed(spark.createDataFrame([("seed2", 2)], "k string, v int"))
+    got = {r["k"] for r in st.read(spark).collect()}
+    assert got == {"seed2", "live"}  # old backfill replaced, live kept
+
+
+def test_statestore_compact_transform_applies_to_seed_too(spark, tmp_path):
+    """A retention transform culls backfill rows on the same schedule as
+    folded live rows."""
+    from pyspark.sql import functions as F
+
+    from trend_o_meter_spark.streaming.statestore import PartialStateTable
+
+    st = PartialStateTable(str(tmp_path / "state"))
+    st.seed(spark.createDataFrame([("old_seed", 1), ("new_seed", 9)], "k string, v int"))
+    st.append(spark.createDataFrame([("old_live", 2), ("new_live", 8)], "k string, v int"), 0)
+    st.compact(spark, transform=lambda df: df.filter(F.col("v") >= 5))
+    got = {r["k"] for r in st.read(spark).collect()}
+    assert got == {"new_seed", "new_live"}

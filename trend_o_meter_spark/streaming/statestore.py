@@ -24,27 +24,35 @@ partitioned by ``__batch_id``:
   previous attempt instead of appending next to it (idempotent for any
   deterministic batch content, and at-least-once-safe regardless — the
   read side filters superseded partitions, below).
+* ``seed(df)`` writes the backfill half of the lambda shape to its OWN
+  partition (``__batch_id=-2``), which compaction never folds into the
+  base — so re-seeding replaces exactly the previous backfill and can
+  never swallow compacted live micro-batch state.
 * ``compact(spark, batch_id, transform=...)`` folds every live
   partition into the base partition (``__batch_id=-1``), optionally
-  applying a retention ``transform`` so culled rows leave disk, and
-  records the highest batch id folded in (the *watermark*) in a
-  ``_compacted_through`` marker file.  ``read`` keeps only the base and
-  partitions ABOVE the watermark, so a batch replayed from before the
-  compaction point writes a partition that is simply ignored — never
-  double-counted with its copy inside the base.
-* the rewrite goes to a sibling temp dir and is atomically renamed over
-  the table (the marker travels inside it), so readers never see a
-  half-compacted state — same discipline as :func:`..io.compact_table`.
+  applying a retention ``transform`` so culled rows leave disk (the
+  transform also reapplies to the seed partition, so backfill rows
+  expire on the same schedule), and records the highest batch id folded
+  in (the *watermark*) in a ``_compacted_through`` marker file.
+  ``read`` keeps only the seed, the base and partitions ABOVE the
+  watermark, so a batch replayed from before the compaction point
+  writes a partition that is simply ignored — never double-counted with
+  its copy inside the base.
+* the rewrite goes to a sibling temp dir and swaps in via two renames;
+  a crash in the window between them is healed by ``_recover()`` (run
+  before every read/write), which restores the displaced table — so
+  readers never see a half-compacted or missing state.
 
 Call ``compact`` at the TOP of the ``foreachBatch`` body (before the
 current batch's append): on replay the previous attempt's partition is
 folded in with the watermark advanced over it, and the re-append is
 filtered out on read.
 
-Local/HDFS filesystem semantics (atomic directory rename) are assumed,
-matching the rest of the repo's sink utilities; on object stores use a
-table format (Delta/Iceberg) whose commit protocol provides the same
-property.
+Filesystem contract: paths must be DRIVER-LOCAL (the swap/recovery use
+pathlib/shutil; Spark I/O alone would also work on HDFS, but the
+marker and rename discipline here do not).  On HDFS/object stores use
+a table format (Delta/Iceberg) whose commit protocol provides the same
+atomicity instead.
 """
 
 from __future__ import annotations
@@ -56,6 +64,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
 BASE_PARTITION = -1  # __batch_id value of the compacted base
+SEED_PARTITION = -2  # __batch_id value of the backfill (never compacted away)
 _MARKER = "_compacted_through"  # underscore-prefixed: invisible to parquet scans
 
 
@@ -64,6 +73,36 @@ class PartialStateTable:
 
     def __init__(self, path: str):
         self.path = str(path)
+
+    # -- crash recovery ------------------------------------------------
+
+    def _recover(self) -> None:
+        """Heal the two-rename compaction swap's crash window.
+
+        States on disk (src = the table, old = displaced original,
+        tmp = compacted rewrite):
+
+        * src missing, tmp complete (has marker) -> promote tmp
+          (the crash hit between the two renames AFTER a finished
+          rewrite; promoting loses nothing — tmp holds the fold of
+          everything src held);
+        * src missing, tmp absent/partial, old present -> restore old
+          (rewrite never finished; the original is intact);
+        * src present -> the swap completed; sweep leftovers.
+        """
+        import shutil
+
+        src = Path(self.path)
+        old = src.with_name(src.name + ".__old__")
+        tmp = src.with_name(src.name + ".__compact__")
+        if not src.exists():
+            if tmp.exists() and (tmp / _MARKER).exists():
+                shutil.move(str(tmp), str(src))
+            elif old.exists():
+                shutil.move(str(old), str(src))
+        for leftover in (old, tmp):
+            if src.exists() and leftover.exists():
+                shutil.rmtree(str(leftover), ignore_errors=True)
 
     # -- marker --------------------------------------------------------
 
@@ -80,6 +119,7 @@ class PartialStateTable:
     def append(self, df: DataFrame, batch_id: int) -> None:
         """Idempotently write one batch's partial rows (replay-safe:
         overwrites only this batch's own partition)."""
+        self._recover()
         (
             df.withColumn("__batch_id", F.lit(int(batch_id)))
             .write.mode("overwrite")
@@ -89,34 +129,42 @@ class PartialStateTable:
         )
 
     def seed(self, df: DataFrame) -> None:
-        """Write (or replace) the base partition directly — the backfill
-        half of the lambda shape, before any micro-batch runs."""
-        self.append(df, BASE_PARTITION)
+        """Write (or replace) the backfill partition — the batch half of
+        the lambda shape, before any micro-batch runs.  Lives in its own
+        partition (never folded into the base), so re-seeding replaces
+        exactly the previous backfill and nothing else."""
+        self.append(df, SEED_PARTITION)
 
     # -- reads ---------------------------------------------------------
 
     def read(self, spark: SparkSession) -> DataFrame | None:
-        """Current live state: base + partitions above the compaction
-        watermark (superseded replay partitions excluded).  ``None``
-        until the first write creates the table."""
+        """Current live state: seed + base + partitions above the
+        compaction watermark (superseded replay partitions excluded).
+        ``None`` until the first write creates the table."""
+        self._recover()
         try:
             raw = spark.read.parquet(self.path)
         except AnalysisException:
             return None
         wm = self._watermark()
         bid = F.col("__batch_id").cast("long")
-        return raw.filter((bid == BASE_PARTITION) | (bid > wm)).drop("__batch_id")
+        return raw.filter(
+            (bid == BASE_PARTITION) | (bid == SEED_PARTITION) | (bid > wm)
+        ).drop("__batch_id")
 
     # -- compaction ----------------------------------------------------
 
     def compact(self, spark: SparkSession, *, transform=None) -> bool:
-        """Fold all live partitions into the base; advance the watermark
-        to the highest batch id folded in.  ``transform`` (DataFrame ->
-        DataFrame, e.g. a retention cull) is applied to the merged state
-        so expired rows leave disk.  Atomic swap; returns False if the
-        table doesn't exist yet."""
+        """Fold all live micro-batch partitions into the base; advance
+        the watermark to the highest batch id folded in.  ``transform``
+        (DataFrame -> DataFrame, e.g. a retention cull) is applied to
+        the merged base AND, separately, to the seed partition (which
+        otherwise stays out of the fold so re-seeding keeps working).
+        Crash-safe swap via ``_recover``; returns False if the table
+        doesn't exist yet."""
         import shutil
 
+        self._recover()
         try:
             raw = spark.read.parquet(self.path)
         except AnalysisException:
@@ -124,13 +172,13 @@ class PartialStateTable:
         wm = self._watermark()
         bid = F.col("__batch_id").cast("long")
         live = raw.filter((bid == BASE_PARTITION) | (bid > wm))
-        new_wm = (
-            live.agg(F.max(bid).alias("m")).collect()[0]["m"]
-        )
+        seed = raw.filter(bid == SEED_PARTITION).drop("__batch_id")
+        new_wm = live.agg(F.max(bid).alias("m")).collect()[0]["m"]
         new_wm = max(int(new_wm if new_wm is not None else BASE_PARTITION), wm)
         merged = live.drop("__batch_id")
         if transform is not None:
             merged = transform(merged)
+            seed = transform(seed)
         src = Path(self.path)
         # output file count from the CURRENT on-disk byte size (the
         # io.compact_table discipline) — state tables are bounded-row by
@@ -140,13 +188,19 @@ class PartialStateTable:
         total = sum(f.stat().st_size for f in src.rglob("*.parquet"))
         n_files = max(1, math.ceil(total / (128 * 1024 * 1024)))
         tmp = src.with_name(src.name + ".__compact__")
+        if tmp.exists():
+            shutil.rmtree(str(tmp))
+        out = merged.withColumn("__batch_id", F.lit(BASE_PARTITION)).unionByName(
+            seed.withColumn("__batch_id", F.lit(SEED_PARTITION))
+        )
         (
-            merged.withColumn("__batch_id", F.lit(BASE_PARTITION))
-            .repartition(n_files)
+            out.repartition(n_files)
             .write.mode("overwrite")
             .partitionBy("__batch_id")
             .parquet(str(tmp))
         )
+        # marker written LAST: its presence marks tmp as complete, which
+        # is what _recover keys on to promote a tmp left by a crash
         (tmp / _MARKER).write_text(str(new_wm))
         old = src.with_name(src.name + ".__old__")
         shutil.move(str(src), str(old))
