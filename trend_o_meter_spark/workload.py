@@ -1687,6 +1687,22 @@ def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "curation_funnel_v2",
+    funnel.curation_funnel_v2_sql("documents", "embeddings"),
+    doc="The round-4 end-to-end pipeline: quality -> exact dedup -> "
+    "near-dup survivor -> SemDeDup over survivor embeddings -> DSIR "
+    "importance floor (weights fitted on the full corpus vs the "
+    "quality target) -> token budget.  Seven aggregate rows; proves "
+    "the two published-algorithm stages COMPOSE with the v1 chain, "
+    "engine vs oracle.",
+)
+def curation_funnel_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    e = table(spark, "embeddings", sf_dir)
+    return funnel.curation_funnel_v2(d, e)
+
+
+@_q(
     "dedup_clusters_star",
     cluster.dedup_clusters_sql("documents", threshold=0.3),
     doc="Same cluster-level dedup via large-star/small-star (Kiveris et "
