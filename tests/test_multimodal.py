@@ -202,3 +202,6 @@ def test_decode_ppm_rejects_ambiguous_crlf_header():
     data = b"P6\r\n2 1\r\n255\r\n" + bytes([1, 2, 3, 4, 5, 6])
     with pytest.raises(ValueError, match="CRLF"):
         decode_ppm(data)
+    # a LONE '\r' separator is spec-legal single whitespace: decodes fine
+    ok = b"P6\n2 1\n255\r" + bytes([1, 2, 3, 4, 5, 6])
+    assert decode_ppm(ok).shape == (1, 2, 3)

@@ -1156,9 +1156,11 @@ def test_statestore_reseed_preserves_compacted_live_state(spark, tmp_path):
     assert got == {"seed2", "live"}  # old backfill replaced, live kept
 
 
-def test_statestore_compact_transform_applies_to_seed_too(spark, tmp_path):
-    """A retention transform culls backfill rows on the same schedule as
-    folded live rows."""
+def test_statestore_compact_transform_spares_the_seed(spark, tmp_path):
+    """The retention transform folds/culls live rows only — the seed
+    partition rides through compaction untouched (an anchor-relative
+    cull over the backfill alone would anchor on the wrong frontier;
+    the pipeline culls it logically at read instead)."""
     from pyspark.sql import functions as F
 
     from trend_o_meter_spark.streaming.statestore import PartialStateTable
@@ -1168,4 +1170,4 @@ def test_statestore_compact_transform_applies_to_seed_too(spark, tmp_path):
     st.append(spark.createDataFrame([("old_live", 2), ("new_live", 8)], "k string, v int"), 0)
     st.compact(spark, transform=lambda df: df.filter(F.col("v") >= 5))
     got = {r["k"] for r in st.read(spark).collect()}
-    assert got == {"new_seed", "new_live"}
+    assert got == {"old_seed", "new_seed", "new_live"}  # live culled, seed intact

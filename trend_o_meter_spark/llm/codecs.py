@@ -62,11 +62,11 @@ def decode_ppm(data: bytes) -> np.ndarray:
             raise ValueError("truncated PPM header")
         tokens.append(int(data[start:pos]))
     # exactly ONE whitespace byte separates maxval from the pixel data
-    # (the P6 spec).  A '\r' here means a CRLF-writing encoder: we cannot
-    # tell whether the following '\n' is the separator's second byte or
-    # the first pixel, so fail loudly rather than decode garbage
-    # off-by-one (the module's exotic-formats contract).
-    if data[pos : pos + 1] == b"\r":
+    # (the P6 spec; a lone '\r' is legal).  A '\r\n' PAIR means a
+    # CRLF-writing encoder: we cannot tell whether the '\n' is the
+    # separator's second byte or the first pixel, so fail loudly rather
+    # than decode garbage off-by-one (the exotic-formats contract).
+    if data[pos : pos + 2] == b"\r\n":
         raise ValueError("CRLF after maxval is ambiguous in P6; rewrite with \\n")
     pos += 1
     w, h, maxval = tokens

@@ -142,6 +142,15 @@ def curation_funnel_v2(
 
     Output: ``stage_order, stage, n_docs`` — seven rows whatever the
     corpus size.
+
+    Each stage's survivor frame is ``localCheckpoint``-ed: every stage
+    feeds BOTH the next stage and its own count row, and without the
+    lineage cut Spark re-executes the whole prefix per consumer — the
+    k-means and recursive near-dedup subtrees ran up to 4x each (the
+    same re-inlining the oracle needed MATERIALIZED for).  This is the
+    Spark form of "persist each stage's survivor set", which at 100 TB
+    you would do to durable storage anyway — they are the pipeline's
+    checkpoint artifacts.
     """
 
     def _count(frame: DataFrame, order: int, name: str) -> DataFrame:
@@ -151,14 +160,17 @@ def curation_funnel_v2(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
         )
 
+    def _cut(frame: DataFrame) -> DataFrame:
+        return frame.localCheckpoint(eager=False)
+
     qf = text.quality_filter(df, text=text_col, id_col=id_col)
-    s1 = df.join(qf.filter("keep").select(id_col), id_col)
+    s1 = _cut(df.join(qf.filter("keep").select(id_col), id_col))
 
     ed = dedup.exact_dedup(s1, text=text_col, id_col=id_col)
-    s2 = s1.join(ed.select(F.col("keep_id").alias(id_col)), id_col)
+    s2 = _cut(s1.join(ed.select(F.col("keep_id").alias(id_col)), id_col))
 
     dc = cluster.dedup_clusters(s2, text=text_col, id_col=id_col, threshold=threshold)
-    s3 = s2.join(dc.filter("keep").select(id_col), id_col)
+    s3 = _cut(s2.join(dc.filter("keep").select(id_col), id_col))
 
     emb_surv = emb.join(
         s3.select(F.col(id_col).alias(vec_id_col)), vec_id_col, "left_semi"
@@ -166,13 +178,13 @@ def curation_funnel_v2(
     sd = similarity.semantic_dedup(
         emb_surv, id_col=vec_id_col, k=sem_k, iters=sem_iters, threshold=sem_threshold
     )
-    s4 = s3.join(
-        sd.filter("kept").select(F.col(vec_id_col).alias(id_col)), id_col
+    s4 = _cut(
+        s3.join(sd.filter("kept").select(F.col(vec_id_col).alias(id_col)), id_col)
     )
 
     dw = text.dsir_weights(df, text=text_col, id_col=id_col)
-    s5 = s4.join(
-        dw.filter(F.col("dsir_weight") >= min_dsir_weight).select(id_col), id_col
+    s5 = _cut(
+        s4.join(dw.filter(F.col("dsir_weight") >= min_dsir_weight).select(id_col), id_col)
     )
 
     tb = text.token_budget_sample(

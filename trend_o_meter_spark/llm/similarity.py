@@ -558,7 +558,11 @@ def kmeans_centroids(
     base = spread(df).select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
     )
-    cents = base.filter(F.col("vid") < k).select(
+    # init = the k SMALLEST ids actually present (TakeOrdered — not a
+    # dense-id `vid < k` filter, which silently under-seeds on filtered
+    # or offset id spaces, e.g. the survivor subsets curation_funnel_v2
+    # feeds in; identical on dense fixtures)
+    cents = base.orderBy("vid").limit(k).select(
         F.col("vid").cast("long").alias("cluster"), F.col("vec").alias("cvec")
     )
     for _ in range(iters):
@@ -599,7 +603,8 @@ def _kmeans_sql_ctes(
     ctes = [
         f"base AS (SELECT {id_col} AS vid, "
         f"list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS vec FROM {table})",
-        f"c0 AS (SELECT CAST(vid AS BIGINT) AS cluster, vec AS cvec FROM base WHERE vid < {k})",
+        f"c0 AS (SELECT CAST(vid AS BIGINT) AS cluster, vec AS cvec "
+        f"FROM base ORDER BY vid LIMIT {k})",
     ]
     for i in range(iters):
         ctes.append(f"a{i} AS ({assign.format(i=i)})")
@@ -676,7 +681,11 @@ def semantic_dedup(
     base = spread(df).select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
     )
-    cents = base.filter(F.col("vid") < k).select(
+    # init = the k SMALLEST ids actually present (TakeOrdered — not a
+    # dense-id `vid < k` filter, which silently under-seeds on filtered
+    # or offset id spaces, e.g. the survivor subsets curation_funnel_v2
+    # feeds in; identical on dense fixtures)
+    cents = base.orderBy("vid").limit(k).select(
         F.col("vid").cast("long").alias("cluster"), F.col("vec").alias("cvec")
     )
     for _ in range(iters):

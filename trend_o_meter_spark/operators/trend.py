@@ -283,7 +283,7 @@ def ewma(
     key: parallel across keys, sequential within one.  The recursion is
     evaluated with EXACTLY the op order ``alpha*y + (1-alpha)*e`` so the
     DuckDB recursive-CTE oracle (:func:`ewma_sql`) reproduces it
-    bit-for-bit; it is also bit-identical to pandas
+    bit-for-bit; on gap-free series it is also bit-identical to pandas
     ``ewm(alpha, adjust=False).mean()`` (same two products, commuted
     addition — pinned by the equivalence test).
 
@@ -293,11 +293,15 @@ def ewma(
     *tiebreak, ts, value, ewma``.
 
     Null values: a null ``y_t`` emits a null ewma and does NOT advance
-    the accumulator (the first NON-null value seeds) — the same
-    carry-through-missing behavior as pandas ``ewm(...).mean()``, and
-    mirrored exactly by the oracle's CASE-carried accumulator.  A naive
-    ``alpha*NaN + ...`` would instead poison every subsequent row of
-    the key.
+    the accumulator (the first NON-null value seeds), mirrored exactly
+    by the oracle's CASE-carried accumulator.  A naive ``alpha*NaN +
+    ...`` would instead poison every subsequent row of the key.  This
+    deliberately DIFFERS from pandas on gapped series: pandas
+    ``ignore_na=True`` emits the carried mean at the missing row (ours
+    emits NULL so gaps stay visible downstream), and its default
+    ``ignore_na=False`` decays weights by absolute position across the
+    gap — neither is expressible as the one-term recursion the oracle
+    walks.
     """
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType

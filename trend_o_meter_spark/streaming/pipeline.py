@@ -189,11 +189,15 @@ def seed_history(
     """Backfill half of the lambda shape (SURVEY §1.1 "backfill + tail").
 
     Downsamples a bounded historical frame with the SAME cadence the live
-    stream uses and writes it to the history table's base partition —
-    the Spark equivalent of the reference's startup list replay
+    stream uses and writes it to the history table's dedicated SEED
+    partition (``__batch_id=-2`` — never folded by compaction) — the
+    Spark equivalent of the reference's startup list replay
     (trend-o-meter:289-310) feeding the same state the pub/sub handler
-    appends to.  Re-seeding replaces the previous backfill (the base
-    partition), never the live micro-batch partitions.
+    appends to.  Re-seeding replaces exactly the previous backfill,
+    never the live micro-batch partitions nor the compacted base; the
+    read path's retention transform culls expired backfill rows
+    logically (see ``statestore`` module doc for why the physical cull
+    happens only at re-seed).
     """
     from ..operators.downsample import downsample_fixed_grid
     from .statestore import PartialStateTable

@@ -28,12 +28,17 @@ partitioned by ``__batch_id``:
   partition (``__batch_id=-2``), which compaction never folds into the
   base — so re-seeding replaces exactly the previous backfill and can
   never swallow compacted live micro-batch state.
-* ``compact(spark, batch_id, transform=...)`` folds every live
-  partition into the base partition (``__batch_id=-1``), optionally
-  applying a retention ``transform`` so culled rows leave disk (the
-  transform also reapplies to the seed partition, so backfill rows
-  expire on the same schedule), and records the highest batch id folded
-  in (the *watermark*) in a ``_compacted_through`` marker file.
+* ``compact(spark, transform=...)`` folds every live partition into the
+  base partition (``__batch_id=-1``), optionally applying a retention
+  ``transform`` so culled rows leave disk, and records the highest
+  batch id folded in (the *watermark*) in a ``_compacted_through``
+  marker file.  The seed partition is NOT transformed: an
+  anchor-relative cull (``retain_window``) evaluated over the seed
+  alone would anchor on the backfill's own frontier, not the live
+  stream's — so expired backfill rows are culled LOGICALLY by the
+  pipeline's read-side transform (and physically bounded: at most one
+  retention window of backfill can sit on disk, replaced wholesale on
+  re-seed).
   ``read`` keeps only the seed, the base and partitions ABOVE the
   watermark, so a batch replayed from before the compaction point
   writes a partition that is simply ignored — never double-counted with
@@ -158,10 +163,11 @@ class PartialStateTable:
         """Fold all live micro-batch partitions into the base; advance
         the watermark to the highest batch id folded in.  ``transform``
         (DataFrame -> DataFrame, e.g. a retention cull) is applied to
-        the merged base AND, separately, to the seed partition (which
-        otherwise stays out of the fold so re-seeding keeps working).
-        Crash-safe swap via ``_recover``; returns False if the table
-        doesn't exist yet."""
+        the merged base only — the seed partition rides through
+        untouched (it stays out of the fold so re-seeding keeps
+        working, and an anchor-relative cull over the seed alone would
+        anchor wrong; see the module doc).  Crash-safe swap via
+        ``_recover``; returns False if the table doesn't exist yet."""
         import shutil
 
         self._recover()
@@ -178,7 +184,6 @@ class PartialStateTable:
         merged = live.drop("__batch_id")
         if transform is not None:
             merged = transform(merged)
-            seed = transform(seed)
         src = Path(self.path)
         # output file count from the CURRENT on-disk byte size (the
         # io.compact_table discipline) — state tables are bounded-row by
