@@ -163,3 +163,45 @@ def test_get_stats_reports_reconnects_from_listener(spark):
 
     plane = ControlPlane(spark, reconnect_log=FakeLog([100.0, 200.0, 300.0]))
     assert plane.execute("get stats").ret_val["reconnects"] == 2
+
+
+def test_set_rolls_back_config_when_rebind_fails(spark, tmp_path):
+    """A set whose rebind raises is audited invalid AND leaves the
+    config untouched — get must not report a value the audit log says
+    never took effect."""
+    from trend_o_meter_spark.control.plane import ControlPlane
+
+    calls = []
+
+    def bad_rebind(cfg):
+        calls.append(cfg)
+        raise RuntimeError("flagship re-exec failed")
+
+    plane = ControlPlane(spark, on_rebind=bad_rebind)
+    before = plane.get_config()["min_data_hours_to_render_bin"]
+    res = plane.execute(f"set mindatahourstorenderbin {before + 5}")
+    assert not res.valid
+    assert plane.get_config()["min_data_hours_to_render_bin"] == before
+    assert len(calls) == 1  # rebind saw the CANDIDATE config
+    assert calls[0].min_data_hours_to_render_bin == before + 5
+
+
+def test_command_dispatcher_skips_replayed_batch(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering an already-dispatched
+    batch id must not re-execute commands or duplicate audit rows, even
+    across a dispatcher rebuild (the restart that causes replays)."""
+    from trend_o_meter_spark.control.plane import ControlPlane, command_stream_dispatcher
+
+    audit = str(tmp_path / "audit")
+    plane = ControlPlane(spark, audit_path=audit)
+    dispatch = command_stream_dispatcher(plane)
+    batch = spark.createDataFrame([("get version",)], "value string")
+    dispatch(batch, 0)
+    n_after_first = plane.read_audit_log().count()
+    dispatch(batch, 0)  # same-process replay
+    # rebuilt dispatcher (post-restart) replaying the same batch id
+    dispatch2 = command_stream_dispatcher(ControlPlane(spark, audit_path=audit))
+    dispatch2(batch, 0)
+    assert plane.read_audit_log().count() == n_after_first
+    dispatch2(batch, 1)  # the NEXT batch still executes
+    assert plane.read_audit_log().count() == n_after_first + 1

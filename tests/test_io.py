@@ -241,3 +241,25 @@ def test_write_training_shards_reconstructs_epoch_order(spark, tmp_path):
         )
     ]
     assert other != order and sorted(other) == sorted(order)
+
+
+def test_compact_table_recovers_mid_swap_crash(spark, tmp_path):
+    """compact_table's two-rename swap healed from both crash states."""
+    import shutil
+
+    from trend_o_meter_spark.io import compact_table, recover_table
+
+    p = str(tmp_path / "t")
+    spark.range(100).write.parquet(p)
+    compact_table(spark, p)
+    # crash state A: displaced, rewrite incomplete
+    shutil.move(p, p + ".__old__")
+    recover_table(p)
+    assert spark.read.parquet(p).count() == 100
+    # crash state B: displaced, rewrite complete (_SUCCESS present)
+    shutil.move(p, p + ".__compact__")
+    recover_table(p)
+    assert spark.read.parquet(p).count() == 100
+    # next compaction runs clean after recovery
+    compact_table(spark, p)
+    assert spark.read.parquet(p).count() == 100

@@ -64,3 +64,16 @@ def test_reconnect_log(spark, tmp_path):
         assert kinds.count("start") >= 2 and kinds.count("terminate") >= 1
     finally:
         spark.streams.removeListener(log)
+
+
+def test_reconnects_count_same_name_restarts_only():
+    """Three distinct queries starting once = zero reconnects; a repeat
+    start of an existing name = one reconnect."""
+    from trend_o_meter_spark.observability import ReconnectLog
+
+    log = ReconnectLog()
+    for i, name in enumerate(["q1", "q2", "q3"]):
+        log.events.append((float(i), name, "start"))
+    assert log.reconnects() == []
+    log.events.append((10.0, "q2", "start"))
+    assert log.reconnects() == [10.0]

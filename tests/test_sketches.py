@@ -80,3 +80,29 @@ def test_cms_overestimates_and_merges_losslessly(spark):
     m = {(r["row_id"], r["bucket"]): r["cnt"] for r in merged.collect()}
     w = {(r["row_id"], r["bucket"]): r["cnt"] for r in whole.collect()}
     assert m == w
+
+
+def test_cms_estimate_unseen_key_is_zero(spark):
+    """A candidate key the sketch never saw must estimate 0 when its
+    buckets are empty — the empty bucket's implicit 0 wins the min (an
+    inner probe join used to inflate or drop such keys)."""
+    from trend_o_meter_spark.operators.cms import cms_build, cms_estimate
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    sketch = cms_build(df, key="k")
+    cands = spark.createDataFrame([("a",), ("never-seen-key",)], "k string")
+    est = {r["k"]: r["cms_estimate"] for r in cms_estimate(sketch, cands, key="k").collect()}
+    assert set(est) == {"a", "never-seen-key"}  # nothing dropped
+    assert est["a"] >= 2  # CMS never undercounts
+    assert est["never-seen-key"] == 0  # width 64 / 2 keys: no full collision
+
+
+def test_cms_estimate_on_empty_sketch_is_all_zero(spark):
+    from trend_o_meter_spark.operators.cms import cms_build, cms_estimate
+
+    empty = cms_build(
+        spark.createDataFrame([], "k string"), key="k"
+    )
+    cands = spark.createDataFrame([("x",), ("y",)], "k string")
+    est = {r["k"]: r["cms_estimate"] for r in cms_estimate(empty, cands, key="k").collect()}
+    assert est == {"x": 0, "y": 0}

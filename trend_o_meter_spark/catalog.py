@@ -69,6 +69,9 @@ def register_source(name: str, reader) -> None:
 def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load a logical table; the single entry point for batch scans (S1)."""
     tune(spark)
+    # default resolved BEFORE the adapter dispatch, so a registered
+    # reader sees the same sf_dir the parquet fallback would have
+    sf_dir = sf_dir or DEFAULT_SF_DIR
     reader = _SOURCE_READERS.get(name)
     if reader is not None:
         return reader(spark, name, sf_dir)
@@ -76,7 +79,6 @@ def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFram
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    sf_dir = sf_dir or DEFAULT_SF_DIR
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
     for c in _TS_COLS.get(name, ()):

@@ -237,10 +237,15 @@ class ControlPlane:
             value = tuple(int(x) for x in raw.split(","))
         else:
             raise ValueError(f"unknown set field: {args[0]!r}")
-        self.config = dataclasses.replace(self.config, **{key: value})
+        new_config = dataclasses.replace(self.config, **{key: value})
         if self.on_rebind is not None:
             # Parameter rebind + re-execution (trend-o-meter:214-220).
-            self.last_rebind_result = self.on_rebind(self.config)
+            # Rebind runs against the CANDIDATE config and must succeed
+            # before the plane adopts it: a failed set is audited invalid
+            # AND leaves the config untouched — otherwise 'get' would
+            # report a value the audit log says never took effect.
+            self.last_rebind_result = self.on_rebind(new_config)
+        self.config = new_config
         return value
 
     # -- audit log (trend-o-meter:253-262) -------------------------------
@@ -284,9 +289,33 @@ def command_stream_dispatcher(
     to the driver and executed in order — O(commands), never O(data); the
     same stance as the reference's single-threaded handler
     (trend-o-meter:171-263).  Every batch ends with an audit-log flush.
+
+    Replay guard: ``foreachBatch`` is at-least-once, and dispatching
+    mutates plane state and APPENDS audit rows — so a replayed batch id
+    (same id re-delivered after a crash before the checkpoint commit)
+    is skipped rather than re-executed.  The guard persists next to the
+    audit log (``<audit_path>/_last_batch_id``, written after the
+    flush) so it survives the restart that causes the replay; without
+    an audit path it is in-memory only (no restart -> no replay risk
+    beyond the process lifetime).
     """
+    import pathlib
+
+    marker = (
+        pathlib.Path(plane.audit_path) / "_last_batch_id"
+        if plane.audit_path is not None
+        else None
+    )
+    state = {"last": -1}
+    if marker is not None and marker.exists():
+        try:
+            state["last"] = int(marker.read_text().strip())
+        except ValueError:
+            pass
 
     def dispatch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= state["last"]:
+            return  # at-least-once replay of an already-dispatched batch
         rows = batch_df.collect()
         if order_col is not None:
             rows = sorted(rows, key=lambda r: r[order_col])
@@ -295,5 +324,9 @@ def command_stream_dispatcher(
             if msg is not None:
                 plane.execute(str(msg))
         plane.flush_audit_log()
+        state["last"] = batch_id
+        if marker is not None:
+            marker.parent.mkdir(parents=True, exist_ok=True)
+            marker.write_text(str(batch_id))
 
     return dispatch

@@ -62,27 +62,40 @@ def compact_table(
     file-listing and task-scheduling overhead than in actual I/O.  File
     count is computed from the CURRENT on-disk byte size (not row
     count), so compaction adapts to the table's real density.  With
-    ``partition_col`` the rewrite repartitions BY the partition column
-    first, so each output task writes whole partition directories
-    instead of a sliver of every partition (the write stays
-    partition-parallel and each directory compacts independently).
+    ``partition_col`` the rewrite repartitions by (partition column,
+    content-derived salt) so each partition directory compacts to
+    roughly target-sized files instead of one potentially-huge file per
+    value — the salt range is sized from the AVERAGE bytes per
+    partition value (a heavily skewed partition can still exceed the
+    target; per-partition byte stats would be the next refinement).
 
-    Writes to ``<path>.__compact__`` then atomically renames over the
-    original (same filesystem) — readers never see a half-written table.
-    Returns the number of output files requested.
+    The swap is two renames (write to ``<path>.__compact__``, displace
+    the original to ``<path>.__old__``, promote).  A crash between them
+    is healed by :func:`recover_table` — run automatically at the start
+    of this function; long-lived readers should call it after a crash
+    before reading.  Returns the number of output files requested.
     """
     import math
     import shutil
     from pathlib import Path
 
+    recover_table(path)
     src = Path(path)
     total = sum(f.stat().st_size for f in src.rglob("*.parquet"))
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
-    tmp = str(src.with_name(src.name + ".__compact__"))
+    tmp_p = src.with_name(src.name + ".__compact__")
+    if tmp_p.exists():
+        shutil.rmtree(str(tmp_p))
+    tmp = str(tmp_p)
     if partition_col is not None:
+        n_parts = df.select(partition_col).distinct().count()
+        files_per_part = max(1, math.ceil(n_files / max(1, n_parts)))
+        salt = F.pmod(
+            F.xxhash64(F.struct(*[F.col(c) for c in df.columns])), F.lit(files_per_part)
+        )
         (
-            df.repartition(n_files, F.col(partition_col))
+            df.repartition(n_files, F.col(partition_col), salt)
             .write.partitionBy(partition_col)
             .mode("overwrite")
             .parquet(tmp)
@@ -94,6 +107,28 @@ def compact_table(
     shutil.move(tmp, str(src))
     shutil.rmtree(old)
     return n_files
+
+
+def recover_table(path: str) -> None:
+    """Heal a table whose compaction swap crashed between its two
+    renames (see :func:`compact_table`): if the canonical path is
+    missing, promote a COMPLETE rewrite (``.__compact__`` carrying
+    Spark's ``_SUCCESS``) or else restore the displaced original
+    (``.__old__``); sweep leftovers once the canonical path exists."""
+    import shutil
+    from pathlib import Path
+
+    src = Path(path)
+    old = src.with_name(src.name + ".__old__")
+    tmp = src.with_name(src.name + ".__compact__")
+    if not src.exists():
+        if tmp.exists() and (tmp / "_SUCCESS").exists():
+            shutil.move(str(tmp), str(src))
+        elif old.exists():
+            shutil.move(str(old), str(src))
+    for leftover in (old, tmp):
+        if src.exists() and leftover.exists():
+            shutil.rmtree(str(leftover), ignore_errors=True)
 
 
 def write_bucketed(

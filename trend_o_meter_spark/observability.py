@@ -79,6 +79,16 @@ class ReconnectLog(StreamingQueryListener):
         self.events.append((time.time(), str(event.id), "terminate"))
 
     def reconnects(self) -> list[float]:
-        """Start epochs after the first — the reference's reconnects list."""
-        starts = [t for t, _, kind in self.events if kind == "start"]
-        return starts[1:]
+        """Start epochs after the first PER QUERY NAME — the reference's
+        reconnects list.  Distinct queries starting once each are not
+        reconnects; only a repeated start of the same name is (the
+        restart-from-checkpoint marker)."""
+        seen: set[str] = set()
+        out: list[float] = []
+        for t, name, kind in self.events:
+            if kind != "start":
+                continue
+            if name in seen:
+                out.append(t)
+            seen.add(name)
+        return out

@@ -100,7 +100,28 @@ def asof_join_pandas(
     by_right: str,
     right_cols: Sequence[str],
 ) -> DataFrame:
-    """Scale path: cogrouped ``merge_asof`` per key (sort-merge within key)."""
+    """Scale path: cogrouped ``merge_asof`` per key (sort-merge within key).
+
+    ``right_cols`` must be value columns proper: the join/time keys are
+    consumed internally (``right_on``/``by_right`` are renamed away
+    before the merge, so requesting them would declare schema fields the
+    merged frame cannot supply) and a name shared with a left column
+    would be suffixed ``_x``/``_y`` by pandas and mismatch the declared
+    schema — both are rejected loudly here; alias on the right frame
+    first.  (The declarative :func:`asof_join` twin handles both shapes.)
+    """
+    bad = set(right_cols) & {right_on, by_right}
+    if bad:
+        raise ValueError(
+            f"right_cols may not include the join keys {sorted(bad)}; "
+            "alias them on the right frame first"
+        )
+    clash = set(right_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"right_cols collide with left columns {sorted(clash)}; "
+            "alias them on the right frame first"
+        )
     out_schema = StructType(list(left.schema.fields))
     for c in right_cols:
         out_schema = out_schema.add(right.schema[c])

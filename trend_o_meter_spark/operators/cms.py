@@ -73,15 +73,21 @@ def cms_estimate(
     through.  The probe is a (row_id, bucket)-keyed join of
     candidates x depth against the ≤ depth·width-row grid — broadcast
     the grid side, it is KB-sized by construction.
+
+    The join is LEFT with empty buckets counting 0: the grid is sparse
+    (only touched buckets have rows), and a candidate key never seen by
+    the sketch hashes to empty buckets whose implicit count 0 must win
+    the min — an inner join would silently inflate unseen keys to the
+    count of whatever shares their occupied buckets (or drop them).
     """
     probes = candidates.select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row_id")
     ).withColumn("bucket", _bucket(F.col(key), F.col("row_id"), width))
     others = [c for c in candidates.columns if c != key]
     return (
-        probes.join(F.broadcast(sketch), ["row_id", "bucket"])
+        probes.join(F.broadcast(sketch), ["row_id", "bucket"], "left")
         .groupBy(key, *others)
-        .agg(F.min("cnt").alias("cms_estimate"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
     )
 
 

@@ -58,9 +58,11 @@ def downsample_fixed_grid_sql(
     keys: Sequence[str] = ("metric",),
     gap_seconds: float = 60.0,
     tiebreak: Sequence[str] = (),
-    columns: str = "*",
+    columns: str = "* EXCLUDE (__rn)",
 ) -> str:
-    """DuckDB twin of :func:`downsample_fixed_grid`."""
+    """DuckDB twin of :func:`downsample_fixed_grid`.  The default
+    ``columns`` excludes the internal ``__rn`` helper so the oracle's
+    schema matches the Spark twin without callers listing columns."""
     key_part = ", ".join(list(keys) + [f"floor(epoch_us({ts}) / {int(gap_seconds * 1_000_000)})"])
     order = ", ".join([ts] + list(tiebreak))
     return f"""

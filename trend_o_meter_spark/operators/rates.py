@@ -47,7 +47,10 @@ def sliding_rates(
     """
     if chunk_seconds <= window_seconds:
         raise ValueError("chunk_seconds must exceed window_seconds")
-    sized = F.length(size_col) if size_col else F.lit(0)
+    # octet_length, not length: bytes_per_sec must count BYTES — a
+    # 3-byte UTF-8 char is one character but three octets, and the
+    # observed() rx_bytes counter uses octets for the same concept
+    sized = F.octet_length(size_col) if size_col else F.lit(0)
     buckets = df.groupBy(F.floor(F.unix_micros(F.col(ts)) / 1_000_000).alias("sec")).agg(
         F.count(F.lit(1)).alias("n_msgs"),
         F.sum(sized).alias("n_bytes"),
@@ -93,7 +96,7 @@ def sliding_rates_sql(
     # CAST to BIGINT: DuckDB's bare sum() over INTEGER returns HUGEINT
     # (int128), which the driver hashes differently from Spark's BIGINT
     # even when values are identical.
-    sized = f"CAST(sum(length({size_col})) AS BIGINT)" if size_col else "CAST(sum(0) AS BIGINT)"
+    sized = f"CAST(sum(octet_length(encode({size_col}))) AS BIGINT)" if size_col else "CAST(sum(0) AS BIGINT)"
     return f"""
 WITH buckets AS (
   SELECT floor(epoch_us({ts}) / 1000000)::BIGINT AS sec,

@@ -42,7 +42,7 @@ def retain_window_sql(
     ts: str = "ts",
     keys: Sequence[str] = ("metric",),
     days: float = 7.0,
-    columns: str = "*",
+    columns: str = "* EXCLUDE (__anchor)",
 ) -> str:
     part = f"PARTITION BY {', '.join(keys)}" if keys else ""
     horizon_us = int(days * 86400 * 1_000_000)
