@@ -1117,3 +1117,54 @@ def test_dup_span_removal_fully_duplicated_doc_empties(spark):
     out = {r["doc_id"]: r for r in dup_span_removal(df, min_run=5).collect()}
     assert out[7]["n_removed_tokens"] == 0 and out[7]["clean_text"] == t
     assert out[9]["n_removed_tokens"] == 10 and out[9]["clean_text"] == ""
+
+
+def test_quality_filter_null_text_dropped_by_both_engines(spark):
+    """NULL text must be REJECTED (too_short), and the oracle must
+    agree — DuckDB's NULL comparisons used to skip every rule and
+    silently keep the doc."""
+    import duckdb
+
+    from trend_o_meter_spark.llm.text import quality_filter, quality_filter_sql
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "the quick brown fox is here and the dog is there ok fine")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["keep"], r["reject_reason"]) for r in quality_filter(df).collect()}
+    assert got[0] == (False, "too_short")
+    assert got[1][0] is True
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES (0, NULL), "
+        "(1, 'the quick brown fox is here and the dog is there ok fine')) AS v(doc_id, text)"
+    )
+    oracle = {
+        r[0]: (r[2], r[1])
+        for r in con.execute(quality_filter_sql("t")).fetchall()
+    }
+    assert oracle[0] == (False, "too_short")
+    assert oracle[1][0] is True
+
+
+def test_banded_rows_rejects_non_divisible_perms(spark):
+    import pytest
+
+    from trend_o_meter_spark.llm.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(0, "a b c d e f")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divide"):
+        minhash_lsh_pairs(df, num_perm=18, bands=4).collect()
+
+
+def test_pq_codes_on_offset_id_space_still_trains(spark):
+    """Codebooks seed from the k smallest ids PRESENT — an offset id
+    space (no ids < k) used to train empty codebooks and return an
+    empty frame silently."""
+    from trend_o_meter_spark.llm.similarity import pq_codes
+
+    rows = [(1000 + i, [float(i % 7), float(i % 5), 1.0, 0.5]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_codes(df, m=2, k=4, iters=1)
+    assert out.count() == 40

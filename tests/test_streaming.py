@@ -1171,3 +1171,49 @@ def test_statestore_compact_transform_spares_the_seed(spark, tmp_path):
     st.compact(spark, transform=lambda df: df.filter(F.col("v") >= 5))
     got = {r["k"] for r in st.read(spark).collect()}
     assert got == {"old_seed", "new_seed", "new_live"}  # live culled, seed intact
+
+
+def test_stream_day_bins_with_non_default_column_names(spark, tmp_path):
+    """stream_day_bins with metric='sensor', ts='t', value='v' must run
+    end-to-end: the downsample canonicalizes its output columns, and
+    everything downstream of the state table (retention cull, day-bin
+    aggregation, seed partition) must use the canonical names — a
+    caller's names used to crash the per-batch recompute."""
+    import json as _json
+
+    from trend_o_meter_spark.streaming.pipeline import seed_history, stream_day_bins
+
+    in_dir = tmp_path / "in"; in_dir.mkdir()
+    rows = [
+        {"t": BASE + i * 3600, "sensor": "m0", "v": float(i)} for i in range(48)
+    ]
+    (in_dir / "b0.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    state = str(tmp_path / "state")
+
+    backfill = spark.createDataFrame(
+        [(F_ts, "m0", 1.0) for F_ts in range(BASE - 86400, BASE - 86000, 120)],
+        "t long, sensor string, v double",
+    ).withColumn("t", F.timestamp_seconds(F.col("t")))
+    seed_history(backfill, state_path=state, ts="t", value="v", metric="sensor")
+
+    stream = (
+        spark.readStream.schema("t long, sensor string, v double")
+        .json(str(in_dir))
+        .withColumn("t", F.timestamp_seconds(F.col("t")))
+    )
+    results = {}
+    kept, fn = stream_day_bins(
+        stream, state_path=state, ts="t", value="v", metric="sensor",
+        on_result=lambda bid, df: results.update({bid: df.collect()}),
+    )
+    q = (
+        kept.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert results, "no batch result produced"
+    last = results[max(results)]
+    assert len(last) > 0  # day-bin rows rendered from canonical state
+    assert {r["metric"] for r in last} == {"m0"}

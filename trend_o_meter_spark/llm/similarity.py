@@ -984,7 +984,12 @@ def _pq_train(
     base = base0.select("vid", F.explode(parts).alias("__p")).select(
         "vid", "__p.s", F.col("__p.svec").alias("vec")
     )
-    cents = base.filter(F.col("vid") < k).select(
+    # same k-smallest-present init as kmeans_centroids/semantic_dedup —
+    # a dense-id `vid < k` filter would silently train EMPTY codebooks
+    # on offset/sparse id spaces (every subspace shares the corpus ids,
+    # so one global TakeOrdered seeds all of them)
+    seed_ids = base0.orderBy("vid").limit(k).select("vid")
+    cents = base.join(seed_ids, "vid", "left_semi").select(
         "s", F.col("vid").cast("long").alias("cluster"), F.col("vec").alias("cvec")
     )
     for _ in range(iters):
@@ -1066,7 +1071,8 @@ def _pq_ctes(table: str, *, id_col: str, vec_col: str, m: int, k: int, iters: in
         f"list_slice(pvec, CAST(len(pvec) / {m} AS INT) * u.s + 1, "
         f"CAST(len(pvec) / {m} AS INT) * (u.s + 1)) AS vec "
         f"FROM padded, unnest(range({m})) AS u(s))",
-        f"c0 AS (SELECT s, CAST(vid AS BIGINT) AS cluster, vec AS cvec FROM base WHERE vid < {k})",
+        f"c0 AS (SELECT s, CAST(vid AS BIGINT) AS cluster, vec AS cvec FROM base "
+        f"WHERE vid IN (SELECT DISTINCT vid FROM base ORDER BY vid LIMIT {k}))",
     ]
     for i in range(iters):
         ctes.append(f"a{i} AS ({assign.format(i=i)})")

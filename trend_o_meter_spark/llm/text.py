@@ -75,7 +75,10 @@ FROM {table}
 # keep/drop decision is bit-identical across engines).
 QUALITY_RULES = (
     # (reason, SQL predicate template over the text_stats feature columns)
-    ("too_short", "n_tokens < {min_tokens}"),
+    # coalesce: a NULL text yields n_tokens NULL in DuckDB but -1 in
+    # Spark (legacy size(NULL)); both must DROP the doc, not let NULL
+    # comparisons skip every rule and silently keep it
+    ("too_short", "coalesce(n_tokens, -1) < {min_tokens}"),
     ("too_long", "n_tokens > {max_tokens}"),
     ("punct_heavy", "punct_ratio * 100 > {max_punct_pct}"),
     ("no_stopwords", "stopword_ratio * 100 < {min_stopword_pct}"),

@@ -50,7 +50,10 @@ def render_frame(
             r
             for r in extents_rows
             if r["day_bin"] != "rest"
-            and (r["metric"] == metric or "metric" not in r.asDict())
+            # membership FIRST: metric-less rows (day_binned_extremes
+            # with metric=None) raise on r["metric"] before a trailing
+            # fallback could short-circuit
+            and ("metric" not in r.asDict() or r["metric"] == metric)
         ),
         key=lambda r: int(r["day_bin"]),
     )

@@ -62,7 +62,8 @@ def stream_sliding_rates(
     reference's half-full render gate maps to the ``is_warm`` flag
     computed from distinct seconds present.
     """
-    sized = F.length(size_col) if size_col else F.lit(0)
+    # octet_length: BYTES, matching the batch twin (operators/rates.py)
+    sized = F.octet_length(size_col) if size_col else F.lit(0)
     return (
         messages.withWatermark(ts, watermark)
         .groupBy(F.window(ts, f"{window_seconds} seconds", "1 second").alias("__w"))
@@ -205,7 +206,16 @@ def seed_history(
     ds = downsample_fixed_grid(
         backfill.select(metric, ts, value), ts=ts, keys=(metric,), gap_seconds=gap_seconds
     )
-    PartialStateTable(state_path).seed(ds.select(metric, ts, value))
+    # canonicalize to the live partitions' (metric, ts, value) schema —
+    # the stream side writes DOWNSAMPLED_SCHEMA whatever the caller's
+    # column names, and seed + live must agree inside one parquet table
+    PartialStateTable(state_path).seed(
+        ds.select(
+            F.col(metric).alias("metric"),
+            F.col(ts).alias("ts"),
+            F.col(value).alias("value"),
+        )
+    )
 
 
 def stream_day_bins(
@@ -264,10 +274,15 @@ def stream_day_bins(
         readings, ts=ts, value=value, metric=metric, gap_seconds=gap_seconds
     )
     st = PartialStateTable(state_path)
+    # the downsample CANONICALIZES its output columns to (metric, ts,
+    # value) whatever the input names (DOWNSAMPLED_SCHEMA) — everything
+    # downstream of the state table must use the canonical names, not
+    # the caller's: a non-default `metric="sensor"` otherwise crashes
+    # retain_window/day_binned_extremes on a missing column
     cull = (
         None
         if retention_days is None
-        else (lambda df: retain_window(df, ts="ts", keys=(metric,), days=retention_days))
+        else (lambda df: retain_window(df, ts="ts", keys=("metric",), days=retention_days))
     )
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -282,7 +297,7 @@ def stream_day_bins(
         if cull is not None:
             state = cull(state)
         result = day_binned_extremes(
-            state, ts="ts", value="value", metric=metric,
+            state, ts="ts", value="value", metric="metric",
             day_bins=day_bins, min_data_hours=min_data_hours,
         )
         if on_result is not None:
@@ -460,7 +475,13 @@ def run_to_memory_sink(
     output_mode: str = "append",
     timeout_seconds: float = 30.0,
 ) -> StreamingQuery:
-    """Start the stream into an in-memory table (tests / display emulation)."""
+    """Start the stream into an in-memory table (tests / display
+    emulation).  Blocks up to ``timeout_seconds`` for the FIRST
+    micro-batch to land, so ``spark.sql(f"SELECT * FROM {name}")`` right
+    after the call does not race an empty table; the query keeps running
+    either way (stop it via the returned handle)."""
+    import time as _time
+
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -468,4 +489,7 @@ def run_to_memory_sink(
         .option("checkpointLocation", f"/tmp/tom-spark-ckpt/{name}")
         .start()
     )
+    deadline = _time.time() + timeout_seconds
+    while _time.time() < deadline and not q.recentProgress:
+        _time.sleep(0.1)
     return q

@@ -70,23 +70,30 @@ def stream_anchored_downsample(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (mark,) = state.get if state.exists else (None,)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts, kind="mergesort")
-            t_us = (pdf[ts].astype("int64") // 1000).to_numpy()  # ns -> us
-            keep = [False] * len(t_us)
-            for i, t in enumerate(t_us):
-                if mark is None or abs(int(t) - mark) > gap_us:
-                    keep[i] = True
-                    mark = int(t)
-            kept = pdf[pd.Series(keep, index=pdf.index)]
-            if len(kept):
-                yield pd.DataFrame(
-                    {
-                        "metric": key[0],
-                        "ts": kept[ts],
-                        "value": kept[value],
-                    }
-                )
+        # drain ALL Arrow chunks before sorting (same fix as lsh.py's
+        # scan): a group larger than the Arrow batch size arrives as
+        # several pdfs, and per-chunk sorting would make the keep/drop
+        # walk (and the persisted anchor) depend on chunk boundaries —
+        # not replay-stable across at-least-once recovery
+        chunks = list(pdfs)
+        pdf = (chunks[0] if len(chunks) == 1 else pd.concat(chunks)).sort_values(
+            ts, kind="mergesort"
+        )
+        t_us = (pdf[ts].astype("int64") // 1000).to_numpy()  # ns -> us
+        keep = [False] * len(t_us)
+        for i, t in enumerate(t_us):
+            if mark is None or abs(int(t) - mark) > gap_us:
+                keep[i] = True
+                mark = int(t)
+        kept = pdf[pd.Series(keep, index=pdf.index)]
+        if len(kept):
+            yield pd.DataFrame(
+                {
+                    "metric": key[0],
+                    "ts": kept[ts],
+                    "value": kept[value],
+                }
+            )
         state.update((mark,))
 
     return (
