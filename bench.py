@@ -62,6 +62,7 @@ HEADLINE = (
     # round-4 operator families
     "semantic_dedup",
     "dsir_weights",
+    "dup_span_removal",
     "q21_waiting_suppliers",
 )
 
