@@ -1217,3 +1217,61 @@ def test_stream_day_bins_with_non_default_column_names(spark, tmp_path):
     last = results[max(results)]
     assert len(last) > 0  # day-bin rows rendered from canonical state
     assert {r["metric"] for r in last} == {"m0"}
+
+
+def test_stream_histogram_equals_batch_sketch_and_quantiles(spark, tmp_path):
+    """The streaming histogram (per-batch partial bins, count-sum merge)
+    must be bit-identical to the batch sketch over the union, and the
+    quantiles computed from it must match the batch path AND sit within
+    bin_width of the exact percentile (the sketch's hard guarantee)."""
+    from trend_o_meter_spark.operators.histogram import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+    from trend_o_meter_spark.streaming.pipeline import stream_histogram
+
+    vals = [float(i % 97) + 0.25 for i in range(400)] + [250.5] * 40
+    b1, b2 = vals[:250], vals[250:]
+    results = {}
+    per_batch = stream_histogram(
+        state_path=str(tmp_path / "hist"),
+        on_result=lambda bid, df: results.update({bid: sorted(map(tuple, df.collect()))}),
+    )
+    per_batch(spark.createDataFrame([(v,) for v in b1], "value double"), 0)
+    per_batch(spark.createDataFrame([(v,) for v in b2], "value double"), 1)
+
+    full = spark.createDataFrame([(v,) for v in vals], "value double")
+    want = sorted(map(tuple, histogram_sketch(full).collect()))
+    assert results[1] == want
+
+    merged = spark.createDataFrame(
+        [tuple(r) for r in results[1]], "bin long, cnt long"
+    )
+    got = {r["q"]: r["quantile_est"] for r in histogram_quantiles(merged).collect()}
+    batch = {
+        r["q"]: r["quantile_est"]
+        for r in histogram_quantiles(histogram_sketch(full)).collect()
+    }
+    assert got == batch
+    exact = {
+        q: sorted(vals)[int(q * (len(vals) - 1))] for q in (0.25, 0.5, 0.9, 0.99)
+    }
+    for q, est in got.items():
+        assert abs(est - exact[q]) <= 1.0, (q, est, exact[q])
+
+
+def test_stream_histogram_replay_is_idempotent(spark, tmp_path):
+    """Re-delivering a batch id (at-least-once replay) must not double
+    any bin count — additive state under the PartialStateTable contract."""
+    from trend_o_meter_spark.streaming.pipeline import stream_histogram
+
+    results = {}
+    per_batch = stream_histogram(
+        state_path=str(tmp_path / "hist"),
+        on_result=lambda bid, df: results.update({bid: sorted(map(tuple, df.collect()))}),
+    )
+    b = spark.createDataFrame([(1.5,), (1.7,), (9.2,)], "value double")
+    per_batch(b, 0)
+    first = results[0]
+    per_batch(b, 0)  # replay
+    assert results[0] == first

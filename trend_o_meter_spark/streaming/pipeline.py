@@ -493,3 +493,49 @@ def run_to_memory_sink(
     while _time.time() < deadline and not q.recentProgress:
         _time.sleep(0.1)
     return q
+
+
+def stream_histogram(
+    *,
+    state_path: str,
+    value: str = "value",
+    bin_width: float = 1.0,
+    compact_every: int = 25,
+    on_result: "object" = None,
+):
+    """Live quantile sketching: the streaming twin of
+    ``operators.histogram.histogram_sketch`` — each micro-batch writes
+    its PARTIAL (bin, cnt) histogram to a replay-idempotent state table;
+    the merged sketch (bin-keyed count addition — lossless) is re-read
+    and handed to ``on_result(batch_id, DataFrame)``, ready for
+    ``histogram_quantiles``.
+
+    Same additive-state discipline as :func:`stream_cms` (a re-appended
+    partial would double its counts; :class:`.statestore
+    .PartialStateTable` makes the write idempotent and the read
+    replay-filtered), so the streaming sketch EQUALS the batch sketch of
+    the union (test-pinned).  State is O(batches x bins) rows between
+    compactions; every ``compact_every`` batches the partials fold into
+    one pre-summed O(bins) base.  Returns the ``foreachBatch`` callable.
+    """
+    from ..operators.histogram import histogram_sketch
+    from .statestore import PartialStateTable
+
+    st = PartialStateTable(state_path)
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.groupBy("bin").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            st.compact(spark, transform=merge)
+        if not batch_df.isEmpty():
+            st.append(histogram_sketch(batch_df, value=value, bin_width=bin_width), batch_id)
+        state = st.read(spark)
+        if state is None:  # state path not created yet (all-empty batches)
+            return
+        if on_result is not None:
+            on_result(batch_id, merge(state))
+
+    return per_batch

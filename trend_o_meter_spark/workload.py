@@ -47,7 +47,18 @@ from pyspark.sql import functions as F
 from . import functions as tfn
 from .catalog import table
 from .llm import bpe, cluster, dedup, funnel, multimodal, similarity, text
-from .operators import asof, cms, daybins, downsample, rates, retention, rolling, topk, trend
+from .operators import (
+    asof,
+    cms,
+    daybins,
+    downsample,
+    histogram,
+    rates,
+    retention,
+    rolling,
+    topk,
+    trend,
+)
 
 
 @dataclass(frozen=True)
@@ -612,6 +623,25 @@ def sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir)
     return cms.cms_heavy_hitters(ev, key="user_id", width=64, depth=4)
+
+
+@_q(
+    "histogram_quantiles",
+    histogram.histogram_quantiles_sql("events", value="value", bin_width=1.0),
+    doc="Mergeable fixed-grid histogram quantiles — the third mergeable "
+    "sketch family (HLL distincts, CMS frequencies, THIS for quantiles): "
+    "bin-keyed partials add losslessly across shards/micro-batches, and "
+    "unlike percentile_approx's engine-private KLL state the estimate is "
+    "deterministic integer+double arithmetic the oracle reproduces "
+    "hash-exactly.  Every estimate is within bin_width of the exact "
+    "quantile by construction.  Cumulative ranks via a bounded "
+    "triangular join over the broadcast sketch — never a "
+    "single-partition window over corpus data.",
+)
+def histogram_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    sk = histogram.histogram_sketch(ev, value="value", bin_width=1.0)
+    return histogram.histogram_quantiles(sk, bin_width=1.0)
 
 
 # ---------------------------------------------------------------------------
