@@ -350,3 +350,51 @@ def test_dup_span_removal_is_idempotent(spark):
         once.select("doc_id", once.clean_text.alias("text")), min_run=5
     )
     assert again.filter("n_removed_tokens > 0").count() == 0
+
+
+hist_values = st.lists(
+    st.floats(min_value=-1000.0, max_value=1000.0, allow_nan=False, width=32),
+    min_size=1,
+    max_size=80,
+)
+
+
+@given(vals=hist_values, q=st.sampled_from([0.0, 0.25, 0.5, 0.9, 1.0]))
+@settings(**SETTINGS)
+def test_histogram_quantile_within_bin_width(spark, vals, q):
+    """The sketch's hard guarantee, property-tested: for ANY value set
+    and quantile, the histogram estimate lies within bin_width of the
+    exact rank-r value (r = floor(q*(n-1)) + 1, the shared convention)."""
+    import math
+
+    from trend_o_meter_spark.operators.histogram import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    w = 1.0
+    df = spark.createDataFrame([(float(v),) for v in vals], "value double")
+    sk = histogram_sketch(df, bin_width=w)
+    out = {r["q"]: r["quantile_est"] for r in histogram_quantiles(sk, qs=(q,), bin_width=w).collect()}
+    r = math.floor(q * (len(vals) - 1)) + 1
+    exact = sorted(float(v) for v in vals)[r - 1]
+    assert abs(out[q] - exact) <= w, (q, out[q], exact)
+
+
+@given(vals=hist_values)
+@settings(**SETTINGS)
+def test_histogram_merge_equals_union_sketch(spark, vals):
+    """Splitting the data arbitrarily and merging the partial sketches
+    must equal the sketch of the union — mergeability, property-tested."""
+    from trend_o_meter_spark.operators.histogram import (
+        histogram_merge,
+        histogram_sketch,
+    )
+
+    cut = len(vals) // 2
+    d1 = spark.createDataFrame([(float(v),) for v in vals[:cut]] or [(None,)], "value double")
+    d2 = spark.createDataFrame([(float(v),) for v in vals[cut:]], "value double")
+    full = spark.createDataFrame([(float(v),) for v in vals], "value double")
+    merged = sorted(map(tuple, histogram_merge(histogram_sketch(d1), histogram_sketch(d2)).collect()))
+    want = sorted(map(tuple, histogram_sketch(full).collect()))
+    assert merged == want
