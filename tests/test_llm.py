@@ -1168,3 +1168,34 @@ def test_pq_codes_on_offset_id_space_still_trains(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = pq_codes(df, m=2, k=4, iters=1)
     assert out.count() == 40
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    """Efraimidis-Spirakis race: across many salts, a row with 50x the
+    weight is selected far more often than any unit-weight row, and the
+    sample is deterministic for a fixed salt."""
+    from trend_o_meter_spark.llm.text import weighted_sample
+
+    rows = [(i, 50.0 if i == 7 else 1.0) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    heavy_hits = 0
+    salts = [f"s{j}" for j in range(12)]
+    for s in salts:
+        ids = {r["doc_id"] for r in weighted_sample(df, weight_col="w", k=10, salt=s).collect()}
+        assert len(ids) == 10
+        heavy_hits += 7 in ids
+    assert heavy_hits >= 10  # P(select) ~ 50/169 per slot; ~96% per salt
+
+    a = [r["doc_id"] for r in weighted_sample(df, weight_col="w", k=10, salt="fixed").collect()]
+    b = [r["doc_id"] for r in weighted_sample(df, weight_col="w", k=10, salt="fixed").collect()]
+    assert a == b  # deterministic, order included
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from trend_o_meter_spark.llm.text import weighted_sample
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, 0.0), (2, -3.0), (3, 2.0)], "doc_id long, w double"
+    )
+    ids = {r["doc_id"] for r in weighted_sample(df, weight_col="w", k=10).collect()}
+    assert ids == {0, 3}

@@ -1811,3 +1811,68 @@ SELECT d.{id_col},
 FROM docb d JOIN lr l USING (bucket)
 GROUP BY d.{id_col}
 """
+
+
+def weighted_sample(
+    df: DataFrame,
+    *,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, the exponential-race form): each row draws a
+    deterministic uniform ``u`` from its salted id hash and races with
+    key ``-ln(u) / w``; the ``k`` smallest keys win, which selects rows
+    with probability proportional to ``w`` — the one-pass, shuffle-light
+    primitive behind importance RESAMPLING (pair with
+    :func:`dsir_weights` via ``w = exp(dsir_weight)``, the paper's own
+    sampling step) and quality-weighted mixing.
+
+    Unlike ``rand()``-based sampling the draw is content-derived (md5 of
+    ``salt:id``), so the sample is reproducible across runs, engines and
+    partitionings — the same determinism contract as
+    :func:`hash_sample`.  Keys are rounded to 9 (ln is not
+    correctly-rounded cross-libm) with an id tiebreak.
+
+    Output: the winning rows (all input columns) plus ``sel_key``,
+    ordered by the race.  Scale: one map-side key computation + one
+    TakeOrderedAndProject — no window, no global sort.
+    """
+    h = md5_int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    u = (h + F.lit(0.5)) / F.lit(float(1 << (4 * HEX_DIGITS)))
+    key = F.round(-F.log(u) / F.col(weight_col), 9)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("sel_key", key)
+        .orderBy("sel_key", id_col)
+        .limit(k)
+    )
+
+
+def dsir_resample_sql(
+    table: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 100,
+    salt: str = "wsample",
+    **dsir_kwargs,
+) -> str:
+    """Oracle twin of the dsir_weights -> weighted_sample composition
+    (w = exp(dsir_weight); identical hash-uniform, ln/exp expression
+    shape, 9-rounding and (key, id) ordering)."""
+    dw = dsir_weights_sql(table, text=text, id_col=id_col, **dsir_kwargs).strip()
+    h = md5_int_sql(f"'{salt}:' || CAST({id_col} AS VARCHAR)")
+    denom = float(1 << (4 * HEX_DIGITS))
+    return f"""
+WITH dw AS ({dw}),
+keyed AS (
+  SELECT {id_col}, n_grams, dsir_weight,
+         round(-ln(({h} + 0.5) / {denom!r}) / exp(dsir_weight), 9) AS sel_key
+  FROM dw WHERE exp(dsir_weight) > 0
+)
+SELECT {id_col}, n_grams, dsir_weight, sel_key
+FROM keyed ORDER BY sel_key, {id_col} LIMIT {k}
+"""

@@ -1978,6 +1978,21 @@ def dsir_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dsir_resample",
+    text.dsir_resample_sql("documents", k=100),
+    doc="DSIR's sampling step: Efraimidis-Spirakis weighted sampling "
+    "without replacement with w = exp(dsir_weight) — deterministic "
+    "(content-derived uniforms, never rand()), selection probability "
+    "proportional to the importance weight; one map-side key + "
+    "TakeOrderedAndProject, no window and no global sort.",
+)
+def dsir_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    dw = text.dsir_weights(d).withColumn("__w", F.exp("dsir_weight"))
+    return text.weighted_sample(dw, weight_col="__w", k=100).drop("__w")
+
+
+@_q(
     "token_budget_sample",
     text.token_budget_sample_sql("documents", budget_tokens=2000),
     doc="Mixture sampling by token budget: per source, keep docs in "
