@@ -210,3 +210,26 @@ def test_dsir_bucket_tables_broadcast(plans):
     shuffle join on bucket would mean the hashing bought nothing."""
     p = plans("dsir_weights")
     assert "BroadcastHashJoin" in p
+
+
+def test_plan_audit_detects_single_partition_window(spark):
+    """The 1PART-WINDOW detector must actually fire on a real global
+    window (it was dead code for three rounds: a break on the Sort line
+    that always sits between Window and its Exchange meant the
+    SinglePartition line was never reached)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from tools.plan_audit import audit_plan
+
+    bad = spark.range(1000).withColumn(
+        "r", F.row_number().over(Window.orderBy("id")) + F.col("id")
+    )
+    plan = bad._jdf.queryExecution().executedPlan().toString()
+    assert "1PART-WINDOW" in audit_plan(plan)["flags"]
+
+    good = spark.range(1000).withColumn("k", F.col("id") % 7).withColumn(
+        "r", F.row_number().over(Window.partitionBy("k").orderBy("id")) + F.col("id")
+    )
+    plan = good._jdf.queryExecution().executedPlan().toString()
+    assert "1PART-WINDOW" not in audit_plan(plan)["flags"]

@@ -40,16 +40,29 @@ def canon(val) -> str:
     return str(val)
 
 
-def fingerprint(rows, colnames) -> tuple[int, list[str]]:
+def fingerprint(rows, colnames) -> tuple[int, str, list[str]]:
+    """(row count, order-insensitive hash, ALL canonical lines) — the
+    lines are returned so the FAIL diff reuses the exact canonicalization
+    the hash was computed from (a re-implementation could drift)."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
     import hashlib
 
     h = hashlib.md5("\n".join(lines).encode()).hexdigest()
-    return len(rows), [h, lines[:3]]
+    return len(rows), h, lines
 
 
 def main() -> int:
+    # Pin the PYTHON-side timezone: collect() converts TimestampType via
+    # the OS-local zone (spark.sql.session.timeZone does not govern it),
+    # so on a non-UTC host every timestamp column would false-FAIL
+    # against the oracle's naive UTC values.
+    import os as _os
+    import time as _t
+
+    _os.environ["TZ"] = "UTC"
+    if hasattr(_t, "tzset"):
+        _t.tzset()
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
     only = set(a for a in sys.argv[1:] if "/" not in a)
 
@@ -84,8 +97,8 @@ def main() -> int:
             print(f"FAIL {spec.name}: ORACLE ERROR {e}")
             n_fail += 1
             continue
-        sc, (sh, sample_s) = fingerprint(srows, scols)
-        oc, (oh, sample_o) = fingerprint(orows, ocols)
+        sc, sh, s_lines = fingerprint(srows, scols)
+        oc, oh, o_lines = fingerprint(orows, ocols)
         ok_cols = sorted(scols) == sorted(ocols)
         ok = sc == oc and sh == oh and ok_cols
         if ok:
@@ -97,13 +110,7 @@ def main() -> int:
                 f"oracle={oc} rows cols={sorted(ocols)} hash={oh}"
             )
             if sc and oc and ok_cols:
-                sset, oset = set(), set()
-                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
-                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
-                for r in srows:
-                    sset.add("|".join(canon(r[i]) for i in order_s))
-                for r in orows:
-                    oset.add("|".join(canon(r[i]) for i in order_o))
+                sset, oset = set(s_lines), set(o_lines)
                 for x in list(sset - oset)[:3]:
                     print(f"  spark-only: {x[:200]}")
                 for x in list(oset - sset)[:3]:

@@ -1,11 +1,14 @@
 """Skew stress probe: salted operators vs their unsalted forms on a
-degenerate key distribution (one key owns ~50% of all rows).
+degenerate key distribution (one key owns ~90% of all rows by
+default — `hot_tenths`/10; the earlier 50% setting sat under AQE's skew
+threshold and the sort-merge pain point, so all variants tied).
 
 The 16x scaling probe (BASELINE.md) covers volume; this probe covers the
 orthogonal failure mode — a HOT KEY pinning one reducer.  Input is the
 lineitem table replicated ``reps``x (deterministic explode, no synthetic
-value distributions), with a derived key where xxhash64 parity sends
-half the rows to key 0 and sprays the rest over ``n_cold`` cold keys.
+value distributions), with a derived key where an xxhash64 residue
+sends the hot share to key 0 and sprays the rest over ``n_cold`` cold
+keys.
 The skewed input is materialized to parquet once so every timed variant
 reads identical bytes.
 

@@ -297,6 +297,34 @@ FROM {table} {grp}
 SPLITS = (("train", 0, 80), ("val", 80, 90), ("test", 90, 100))
 
 
+def _bucket_offsets(sizes: DataFrame, *, key: str, sums: dict[str, str]) -> DataFrame:
+    """Cumulative totals of all strictly-PRECEDING buckets, via a bounded
+    triangular join over the broadcast bucket table (<= buckets rows by
+    construction) — the window-free form of ``sum(...) OVER (ORDER BY
+    key ROWS UNBOUNDED PRECEDING AND -1)``.  Keeps corpus-scale plans
+    entirely free of single-partition windows, so the plan audit's
+    1PART-WINDOW flag stays a true red flag (epoch_shuffle and
+    split_drift_ks were its only benign-by-design hits once the
+    detector was fixed; this removed them).  ``sums`` maps output
+    column -> source column."""
+    a = sizes.select(F.col(key).alias("__ka"))
+    b = sizes.select(
+        F.col(key).alias("__kb"),
+        *[F.col(src).alias(f"__v_{out}") for out, src in sums.items()],
+    )
+    return (
+        a.join(F.broadcast(b), F.col("__kb") < F.col("__ka"), "left")
+        .groupBy("__ka")
+        .agg(
+            *[
+                F.coalesce(F.sum(f"__v_{out}"), F.lit(0)).cast("long").alias(out)
+                for out in sums
+            ]
+        )
+        .withColumnRenamed("__ka", key)
+    )
+
+
 def dataset_split(
     df: DataFrame, *, id_col: str = "doc_id", salt: str = "split-v1"
 ) -> DataFrame:
@@ -379,12 +407,7 @@ def split_drift_ks(
     sizes = counts.groupBy("__b").agg(
         F.sum("ca").alias("sa"), F.sum("cb").alias("sb")
     )
-    wo = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sizes.select(
-        "__b",
-        F.coalesce(F.sum("sa").over(wo), F.lit(0)).alias("oa"),
-        F.coalesce(F.sum("sb").over(wo), F.lit(0)).alias("ob"),
-    )
+    offsets = _bucket_offsets(sizes, key="__b", sums={"oa": "sa", "ob": "sb"})
     tot = counts.agg(
         F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
     )
@@ -838,8 +861,8 @@ def epoch_shuffle(
     buckets — ``bucket = h div (2^28/buckets)`` so (bucket, h, id) sorts
     identically to (h, id): a per-bucket ``row_number`` (one shuffle,
     ~N/buckets rows per task), plus a cumulative bucket-offset table
-    (``buckets`` rows — the only single-partition window, bounded by the
-    bucket count, not the data) broadcast back.  Output: ``doc_id,
+    (``buckets`` rows, computed by the window-free bounded triangular
+    join ``_bucket_offsets``) broadcast back.  Output: ``doc_id,
     position``.
     """
     from pyspark.sql import Window
@@ -850,8 +873,7 @@ def epoch_shuffle(
     wb = Window.partitionBy("__b").orderBy(F.col("__h").asc(), F.col(id_col).asc())
     ranked = keyed.withColumn("__r", F.row_number().over(wb))
     sizes = keyed.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
-    wo = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sizes.withColumn("__off", F.coalesce(F.sum("__n").over(wo), F.lit(0)))
+    offsets = _bucket_offsets(sizes, key="__b", sums={"__off": "__n"})
     return (
         ranked.join(F.broadcast(offsets.select("__b", "__off")), "__b")
         .select(F.col(id_col), (F.col("__off") + F.col("__r") - 1).alias("position"))

@@ -65,12 +65,7 @@ AUDIT_LOG_SCHEMA = StructType(
 )
 
 # C2 command-log record (trend-o-meter:253-262).
-CMDLOG = StructType(
-    [
-        StructField("ts", TimestampType(), False),
-        StructField("valid", StringType(), True),  # reference stores bool; kept loose
-        StructField("message", StringType(), True),
-        StructField("retVal", StringType(), True),
-        StructField("error", StringType(), True),
-    ]
-)
+# The C2 audit-log record (reference's cmdlog list) is defined ONCE, in
+# control/plane.py as AUDIT_LOG_SCHEMA — the schema actually written to
+# and read from parquet.  (An earlier duplicate here had silently
+# diverged on ts/valid/retVal typing; one source of truth only.)

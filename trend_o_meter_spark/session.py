@@ -11,15 +11,10 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Conf that must be set at session build time (not runtime-settable).
+# Conf that must be set at session BUILD time — only JVM sizing truly
+# is (everything else runtime-settable lives in RUNTIME_CONF below so
+# tune() can apply it to sessions we did not build).
 BUILD_CONF: dict[str, str] = {
-    "spark.sql.adaptive.enabled": "true",
-    "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    "spark.sql.adaptive.skewJoin.enabled": "true",
-    "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # local[32] single-JVM testing default; a real cluster would size this
-    # to ~2-3x total cores via spark-submit conf.
-    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     # In local mode the driver JVM IS the executor; Spark's 1g default
     # starves 32 concurrent tasks (GC stalls at bench scale, OOM in the
     # 16x scaling probes).  Only takes effect when get_spark launches the
@@ -28,8 +23,17 @@ BUILD_CONF: dict[str, str] = {
 }
 
 # Conf that is runtime-settable: applied by tune() even on a SparkSession
-# we did not build (the driver hands us its own session).
+# we did not build (the driver hands us its own session — without these
+# here it would run the suite at shuffle.partitions=200 with arrow off;
+# bench.py itself proves shuffle partitions flip at runtime).
 RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # local[32] single-JVM testing default; a real cluster would size this
+    # to ~2-3x total cores via spark-submit conf.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     # All timeseries arithmetic (epoch conversions, day-bin edges) assumes
     # UTC so results match the DuckDB oracle bit-for-bit.
     "spark.sql.session.timeZone": "UTC",
