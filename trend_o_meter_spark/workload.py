@@ -1371,6 +1371,412 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- round-4, second widening: the LAST eight TPC-H plan shapes, completing
+# the full 22-query sweep over the reduced star schema.  The schema has no
+# partsupp table, so Q2/Q11/Q16/Q20's part-supplier relation is derived from
+# lineitem (the suppliers who actually shipped a part); each adaptation is
+# noted per query.  Same decimal/alias discipline as the first batch.
+
+
+@_q(
+    "q2_min_cost_supplier",
+    """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS offer_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), eu_offers AS (
+  SELECT l_partkey, l_suppkey, offer_price, s_acctbal, s_name, n_name
+  FROM offers JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, offer_price
+FROM eu_offers JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 15 AND p_type = 'LARGE'
+  AND offer_price = (SELECT min(o2.offer_price) FROM eu_offers o2
+                     WHERE o2.l_partkey = p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+    doc="TPC-H Q2 shape: minimum-cost supplier — a correlated scalar-min "
+    "subquery against the part-supplier relation, decorrelated into a "
+    "per-part min aggregate joined back (the only shape that survives "
+    "100 TB; Catalyst plans the same rewrite for the SQL form).  (No "
+    "partsupp table: the offer relation is derived from lineitem as each "
+    "supplier's minimum extended price per part — min over doubles is "
+    "order-insensitive and exact, so the equality join back is "
+    "deterministic.)",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir)
+    s = table(spark, "supplier", sf_dir)
+    n = table(spark, "nation", sf_dir)
+    r = table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    p = table(spark, "part", sf_dir).filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
+    )
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("offer_price")
+    )
+    # nation/region are fixed-size dims (25 / 5 rows) — broadcast; supplier
+    # scales with sf, AQE elects its join side.
+    eu = (
+        offers.join(s, offers.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("l_partkey", "offer_price", "s_acctbal", "s_name", "n_name")
+    )
+    best = eu.groupBy("l_partkey").agg(F.min("offer_price").alias("__best"))
+    best = best.withColumnRenamed("l_partkey", "__pk")
+    return (
+        eu.join(
+            best,
+            (eu.l_partkey == F.col("__pk")) & (F.col("offer_price") == F.col("__best")),
+        )
+        .join(p, eu.l_partkey == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "offer_price")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@_q(
+    "q8_market_share",
+    """
+SELECT o_year,
+  CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE)
+  / CAST(CAST(sum(volume) AS VARCHAR) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+    CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+    n2.n_name AS supp_nation
+  FROM part JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+) all_nations
+GROUP BY o_year
+""",
+    doc="TPC-H Q8 shape: national market share — the 8-table join (nation "
+    "twice, through the customer market region and the supplier share "
+    "nation) with a conditional-aggregate ratio per year.  Both sums "
+    "accumulate exactly in decimal and convert once, so the single double "
+    "division is identical in both engines.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, "part", sf_dir).filter(F.col("p_type") == "STANDARD")
+    li = table(spark, "lineitem", sf_dir)
+    s = table(spark, "supplier", sf_dir)
+    o = table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    c = table(spark, "customer", sf_dir)
+    n1 = table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey")
+    )
+    n2 = table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    volume = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    share_vol = F.when(F.col("supp_nation") == "NATION_5", volume).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_rkey") == r.r_regionkey, "left_semi")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(share_vol).cast("string").cast("double")
+                / F.sum(volume).cast("string").cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_q(
+    "q9_product_type_profit",
+    """
+SELECT nation, o_year, CAST(CAST(sum(amount) AS VARCHAR) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+    CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,0)) AS amount
+  FROM part JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+""",
+    doc="TPC-H Q9 shape: product-type profit — substring LIKE on the part "
+    "name (not pushable below the join), revenue minus cost per line, "
+    "rolled up by supplier nation and order year.  (No partsupp: the cost "
+    "leg is p_retailprice * l_quantity, both decimal-cast so the "
+    "subtraction stays exact; l_quantity is integral by construction.)",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, "part", sf_dir).filter(F.col("p_name").like("%red%"))
+    li = table(spark, "lineitem", sf_dir)
+    s = table(spark, "supplier", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    n = table(spark, "nation", sf_dir)
+    amount = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    ) - F.col("p_retailprice").cast("decimal(18,2)") * F.col("l_quantity").cast(
+        "decimal(18,0)"
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("__amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("__amount").cast("string").cast("double").alias("sum_profit"))
+    )
+
+
+@_q(
+    "q11_important_parts",
+    """
+WITH part_value AS (
+  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,0))) AS val
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(CAST(val AS VARCHAR) AS DOUBLE) AS part_value
+FROM part_value, (SELECT sum(val) AS tot, count(*) AS n FROM part_value) t
+WHERE val * n > tot * 2
+""",
+    doc="TPC-H Q11 shape: important stock — per-part value within one "
+    "nation filtered against a scalar fraction-of-grand-total subquery.  "
+    "(No partsupp: value is shipped extendedprice * quantity by that "
+    "nation's suppliers.  TPC-H scales Q11's fraction by 1/SF; the "
+    "SF-robust equivalent keeps parts above 2x the mean part value.)  "
+    "The threshold is a 1-row broadcast crossJoin (anchor pattern) and "
+    "the comparison is cross-multiplied — exact decimal x bigint on both "
+    "engines, no division, no float threshold drift.",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir)
+    s = table(spark, "supplier", sf_dir)
+    n = table(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_3")
+    val = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,0)")
+    )
+    per_part = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(val.alias("__val"))
+    )
+    thresh = per_part.agg(
+        F.sum("__val").alias("__tot"), F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(thresh))
+        .filter(F.col("__val") * F.col("__n") > F.col("__tot") * F.lit(2))
+        .select(
+            "l_partkey",
+            F.col("__val").cast("string").cast("double").alias("part_value"),
+        )
+    )
+
+
+@_q(
+    "q12_late_lines_by_class",
+    """
+SELECT l_returnflag,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 45 DAY
+GROUP BY l_returnflag
+""",
+    doc="TPC-H Q12 shape: late lines split into high/low-priority "
+    "conditional counts per line class.  (No l_shipmode/l_commitdate: the "
+    "class is l_returnflag and 'late' is shipped > 45 days after the "
+    "order date — the join-side comparison that cannot be pushed to "
+    "either scan.)",
+)
+def q12_late_lines_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, "orders", sf_dir)
+    li = table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "q15_top_supplier",
+    """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(CAST(total_rev AS VARCHAR) AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+""",
+    doc="TPC-H Q15 shape: top supplier — the revenue view reused twice "
+    "(group totals and their scalar max), equality against the max "
+    "selecting all tied winners.  The max is a 1-row broadcast crossJoin "
+    "and the equality compares exact decimals, so ties are well-defined "
+    "in both engines.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    s = table(spark, "supplier", sf_dir)
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("__total_rev")
+    )
+    best = revenue.agg(F.max("__total_rev").alias("__best_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .filter(F.col("__total_rev") == F.col("__best_rev"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("__total_rev").cast("string").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@_q(
+    "q16_supplier_part_counts",
+    """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+""",
+    doc="TPC-H Q16 shape: supplier counts per part profile — negated "
+    "predicates + IN-list, a NOT IN excluded-supplier subquery (planned "
+    "as an anti join; s_suppkey is non-null so NOT IN == anti), and a "
+    "distinct aggregate.  (No partsupp: the part-supplier pairs come "
+    "from lineitem; no s_comment: the excluded set is suppliers with "
+    "negative balance.)",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir)
+    p = table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    excluded = table(spark, "supplier", sf_dir).filter(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(excluded, li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "q20_promotion_candidates",
+    """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,0))) AS qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+), part_total AS (
+  SELECT l_partkey AS pk, sum(qty) AS total_qty FROM shipped GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+  AND s_suppkey IN (SELECT l_suppkey FROM shipped JOIN part_total ON l_partkey = pk
+                    WHERE qty * 5 > total_qty)
+""",
+    doc="TPC-H Q20 shape: promotion candidates — the nested-IN chain "
+    "(parts by name prefix -> suppliers who shipped an outsized share of "
+    "a part -> suppliers in one nation) decorrelated into keyed "
+    "aggregates and a semi join.  (No partsupp availqty: the 'excess "
+    "stock' predicate is shipping more than 1/5 of a part's yearly "
+    "volume.)  All quantity math is exact decimal.",
+)
+def q20_promotion_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    p = table(spark, "part", sf_dir).filter(F.col("p_name").like("red%"))
+    s = table(spark, "supplier", sf_dir)
+    n = table(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_1")
+    shipped = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,0)")).alias("__qty"))
+    )
+    part_total = shipped.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum("__qty").alias("__total_qty")
+    )
+    qualifying = (
+        shipped.join(part_total, shipped.l_partkey == F.col("__pk"))
+        .filter(F.col("__qty") * 5 > F.col("__total_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
 @_q(
     "rollup_returns",
     """
