@@ -205,3 +205,124 @@ def test_decode_ppm_rejects_ambiguous_crlf_header():
     # a LONE '\r' separator is spec-legal single whitespace: decodes fine
     ok = b"P6\n2 1\n255\r" + bytes([1, 2, 3, 4, 5, 6])
     assert decode_ppm(ok).shape == (1, 2, 3)
+
+
+# -- WAV audio codec (real path) -----------------------------------------
+
+
+def _test_pcm(n, ch=1):
+    # deterministic samples spanning both signs, no RNG
+    i = np.arange(n * ch, dtype=np.int64).reshape(n, ch)
+    return ((i * 2654435761) % 60001 - 30000).astype(np.int16)
+
+
+def test_wav_roundtrip_mono_stereo():
+    from trend_o_meter_spark.llm import codecs
+
+    for n, ch, rate in [(1, 1, 8000), (7, 1, 16000), (480, 2, 44100)]:
+        pcm = _test_pcm(n, ch)
+        data = codecs.encode_wav(pcm, rate)
+        assert codecs.sniff(data) == "wav"
+        back, r = codecs.decode_wav(data)
+        assert r == rate
+        np.testing.assert_array_equal(back, pcm)
+    # odd-byte data chunks are word-padded per the RIFF spec: a mono
+    # 16-bit stream is always even, so force oddness via the pad branch
+    # by checking total length parity of a 1-sample file
+    assert len(codecs.encode_wav(_test_pcm(1), 8000)) % 2 == 0
+
+
+def test_wav_skips_unknown_chunks_and_rejects_non_pcm():
+    import struct
+
+    from trend_o_meter_spark.llm import codecs
+
+    pcm = _test_pcm(5)
+    data = codecs.encode_wav(pcm, 8000)
+    # splice an unknown LIST chunk between 'WAVE' and 'fmt '
+    spliced = data[:12] + struct.pack("<4sI", b"LIST", 4) + b"INFO" + data[12:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    back, rate = codecs.decode_wav(spliced)
+    np.testing.assert_array_equal(back, pcm)
+    # 8-bit depth must fail loudly, not decode garbage
+    bad = bytearray(data)
+    fmt_off = data.index(b"fmt ") + 8
+    struct.pack_into("<H", bad, fmt_off + 14, 8)  # bits-per-sample field
+    with pytest.raises(NotImplementedError, match="16-bit PCM"):
+        codecs.decode_wav(bytes(bad))
+    with pytest.raises(ValueError, match="RIFF"):
+        codecs.decode_wav(b"\x00" * 32)
+
+
+def test_resample_linear_identity_and_length():
+    from trend_o_meter_spark.llm import codecs
+
+    pcm = _test_pcm(100, 2)
+    same = codecs.resample_linear(pcm, src_rate=8000, dst_rate=8000)
+    np.testing.assert_array_equal(same, pcm)
+    up = codecs.resample_linear(pcm, src_rate=8000, dst_rate=16000)
+    assert up.shape == (200, 2)
+    # anchor-at-0 mapping: even output samples hit source samples exactly
+    np.testing.assert_array_equal(up[::2], pcm)
+    down = codecs.resample_linear(pcm, src_rate=16000, dst_rate=8000)
+    assert down.shape == (50, 2)
+    np.testing.assert_array_equal(down, pcm[::2])
+
+
+def test_audio_features_real_wav_payload_matches_synthetic(spark):
+    """audio_features on an actual WAV payload equals a direct numpy
+    computation, and the synthetic path produces the same features as
+    pre-encoding the equivalent WAV — the two admission routes agree."""
+    from trend_o_meter_spark.llm import codecs
+
+    text = b"some deterministic payload bytes for audio"
+    pcm = (np.frombuffer(text, dtype=np.uint8).astype(np.int16) - 80) * 256
+    wav = codecs.encode_wav(pcm, 16000)
+    meta = {"width": None, "height": None, "sample_rate": 16000, "n_frames": None}
+    rows = [
+        (1, "audio", bytearray(text), meta),   # synthetic route (not RIFF)
+        (2, "audio", bytearray(wav), meta),    # real-WAV route
+        (3, "video", bytearray(text), meta),   # filtered out
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>"
+    )
+    feats = {r["media_id"]: r for r in mm.audio_features(media).collect()}
+    assert set(feats) == {1, 2}
+    s = pcm.astype(np.int64)
+    expect_rms = float(np.sqrt(float((s * s).sum()) / s.size))
+    for mid in (1, 2):
+        got = feats[mid]
+        assert got["n_samples"] == s.size
+        assert got["sample_rate"] == 16000
+        assert got["duration_s"] == s.size / 16000
+        assert got["peak"] == int(np.abs(s).max())
+        assert got["rms"] == expect_rms
+        assert got["zero_crossings"] == int(((s[:-1] * s[1:]) < 0).sum())
+    assert feats[1]["rms"] == feats[2]["rms"]
+
+
+def test_resample_audio_reencodes_wav(spark):
+    """resample_audio: audio payloads come back as real WAV containers at
+    the target rate with the linear-resampled samples; non-audio rows and
+    their payloads pass through untouched."""
+    from trend_o_meter_spark.llm import codecs
+
+    text = b"resample me please, deterministically!"
+    pcm = (np.frombuffer(text, dtype=np.uint8).astype(np.int16) - 80) * 256
+    meta = {"width": None, "height": None, "sample_rate": 16000, "n_frames": None}
+    rows = [(1, "audio", bytearray(text), meta), (2, "image", bytearray(text), meta)]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>"
+    )
+    out = {r["media_id"]: r for r in mm.resample_audio(media, rate=8000).collect()}
+    samples, rate = codecs.decode_wav(bytes(out[1]["content"]))
+    assert rate == 8000
+    assert out[1]["meta"]["sample_rate"] == 8000
+    np.testing.assert_array_equal(
+        samples, codecs.resample_linear(pcm[:, None], src_rate=16000, dst_rate=8000)
+    )
+    assert bytes(out[2]["content"]) == text  # non-audio untouched
+    assert out[2]["meta"]["sample_rate"] == 16000

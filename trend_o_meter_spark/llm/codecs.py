@@ -1,21 +1,30 @@
-"""Pure-Python image codecs: uncompressed 24-bit BMP and binary PPM (P6).
+"""Pure-Python media codecs: uncompressed 24-bit BMP, binary PPM (P6),
+and PCM WAV (RIFF).
 
 The container ships no PIL/libav, so the multimodal pipeline's *real*
-decode path (:func:`.multimodal.decode_media` with ``real=True``) uses
-these dependency-free codecs — enough to run the full
-decode -> feature-extract -> resize -> re-encode loop on actual pixel
-data and pin it with tests, while exotic formats still fail loudly.
+decode path (:func:`.multimodal.decode_media` with ``real=True``, and
+:func:`.multimodal.audio_features`) uses these dependency-free codecs —
+enough to run the full decode -> feature-extract -> resample/resize ->
+re-encode loop on actual pixel/sample data and pin it with tests, while
+exotic formats still fail loudly.
 
-Both formats are trivially simple and fully specified publicly:
+All three formats are trivially simple and fully specified publicly:
 
 * **PPM P6** (Netpbm): ASCII header ``P6\\n<w> <h>\\n255\\n`` followed by
   ``h*w*3`` raw RGB bytes, row-major, top-down.
 * **BMP** (Windows V3, ``BI_RGB``): 14-byte file header + 40-byte
   BITMAPINFOHEADER, 24 bpp, no compression; pixel rows are stored
   BOTTOM-UP in BGR order, each row padded to a 4-byte boundary.
+* **WAV** (RIFF/WAVE, PCM): ``RIFF<size>WAVE`` followed by chunks; the
+  ``fmt `` chunk declares PCM (format tag 1), channel count, sample
+  rate, and bit depth; the ``data`` chunk carries interleaved
+  little-endian samples.  16-bit signed PCM only — other depths and
+  compressed formats fail loudly.
 
-Images are numpy ``uint8`` arrays of shape ``(height, width, 3)`` (RGB).
-Everything is deterministic — no dithering, no color management.
+Images are numpy ``uint8`` arrays of shape ``(height, width, 3)`` (RGB);
+audio is numpy ``int16`` of shape ``(n_samples, n_channels)``.
+Everything is deterministic — no dithering, no color management, no
+resampling filters beyond the documented kernels.
 """
 
 from __future__ import annotations
@@ -133,15 +142,105 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+# ---------------------------------------------------------------- WAV --
+
+_RIFF_HDR = struct.Struct("<4sI4s")  # 'RIFF', chunk size, 'WAVE'
+_CHUNK_HDR = struct.Struct("<4sI")  # chunk id, chunk size
+_FMT_PCM = struct.Struct("<HHIIHH")  # tag, channels, rate, byte rate, align, bits
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int) -> bytes:
+    """int16 samples ``(n,)`` or ``(n, channels)`` -> PCM WAV bytes."""
+    arr = np.asarray(samples)
+    if arr.dtype != np.int16:
+        raise ValueError(f"expected int16 samples, got {arr.dtype}")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    if arr.ndim != 2:
+        raise ValueError(f"expected (n,) or (n, channels) samples, got shape {arr.shape}")
+    n, ch = arr.shape
+    body = np.ascontiguousarray(arr.astype("<i2")).tobytes()
+    block_align = ch * 2
+    fmt = _FMT_PCM.pack(1, ch, sample_rate, sample_rate * block_align, block_align, 16)
+    chunks = (
+        _CHUNK_HDR.pack(b"fmt ", len(fmt))
+        + fmt
+        + _CHUNK_HDR.pack(b"data", len(body))
+        + body
+        + (b"\x00" if len(body) % 2 else b"")  # RIFF chunks are word-aligned
+    )
+    return _RIFF_HDR.pack(b"RIFF", 4 + len(chunks), b"WAVE") + chunks
+
+
+def decode_wav(data: bytes) -> "tuple[np.ndarray, int]":
+    """PCM WAV bytes -> ``(samples int16 (n, channels), sample_rate)``.
+
+    Walks the RIFF chunk list (skipping unknown chunks like ``LIST`` /
+    ``fact``), requires a PCM (tag 1) 16-bit ``fmt `` chunk before
+    ``data``.  Anything else — float/ADPCM/a-law formats, 8/24/32-bit
+    depths — raises loudly (the exotic-formats contract).
+    """
+    if len(data) < _RIFF_HDR.size or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = _RIFF_HDR.size
+    rate = channels = None
+    while pos + _CHUNK_HDR.size <= len(data):
+        cid, size = _CHUNK_HDR.unpack_from(data, pos)
+        pos += _CHUNK_HDR.size
+        if cid == b"fmt ":
+            if size < _FMT_PCM.size:
+                raise ValueError(f"truncated fmt chunk (size {size})")
+            tag, channels, rate, _, _, bits = _FMT_PCM.unpack_from(data, pos)
+            if tag != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only 16-bit PCM supported (format tag {tag}, {bits}-bit); "
+                    "float/ADPCM/other depths need an audio library, absent here"
+                )
+        elif cid == b"data":
+            if rate is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            n = size // (channels * 2)
+            arr = np.frombuffer(data, dtype="<i2", count=n * channels, offset=pos)
+            return arr.reshape(n, channels).astype(np.int16), rate
+        pos += size + (size % 2)  # chunks are word-aligned
+    raise ValueError("no data chunk in WAV payload")
+
+
+def resample_linear(samples: "np.ndarray", *, src_rate: int, dst_rate: int) -> "np.ndarray":
+    """Linear-interpolation resample ``(n, ch) int16`` to ``dst_rate``.
+
+    Output length ``round(n * dst_rate / src_rate)``; output sample ``i``
+    reads source position ``i * src_rate / dst_rate`` (same anchor-at-0
+    mapping both directions), clamped to the last source sample.  Values
+    round half away from zero back to int16 — deterministic, no dither.
+    """
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n = arr.shape[0]
+    if n == 0 or src_rate == dst_rate:
+        return arr.astype(np.int16)
+    m = int(round(n * dst_rate / src_rate))
+    pos = np.arange(m, dtype=np.float64) * (src_rate / dst_rate)
+    i0 = np.minimum(pos.astype(np.int64), n - 1)
+    i1 = np.minimum(i0 + 1, n - 1)
+    frac = (pos - i0)[:, None]
+    mixed = arr[i0].astype(np.float64) * (1.0 - frac) + arr[i1].astype(np.float64) * frac
+    out = np.sign(mixed) * np.floor(np.abs(mixed) + 0.5)  # half away from zero
+    return out.astype(np.int16)
+
+
 # ------------------------------------------------------------ dispatch --
 
 
 def sniff(data: bytes) -> str | None:
-    """Identify a payload by magic bytes: 'bmp', 'ppm', or None."""
+    """Identify a payload by magic bytes: 'bmp', 'ppm', 'wav', or None."""
     if data[:2] == b"BM":
         return "bmp"
     if data[:2] == b"P6":
         return "ppm"
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
     return None
 
 

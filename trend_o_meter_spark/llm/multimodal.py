@@ -303,6 +303,183 @@ def decode_media(media: DataFrame, *, real: bool = False) -> DataFrame:
     )
 
 
+# -- audio: real WAV codec round-trip ------------------------------------
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("duration_s", DoubleType(), False),
+        StructField("peak", LongType(), False),
+        StructField("rms", DoubleType(), False),
+        StructField("zero_crossings", LongType(), False),
+    ]
+)
+
+# Synthetic-PCM mapping: payload byte b -> int16 sample (b - 80) * 256.
+# Printable-ASCII payloads (0x20-0x7E after sanitization) land in
+# [-24576, 11776] — well inside int16, sign varies around 'P' (0x50), so
+# zero-crossing counts are non-trivial.
+_SYNTH_OFFSET = 80
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode audio payloads through the REAL WAV codec and extract
+    sample-domain features (duration, peak, RMS, zero crossings).
+
+    Two payload shapes, one code path:
+
+    * a payload that sniffs as RIFF/WAVE is decoded directly
+      (:func:`.codecs.decode_wav` — 16-bit PCM);
+    * any other payload (the synthetic corpus: UTF-8 text bytes) is
+      mapped to PCM (``(byte - 80) * 256`` int16), ENCODED to a WAV
+      container at ``meta.sample_rate``, then decoded back — so the
+      codec round-trip genuinely executes per row and any header/layout
+      bug breaks the features.
+
+    The DuckDB oracle (:func:`audio_features_sql`) computes the same
+    features straight from the character codes, making the round-trip
+    hash-checkable: all sums are exact integers (sample values bounded,
+    counts < 2^53), the only float ops are one division and one
+    correctly-rounded ``sqrt``, identical in both engines.  Zero
+    crossings use the sign-product rule (``s[i-1] * s[i] < 0``) —
+    no ambiguity at exact zeros.
+
+    Scale shape: Arrow-batched ``mapInPandas`` per input partition;
+    output rows carry 7 scalars, not payload bytes, so downstream
+    shuffles are metadata-sized.
+    """
+    import numpy as np  # local import: runs on executors
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs  # executor-side import
+
+        for pdf in it:
+            out = []
+            for mid, content, meta_rate in zip(
+                pdf["media_id"], pdf["content"], pdf["rate"]
+            ):
+                raw = bytes(content)
+                if codecs.sniff(raw) == "wav":
+                    samples, rate = codecs.decode_wav(raw)
+                else:
+                    rate = int(meta_rate)
+                    pcm = (
+                        np.frombuffer(raw, dtype=np.uint8).astype(np.int16)
+                        - _SYNTH_OFFSET
+                    ) * 256
+                    samples, rate = codecs.decode_wav(codecs.encode_wav(pcm, rate))
+                s = samples[:, 0].astype(np.int64)
+                n = int(s.size)
+                if n == 0:
+                    continue
+                rms = float(np.sqrt(float((s * s).sum()) / n))
+                zc = int(((s[:-1] * s[1:]) < 0).sum())
+                out.append(
+                    (int(mid), rate, n, n / rate, int(np.abs(s).max()), rms, zc)
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return (
+        media.filter((F.col("media_type") == "audio") & (F.octet_length("content") > 0))
+        .select("media_id", "content", F.col("meta.sample_rate").alias("rate"))
+        .mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)
+    )
+
+
+def audio_features_sql(table: str, *, id_col: str = "doc_id", text: str = "text") -> str:
+    """Oracle twin of :func:`audio_features` over the synthetic corpus:
+    the same features computed straight from character codes — if the
+    WAV encode/decode round-trip corrupts a single sample, the hash
+    diverges."""
+    cte = _media_table_sql_parts(table, id_col=id_col, text=text)
+    return f"""
+WITH {cte},
+audio AS (
+  SELECT media_id, atext, ((media_id % 3) + 1) * 8000 AS sample_rate
+  FROM media WHERE media_type = 'audio' AND n_bytes > 0
+),
+samples AS (
+  SELECT media_id, sample_rate, t.i AS pos,
+         (ascii(substring(atext, CAST(t.i AS INT), 1)) - {_SYNTH_OFFSET}) * 256 AS s
+  FROM audio, unnest(range(1, length(atext) + 1)) AS t(i)
+),
+seq AS (
+  SELECT media_id, sample_rate, s,
+         lag(s) OVER (PARTITION BY media_id ORDER BY pos) AS prev
+  FROM samples
+)
+SELECT media_id, CAST(sample_rate AS BIGINT) AS sample_rate,
+  count(*) AS n_samples,
+  CAST(count(*) AS DOUBLE) / sample_rate AS duration_s,
+  CAST(max(abs(s)) AS BIGINT) AS peak,
+  sqrt(CAST(sum(CAST(s AS BIGINT) * s) AS DOUBLE) / count(*)) AS rms,
+  CAST(sum(CASE WHEN prev IS NOT NULL AND prev * s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS zero_crossings
+FROM seq
+GROUP BY media_id, sample_rate
+"""
+
+
+def resample_audio(media: DataFrame, *, rate: int) -> DataFrame:
+    """Resample audio payloads to ``rate`` Hz through the real WAV codec:
+    decode (or synthesize, for non-WAV payloads — same rule as
+    :func:`audio_features`), linear-interpolation resample
+    (:func:`.codecs.resample_linear`), re-encode as WAV at the target
+    rate.  Non-audio rows pass through untouched; ``meta.sample_rate``
+    is updated on audio rows — the audio twin of :func:`resize_image`
+    with ``real=True``.
+    """
+    import numpy as np  # noqa: F401  (executor-side dependency)
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def _resample(content: pd.Series, mtype: pd.Series, meta_rate: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from . import codecs
+
+        out = []
+        for b, t, r in zip(content, mtype, meta_rate):
+            if t != "audio":
+                out.append(b)
+                continue
+            raw = bytes(b)
+            if codecs.sniff(raw) == "wav":
+                samples, src = codecs.decode_wav(raw)
+            else:
+                src = int(r)
+                samples = (
+                    (np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - _SYNTH_OFFSET)
+                    * 256
+                )[:, None]
+            out.append(
+                codecs.encode_wav(
+                    codecs.resample_linear(samples, src_rate=src, dst_rate=rate), rate
+                )
+            )
+        return pd.Series(out)
+
+    new_meta = F.struct(
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.when(F.col("media_type") == "audio", F.lit(rate))
+        .otherwise(F.col("meta.sample_rate"))
+        .cast("int")
+        .alias("sample_rate"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+    return media.withColumn(
+        "content",
+        _resample(F.col("content"), F.col("media_type"), F.col("meta.sample_rate")),
+    ).withColumn("meta", new_meta)
+
+
 def resize_image(media: DataFrame, *, width: int, height: int, real: bool = False) -> DataFrame:
     """Resize to ``width x height``.
 

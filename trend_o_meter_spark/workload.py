@@ -2701,6 +2701,22 @@ def resize_image_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "audio_features",
+    multimodal.audio_features_sql("documents"),
+    doc="Audio decode through the REAL pure-Python WAV codec "
+    "(llm/codecs.py: RIFF/PCM 16-bit): synthetic payloads are mapped to "
+    "PCM, encoded to a WAV container, decoded back, and reduced to "
+    "duration/peak/RMS/zero-crossing features.  The oracle computes the "
+    "same features straight from character codes, so a single corrupted "
+    "sample in the codec round-trip breaks the hash — the codec "
+    "execution is driver-verified, not just test-pinned.",
+)
+def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return multimodal.audio_features(multimodal.media_table(d))
+
+
+@_q(
     "decode_features",
     None,  # Arrow-batched Python decode: not SQL-expressible -> rows-only check
     doc="Media decode + feature extraction via Arrow-batched mapInPandas "
