@@ -398,3 +398,50 @@ def test_histogram_merge_equals_union_sketch(spark, vals):
     merged = sorted(map(tuple, histogram_merge(histogram_sketch(d1), histogram_sketch(d2)).collect()))
     want = sorted(map(tuple, histogram_sketch(full).collect()))
     assert merged == want
+
+
+@given(vals=hist_values)
+@settings(**SETTINGS)
+def test_moments_merge_equals_union_sketch(spark, vals):
+    """Fourth mergeable family: splitting the data arbitrarily and
+    merging the partial power-sum sketches must equal the sketch of the
+    union EXACTLY (integer sums — no float tolerance needed)."""
+    from trend_o_meter_spark.operators.moments import moments_merge, moments_sketch
+
+    cut = len(vals) // 2
+    d1 = spark.createDataFrame([(float(v),) for v in vals[:cut]] or [(None,)], "value double")
+    d2 = spark.createDataFrame([(float(v),) for v in vals[cut:]], "value double")
+    full = spark.createDataFrame([(float(v),) for v in vals], "value double")
+    merged = sorted(map(tuple, moments_merge(moments_sketch(d1), moments_sketch(d2)).collect()))
+    want = sorted(map(tuple, moments_sketch(full).collect()))
+    assert merged == want
+
+
+def test_moments_stats_match_numpy(spark):
+    """mean/std/skew/kurt from the sketch match a direct numpy
+    computation over the quantized values (population forms, excess
+    kurtosis), and a zero-variance key yields NULL skew/kurt with
+    std exactly 0."""
+    import numpy as np
+
+    from trend_o_meter_spark.operators.moments import moments_sketch, moments_stats
+
+    vals = [round(((i * 37) % 113) * 0.07 + (0.003 if i % 5 == 0 else 0), 2) for i in range(200)]
+    rows = [("a", v) for v in vals] + [("const", 4.25)] * 7
+    df = spark.createDataFrame(rows, "k string, value double")
+    out = {
+        r["k"]: r
+        for r in moments_stats(
+            moments_sketch(df, keys=("k",)), keys=("k",)
+        ).collect()
+    }
+    q = np.round(np.array(vals) * 100).astype(np.int64).astype(np.float64)
+    mean, std = q.mean() / 100, q.std() / 100
+    z = (q - q.mean()) / q.std()
+    assert out["a"]["n"] == len(vals)
+    assert out["a"]["mean"] == pytest.approx(mean, rel=1e-12)
+    assert out["a"]["std"] == pytest.approx(std, rel=1e-12)
+    assert out["a"]["skew"] == pytest.approx(float((z**3).mean()), rel=1e-9)
+    assert out["a"]["kurt"] == pytest.approx(float((z**4).mean() - 3.0), rel=1e-9)
+    assert out["const"]["std"] == 0.0
+    assert out["const"]["skew"] is None and out["const"]["kurt"] is None

@@ -1275,3 +1275,41 @@ def test_stream_histogram_replay_is_idempotent(spark, tmp_path):
     first = results[0]
     per_batch(b, 0)  # replay
     assert results[0] == first
+
+
+def test_stream_moments_equals_batch_sketch_and_replay_safe(spark, tmp_path):
+    """The streaming moments sketch (per-batch partial power sums, keyed
+    addition) must be bit-identical to the batch sketch over the union —
+    including after an at-least-once REPLAY of a micro-batch (the
+    additive-state hazard: a re-appended partial would double its sums
+    without the idempotent state table)."""
+    from trend_o_meter_spark.operators.moments import moments_sketch, moments_stats
+    from trend_o_meter_spark.streaming.pipeline import stream_moments
+
+    rows = [("m%d" % (i % 3), round((i % 53) * 0.13, 2)) for i in range(300)]
+    b1, b2 = rows[:180], rows[180:]
+    results = {}
+    per_batch = stream_moments(
+        state_path=str(tmp_path / "mom"),
+        keys=("k",),
+        on_result=lambda bid, df: results.update({bid: sorted(map(tuple, df.collect()))}),
+    )
+    schema = "k string, value double"
+    per_batch(spark.createDataFrame(b1, schema), 0)
+    per_batch(spark.createDataFrame(b2, schema), 1)
+    per_batch(spark.createDataFrame(b2, schema), 1)  # at-least-once replay
+
+    full = spark.createDataFrame(rows, schema)
+    want = sorted(map(tuple, moments_sketch(full, keys=("k",)).collect()))
+    assert results[1] == want
+
+    merged = spark.createDataFrame(
+        [tuple(r) for r in results[1]],
+        "k string, n long, s1 decimal(38,0), s2 decimal(38,0), "
+        "s3 decimal(38,0), s4 decimal(38,0)",
+    )
+    got = sorted(map(tuple, moments_stats(merged, keys=("k",)).collect()))
+    batch = sorted(
+        map(tuple, moments_stats(moments_sketch(full, keys=("k",)), keys=("k",)).collect())
+    )
+    assert got == batch

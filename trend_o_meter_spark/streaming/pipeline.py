@@ -539,3 +539,55 @@ def stream_histogram(
             on_result(batch_id, merge(state))
 
     return per_batch
+
+
+def stream_moments(
+    *,
+    state_path: str,
+    value: str = "value",
+    keys: tuple[str, ...] = (),
+    scale: int = 100,
+    compact_every: int = 25,
+    on_result: "object" = None,
+):
+    """Live distribution-shape sketching: the streaming twin of
+    ``operators.moments.moments_sketch`` (the fourth mergeable family —
+    HLL distincts, CMS frequencies, histogram quantiles, THIS for
+    mean/variance/skew/kurtosis) — each micro-batch writes its PARTIAL
+    per-key power sums to a replay-idempotent state table; the merged
+    sketch (keyed addition of exact integers — lossless) is re-read and
+    handed to ``on_result(batch_id, DataFrame)``, ready for
+    ``moments_stats``.
+
+    Same additive-state discipline as :func:`stream_cms` /
+    :func:`stream_histogram` (a re-appended partial would double its
+    sums; :class:`.statestore.PartialStateTable` makes the write
+    idempotent and the read replay-filtered), so the streaming sketch
+    EQUALS the batch sketch of the union (test-pinned).  State is
+    O(batches x keys) rows between compactions; every ``compact_every``
+    batches the partials fold into one pre-summed O(keys) base.
+    Returns the ``foreachBatch`` callable.
+    """
+    from ..operators.moments import moments_merge, moments_sketch
+    from .statestore import PartialStateTable
+
+    st = PartialStateTable(state_path)
+
+    def merge(df: DataFrame) -> DataFrame:
+        return moments_merge(df, keys=keys)
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            st.compact(spark, transform=merge)
+        if not batch_df.isEmpty():
+            st.append(
+                moments_sketch(batch_df, value=value, keys=keys, scale=scale), batch_id
+            )
+        state = st.read(spark)
+        if state is None:  # state path not created yet (all-empty batches)
+            return
+        if on_result is not None:
+            on_result(batch_id, merge(state))
+
+    return per_batch

@@ -53,6 +53,7 @@ from .operators import (
     daybins,
     downsample,
     histogram,
+    moments,
     rates,
     retention,
     rolling,
@@ -642,6 +643,25 @@ def histogram_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir)
     sk = histogram.histogram_sketch(ev, value="value", bin_width=1.0)
     return histogram.histogram_quantiles(sk, bin_width=1.0)
+
+
+@_q(
+    "moments_by_type",
+    moments.moments_stats_sql("events", value="value", keys=("event_type",)),
+    doc="Mergeable moments sketch — the FOURTH mergeable sketch family "
+    "(HLL distincts, CMS frequencies, histogram quantiles, THIS for "
+    "distribution shape): exact quantized power sums (BIGINT powers, "
+    "DECIMAL(38,0)/HUGEINT accumulation) merge by keyed addition across "
+    "shards/micro-batches, and mean/std/skew/excess-kurtosis derive "
+    "from them via a fixed correctly-rounded float expression — "
+    "hash-exact vs the oracle, unlike the engine-private "
+    "skewness()/kurtosis() accumulators.  One sketch row per key, "
+    "whatever the corpus size.",
+)
+def moments_by_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    sk = moments.moments_sketch(ev, value="value", keys=("event_type",))
+    return moments.moments_stats(sk, keys=("event_type",))
 
 
 # ---------------------------------------------------------------------------
