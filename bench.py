@@ -64,6 +64,13 @@ HEADLINE = (
     "dsir_weights",
     "dup_span_removal",
     "q21_waiting_suppliers",
+    # round-4 second widening: heaviest of the TPC-H completion batch
+    # (8-table join; per-part min decorrelation + join-back), the WAV
+    # codec round-trip, and the moments sketch
+    "q8_market_share",
+    "q2_min_cost_supplier",
+    "audio_features",
+    "moments_by_type",
 )
 
 

@@ -1199,3 +1199,38 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     )
     ids = {r["doc_id"] for r in weighted_sample(df, weight_col="w", k=10).collect()}
     assert ids == {0, 3}
+
+
+def test_pagerank_symmetry_and_mass(spark):
+    """PageRank sanity on hand-checkable graphs: (1) a symmetrized path
+    1-2-3 ranks the middle node highest with the endpoints tied exactly;
+    (2) total rank mass stays ~1 (within the documented 5e-10 * E
+    quantization bias per iteration); (3) a directed cycle is uniform at
+    exactly 1/N every iteration."""
+    from trend_o_meter_spark.llm.cluster import pagerank
+
+    path = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    r = {row["node"]: row["pagerank"] for row in pagerank(path, iters=4).collect()}
+    assert r[1] == r[3]  # symmetric endpoints tie bit-for-bit
+    assert r[2] > r[1]
+    assert abs(sum(r.values()) - 1.0) < 1e-6
+    cycle = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    rc = {row["node"]: row["pagerank"] for row in pagerank(cycle, iters=3).collect()}
+    third = round(1 / 3, 9)
+    assert all(abs(v - third) < 2e-9 for v in rc.values()), rc
+
+
+def test_pagerank_quantized_sums_are_order_free(spark):
+    """The determinism discipline: re-running over a repartitioned edge
+    list (different partial-sum order) yields bit-identical ranks."""
+    from trend_o_meter_spark.llm.cluster import pagerank
+
+    edges = [(i % 23, (i * 7 + 3) % 23) for i in range(200)]
+    sym = edges + [(b, a) for a, b in edges]
+    e1 = spark.createDataFrame(sym, "src long, dst long")
+    e2 = e1.repartition(13)
+    r1 = sorted(map(tuple, pagerank(e1, iters=3).collect()))
+    r2 = sorted(map(tuple, pagerank(e2, iters=3).collect()))
+    assert r1 == r2

@@ -380,3 +380,131 @@ SELECT j.{id_col}, j.cluster_id, best.n_chars_kept,
        (j.{id_col} = best.keep_id) AS keep
 FROM j JOIN best USING (cluster_id)
 """
+
+
+# --- PageRank ---------------------------------------------------------------
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank (Page et al. 1999, "The PageRank Citation
+    Ranking") over an edge list — the link-analysis quality prior a
+    crawl-curation pipeline ranks URLs/documents with.
+
+    Output: ``(node, pagerank)`` with ranks rounded at 1e-9.  Nodes are
+    every distinct endpoint; ranks start uniform (``1/N``) and update
+    ``iters`` times as ``(1-d)/N + d * sum(in-contribs)``.
+
+    Determinism discipline (the same trick as the moments/EWMA family):
+    each node's per-iteration contribution ``rank / outdeg`` is
+    quantized to a 1e-9 BIGINT *before* the per-destination sum, so the
+    aggregation is exact integer addition — partial-sum ORDER cannot
+    leak into the result, and the DuckDB oracle (unrolled CTEs, same
+    quantization) matches bit-for-bit.  The quantization bias is
+    bounded: |err| <= 5e-10 * indegree per node per iteration.
+
+    Dangling nodes cannot occur on a symmetrized edge list (every node
+    has outdeg >= 1); on a directed list their mass simply decays
+    (documented simplification — the uniform-teleport term keeps ranks
+    positive).
+
+    100 TB shape: per iteration, ONE keyed equi-join (ranks x edges on
+    src, both pre-partitionable by the same key) + one groupBy(dst) sum
+    — the canonical Pregel-in-SQL round, same primitives as
+    :func:`connected_components`; the node/edge-count anchors are 1-row
+    broadcasts.  Lineage is truncated every round like the CC loop.
+    """
+    # materialize the edge list ONCE before the loop: it is referenced by
+    # every iteration's join (plus nodes/outdeg), and an expensive edge
+    # derivation (e.g. the simhash band join feeding pagerank_docs) would
+    # otherwise re-execute 3 + 2*iters times through lineage
+    e = _truncate(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct(),
+        checkpoint_dir,
+    )
+    nodes = _truncate(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct(),
+        checkpoint_dir,
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__od"))
+    nn = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
+    base = float(1.0 - damping)
+    ranks = nodes.crossJoin(nn).select(
+        "node", (F.lit(1.0) / F.col("__n")).alias("rank")
+    )
+    for _ in range(int(iters)):
+        contrib = (
+            ranks.join(e, ranks.node == e.src)
+            .join(outdeg, "src")
+            .select(
+                "dst",
+                F.round(F.col("rank") / F.col("__od") * F.lit(1e9))
+                .cast("long")
+                .alias("__cq"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("__cq").alias("__sq"))
+        )
+        ranks = (
+            nodes.crossJoin(nn)
+            .join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base) / F.col("__n")
+                    + F.lit(float(damping))
+                    * (F.coalesce(F.col("__sq"), F.lit(0)) / F.lit(1e9))
+                ).alias("rank"),
+            )
+        )
+        ranks = _truncate(ranks, checkpoint_dir)
+    return ranks.select("node", F.round("rank", 9).alias("pagerank"))
+
+
+def pagerank_sql(
+    edges_sql: str,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> str:
+    """DuckDB twin: the iteration unrolled into CTE pairs (contribution
+    sums, then ranks), one pair per round — same quantization, and the
+    float literals are emitted from the PYTHON doubles (CAST from their
+    repr) so e.g. ``1 - 0.85`` can never silently become an exact
+    DECIMAL where Spark computed a binary double."""
+    base = repr(1.0 - damping)
+    d = repr(float(damping))
+    parts = [
+        f"e AS (SELECT {src} AS src, {dst} AS dst FROM ({edges_sql.strip()}) GROUP BY 1, 2)",
+        "nodes AS (SELECT DISTINCT src AS node FROM (SELECT src FROM e UNION ALL SELECT dst FROM e))",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)",
+        "outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY 1)",
+        "r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, int(iters) + 1):
+        parts.append(
+            f"c{i} AS (SELECT e.dst, sum(CAST(round(r.rank / o.od * 1000000000.0) AS BIGINT)) AS sq "
+            f"FROM r{i-1} r JOIN e ON r.node = e.src JOIN outdeg o ON e.src = o.src "
+            f"GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT nodes.node, CAST({base} AS DOUBLE) / nn.n "
+            f"+ CAST({d} AS DOUBLE) * (coalesce(c{i}.sq, 0) / 1000000000.0) AS rank "
+            f"FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON nodes.node = c{i}.dst)"
+        )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT node, round(rank, 9) AS pagerank FROM r{int(iters)}
+"""

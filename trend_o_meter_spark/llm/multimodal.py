@@ -282,25 +282,107 @@ def decode_media(media: DataFrame, *, real: bool = False) -> DataFrame:
                     out.append((int(mid), mtype, 0, None, None, None, None, *wh))
                     continue
                 hist = np.bincount(arr >> 5, minlength=8).astype("int64")
-                chunks = np.array_split(arr.astype("float64"), FEATURE_DIM)
-                feat = [float(c.mean()) if c.size else 0.0 for c in chunks]
+                # stats from EXACT integer sums with a fixed float
+                # expression (one division / multiply / sqrt each, in this
+                # order) — bit-reproducible by the SQL oracle, unlike
+                # numpy's mean/std reductions whose summation order is an
+                # implementation detail
+                s = arr.astype("int64")
+                s1, s2 = int(s.sum()), int((s * s).sum())
+                mean = float(s1) / n
+                var = float(s2) / n - mean * mean
+                std = float(np.sqrt(var)) if var >= 0 else 0.0
+                chunks = np.array_split(s, FEATURE_DIM)
+                feat = [
+                    float(int(c.sum())) / int(c.size) if c.size else 0.0
+                    for c in chunks
+                ]
                 out.append(
-                    (
-                        int(mid),
-                        mtype,
-                        n,
-                        float(arr.mean()),
-                        float(arr.std()),
-                        hist.tolist(),
-                        feat,
-                        *wh,
-                    )
+                    (int(mid), mtype, n, mean, std, hist.tolist(), feat, *wh)
                 )
             yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
     return media.select("media_id", "media_type", "content").mapInPandas(
         batches, schema=schema
     )
+
+
+def decode_features_sql(table: str, *, id_col: str = "doc_id", text: str = "text") -> str:
+    """Oracle twin of the driver's ``decode_features`` wrapper (the FAKE
+    decode kernel + the registry's array-serialization discipline):
+    byte statistics, the 8-bin ``code >> 5`` histogram CSV, and the
+    ``numpy.array_split``-chunked mean vector (first ``n % 8`` chunks
+    one element longer), quantized at 1e6 — computed straight from
+    character codes of the sanitized payload.  Every float op mirrors
+    the kernel's fixed expression over exact integer sums, so the match
+    is hash-exact; the Arrow/mapInPandas kernel itself is what's under
+    test.  Empty payloads emit the kernel's all-NULL row."""
+    cte = _media_table_sql_parts(table, id_col=id_col, text=text)
+    return f"""
+WITH {cte},
+codes AS (
+  SELECT media_id, n_bytes, CAST(t.i - 1 AS BIGINT) AS pos,
+         ascii(substring(atext, CAST(t.i AS INT), 1)) AS c
+  FROM media, unnest(range(1, n_bytes + 1)) AS t(i)
+  WHERE n_bytes > 0
+),
+-- numpy.array_split(n, 8): k = n // 8, r = n % 8; the first r chunks
+-- have k+1 elements (CASE is lazy, so k = 0 never divides)
+chunked AS (
+  SELECT media_id, c,
+    CASE WHEN pos < (n_bytes % 8) * ((n_bytes // 8) + 1)
+         THEN pos // ((n_bytes // 8) + 1)
+         ELSE (n_bytes % 8) + (pos - (n_bytes % 8) * ((n_bytes // 8) + 1)) // (n_bytes // 8)
+    END AS chunk
+  FROM codes
+),
+slots AS (
+  SELECT media_id, CAST(g.i AS BIGINT) AS slot
+  FROM media, unnest(range(0, 8)) AS g(i) WHERE n_bytes > 0
+),
+stats AS (
+  SELECT media_id,
+         CAST(sum(c) AS DOUBLE) / count(*) AS mean_byte,
+         CAST(sum(CAST(c AS BIGINT) * c) AS DOUBLE) / count(*) AS s2n
+  FROM codes GROUP BY media_id
+),
+hist AS (
+  SELECT media_id, c // 32 AS slot, count(*) AS cnt FROM codes GROUP BY 1, 2
+),
+histvec AS (
+  SELECT s.media_id,
+         string_agg(CAST(coalesce(h.cnt, 0) AS VARCHAR), ',' ORDER BY s.slot)
+           AS byte_histogram_csv
+  FROM slots s LEFT JOIN hist h ON s.media_id = h.media_id AND s.slot = h.slot
+  GROUP BY s.media_id
+),
+chunk_means AS (
+  SELECT media_id, chunk, CAST(sum(c) AS DOUBLE) / count(*) AS fmean
+  FROM chunked GROUP BY 1, 2
+),
+featvec AS (
+  SELECT s.media_id,
+         string_agg(
+           CAST(CAST(round(coalesce(f.fmean, 0.0) * 1000000.0) AS BIGINT) AS VARCHAR),
+           ',' ORDER BY s.slot) AS feature_vec_q6
+  FROM slots s LEFT JOIN chunk_means f
+    ON s.media_id = f.media_id AND s.slot = f.chunk
+  GROUP BY s.media_id
+)
+SELECT m.media_id, m.media_type, CAST(m.n_bytes AS BIGINT) AS n_bytes,
+  st.mean_byte,
+  CASE WHEN st.s2n - st.mean_byte * st.mean_byte >= 0
+       THEN sqrt(st.s2n - st.mean_byte * st.mean_byte) ELSE 0.0 END AS std_byte,
+  hv.byte_histogram_csv, fv.feature_vec_q6
+FROM media m
+JOIN stats st USING (media_id)
+JOIN histvec hv USING (media_id)
+JOIN featvec fv USING (media_id)
+WHERE m.n_bytes > 0
+UNION ALL
+SELECT media_id, media_type, 0, NULL, NULL, NULL, NULL
+FROM media WHERE n_bytes = 0
+"""
 
 
 # -- audio: real WAV codec round-trip ------------------------------------

@@ -94,6 +94,10 @@ _SCORE_FIRST = (
     # (pq_codes/pq_adc_topk/pq_recall_at_k's zero-padding change is a no-op
     # at the fixture dim 64 % m 2 == 0, so their r3 verdicts stay current.)
     "ewma_02",
+    # decode_features gained an exact oracle in round 4 (kernel stats moved
+    # to fixed-expression integer sums) — re-score to flip no_oracle ->
+    # hash-exact.
+    "decode_features",
     # --- the 49 r2-dated verdicts (everything absent from CORRECTNESS_r03)
     # so every verdict in the cross-round union becomes <= 2 rounds old ----
     "flagship_day_bins",
@@ -2219,6 +2223,34 @@ def simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dup_pairs(d, max_hamming=3, bands=4)
 
 
+_PAGERANK_EDGES_SQL = (
+    "WITH p AS ("
+    + dedup.simhash_near_dup_pairs_sql("documents", max_hamming=3, bands=4).strip()
+    + ") SELECT id_a AS src, id_b AS dst FROM p "
+    "UNION ALL SELECT id_b AS src, id_a AS dst FROM p"
+)
+
+
+@_q(
+    "pagerank_docs",
+    cluster.pagerank_sql(_PAGERANK_EDGES_SQL, iters=3),
+    doc="PageRank (Page et al. 1999) over the symmetrized SimHash "
+    "near-dup graph — the link-analysis quality prior, 3 fixed "
+    "iterations.  Per-node contributions are quantized to 1e-9 BIGINTs "
+    "before the per-destination sum, so the aggregation is exact "
+    "integer addition (partial-sum order cannot leak) and the "
+    "unrolled-CTE oracle matches bit-for-bit.  Per iteration: one keyed "
+    "equi-join + one keyed sum — the canonical Pregel-in-SQL round.",
+)
+def pagerank_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    pairs = dedup.simhash_near_dup_pairs(d, max_hamming=3, bands=4)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    return cluster.pagerank(edges, iters=3)
+
+
 @_q(
     "text_stats",
     text.text_stats_sql("documents"),
@@ -2738,17 +2770,20 @@ def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "decode_features",
-    None,  # Arrow-batched Python decode: not SQL-expressible -> rows-only check
+    multimodal.decode_features_sql("documents"),
     doc="Media decode + feature extraction via Arrow-batched mapInPandas "
-    "(deterministic fake decoder; real codecs stubbed behind "
-    "NotImplementedError — plumbing, schema, and batch shape are real).",
+    "(deterministic fake decoder; real image/audio codecs live in "
+    "decode_media(real=True) / audio_features).  Oracle-checked since "
+    "round 4: the kernel computes its statistics from exact integer "
+    "sums with a fixed float expression, so the DuckDB twin reproduces "
+    "the mapInPandas output hash-exactly — the Arrow plumbing itself "
+    "is driver-verified, not just rows-counted.",
 )
 def decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     feats = multimodal.decode_media(multimodal.media_table(d))
     # driver discipline: serialize the array columns to strings so the
-    # rows-only canonicalizer can sort the frame (no oracle: the decode
-    # kernel is Python-side by design).
+    # canonicalizer can sort the frame.
     return feats.select(
         "media_id",
         "media_type",
