@@ -90,3 +90,57 @@ def test_interval_join_contains_and_plans_equi(spark):
     assert rows == {(1, "a"), (2, "b"), (3, "c")}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_forward_semantics(spark):
+    left, right = _dfs(spark)
+    out = asof_join(
+        left, right, left_on="ts", right_on="rts", by_left="k", by_right="rk",
+        right_cols=("rid", "payload"), tiebreak="rid", direction="forward",
+    )
+    got = {r["eid"]: (r["rid"], r["payload"]) for r in out.collect()}
+    assert got[1] == (12, 3.0)   # first rts >= 5h is 6h
+    assert got[2] == (11, 2.0)   # first rts >= 1h is 4h
+    assert got[3] == (None, None)  # nothing after 9h for k=200
+    assert got[4] == (10, 1.0)   # first rts >= -1h is 0h
+
+
+def test_asof_nearest_semantics_and_tie_prefers_backward(spark):
+    import datetime as dt
+
+    left, right = _dfs(spark)
+    out = asof_join(
+        left, right, left_on="ts", right_on="rts", by_left="k", by_right="rk",
+        right_cols=("rid", "payload"), tiebreak="rid", direction="nearest",
+    )
+    got = {r["eid"]: r["rid"] for r in out.collect()}
+    assert got[1] == 11  # 4h (dist 1h) beats 6h (dist 1h)? equal -> backward wins
+    assert got[2] == 10  # 0h (dist 1h) vs 4h (dist 3h)
+    assert got[3] == 13
+    assert got[4] == 10  # 0h is nearest even though it is after
+    # tolerance bounds the window: 30 minutes leaves eid=1 with no match
+    tight = asof_join(
+        left, right, left_on="ts", right_on="rts", by_left="k", by_right="rk",
+        right_cols=("rid", "payload"), tiebreak="rid", direction="nearest",
+        tolerance=1800,
+    )
+    got_t = {r["eid"]: r["rid"] for r in tight.collect()}
+    assert got_t[1] is None
+
+
+def test_asof_pandas_matches_declarative_all_directions(spark):
+    left, right = _dfs(spark)
+    for direction, tol in [("forward", None), ("nearest", None),
+                           ("backward", 3 * 3600.0), ("nearest", 3600.0)]:
+        a = asof_join(
+            left, right, left_on="ts", right_on="rts", by_left="k", by_right="rk",
+            right_cols=("rid", "payload"), tiebreak="rid",
+            direction=direction, tolerance=tol,
+        )
+        b = asof_join_pandas(
+            left, right, left_on="ts", right_on="rts", by_left="k", by_right="rk",
+            right_cols=("rid", "payload"), direction=direction, tolerance=tol,
+        )
+        sa = sorted(map(tuple, a.collect()))
+        sb = sorted(map(tuple, b.collect()))
+        assert sa == sb, (direction, tol, sa, sb)

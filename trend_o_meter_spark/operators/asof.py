@@ -24,6 +24,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+def _time_ord(col, dtype: str):
+    """Monotone BIGINT/numeric image of a time column for struct-ordering
+    (timestamps -> epoch micros; numerics pass through)."""
+    return F.unix_micros(col) if dtype.startswith("timestamp") else col
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -34,11 +40,23 @@ def asof_join(
     by_right: str,
     right_cols: Sequence[str],
     tiebreak: str | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Declarative as-of: join on key + ``right_ts <= left_ts``, argmax right_ts.
+    """Declarative as-of join, full ``pandas.merge_asof`` direction surface:
 
-    ``tiebreak``: right column used to break equal right-ts matches
-    deterministically (greatest wins).
+    * ``backward`` (default): greatest ``right_ts <= left_ts``;
+    * ``forward``: smallest ``right_ts >= left_ts``;
+    * ``nearest``: smallest ``|right_ts - left_ts|``, ties preferring the
+      backward (at-or-before) side — then ``tiebreak`` in every mode
+      (greatest wins) for equal-distance same-side matches.
+
+    ``tolerance`` bounds the match window (seconds for timestamp keys,
+    same units as the column for numeric keys).  For ``nearest`` it is
+    also the SCALE lever: with a tolerance the join carries a range
+    predicate per side, without one each left row scans its whole key
+    group — fine for dimension-style histories, quadratic for dense
+    per-key rights (prefer a tolerance there).
 
     Cardinality contract: left rows must be UNIQUE (some column set —
     typically an id — distinguishes every row).  The argmax groups by all
@@ -47,16 +65,47 @@ def asof_join(
     left row.  The two paths agree only under unique-left input; the
     equivalence tests and the registry query (unique event_id) hold it.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     lcols = left.columns
+    ldt = dict(left.dtypes)[left_on]
+    rdt = dict(right.dtypes)[right_on]
     r = right.select(
         F.col(by_right).alias("__k"),
         F.col(right_on).alias("__rts"),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
     )
-    j = left.join(r, on=(left[by_left] == r["__k"]) & (r["__rts"] <= left[left_on]), how="left")
+    lo = _time_ord(left[left_on], ldt)
+    ro = _time_ord(r["__rts"], rdt)
+    tol = None
+    if tolerance is not None:
+        tol = F.lit(float(tolerance) * 1e6) if ldt.startswith("timestamp") else F.lit(tolerance)
+    cond = left[by_left] == r["__k"]
+    pref = F.lit(0)
+    if direction == "backward":
+        cond = cond & (ro <= lo)
+        if tol is not None:
+            cond = cond & (ro >= lo - tol)
+        t_ord = ro
+    elif direction == "forward":
+        cond = cond & (ro >= lo)
+        if tol is not None:
+            cond = cond & (ro <= lo + tol)
+        t_ord = -ro
+    else:  # nearest
+        if tol is not None:
+            cond = cond & (ro >= lo - tol) & (ro <= lo + tol)
+        t_ord = -F.abs(ro - lo)
+        pref = F.when(ro <= lo, F.lit(1)).otherwise(F.lit(0))
+    j = left.join(r, on=cond, how="left")
     tb = F.col(f"__r_{tiebreak}") if tiebreak else F.lit(0)
     picked = F.max(
-        F.struct(F.col("__rts").alias("t"), tb.alias("b"), *[F.col(f"__r_{c}").alias(c) for c in right_cols])
+        F.struct(
+            t_ord.alias("t"),
+            pref.alias("p"),
+            tb.alias("b"),
+            *[F.col(f"__r_{c}").alias(c) for c in right_cols],
+        )
     )
     out = j.groupBy(*[F.col(c) for c in lcols]).agg(picked.alias("__m"))
     for c in right_cols:
@@ -75,17 +124,52 @@ def asof_join_sql(
     left_cols: Sequence[str],
     right_cols: Sequence[str],
     tiebreak: str | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
+    time_kind: str = "timestamp",
 ) -> str:
-    """DuckDB twin of :func:`asof_join` (same argmax-by-struct construction)."""
+    """DuckDB twin of :func:`asof_join` (same argmax-by-struct
+    construction and the same epoch-micros ordering image; ``time_kind``
+    says whether the on-columns are timestamps or plain numerics)."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     lsel = ", ".join(f"l.{c}" for c in left_cols)
     lgrp = ", ".join(f"l.{c}" for c in left_cols)
     tb = f"r.{tiebreak}" if tiebreak else "0"
+
+    def ordc(side_col: str) -> str:
+        return f"epoch_us({side_col})" if time_kind == "timestamp" else side_col
+
+    lo, ro = ordc(f"l.{left_on}"), ordc(f"r.{right_on}")
+    tol = None
+    if tolerance is not None:
+        tol = repr(float(tolerance) * 1e6) if time_kind == "timestamp" else repr(tolerance)
+    cond = f"l.{by_left} = r.{by_right}"
+    pref = "0"
+    if direction == "backward":
+        cond += f" AND {ro} <= {lo}"
+        if tol is not None:
+            cond += f" AND {ro} >= {lo} - {tol}"
+        t_ord = ro
+    elif direction == "forward":
+        cond += f" AND {ro} >= {lo}"
+        if tol is not None:
+            cond += f" AND {ro} <= {lo} + {tol}"
+        t_ord = f"-{ro}"
+    else:
+        if tol is not None:
+            cond += f" AND {ro} >= {lo} - {tol} AND {ro} <= {lo} + {tol}"
+        t_ord = f"-abs({ro} - {lo})"
+        pref = f"CASE WHEN {ro} <= {lo} THEN 1 ELSE 0 END"
     pack = ", ".join(f"{c} := r.{c}" for c in right_cols)
-    unpack = ", ".join(f"(max(struct_pack(t := r.{right_on}, b := {tb}, {pack}))).{c} AS {c}" for c in right_cols)
+    unpack = ", ".join(
+        f"(max(struct_pack(t := {t_ord}, p := {pref}, b := {tb}, {pack}))).{c} AS {c}"
+        for c in right_cols
+    )
     return f"""
 SELECT {lsel}, {unpack}
 FROM {left} l LEFT JOIN {right} r
-  ON l.{by_left} = r.{by_right} AND r.{right_on} <= l.{left_on}
+  ON {cond}
 GROUP BY {lgrp}
 """
 
@@ -99,6 +183,8 @@ def asof_join_pandas(
     by_left: str,
     by_right: str,
     right_cols: Sequence[str],
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Scale path: cogrouped ``merge_asof`` per key (sort-merge within key).
 
@@ -127,6 +213,10 @@ def asof_join_pandas(
         out_schema = out_schema.add(right.schema[c])
 
     r_keep = [by_right, right_on, *[c for c in right_cols if c not in (by_right, right_on)]]
+    is_ts = dict(left.dtypes)[left_on].startswith("timestamp")
+    tol = None
+    if tolerance is not None:
+        tol = pd.Timedelta(seconds=float(tolerance)) if is_ts else tolerance
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         lpdf = lpdf.sort_values(left_on, kind="mergesort")
@@ -136,7 +226,8 @@ def asof_join_pandas(
             rpdf.rename(columns={right_on: "__rts", by_right: "__k"}),
             left_on=left_on,
             right_on="__rts",
-            direction="backward",
+            direction=direction,
+            tolerance=tol,
         )
         keep = [c for c in merged.columns if c not in ("__rts", "__k")]
         return merged[keep]

@@ -366,6 +366,78 @@ def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "asof_forward_orders",
+    asof.asof_join_sql(
+        "(SELECT event_id, ts, user_id FROM events)",
+        "orders",
+        left_on="ts",
+        right_on="o_orderdate",
+        by_left="user_id",
+        by_right="o_custkey",
+        left_cols=("event_id", "ts", "user_id"),
+        right_cols=("o_orderkey", "o_orderdate", "o_totalprice"),
+        tiebreak="o_orderkey",
+        direction="forward",
+    ),
+    doc="Forward as-of join: FIRST order at-or-after each event per user "
+    "— the merge_asof direction='forward' surface, same argmax-by-struct "
+    "construction over a negated epoch-micros ordering image.",
+)
+def asof_forward_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir).select("event_id", "ts", "user_id")
+    orders = table(spark, "orders", sf_dir)
+    return asof.asof_join(
+        ev,
+        orders,
+        left_on="ts",
+        right_on="o_orderdate",
+        by_left="user_id",
+        by_right="o_custkey",
+        right_cols=("o_orderkey", "o_orderdate", "o_totalprice"),
+        tiebreak="o_orderkey",
+        direction="forward",
+    )
+
+
+@_q(
+    "asof_nearest_orders",
+    asof.asof_join_sql(
+        "(SELECT event_id, ts, user_id FROM events)",
+        "orders",
+        left_on="ts",
+        right_on="o_orderdate",
+        by_left="user_id",
+        by_right="o_custkey",
+        left_cols=("event_id", "ts", "user_id"),
+        right_cols=("o_orderkey", "o_orderdate", "o_totalprice"),
+        tiebreak="o_orderkey",
+        direction="nearest",
+        tolerance=90 * 86400,
+    ),
+    doc="Nearest as-of join with a 90-day tolerance: closest order in "
+    "absolute time per event, ties preferring the at-or-before side "
+    "then greatest orderkey — merge_asof direction='nearest' parity.  "
+    "The tolerance doubles as the scale lever: it turns the per-key "
+    "scan into a bounded range join.",
+)
+def asof_nearest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir).select("event_id", "ts", "user_id")
+    orders = table(spark, "orders", sf_dir)
+    return asof.asof_join(
+        ev,
+        orders,
+        left_on="ts",
+        right_on="o_orderdate",
+        by_left="user_id",
+        by_right="o_custkey",
+        right_cols=("o_orderkey", "o_orderdate", "o_totalprice"),
+        tiebreak="o_orderkey",
+        direction="nearest",
+        tolerance=90 * 86400,
+    )
+
+
+@_q(
     "window_rank",
     """
 SELECT event_id, event_type, value,
