@@ -263,3 +263,46 @@ def test_compact_table_recovers_mid_swap_crash(spark, tmp_path):
     # next compaction runs clean after recovery
     compact_table(spark, p)
     assert spark.read.parquet(p).count() == 100
+
+
+def test_zorder_layout_narrows_per_file_ranges_on_both_dims(spark, tmp_path):
+    """The Z-order claim, measured: against a linear sort on x, the
+    Z layout must give y a dramatically narrower average per-row-group
+    range (parquet footer min/max — exactly what scan pruning uses)
+    while keeping x's range far below full-table."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from trend_o_meter_spark import io as tio
+
+    rows = [(i % 141, (i * 7919) % 149) for i in range(20000)]
+    df = spark.createDataFrame(rows, "x long, y long").repartition(8)
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lin")
+    tio.write_zordered(df, zpath, cols=("x", "y"), n_files=16)
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    def avg_span(path, col):
+        spans, full = [], (None, None)
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                spans.append(st.max - st.min)
+                full = (
+                    st.min if full[0] is None else min(full[0], st.min),
+                    st.max if full[1] is None else max(full[1], st.max),
+                )
+        return (sum(spans) / len(spans)) / (full[1] - full[0])
+
+    z_x, z_y = avg_span(zpath, "x"), avg_span(zpath, "y")
+    lin_x, lin_y = avg_span(lpath, "x"), avg_span(lpath, "y")
+    assert lin_y > 0.8, lin_y          # linear layout: y is full-range per file
+    assert z_y < 0.5 * lin_y, (z_y, lin_y)  # z layout: y clusters too
+    assert z_x < 0.6, z_x              # ...without giving x away entirely

@@ -228,3 +228,72 @@ def read_csv(
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .csv(path)
     )
+
+
+def zorder_code(
+    df: DataFrame, cols: "tuple[str, ...]", *, bits: int = 12
+) -> DataFrame:
+    """Append a Morton (Z-order) code column ``__z`` interleaving the
+    bits of rank-scaled ``cols`` (Morton 1966; the curve behind Delta's
+    OPTIMIZE ZORDER and Databricks/Iceberg Z-ordering).
+
+    Each column maps to a ``bits``-bit code by min/max scaling (the
+    anchors are a 1-row broadcast — the anchor pattern), then the codes
+    interleave bit-by-bit so nearby Z values are nearby in EVERY listed
+    dimension at once.  Constant columns code to 0.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+    anchor = F.broadcast(df.agg(*aggs))
+    out = df.crossJoin(anchor)
+    scale = (1 << bits) - 1
+    codes = []
+    for c in cols:
+        rng = (F.col(f"__max_{c}") - F.col(f"__min_{c}")).cast("double")
+        norm = (
+            F.when(rng > 0, (F.col(c) - F.col(f"__min_{c}")).cast("double") / rng)
+            .otherwise(F.lit(0.0))
+        )
+        codes.append(
+            F.least(F.floor(norm * F.lit(float(scale))).cast("long"), F.lit(scale))
+        )
+    k = len(cols)
+    morton = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, code in enumerate(codes):
+            morton = morton + F.shiftleft(
+                F.shiftright(code, i).bitwiseAND(F.lit(1)), i * k + j
+            )
+    drop = [f"__min_{c}" for c in cols] + [f"__max_{c}" for c in cols]
+    return out.withColumn("__z", morton).drop(*drop)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    *,
+    cols: "tuple[str, ...]",
+    bits: int = 12,
+    n_files: int = 8,
+) -> None:
+    """Write ``df`` as parquet laid out along the Z-order curve of
+    ``cols``: range-partition by the Morton code, sort within partitions,
+    drop the helper column.
+
+    Why at 100 TB: parquet row-group min/max stats prune scans only when
+    values CLUSTER within files.  A linear sort clusters one column and
+    leaves the others full-range per file; the Z layout gives every
+    listed column a ~``n_files^(1/k)``-fold narrower per-file range, so
+    selective filters on ANY of them skip most of the table
+    (evidence-tested against the linear layout via parquet footer
+    stats in ``tests/test_io.py``).
+    """
+    z = zorder_code(df, cols, bits=bits)
+    (
+        z.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
