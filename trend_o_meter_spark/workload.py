@@ -830,6 +830,33 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "variant_extract_props",
+    """
+SELECT event_id,
+  CAST(json_extract(props, '$.k') AS INT) AS k_value,
+  CAST(json_type(json(props)) = 'OBJECT' AS BOOLEAN) AS is_object,
+  CAST(json_array_length(json_extract(props, '$')) IS NOT NULL
+       AND json_type(json(props)) = 'ARRAY' AS BOOLEAN) AS is_array
+FROM events
+""",
+    doc="Spark 4 VARIANT path for semi-structured data: parse_json once, "
+    "then typed variant_get extraction + type introspection — the "
+    "binary-encoded alternative to per-field get_json_object string "
+    "re-parsing (one parse per row instead of one per extracted field "
+    "at scale).  Oracle uses DuckDB's JSON type for the same answers.",
+)
+def variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k_value"),
+        (F.schema_of_variant(v).startswith("OBJECT")).alias("is_object"),
+        (F.schema_of_variant(v).startswith("ARRAY")).alias("is_array"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Standard relational surface (SURVEY §2.11 — ships free with Spark; the
 # harness star schema exercises it)
