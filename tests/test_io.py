@@ -306,3 +306,15 @@ def test_zorder_layout_narrows_per_file_ranges_on_both_dims(spark, tmp_path):
     assert lin_y > 0.8, lin_y          # linear layout: y is full-range per file
     assert z_y < 0.5 * lin_y, (z_y, lin_y)  # z layout: y clusters too
     assert z_x < 0.6, z_x              # ...without giving x away entirely
+
+
+def test_zorder_accepts_timestamp_columns(spark, tmp_path):
+    """Timestamp dimensions order by epoch micros in the Z code (a raw
+    timestamp difference would be an interval and break the scaling)."""
+    from trend_o_meter_spark import io as tio
+    from trend_o_meter_spark.catalog import table
+
+    ev = table(spark, "events", "/root/testdata/sf0.001").select("ts", "value")
+    path = str(tmp_path / "zt")
+    tio.write_zordered(ev, path, cols=("ts", "value"), n_files=4)
+    assert spark.read.parquet(path).count() == ev.count()

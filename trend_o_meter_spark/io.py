@@ -242,9 +242,16 @@ def zorder_code(
     interleave bit-by-bit so nearby Z values are nearby in EVERY listed
     dimension at once.  Constant columns code to 0.
     """
+    dtypes = dict(df.dtypes)
+    # timestamps order by epoch micros (timestamp - timestamp would be an
+    # interval, which the scaling math can't use)
+    ord_of = {
+        c: (F.unix_micros(F.col(c)) if dtypes[c].startswith("timestamp") else F.col(c))
+        for c in cols
+    }
     aggs = []
     for c in cols:
-        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+        aggs += [F.min(ord_of[c]).alias(f"__min_{c}"), F.max(ord_of[c]).alias(f"__max_{c}")]
     anchor = F.broadcast(df.agg(*aggs))
     out = df.crossJoin(anchor)
     scale = (1 << bits) - 1
@@ -252,7 +259,7 @@ def zorder_code(
     for c in cols:
         rng = (F.col(f"__max_{c}") - F.col(f"__min_{c}")).cast("double")
         norm = (
-            F.when(rng > 0, (F.col(c) - F.col(f"__min_{c}")).cast("double") / rng)
+            F.when(rng > 0, (ord_of[c] - F.col(f"__min_{c}")).cast("double") / rng)
             .otherwise(F.lit(0.0))
         )
         codes.append(

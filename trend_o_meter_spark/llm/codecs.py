@@ -199,6 +199,8 @@ def decode_wav(data: bytes) -> "tuple[np.ndarray, int]":
         elif cid == b"data":
             if rate is None:
                 raise ValueError("WAV data chunk before fmt chunk")
+            if not channels:
+                raise ValueError("WAV fmt chunk declares zero channels")
             n = size // (channels * 2)
             arr = np.frombuffer(data, dtype="<i2", count=n * channels, offset=pos)
             return arr.reshape(n, channels).astype(np.int16), rate
