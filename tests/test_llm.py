@@ -1234,3 +1234,76 @@ def test_pagerank_quantized_sums_are_order_free(spark):
     r1 = sorted(map(tuple, pagerank(e1, iters=3).collect()))
     r2 = sorted(map(tuple, pagerank(e2, iters=3).collect()))
     assert r1 == r2
+
+
+def test_logreg_matches_independent_replica(spark):
+    """logreg_train vs a from-scratch numpy replica of the identical
+    quantized algorithm (min-max scale, 1e-6 sigmoid, 1e-9 integer
+    gradient sums, away-from-zero weight quantization): weights must be
+    EXACTLY equal — the determinism discipline, independently checked."""
+    import math
+
+    import numpy as np
+
+    from trend_o_meter_spark.llm.classifier import logreg_train
+
+    rows = [
+        (i, "word " * (i % 7 + 1) + "aeiou" * (i % 3), "en" if i % 2 == 0 else "fr")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["term"]: r["weight"] for r in logreg_train(df, iters=3, lr=0.5).collect()}
+
+    def feats(t):
+        return [
+            float(len(t)),
+            float(len(t) - len(t.replace(" ", ""))),
+            float(len(t) - len("".join(c for c in t if c not in "aeiou"))),
+        ]
+
+    X = np.array([feats(t) for _, t, _ in rows])
+    y = np.array([1 if l == "en" else 0 for _, _, l in rows])
+    mn, mx = X.min(0), X.max(0)
+    rng = np.where(mx > mn, mx - mn, 1.0)
+    Z = (X - mn) / rng
+
+    def q(x, s):
+        return math.floor(x * s + 0.5) / s if x >= 0 else -math.floor(-x * s + 0.5) / s
+
+    def qint(x):
+        return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+    w, b = [0.0, 0.0, 0.0], 0.0
+    n = len(rows)
+    for _ in range(3):
+        t = b + w[0] * Z[:, 0] + w[1] * Z[:, 1] + w[2] * Z[:, 2]
+        p = np.array([math.floor((1.0 / (1.0 + math.exp(-v))) * 1e6 + 0.5) / 1e6 for v in t])
+        d = p - y
+        sb = sum(qint(v * 1e9) for v in d)
+        b = q(b - 0.5 * (float(sb) / 1e9 / n), 1e9)
+        for j in range(3):
+            sj = sum(qint(v * 1e9) for v in (d * Z[:, j]))
+            w[j] = q(w[j] - 0.5 * (float(sj) / 1e9 / n), 1e9)
+
+    assert got["__bias"] == b
+    assert got["f_chars"] == w[0]
+    assert got["f_spaces"] == w[1]
+    assert got["f_vowels"] == w[2]
+
+
+def test_logreg_predict_separates_language(spark):
+    """The trained weights carry real signal: mean predicted p(en) on
+    English documents exceeds mean p on the rest of the corpus."""
+    from trend_o_meter_spark.catalog import table
+    from trend_o_meter_spark.llm.classifier import logreg_predict, logreg_train
+
+    d = table(spark, "documents", "/root/testdata/sf0.001")
+    w = {r["term"]: r["weight"] for r in logreg_train(d, iters=5, lr=1.0).collect()}
+    scored = logreg_predict(d, w).join(d.select("doc_id", "lang"), "doc_id")
+    from pyspark.sql import functions as F
+
+    agg = scored.groupBy((F.col("lang") == "en").alias("is_en")).agg(
+        F.avg("p").alias("mean_p")
+    )
+    means = {r["is_en"]: r["mean_p"] for r in agg.collect()}
+    assert means[True] > means[False], means

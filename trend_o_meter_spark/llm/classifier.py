@@ -1,0 +1,244 @@
+"""Distributed logistic regression — the trainable quality/language
+classifier a curation pipeline gates documents with (the role fastText /
+linear classifiers play in CCNet, Brown et al.'s GPT-3 quality filter,
+and FineWeb's edu classifier; algorithm: plain batch gradient descent on
+the logistic loss, Bishop PRML §4.3).
+
+Spark-first shape: each GD iteration is ONE scan of the (cached,
+min-max-scaled) feature frame producing k+1 gradient sums — map-side
+combinable keyed nothing (a global aggregate), so the shuffle carries
+k+1 rows whatever the corpus size.  The driver touches only O(k)
+scalars per iteration (the weight vector — same discipline as the BPE
+top-pair fetch and the CC convergence signature), never data.
+
+Determinism discipline (what makes the oracle hash-exact):
+
+* per-row gradient contributions quantize to 1e-9 BIGINTs *before* the
+  sum, so aggregation is exact integer addition — partial-sum order
+  cannot leak into the result (the moments/pagerank trick);
+* weights re-quantize to 1e-9 after each update, sigmoid outputs to
+  1e-6 — both via the shared ``floor(|x|*s + 0.5)/s`` away-from-zero
+  form written out identically in the Spark expressions, the Python
+  driver update, and the SQL oracle (NOT the engines' ``round``, whose
+  tie rules differ: Python banker's vs SQL away-from-zero);
+* ``exp`` is the one non-correctly-rounded op (cross-libm, the ln
+  lesson in SCALE.md) — the 1e-6 sigmoid quantization absorbs the ulp.
+
+Feature expressions are SQL strings valid in BOTH dialects (Spark
+``F.expr`` and DuckDB) — stick to length/replace/translate/arithmetic;
+note DuckDB's ``regexp_replace`` is first-match-only without the 'g'
+flag, so prefer ``translate`` for char-class strips.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Default feature set: cheap char statistics that separate the corpus's
+# language classes (used by the registry's language-classifier query).
+DEFAULT_FEATURES: dict[str, str] = {
+    "f_chars": "CAST(length(text) AS DOUBLE)",
+    "f_spaces": "CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)",
+    "f_vowels": "CAST(length(text) - length(translate(text, 'aeiou', '')) AS DOUBLE)",
+}
+
+
+def _q(x: float, s: float) -> float:
+    """Away-from-zero quantize at 1/s — bit-identical to the SQL form."""
+    if x >= 0:
+        return math.floor(x * s + 0.5) / s
+    return -math.floor(-x * s + 0.5) / s
+
+
+def _q_col(col, s: float):
+    """Spark twin of :func:`_q` (floor returns LONG; /s re-doubles)."""
+    return (
+        F.when(col >= 0, F.floor(col * F.lit(s) + F.lit(0.5)))
+        .otherwise(-F.floor(-col * F.lit(s) + F.lit(0.5)))
+        / F.lit(s)
+    )
+
+
+def _q_sql(expr: str, s: str) -> str:
+    return (
+        f"(CASE WHEN ({expr}) >= 0 THEN floor(({expr}) * {s} + 0.5) "
+        f"ELSE -floor(-({expr}) * {s} + 0.5) END / {s})"
+    )
+
+
+def logreg_train(
+    df: DataFrame,
+    *,
+    features: dict[str, str] | None = None,
+    label_sql: str = "lang = 'en'",
+    iters: int = 3,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Train and return the weights: ``(term, weight)`` rows — one per
+    feature plus ``__bias``, weights quantized at 1e-9.
+
+    Features min-max scale to [0, 1] (min/max are exact, order-free
+    aggregates — no mean/variance float accumulation to pin down);
+    weights start at zero; ``iters`` batch-GD steps of the logistic
+    loss with step ``lr``.
+    """
+    feats = dict(features or DEFAULT_FEATURES)
+    names = list(feats)
+    base = df.select(
+        *[F.expr(sql).alias(n) for n, sql in feats.items()],
+        F.expr(f"CAST(({label_sql}) AS INT)").alias("__y"),
+    )
+    mm = base.agg(
+        *[F.min(n).alias(f"__mn_{n}") for n in names],
+        *[F.max(n).alias(f"__mx_{n}") for n in names],
+    ).collect()[0]
+    zcols = []
+    for n in names:
+        mn, mx = float(mm[f"__mn_{n}"]), float(mm[f"__mx_{n}"])
+        rng = mx - mn if mx > mn else 1.0
+        zcols.append(((F.col(n) - F.lit(mn)) / F.lit(rng)).alias(f"__z_{n}"))
+    z = base.select(*zcols, "__y").localCheckpoint(eager=True)
+
+    w = {n: 0.0 for n in names}
+    b = 0.0
+    lr = float(lr)
+    for _ in range(int(iters)):
+        t = F.lit(b)
+        for n in names:
+            t = t + F.lit(w[n]) * F.col(f"__z_{n}")
+        p = F.floor((F.lit(1.0) / (F.lit(1.0) + F.exp(-t))) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        d = p - F.col("__y")
+
+        def qint(col):
+            return (
+                F.when(col >= 0, F.floor(col + F.lit(0.5)))
+                .otherwise(-F.floor(-col + F.lit(0.5)))
+                .cast("long")
+            )
+
+        row = z.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(qint(d * F.lit(1e9))).alias("__sb"),
+            *[
+                F.sum(qint(d * F.col(f"__z_{n}") * F.lit(1e9))).alias(f"__s_{n}")
+                for n in names
+            ],
+        ).collect()[0]
+        n_rows = row["__n"]
+        b = _q(b - lr * (float(row["__sb"]) / 1e9 / n_rows), 1e9)
+        for n in names:
+            w[n] = _q(w[n] - lr * (float(row[f"__s_{n}"]) / 1e9 / n_rows), 1e9)
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [("__bias", b)] + [(n, w[n]) for n in names], "term string, weight double"
+    )
+
+
+def logreg_predict(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    features: dict[str, str] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score rows with trained weights: ``(id, p)`` with the same scaled
+    features and 1e-6-quantized sigmoid.  ``weights`` must carry
+    ``__bias`` plus every feature term; scaling anchors recompute from
+    ``df`` (score the training corpus, or persist the anchors alongside
+    the weights for serving)."""
+    feats = dict(features or DEFAULT_FEATURES)
+    names = list(feats)
+    base = df.select(
+        F.col(id_col), *[F.expr(sql).alias(n) for n, sql in feats.items()]
+    )
+    mm = base.agg(
+        *[F.min(n).alias(f"__mn_{n}") for n in names],
+        *[F.max(n).alias(f"__mx_{n}") for n in names],
+    ).collect()[0]
+    t = F.lit(float(weights["__bias"]))
+    for n in names:
+        mn, mx = float(mm[f"__mn_{n}"]), float(mm[f"__mx_{n}"])
+        rng = mx - mn if mx > mn else 1.0
+        t = t + F.lit(float(weights[n])) * ((F.col(n) - F.lit(mn)) / F.lit(rng))
+    p = F.floor((F.lit(1.0) / (F.lit(1.0) + F.exp(-t))) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return base.select(F.col(id_col), p.alias("p"))
+
+
+def logreg_train_sql(
+    table: str,
+    *,
+    features: dict[str, str] | None = None,
+    label_sql: str = "lang = 'en'",
+    iters: int = 3,
+    lr: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`logreg_train`: the GD loop unrolled into CTE
+    pairs (per-row sigmoid frame, gradient sums + weight update), same
+    quantization forms, weights carried in 1-row CTEs instead of driver
+    scalars — mechanisms differ, every float op and its order match."""
+    feats = dict(features or DEFAULT_FEATURES)
+    names = list(feats)
+    lr_lit = repr(float(lr))
+    fsel = ", ".join(f"{sql} AS {n}" for n, sql in feats.items())
+    mmsel = ", ".join(
+        f"min({n}) AS mn_{n}, max({n}) AS mx_{n}" for n in names
+    )
+    zsel = ", ".join(
+        f"({n} - mn_{n}) / (CASE WHEN mx_{n} > mn_{n} THEN mx_{n} - mn_{n} ELSE 1.0 END) AS z_{n}"
+        for n in names
+    )
+    w0 = ", ".join(["0.0 AS b"] + [f"0.0 AS w_{n}" for n in names])
+    parts = [
+        f"base AS (SELECT {fsel}, CAST(({label_sql}) AS INT) AS y FROM {table})",
+        f"st AS (SELECT {mmsel} FROM base)",
+        f"z AS (SELECT {zsel}, y FROM base, st)",
+        f"w0 AS (SELECT {w0})",
+    ]
+
+    def qint(expr: str) -> str:
+        return (
+            f"CAST(CASE WHEN ({expr}) >= 0 THEN floor(({expr}) + 0.5) "
+            f"ELSE -floor(-({expr}) + 0.5) END AS BIGINT)"
+        )
+
+    for i in range(1, int(iters) + 1):
+        wp = f"w{i-1}"
+        t = " + ".join([f"{wp}.b"] + [f"{wp}.w_{n} * z_{n}" for n in names])
+        p = f"floor((1.0 / (1.0 + exp(-({t})))) * 1000000.0 + 0.5) / 1000000.0"
+        parts.append(f"zp{i} AS (SELECT z.*, {p} AS p FROM z, {wp})")
+        gsums = ", ".join(
+            [f"count(*) AS n, sum({qint('(p - y) * 1000000000.0')}) AS sb"]
+            + [
+                f"sum({qint(f'(p - y) * z_{n} * 1000000000.0')}) AS s_{n}"
+                for n in names
+            ]
+        )
+        parts.append(f"g{i} AS (SELECT {gsums} FROM zp{i})")
+        upd = ", ".join(
+            [
+                _q_sql(
+                    f"{wp}.b - {lr_lit} * (CAST(sb AS DOUBLE) / 1000000000.0 / n)",
+                    "1000000000.0",
+                )
+                + " AS b"
+            ]
+            + [
+                _q_sql(
+                    f"{wp}.w_{n} - {lr_lit} * (CAST(s_{n} AS DOUBLE) / 1000000000.0 / n)",
+                    "1000000000.0",
+                )
+                + f" AS w_{n}"
+                for n in names
+            ]
+        )
+        parts.append(f"w{i} AS (SELECT {upd} FROM {wp}, g{i})")
+    ctes = ",\n".join(parts)
+    finals = " UNION ALL ".join(
+        [f"SELECT '__bias' AS term, b AS weight FROM w{int(iters)}"]
+        + [f"SELECT '{n}', w_{n} FROM w{int(iters)}" for n in names]
+    )
+    return f"WITH {ctes}\n{finals}"

@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 from . import functions as tfn
 from .catalog import table
-from .llm import bpe, cluster, dedup, funnel, multimodal, similarity, text
+from .llm import bpe, classifier, cluster, dedup, funnel, multimodal, similarity, text
 from .operators import (
     asof,
     cms,
@@ -2348,6 +2348,23 @@ def pagerank_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     return cluster.pagerank(edges, iters=3)
+
+
+@_q(
+    "logreg_lang_weights",
+    classifier.logreg_train_sql("documents"),
+    doc="Trainable curation classifier (batch-GD logistic regression — "
+    "the fastText/CCNet/FineWeb quality-gate role): predict lang='en' "
+    "from char statistics, 3 GD iterations.  Per iteration ONE global "
+    "aggregate of 1e-9-quantized BIGINT gradient contributions (exact "
+    "integer sums, order-free); the driver touches only the O(k) weight "
+    "scalars; the unrolled-CTE oracle carries weights in 1-row CTEs and "
+    "matches bit-for-bit (sigmoid quantized at 1e-6 to absorb exp's "
+    "cross-libm ulp).",
+)
+def logreg_lang_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return classifier.logreg_train(d)
 
 
 @_q(
