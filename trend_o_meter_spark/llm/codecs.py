@@ -232,17 +232,128 @@ def resample_linear(samples: "np.ndarray", *, src_rate: int, dst_rate: int) -> "
     return out.astype(np.int16)
 
 
+# ---------------------------------------------------------------- AVI --
+#
+# Uncompressed ('DIB ') AVI — the RIFF video container (public spec:
+# Microsoft AVI RIFF form).  Frames are stored as bottom-up BGR
+# 4-byte-row-padded DIBs in '00db' chunks, i.e. exactly the BMP pixel
+# layout this module already speaks.
+
+_AVIH = struct.Struct("<IIIIIIIIII4I")  # MainAVIHeader (56 bytes)
+_STRH = struct.Struct("<4s4sIHHIIIIIIIIhhhh")  # AVIStreamHeader (56 bytes)
+
+
+def _dib_body(arr: np.ndarray) -> bytes:
+    h, w, _ = arr.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    bgr = arr[::-1, :, ::-1]
+    if pad:
+        rows = np.zeros((h, row_bytes + pad), dtype=np.uint8)
+        rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+        return rows.tobytes()
+    return bgr.tobytes()
+
+
+def _dib_frame(data: bytes, offset: int, w: int, h: int) -> np.ndarray:
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    px = np.frombuffer(data, dtype=np.uint8, count=h * stride, offset=offset)
+    rows = px.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    return rows[::-1, :, ::-1].copy()  # bottom-up BGR -> top-down RGB
+
+
+def encode_avi(frames: "np.ndarray", fps: int = 10) -> bytes:
+    """RGB frames ``(n, h, w, 3) uint8`` -> uncompressed AVI bytes."""
+    arr = np.ascontiguousarray(frames, dtype=np.uint8)
+    if arr.ndim != 4 or arr.shape[3] != 3:
+        raise ValueError(f"expected (n, h, w, 3) RGB frames, got shape {arr.shape}")
+    n, h, w, _ = arr.shape
+    frame_bytes = [_dib_body(f) for f in arr]
+    buf_size = max((len(b) for b in frame_bytes), default=0)
+    avih = b"avih" + struct.pack("<I", _AVIH.size) + _AVIH.pack(
+        1_000_000 // fps, buf_size * fps, 0, 0, n, 0, 1, buf_size, w, h, 0, 0, 0, 0
+    )
+    strh = b"strh" + struct.pack("<I", _STRH.size) + _STRH.pack(
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, buf_size, 0xFFFFFFFF, 0, 0, 0, w, h
+    )
+    strf = b"strf" + struct.pack("<I", _BMP_INFO.size) + _BMP_INFO.pack(
+        _BMP_INFO.size, w, h, 1, 24, 0, buf_size, 0, 0, 0, 0
+    )
+    strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + b"strl" + strh + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) + b"hdrl" + avih + strl
+    movi_body = b"".join(
+        b"00db" + struct.pack("<I", len(b)) + b + (b"\x00" if len(b) % 2 else b"")
+        for b in frame_bytes
+    )
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(data: bytes) -> "tuple[np.ndarray, int]":
+    """Uncompressed AVI bytes -> ``(frames (n, h, w, 3) uint8, fps)``.
+
+    Walks the RIFF tree (skipping unknown chunks/lists), requires a
+    'vids' stream whose strf declares 24-bit BI_RGB; '00db'/'00dc'
+    chunks in the movi list decode as bottom-up BGR DIBs.  Compressed
+    handlers fail loudly (the exotic-formats contract).
+    """
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    w = h = None
+    fps = 0
+    frames: list[np.ndarray] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h, fps
+        while pos + 8 <= end:
+            cid, size = _CHUNK_HDR.unpack_from(data, pos)
+            pos += 8
+            if cid == b"LIST":
+                walk(pos + 4, pos + size)  # skip the 4-byte list type
+            elif cid == b"strh":
+                st = _STRH.unpack_from(data, pos)
+                if st[0] == b"vids":
+                    if st[1] not in (b"DIB ", b"\x00\x00\x00\x00", b"RGB "):
+                        raise NotImplementedError(
+                            f"only uncompressed DIB video supported, handler {st[1]!r}"
+                        )
+                    scale, rate = st[6], st[7]
+                    fps = rate // scale if scale else 0
+            elif cid == b"strf":
+                _, bw, bh_signed, _, bpp, comp, *_ = _BMP_INFO.unpack_from(data, pos)
+                if bpp != 24 or comp != 0:
+                    raise NotImplementedError(
+                        f"only 24-bit BI_RGB frames supported (bpp={bpp}, comp={comp})"
+                    )
+                w, h = bw, abs(bh_signed)
+            elif cid in (b"00db", b"00dc"):
+                if w is None:
+                    raise ValueError("AVI frame chunk before stream format")
+                frames.append(_dib_frame(data, pos, w, h))
+            pos += size + (size % 2)
+
+    walk(12, 8 + struct.unpack_from("<I", data, 4)[0])
+    if w is None:
+        raise ValueError("no video stream in AVI payload")
+    out = np.stack(frames) if frames else np.zeros((0, h, w, 3), dtype=np.uint8)
+    return out, fps
+
+
 # ------------------------------------------------------------ dispatch --
 
 
 def sniff(data: bytes) -> str | None:
-    """Identify a payload by magic bytes: 'bmp', 'ppm', 'wav', or None."""
+    """Identify a payload by magic bytes: 'bmp', 'ppm', 'wav', 'avi', or None."""
     if data[:2] == b"BM":
         return "bmp"
     if data[:2] == b"P6":
         return "ppm"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "avi"
     return None
 
 
