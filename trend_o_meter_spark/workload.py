@@ -57,6 +57,7 @@ from .operators import (
     rates,
     retention,
     rolling,
+    theta,
     topk,
     trend,
 )
@@ -719,6 +720,39 @@ def histogram_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir)
     sk = histogram.histogram_sketch(ev, value="value", bin_width=1.0)
     return histogram.histogram_quantiles(sk, bin_width=1.0)
+
+
+@_q(
+    "kmv_distinct_users",
+    theta.kmv_estimate_sql("events", key="event_type", id_col="user_id", k=64),
+    doc="KMV/theta sketch distinct estimate — the FIFTH mergeable sketch "
+    "family (Bar-Yossef et al. 2002; theta framing Dasgupta et al. "
+    "2016): k smallest md5 id-hashes per key, merged by keyed "
+    "k-smallest-of-union.  Unlike the engine-private HLL binaries "
+    "(sketch_rollup, rows-only) the sketch is an exact BIGINT array and "
+    "the estimate hash-exact.  rank<=k plans as WindowGroupLimit — "
+    "per-partition top-k heaps, no key's hash set in one task.",
+)
+def kmv_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    sk = theta.kmv_sketch(ev, keys=("event_type",), id_col="user_id", k=64)
+    return theta.kmv_estimate(sk, keys=("event_type",), k=64)
+
+
+@_q(
+    "kmv_user_overlap",
+    theta.kmv_set_estimates_sql("events", key="event_type", id_col="user_id", k=64),
+    doc="KMV set algebra: pairwise union AND intersection distinct "
+    "estimates between event types — the set-expression capability HLL "
+    "fundamentally lacks (inclusion-exclusion error blowup).  K' = k "
+    "smallest of A∪B estimates the union; the fraction of K' in both "
+    "sketches scales it to the intersection.  The join is over sketch "
+    "rows (one per key, <= k BIGINTs each), never over data.",
+)
+def kmv_user_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    sk = theta.kmv_sketch(ev, keys=("event_type",), id_col="user_id", k=64)
+    return theta.kmv_set_estimates(sk, key="event_type", k=64)
 
 
 @_q(
