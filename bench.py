@@ -71,6 +71,13 @@ HEADLINE = (
     "q2_min_cost_supplier",
     "audio_features",
     "moments_by_type",
+    # round-4 continuation: iterative/graph + classifier + set-algebra
+    # sketch + direction-complete asof + VARIANT path
+    "pagerank_docs",
+    "logreg_lang_weights",
+    "kmv_user_overlap",
+    "asof_nearest_orders",
+    "variant_extract_props",
 )
 
 

@@ -166,3 +166,21 @@ def test_kmv_estimates_accuracy(spark):
         a, b = ex_sets[r["key_a"]], ex_sets[r["key_b"]]
         assert abs(r["est_union"] - len(a | b)) / len(a | b) < 0.3
         assert abs(r["est_intersection"] - len(a & b)) <= 0.35 * len(a | b)
+
+
+def test_kmv_below_k_is_exact_even_under_ansi(spark):
+    """Keys with fewer than k distinct ids take the exact branch — and
+    the unused estimation expression must not error under ANSI mode
+    (element_at throws out-of-bounds there; the reader is null-safe
+    F.get)."""
+    from trend_o_meter_spark.operators.theta import kmv_estimate, kmv_sketch
+
+    df = spark.createDataFrame([("a", i) for i in range(5)], "k string, uid long")
+    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        sk = kmv_sketch(df, keys=("k",), id_col="uid", k=64)
+        out = kmv_estimate(sk, keys=("k",), k=64).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert out[0]["n_kept"] == 5 and out[0]["est_distinct"] == 5.0

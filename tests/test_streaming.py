@@ -1313,3 +1313,36 @@ def test_stream_moments_equals_batch_sketch_and_replay_safe(spark, tmp_path):
         map(tuple, moments_stats(moments_sketch(full, keys=("k",)), keys=("k",)).collect())
     )
     assert got == batch
+
+
+def test_stream_kmv_equals_batch_sketch_and_replay_safe(spark, tmp_path):
+    """The streaming KMV sketch (per-batch partials, k-smallest-of-union
+    merge) must be bit-identical to the batch sketch over the union —
+    including after an at-least-once replay (the merge is idempotent,
+    and the state table guards the file-level bookkeeping)."""
+    from trend_o_meter_spark.operators.theta import kmv_sketch
+    from trend_o_meter_spark.streaming.pipeline import stream_kmv
+
+    rows = [("t%d" % (i % 4), (i * 13) % 211) for i in range(600)]
+    b1, b2 = rows[:350], rows[350:]
+    results = {}
+    per_batch = stream_kmv(
+        state_path=str(tmp_path / "kmv"),
+        keys=("k",),
+        id_col="uid",
+        k=16,
+        on_result=lambda bid, df: results.update(
+            {bid: sorted((r["k"], tuple(r["kmv"])) for r in df.collect())}
+        ),
+    )
+    schema = "k string, uid long"
+    per_batch(spark.createDataFrame(b1, schema), 0)
+    per_batch(spark.createDataFrame(b2, schema), 1)
+    per_batch(spark.createDataFrame(b2, schema), 1)  # replay
+
+    full = spark.createDataFrame(rows, schema)
+    want = sorted(
+        (r["k"], tuple(r["kmv"]))
+        for r in kmv_sketch(full, keys=("k",), id_col="uid", k=16).collect()
+    )
+    assert results[1] == want

@@ -446,6 +446,11 @@ def audio_features(media: DataFrame) -> DataFrame:
                 if codecs.sniff(raw) == "wav":
                     samples, rate = codecs.decode_wav(raw)
                 else:
+                    if meta_rate is None or pd.isna(meta_rate):
+                        raise ValueError(
+                            f"media_id {mid}: non-WAV audio payload needs "
+                            "meta.sample_rate to synthesize PCM"
+                        )
                     rate = int(meta_rate)
                     pcm = (
                         np.frombuffer(raw, dtype=np.uint8).astype(np.int16)

@@ -82,9 +82,13 @@ def kmv_merge(
 def kmv_estimate(
     sketch: DataFrame, *, keys: tuple[str, ...], k: int = DEFAULT_K
 ) -> DataFrame:
-    """Sketch -> ``(*keys, n_kept, est_distinct)``; exact below k."""
+    """Sketch -> ``(*keys, n_kept, est_distinct)``; exact below k.
+
+    The kth element reads via null-safe ``F.get`` (0-indexed), NOT
+    ``element_at`` — under ANSI mode element_at THROWS on out-of-bounds,
+    and the below-k branch's unused expression must stay error-free."""
     size = F.size("kmv")
-    theta = F.element_at("kmv", k).cast("double") / F.lit(SPACE)
+    theta = F.get("kmv", k - 1).cast("double") / F.lit(SPACE)
     est = F.when(size < k, size.cast("double")).otherwise(
         F.lit(float(k - 1)) / theta
     )
@@ -109,7 +113,7 @@ def kmv_set_estimates(
     j = a.join(b, F.col("key_a") < F.col("key_b"))
     u = F.slice(F.array_sort(F.array_union("__a", "__b")), 1, k)
     usize = F.size(u)
-    theta = F.element_at(u, k).cast("double") / F.lit(SPACE)
+    theta = F.get(u, k - 1).cast("double") / F.lit(SPACE)  # null-safe under ANSI
     est_u = F.when(usize < k, usize.cast("double")).otherwise(
         F.lit(float(k - 1)) / theta
     )

@@ -591,3 +591,50 @@ def stream_moments(
             on_result(batch_id, merge(state))
 
     return per_batch
+
+
+def stream_kmv(
+    *,
+    state_path: str,
+    keys: tuple[str, ...] = ("event_type",),
+    id_col: str = "user_id",
+    k: int = 64,
+    compact_every: int = 25,
+    on_result: "object" = None,
+):
+    """Live distinct-under-set-algebra sketching: the streaming twin of
+    ``operators.theta.kmv_sketch`` (fifth mergeable family) — each
+    micro-batch writes its PARTIAL per-key KMV arrays to the shared
+    replay-idempotent state table; the merged sketch (keyed
+    k-smallest-of-union) is re-read and handed to
+    ``on_result(batch_id, DataFrame)``, ready for ``kmv_estimate`` /
+    ``kmv_set_estimates``.
+
+    Like HLL (a register-max union) and unlike the additive CMS /
+    histogram / moments families, the KMV merge is IDEMPOTENT — a
+    replayed partial cannot skew the sketch — but the shared
+    :class:`.statestore.PartialStateTable` still bounds file count and
+    keeps all five foreachBatch sketch pipelines on one state
+    discipline.  Returns the ``foreachBatch`` callable.
+    """
+    from ..operators.theta import kmv_merge, kmv_sketch
+    from .statestore import PartialStateTable
+
+    st = PartialStateTable(state_path)
+
+    def merge(df: DataFrame) -> DataFrame:
+        return kmv_merge(df, keys=keys, k=k)
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            st.compact(spark, transform=merge)
+        if not batch_df.isEmpty():
+            st.append(kmv_sketch(batch_df, keys=keys, id_col=id_col, k=k), batch_id)
+        state = st.read(spark)
+        if state is None:  # state path not created yet (all-empty batches)
+            return
+        if on_result is not None:
+            on_result(batch_id, merge(state))
+
+    return per_batch
