@@ -30,7 +30,10 @@ class MockRedis(socketserver.ThreadingTCPServer):
 
     def __init__(self):
         self.lists: dict[str, list[bytes]] = {}
-        self.published: list[tuple[str, bytes]] = []  # queued for subscribers
+        self.hashes: dict[str, dict[bytes, bytes]] = {}
+        self.published: list[tuple[str, bytes]] = []  # queued for PSUBSCRIBE
+        self.c2_queue: list[tuple[str, bytes]] = []  # queued for SUBSCRIBE
+        self.publishes: list[tuple[str, bytes]] = []  # PUBLISH calls observed
         super().__init__(("127.0.0.1", 0), _Handler)
 
     @property
@@ -77,6 +80,40 @@ class _Handler(socketserver.StreamRequestHandler):
                 items = srv.lists.get(key, [])
                 end = len(items) if stop == -1 else stop + 1  # inclusive stop
                 self._send(self._array([self._bulk(i) for i in items[start:end]]))
+            elif verb == b"HSET":
+                key = cmd[1].decode()
+                srv.hashes.setdefault(key, {})[cmd[2]] = cmd[3]
+                self._send(b":1\r\n")
+            elif verb == b"LPUSH":
+                key = cmd[1].decode()
+                srv.lists.setdefault(key, []).insert(0, cmd[2])
+                self._send(b":%d\r\n" % len(srv.lists[key]))
+            elif verb == b"PUBLISH":
+                srv.publishes.append((cmd[1].decode(), cmd[2]))
+                self._send(b":0\r\n")
+            elif verb == b"SUBSCRIBE":
+                chan = cmd[1]
+                self._send(
+                    self._array([self._bulk(b"subscribe"), self._bulk(chan), b":1\r\n"])
+                )
+                sent = 0
+                deadline = time.time() + 5.0
+                while time.time() < deadline:
+                    pending = [m for c, m in srv.c2_queue if c == chan.decode()]
+                    if sent < len(pending):
+                        self._send(
+                            self._array(
+                                [
+                                    self._bulk(b"message"),
+                                    self._bulk(chan),
+                                    self._bulk(pending[sent]),
+                                ]
+                            )
+                        )
+                        sent += 1
+                    else:
+                        time.sleep(0.01)
+                return
             elif verb == b"PSUBSCRIBE":
                 pat = cmd[1]
                 self._send(
@@ -191,3 +228,36 @@ def test_poll_pubsub_drains_push_frames(mock_redis):
     got = poll_pubsub("127.0.0.1", mock_redis.port, pattern="sensor",
                       max_messages=5, timeout=3.0)
     assert got == msgs
+
+
+def test_c2_bridge_serves_commands_over_redis(spark, mock_redis):
+    """S5/K2/K3 over the wire: commands drain from the SUBSCRIBE channel,
+    responses PUBLISH + HSET into the response hash (field = command
+    name), every invocation LPUSHes to the command log — the reference's
+    exact key shapes (trend-o-meter:167-169,243-262)."""
+    import json as _json
+
+    from trend_o_meter_spark.control.plane import ControlPlane
+    from trend_o_meter_spark.transports.c2_bridge import serve_c2
+
+    plane = ControlPlane(spark)
+    chan = "c2:dev1|app1"
+    cmds = [b"get config", b"set minDataHoursToRenderBin 20", b"frobnicate now"]
+    mock_redis.c2_queue.extend((chan, m) for m in cmds)
+    n = serve_c2(
+        plane, "127.0.0.1", mock_redis.port,
+        device_id="dev1", app_id="app1", max_commands=3, timeout=5.0,
+    )
+    assert n == 3
+    resp_hash = mock_redis.hashes[f"{chan}:resp"]
+    assert set(resp_hash) == {b"get config", b"set mindatahourstorenderbin"}
+    cached = _json.loads(resp_hash[b"get config"])
+    assert cached["valid"] is True and "min_data_hours_to_render_bin" in str(cached["retVal"])
+    # rebind actually took effect on the engine config
+    assert plane.config.min_data_hours_to_render_bin == 20
+    # every invocation audited, newest first (LPUSH), invalid included
+    log = [_json.loads(e) for e in mock_redis.lists[f"{chan}:cmdlog"]]
+    assert len(log) == 3
+    assert log[0]["valid"] is False and "frobnicate" in log[0]["message"]
+    # two valid responses published
+    assert [c for c, _ in mock_redis.publishes] == [f"{chan}:resp"] * 2

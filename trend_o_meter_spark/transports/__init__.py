@@ -11,4 +11,4 @@ live Redis instead of parquet snapshots.  Tests drive the whole path
 against an in-process mock server speaking genuine RESP bytes.
 """
 
-from . import redis_source, resp  # noqa: F401
+from . import c2_bridge, redis_source, resp  # noqa: F401
