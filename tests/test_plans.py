@@ -233,3 +233,34 @@ def test_plan_audit_detects_single_partition_window(spark):
     )
     plan = good._jdf.queryExecution().executedPlan().toString()
     assert "1PART-WINDOW" not in audit_plan(plan)["flags"]
+
+
+def test_kmv_rank_plans_as_window_group_limit(plans):
+    """The KMV sketch's rank<=k must plan as WindowGroupLimit (per-
+    partition top-k heaps below the shuffle), never a full per-key sort
+    materialization — the property that keeps hash sets out of single
+    tasks at 100 TB."""
+    plan = plans("kmv_distinct_users")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_logreg_iteration_is_single_global_aggregate(spark):
+    """Each logreg GD iteration aggregates pre-quantized BIGINTs in one
+    global HashAggregate pair (partial + final) — no windows, no joins,
+    no cartesian — so the shuffle carries k+1 rows at any corpus size."""
+    from pyspark.sql import functions as F
+
+    from trend_o_meter_spark.catalog import table
+    from trend_o_meter_spark.llm.classifier import DEFAULT_FEATURES
+
+    d = table(spark, "documents", SF)
+    base = d.select(
+        *[F.expr(sql).alias(n) for n, sql in DEFAULT_FEATURES.items()],
+        F.expr("CAST((lang = 'en') AS INT)").alias("__y"),
+    )
+    agg = base.agg(
+        F.count(F.lit(1)), *[F.sum(n) for n in DEFAULT_FEATURES]
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan and "Window" not in plan

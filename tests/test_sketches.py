@@ -184,3 +184,24 @@ def test_kmv_below_k_is_exact_even_under_ansi(spark):
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
     assert out[0]["n_kept"] == 5 and out[0]["est_distinct"] == 5.0
+
+
+def test_kmv_global_sketch_matches_keyed_union(spark):
+    """The no-keys (global) KMV form — partition-local top-k then one
+    tiny sorted aggregate, no single-partition window — returns exactly
+    the k smallest hashes of the whole id set (checked against a direct
+    computation), regardless of partitioning."""
+    from trend_o_meter_spark.llm.hashing import md5_int
+    from trend_o_meter_spark.operators.theta import kmv_sketch
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "uid long").repartition(7)
+    got = kmv_sketch(df, id_col="uid", k=16).collect()[0]["kmv"]
+    want = sorted(
+        r["h"]
+        for r in df.select(md5_int(F.col("uid").cast("string"), 15).alias("h"))
+        .distinct()
+        .collect()
+    )[:16]
+    assert list(got) == want

@@ -45,12 +45,29 @@ DEFAULT_K = 64
 
 
 def kmv_sketch(
-    df: DataFrame, *, keys: tuple[str, ...], id_col: str, k: int = DEFAULT_K
+    df: DataFrame, *, keys: tuple[str, ...] = (), id_col: str, k: int = DEFAULT_K
 ) -> DataFrame:
     """One pass -> ``(*keys, kmv ARRAY<BIGINT>)``: the k smallest 60-bit
-    id hashes per key, ascending."""
+    id hashes per key, ascending.
+
+    With empty ``keys`` (one global sketch) a keyed window would be a
+    single-partition sort over every distinct hash — the CI red-flag —
+    so the global form pre-filters per input partition (each partition's
+    k smallest; the global k smallest survive that by construction) and
+    finishes with one tiny sorted aggregate over <= k * partitions rows.
+    """
     h = md5_int(F.col(id_col).cast("string"), HEX_DIGITS)
     dist = df.select(*keys, h.alias("__h")).distinct()
+    if not keys:
+        part = Window.partitionBy(F.spark_partition_id()).orderBy("__h")
+        survivors = (
+            dist.withColumn("__r", F.row_number().over(part))
+            .filter(F.col("__r") <= k)
+            .select("__h")
+        )
+        return survivors.agg(
+            F.slice(F.array_sort(F.collect_list("__h")), 1, k).alias("kmv")
+        )
     w = Window.partitionBy(*keys).orderBy("__h")
     return (
         dist.withColumn("__r", F.row_number().over(w))
