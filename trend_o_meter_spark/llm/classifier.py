@@ -168,6 +168,25 @@ def logreg_predict(
     return base.select(F.col(id_col), p.alias("p"))
 
 
+def logreg_train_and_score(
+    df: DataFrame,
+    *,
+    features: dict[str, str] | None = None,
+    label_sql: str = "lang = 'en'",
+    iters: int = 3,
+    lr: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train on ``df`` then score every row with the trained weights:
+    ``(id, p)`` — the full gate pipeline (fit + apply) in one call,
+    sharing the scaling anchors between the two phases."""
+    w_rows = logreg_train(
+        df, features=features, label_sql=label_sql, iters=iters, lr=lr
+    ).collect()
+    weights = {r["term"]: r["weight"] for r in w_rows}
+    return logreg_predict(df, weights, features=features, id_col=id_col)
+
+
 def logreg_train_sql(
     table: str,
     *,
@@ -242,3 +261,40 @@ def logreg_train_sql(
         + [f"SELECT '{n}', w_{n} FROM w{int(iters)}" for n in names]
     )
     return f"WITH {ctes}\n{finals}"
+
+
+def logreg_score_sql(
+    table: str,
+    *,
+    features: dict[str, str] | None = None,
+    label_sql: str = "lang = 'en'",
+    iters: int = 3,
+    lr: float = 0.5,
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle for :func:`logreg_train_and_score`: the training CTE chain
+    plus one scoring select — per-row sigmoid with the trained weights,
+    quantized at 1e-6 like the training pass."""
+    feats = dict(features or DEFAULT_FEATURES)
+    names = list(feats)
+    train = logreg_train_sql(
+        table, features=feats, label_sql=label_sql, iters=iters, lr=lr
+    )
+    ctes = train[len("WITH ") : train.rindex("\nSELECT '__bias'")]
+    wf = f"w{int(iters)}"
+    fsel = ", ".join(f"{sql} AS {n}" for n, sql in feats.items())
+    zt = " + ".join(
+        [f"{wf}.b"]
+        + [
+            f"{wf}.w_{n} * (({n} - mn_{n}) / "
+            f"(CASE WHEN mx_{n} > mn_{n} THEN mx_{n} - mn_{n} ELSE 1.0 END))"
+            for n in names
+        ]
+    )
+    return f"""
+WITH {ctes},
+scored_base AS (SELECT {id_col}, {fsel} FROM {table})
+SELECT {id_col},
+  floor((1.0 / (1.0 + exp(-({zt})))) * 1000000.0 + 0.5) / 1000000.0 AS p
+FROM scored_base, st, {wf}
+"""

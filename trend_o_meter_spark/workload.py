@@ -2402,6 +2402,19 @@ def logreg_lang_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "logreg_lang_scores",
+    classifier.logreg_score_sql("documents"),
+    doc="The classifier's APPLY side, driver-verified: every document "
+    "scored with the trained weights (same scaling anchors, same "
+    "1e-6-quantized sigmoid) — fit + apply both hash-exact means the "
+    "whole gate pipeline is reproducible, not just its parameters.",
+)
+def logreg_lang_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return classifier.logreg_train_and_score(d)
+
+
+@_q(
     "text_stats",
     text.text_stats_sql("documents"),
     doc="Quality-scoring features: token stats, punct/stopword/upper ratios.",
