@@ -441,7 +441,7 @@ def pagerank(
     ranks = nodes.crossJoin(nn).select(
         "node", (F.lit(1.0) / F.col("__n")).alias("rank")
     )
-    for _ in range(int(iters)):
+    for i in range(int(iters)):
         contrib = (
             ranks.join(e, ranks.node == e.src)
             .join(outdeg, "src")
@@ -466,7 +466,14 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        ranks = _truncate(ranks, checkpoint_dir)
+        # Truncate lineage PERIODICALLY, not per round: each truncate is
+        # a full materialization job, and a handful of chained join
+        # stages is exactly what Catalyst/AQE handles well — only
+        # unbounded loops (the CC case) need per-round cuts.  Every 5th
+        # round bounds plan depth for large ``iters`` while a default
+        # 3-iteration run executes as ONE job.
+        if (i + 1) % 5 == 0 and (i + 1) < int(iters):
+            ranks = _truncate(ranks, checkpoint_dir)
     return ranks.select("node", F.round("rank", 9).alias("pagerank"))
 
 
