@@ -1935,6 +1935,36 @@ def q20_promotion_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "grouping_sets_revenue",
+    """
+SELECT l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+  count(*) AS n_items,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())
+""",
+    doc="Explicit GROUPING SETS with grouping_id disambiguation — the "
+    "arbitrary-sets form completing the rollup/cube family (a NULL "
+    "group value vs a NULL-because-aggregated row is only "
+    "distinguishable via GROUPING()).  One expand + one aggregate, "
+    "partial-aggregated like any groupBy.",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, "lineitem", sf_dir).createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+SELECT l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+  count(*) AS n_items,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS STRING) AS DOUBLE) AS sum_price
+FROM __gs_lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())
+"""
+    )
+
+
+@_q(
     "rollup_returns",
     """
 SELECT l_returnflag, l_linestatus, count(*) AS n_items,
