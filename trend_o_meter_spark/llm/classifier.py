@@ -53,15 +53,6 @@ def _q(x: float, s: float) -> float:
     return -math.floor(-x * s + 0.5) / s
 
 
-def _q_col(col, s: float):
-    """Spark twin of :func:`_q` (floor returns LONG; /s re-doubles)."""
-    return (
-        F.when(col >= 0, F.floor(col * F.lit(s) + F.lit(0.5)))
-        .otherwise(-F.floor(-col * F.lit(s) + F.lit(0.5)))
-        / F.lit(s)
-    )
-
-
 def _q_sql(expr: str, s: str) -> str:
     return (
         f"(CASE WHEN ({expr}) >= 0 THEN floor(({expr}) * {s} + 0.5) "

@@ -452,10 +452,14 @@ def audio_features(media: DataFrame) -> DataFrame:
                             "meta.sample_rate to synthesize PCM"
                         )
                     rate = int(meta_rate)
-                    pcm = (
-                        np.frombuffer(raw, dtype=np.uint8).astype(np.int16)
-                        - _SYNTH_OFFSET
-                    ) * 256
+                    # int32 then clip: bytes >= 208 would silently WRAP in
+                    # int16 arithmetic; sanitized ASCII (<= 0x7E) is
+                    # unaffected, arbitrary binary saturates instead
+                    pcm = np.clip(
+                        (np.frombuffer(raw, dtype=np.uint8).astype(np.int32)
+                         - _SYNTH_OFFSET) * 256,
+                        -32768, 32767,
+                    ).astype(np.int16)
                     samples, rate = codecs.decode_wav(codecs.encode_wav(pcm, rate))
                 s = samples[:, 0].astype(np.int64)
                 n = int(s.size)
@@ -541,10 +545,11 @@ def resample_audio(media: DataFrame, *, rate: int) -> DataFrame:
                 samples, src = codecs.decode_wav(raw)
             else:
                 src = int(r)
-                samples = (
-                    (np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - _SYNTH_OFFSET)
-                    * 256
-                )[:, None]
+                samples = np.clip(
+                    (np.frombuffer(raw, dtype=np.uint8).astype(np.int32)
+                     - _SYNTH_OFFSET) * 256,
+                    -32768, 32767,
+                ).astype(np.int16)[:, None]
             out.append(
                 codecs.encode_wav(
                     codecs.resample_linear(samples, src_rate=src, dst_rate=rate), rate
