@@ -166,6 +166,7 @@ def test_kmv_estimates_accuracy(spark):
         a, b = ex_sets[r["key_a"]], ex_sets[r["key_b"]]
         assert abs(r["est_union"] - len(a | b)) / len(a | b) < 0.3
         assert abs(r["est_intersection"] - len(a & b)) <= 0.35 * len(a | b)
+        assert abs(r["est_a_only"] - len(a - b)) <= 0.35 * len(a | b)
 
 
 def test_kmv_below_k_is_exact_even_under_ansi(spark):

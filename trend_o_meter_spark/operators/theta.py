@@ -136,11 +136,16 @@ def kmv_set_estimates(
     )
     m = F.size(F.array_intersect(u, F.array_intersect("__a", "__b")))
     est_i = (m.cast("double") / usize.cast("double")) * est_u
+    # difference via the same K'-fraction estimator: members of K' in A
+    # but not B (order matters — array_except, not symmetric)
+    md = F.size(F.array_intersect(u, F.array_except("__a", "__b")))
+    est_d = (md.cast("double") / usize.cast("double")) * est_u
     return j.select(
         "key_a",
         "key_b",
         est_u.alias("est_union"),
         est_i.alias("est_intersection"),
+        est_d.alias("est_a_only"),
     )
 
 
@@ -175,7 +180,8 @@ WITH {cte},
 pairs AS (
   SELECT a.key AS key_a, b.key AS key_b,
          list_sort(list_distinct(list_concat(a.kmv, b.kmv)))[1:{k}] AS u,
-         list_sort(list_intersect(a.kmv, b.kmv)) AS ab
+         list_sort(list_intersect(a.kmv, b.kmv)) AS ab,
+         list_sort(list_filter(a.kmv, x -> NOT list_contains(b.kmv, x))) AS a_only
   FROM sk a JOIN sk b ON a.key < b.key
 )
 SELECT key_a, key_b,
@@ -184,6 +190,10 @@ SELECT key_a, key_b,
   (CAST(len(list_intersect(u, ab)) AS DOUBLE) / CAST(len(u) AS DOUBLE))
     * (CASE WHEN len(u) < {k} THEN CAST(len(u) AS DOUBLE)
             ELSE {float(k - 1)!r} / (CAST(u[{k}] AS DOUBLE) / {SPACE!r}) END)
-  AS est_intersection
+  AS est_intersection,
+  (CAST(len(list_intersect(u, a_only)) AS DOUBLE) / CAST(len(u) AS DOUBLE))
+    * (CASE WHEN len(u) < {k} THEN CAST(len(u) AS DOUBLE)
+            ELSE {float(k - 1)!r} / (CAST(u[{k}] AS DOUBLE) / {SPACE!r}) END)
+  AS est_a_only
 FROM pairs
 """
