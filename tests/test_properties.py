@@ -445,3 +445,72 @@ def test_moments_stats_match_numpy(spark):
     assert out["a"]["kurt"] == pytest.approx(float((z**4).mean() - 3.0), rel=1e-9)
     assert out["const"]["std"] == 0.0
     assert out["const"]["skew"] is None and out["const"]["kurt"] is None
+
+
+@given(
+    lts=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=25),
+    rts=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=25),
+    tol=st.sampled_from([100, 700, 2500]),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+)
+@settings(**SETTINGS)
+def test_asof_tolerance_bound_property(spark, lts, rts, tol, direction):
+    """For ANY inputs, every match obeys the direction inequality and the
+    tolerance window, and no row that HAS an in-window candidate comes
+    back unmatched."""
+    import datetime as dt
+
+    from trend_o_meter_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(seconds=s), 1) for i, s in enumerate(lts)],
+        "eid long, ts timestamp, k long",
+    )
+    right = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(seconds=s), 1, float(s)) for i, s in enumerate(rts)],
+        "rid long, rts timestamp, rk long, rsec double",
+    )
+    out = asof_join(
+        left, right, left_on="ts", right_on="rts", by_left="k", by_right="rk",
+        right_cols=("rsec",), tiebreak="rid", direction=direction,
+        tolerance=float(tol),
+    ).collect()
+    for row in out:
+        ls = lts[row["eid"]]
+        if direction == "backward":
+            cands = [r for r in rts if ls - tol <= r <= ls]
+        elif direction == "forward":
+            cands = [r for r in rts if ls <= r <= ls + tol]
+        else:
+            cands = [r for r in rts if abs(r - ls) <= tol]
+        if row["rsec"] is None:
+            assert not cands, (direction, ls, cands)
+        else:
+            got = row["rsec"]
+            assert got in cands
+            if direction == "backward":
+                assert got == max(cands)
+            elif direction == "forward":
+                assert got == min(cands)
+            else:
+                best = min(abs(r - ls) for r in cands)
+                assert abs(got - ls) == best
+                # equal-distance tie must resolve to the backward side
+                if ls - best in rts and ls + best in rts and best > 0:
+                    assert got == ls - best
+
+
+@given(vals=hist_values)
+@settings(**SETTINGS)
+def test_moments_mean_within_quantization_bound(spark, vals):
+    """The moments sketch's hard guarantee: the estimated mean is within
+    1/(2*scale) of the true mean (quantization is the only
+    approximation), and n is exact."""
+    from trend_o_meter_spark.operators.moments import moments_sketch, moments_stats
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "value double")
+    out = moments_stats(moments_sketch(df)).collect()[0]
+    true_mean = sum(float(v) for v in vals) / len(vals)
+    assert out["n"] == len(vals)
+    assert abs(out["mean"] - true_mean) <= 0.5 / 100 + 1e-9

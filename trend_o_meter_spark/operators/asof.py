@@ -70,10 +70,15 @@ def asof_join(
     lcols = left.columns
     ldt = dict(left.dtypes)[left_on]
     rdt = dict(right.dtypes)[right_on]
+    # the tiebreak column must survive the right-side projection even
+    # when the caller does not want it as an output column
+    proj = list(right_cols) + (
+        [tiebreak] if tiebreak and tiebreak not in right_cols else []
+    )
     r = right.select(
         F.col(by_right).alias("__k"),
         F.col(right_on).alias("__rts"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        *[F.col(c).alias(f"__r_{c}") for c in proj],
     )
     lo = _time_ord(left[left_on], ldt)
     ro = _time_ord(r["__rts"], rdt)
