@@ -89,67 +89,64 @@ def _q(name: str, oracle: str | None, doc: str = ""):
 # verdict across rounds even under a query-count/time cap; remaining
 # entries keep declaration order (stable sort).
 _SCORE_FIRST = (
-    # --- round 4: changed-since-scoring first -----------------------------
-    # ewma_02 gained an exact DuckDB recursive-CTE oracle after the round-3
-    # driver run scored it rows-only — re-score to flip it to hash-exact.
-    # (pq_codes/pq_adc_topk/pq_recall_at_k's zero-padding change is a no-op
-    # at the fixture dim 64 % m 2 == 0, so their r3 verdicts stay current.)
-    "ewma_02",
-    # decode_features gained an exact oracle in round 4 (kernel stats moved
-    # to fixed-expression integer sums) — re-score to flip no_oracle ->
-    # hash-exact.
-    "decode_features",
-    # --- the 49 r2-dated verdicts (everything absent from CORRECTNESS_r03)
-    # so every verdict in the cross-round union becomes <= 2 rounds old ----
-    "flagship_day_bins",
-    "flagship_day_bins_compat",
-    "downsample_60s",
-    "rolling_current_avg",
-    "tumbling_mean_60s",
-    "sliding_rates_10s",
-    "active_channels",
-    "sessionize_30m",
-    "events_in_sessions",
-    "retention_7d",
-    "topk_recent",
-    "trend_slope_daily",
-    "resample_1h_locf",
-    "resample_1h_lerp",
-    "trending_daily",
-    "zscore_anomalies",
-    "value_quantiles",
+    # --- round 5: the 34 registry queries that have NEVER appeared in any
+    # CORRECTNESS_r0*.json (VERDICT r4 "Next round" task 1).  The driver
+    # samples ~50 queries/round; fronting these converts their local-gate
+    # green into hard driver verdicts. ---------------------------------
+    "asof_forward_orders",
+    "asof_nearest_orders",
+    "histogram_quantiles",
+    "kmv_distinct_users",
+    "kmv_user_overlap",
+    "moments_by_type",
+    "variant_extract_props",
+    "q2_min_cost_supplier",
+    "q4_priority_returns",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_lines_by_class",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q19_discounted_revenue",
+    "q20_promotion_candidates",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "grouping_sets_revenue",
+    "dup_span_removal",
+    "curation_funnel_v2",
+    "pagerank_docs",
+    "logreg_lang_weights",
+    "logreg_lang_scores",
+    "dsir_weights",
+    "dsir_resample",
+    "semantic_dedup",
+    "audio_features",
+    # --- remaining driver slots: stalest previously-scored verdicts
+    # (r2/r3-dated), oldest first, so the cross-round union keeps aging
+    # uniformly.  sketch_rollup is fronted because its oracle changed
+    # this round (no_oracle -> estimate-within-bound check). ----------
     "sketch_rollup",
-    "cms_heavy_hitters",
-    "cross_doc_ngram_dup",
-    "dedup_clusters",
-    "canonical_docs",
-    "tfidf_cosine_pairs",
-    "hash_sample_10pct",
-    "chunk_documents",
-    "balanced_sample",
-    "epoch_shuffle",
-    "bm25_search",
-    "mixture_sample",
-    "vocab_topk",
-    "curation_report",
-    "distinctive_terms",
-    "token_budget_sample",
-    "curation_decisions",
-    "lm_score",
-    "doc_fingerprint",
-    "cosine_topk",
-    "cosine_topk_ivf",
-    "ivf_recall_at_k",
-    "ivf_assign",
-    "embedding_outliers",
-    "embedding_near_dup",
-    "multimodal_meta",
-    "frame_sample",
-    "label_centroids",
-    "pii_scrub",
-    "repetition_stats",
-    "pack_sequences",
     "contamination_check",
+    "asof_join_orders",
+    "window_rank",
+    "unpivot_lineitem_charges",
+    "metric_format_join",
+    "scalar_funcs",
+    "datetime_funcs",
+    "json_extract_props",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "semi_join_urgent_customers",
+    "anti_join_orderless_customers",
 )
 
 
