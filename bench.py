@@ -209,7 +209,20 @@ def main() -> None:
         "streaming": stream_probe(spark, sf_dir),
         "streaming_lsh": stream_lsh_probe(spark, sf_dir),
     }
-    print(json.dumps(out))
+    # Full result (with per-run samples) goes to its own file: the driver
+    # records a bounded tail of stdout, and round 4's ~6 KB samples dict
+    # pushed the head of the JSON line past the capture window (BENCH_r04
+    # `parsed: null`).  The stdout line keeps the contract fields but
+    # points at the file for the raw samples.
+    result_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json")
+    with open(result_path, "w") as fh:
+        json.dump(out, fh)
+        fh.write("\n")
+    line = {k: v for k, v in out.items() if k != "samples"}
+    line["samples_file"] = result_path
+    sys.stdout.flush()
+    print(json.dumps(line))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
