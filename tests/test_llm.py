@@ -119,6 +119,65 @@ def test_ngram_jaccard_scores(spark):
     assert (0, 3) not in out
 
 
+def test_ngram_jaccard_max_df_noop_when_under_cap(spark):
+    # Exactness contract: with every shingle's document frequency <= cap,
+    # the capped output is byte-identical to the uncapped one.
+    docs = _docs(spark)
+    uncapped = sorted(map(tuple, ngram_jaccard_pairs(docs, threshold=0.1).collect()))
+    capped = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, threshold=0.1, max_df=10_000).collect())
+    )
+    assert capped == uncapped
+
+
+def _hot_shingle_corpus(spark, n=120):
+    # Every doc shares ONE boilerplate 3-shingle ("spam spam spam"); all
+    # other shingles are doc-unique except a planted near-dup pair.
+    rows = [(i, f"spam spam spam w{i}a w{i}b w{i}c") for i in range(n)]
+    rows.append((1000, "spam spam spam alpha beta gamma delta"))
+    rows.append((1001, "spam spam spam alpha beta gamma delta"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_jaccard_max_df_bounds_hot_shingle(spark):
+    docs = _hot_shingle_corpus(spark)
+    # Uncapped, threshold=0: the universal shingle alone creates a
+    # candidate pair for EVERY doc pair — the O(df^2) failure mode.
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.0).count()
+    assert uncapped == 122 * 121 // 2
+    # Capped at df<=5: the df=122 boilerplate shingle is dropped from
+    # candidate generation, so only the planted pair (sharing df=2
+    # shingles) survives — candidate volume is O(df*cap), not O(df^2).
+    capped = ngram_jaccard_pairs(docs, threshold=0.0, max_df=5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(1000, 1001)}
+    # And the reported score is the exact lower bound: numerator drops the
+    # boilerplate shingle, denominator keeps the true (uncapped) set sizes.
+    # Docs 1000/1001 have 5 shingles each, 5 shared, 4 kept after the cap:
+    # 4 / (5 + 5 - 4) = 2/3 <= true jaccard 1.0.
+    (pair,) = capped
+    assert pair["shared"] == 4
+    assert abs(pair["jaccard"] - 4 / 6) < 1e-12
+
+
+def test_ngram_jaccard_max_df_sql_twin(spark, tmp_path):
+    import duckdb
+
+    from trend_o_meter_spark.llm.dedup import ngram_jaccard_pairs_sql
+
+    docs = _hot_shingle_corpus(spark)
+    pdf = docs.toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    got = con.execute(
+        ngram_jaccard_pairs_sql("docs", threshold=0.0, max_df=5)
+    ).fetchall()
+    spark_rows = [
+        (r["id_a"], r["id_b"], r["shared"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.0, max_df=5).collect()
+    ]
+    assert sorted(got) == sorted(spark_rows)
+
+
 def test_simhash_locality(spark):
     out = {r["id"]: r["simhash"] for r in simhash(_docs(spark)).collect()}
     assert out[0] == out[1] == out[4]
