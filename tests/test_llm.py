@@ -1061,6 +1061,63 @@ def test_bpe_train_matches_reference_implementation(spark):
     assert all(enc[i] < raw[i] for i in enc)  # merges compress every doc
 
 
+def test_bpe_merge_word_matches_fold(spark):
+    """The driver-side merge (_merge_word) and the distributed encoder
+    fold (_merged_syms) must agree on the non-overlapping left-to-right
+    semantics, including the self-merge and just-produced-token cases."""
+    from trend_o_meter_spark.llm.bpe import _merge_word, _merged_syms
+
+    cases = [
+        (["a", "a", "a"], "a", "a"),          # "aaa" -> [aa, a]
+        (["a", "b", "a", "b"], "a", "b"),     # -> [ab, ab]
+        (["a", "a", "b"], "a", "a"),          # aa then b; "ab" must not form
+        (["a", "b", "b"], "b", "b"),          # -> [a, bb]
+        (["x"], "a", "b"),                     # no-op
+        (["a", "b", "a", "a", "b"], "a", "b"),  # -> [ab, a, ab]
+    ]
+    df = spark.createDataFrame(
+        [(i, syms) for i, (syms, _, _) in enumerate(cases)], "i long, syms array<string>"
+    )
+    for i, (syms, a, b) in enumerate(cases):
+        got_fold = (
+            df.filter(F.col("i") == i).select(_merged_syms(a, b).alias("m")).head()["m"]
+        )
+        assert got_fold == _merge_word(syms, a, b), (syms, a, b)
+
+
+def test_bpe_top_words_cap(spark):
+    """top_words trains on the most frequent words only; with the cap at
+    or above the distinct-word count the rule list is unchanged."""
+    from trend_o_meter_spark.llm.bpe import bpe_train
+
+    texts = ["low lower lowest", "new newer newest newest", "low low new wider wide"]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    full = [tuple(r) for r in bpe_train(df, num_merges=8).collect()]
+    capped_loose = [tuple(r) for r in bpe_train(df, num_merges=8, top_words=100).collect()]
+    assert capped_loose == full
+    # a tight cap trains on a smaller table but still returns valid rules
+    capped_tight = bpe_train(df, num_merges=8, top_words=3).collect()
+    assert all(r["pair_count"] >= 2 for r in capped_tight)
+
+
+def test_bpe_train_is_one_spark_job_regardless_of_merges(spark):
+    """The scale contract: job count must not grow with num_merges (the
+    previous formulation ran ~3 jobs per merge rule)."""
+    from trend_o_meter_spark.llm.bpe import bpe_train
+
+    texts = ["low lower lowest", "new newer newest newest", "low low new wider wide"]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs_for(n_merges):
+        before = len(tracker.getJobIdsForGroup(None))
+        bpe_train(df, num_merges=n_merges).collect()
+        return len(tracker.getJobIdsForGroup(None)) - before
+
+    j2, j12 = jobs_for(2), jobs_for(12)
+    assert j12 <= j2 + 1, (j2, j12)  # flat in num_merges (+1 slack for AQE retries)
+
+
 def test_cc_ignores_edges_outside_node_set_both_algorithms(spark):
     """Edges referencing ids absent from `nodes` must not leak into the
     output, and label/star must agree on the row set (the algorithm=auto

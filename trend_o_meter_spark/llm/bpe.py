@@ -1,31 +1,39 @@
-"""Distributed BPE tokenizer training (Sennrich et al. 2016).
+"""BPE tokenizer training (Sennrich et al. 2016) at corpus scale.
 
 The one tokenizer-side operator a training-data pipeline needs that no
 Spark built-in covers: learn byte-pair-encoding merge rules from a
-corpus.  The classic trainer is sequential; the distributed formulation
-keys everything off the WORD-FREQUENCY table (Sennrich's own trick),
-which is also the 100 TB shape:
+corpus.  The 100 TB shape keys everything off the WORD-FREQUENCY table
+(Sennrich's own trick, and how the production trainers — Hugging Face
+``tokenizers``, SentencePiece, the GPT-2 vocab — all work):
 
-* pre-tokenize once: ``word -> freq`` (one shuffle over the corpus;
-  state from then on is O(distinct words), not O(corpus));
-* each merge round: adjacent-symbol pair counts weighted by word freq
-  (JVM zip of shifted slices + one keyed agg), argmax pair (count desc,
-  pair asc — deterministic ties), then the merge applied to every
-  word's symbol array with a left-to-right non-overlapping fold
-  (``F.aggregate`` — per-word HOF over the word TABLE, so the
-  interpreted cost is vocab-sized, not corpus-sized);
-* the learned rule list is the tokenizer artifact.
+* pre-tokenize once in Spark: ``word -> freq`` (ONE shuffle over the
+  corpus; state from then on is O(distinct words), not O(corpus)),
+  optionally capped to the ``top_words`` most frequent words — the
+  standard practice for web-scale corpora, where the long tail of
+  hapax/typo words contributes negligible pair mass but unbounded
+  distinct-word state;
+* learn the merges driver-side over that table with INCREMENTAL
+  pair-count deltas: a ``pair -> words-containing-it`` index means each
+  merge touches only the affected words, and the argmax (count desc,
+  pair asc — deterministic ties) is a dict scan.  No Spark job per
+  rule: a 50k-merge production vocab is still ONE Spark job (the word
+  frequencies), where the previous formulation ran ~3 jobs per rule
+  (per-round pair recount + argmax collect + vocab rewrite);
+* the learned rule list is the tokenizer artifact; ENCODING stays fully
+  distributed (``bpe_encode`` below — corpus-sized work never leaves
+  Spark).
 
-Each round is one shuffle + a 1-row argmax collect (the merge decision
-is inherently global-sequential — same driver-coordination shape as the
-k-means / connected-components loops, state O(1) per round).  Lineage
-is cut every few rounds (``localCheckpoint``) so the plan stays flat.
+The driver-side loop is deliberate, not a scale compromise: the merge
+decision is inherently global-sequential, and the word-frequency table
+is the bounded-state representation every production BPE trainer
+operates on in memory.  ``top_words`` is the explicit admission cap
+that keeps that state bounded regardless of corpus size.
 
 No SQL oracle: the loop's data-dependent merge choices aren't
 expressible as a fixed query — the registry entry is rows-only and the
-trainer is pinned against a pure-Python reference implementation in
-``tests/test_llm.py`` (merge-sequence equality).
-"""
+trainer is pinned against a pure-Python full-recount reference
+implementation in ``tests/test_llm.py`` (merge-sequence equality, which
+also proves the delta bookkeeping exact)."""
 
 from __future__ import annotations
 
@@ -46,23 +54,69 @@ def _word_freqs(df: DataFrame, *, text: str) -> DataFrame:
     )
 
 
-def _initial_symbols(words: DataFrame) -> DataFrame:
-    # chars + explicit end-of-word marker; split("abc", "") -> [a, b, c]
-    syms = F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW)))
-    return words.select("word", "freq", syms.alias("syms"))
+def _merge_word(syms: list[str], a: str, b: str) -> list[str]:
+    """Left-to-right non-overlapping merge on a Python symbol list — the
+    driver-side twin of :func:`_merge_fold` ("aaa" + (a,a) -> [aa, a]; a
+    just-produced "ab" never re-merges).  Pinned equal to the fold in
+    ``tests/test_llm.py`` so trainer and encoder can never drift."""
+    ns, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            ns.append(a + b)
+            i += 2
+        else:
+            ns.append(syms[i])
+            i += 1
+    return ns
 
 
-def _pair_counts(vocab: DataFrame) -> DataFrame:
-    n = F.size("syms")
-    left = F.slice("syms", 1, n - 1)
-    right = F.slice("syms", 2, n - 1)
-    pairs = F.arrays_zip(left.alias("l"), right.alias("r"))
-    return (
-        vocab.filter(n >= 2)
-        .select("freq", F.explode(pairs).alias("__p"))
-        .groupBy(F.col("__p.l").alias("left"), F.col("__p.r").alias("right"))
-        .agg(F.sum("freq").cast("long").alias("pair_count"))
-    )
+def _train_rules(
+    word_freqs: list[tuple[str, int]], num_merges: int, min_pair_count: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Incremental (delta-based) BPE over a word-frequency table.
+
+    Exactly equivalent to recounting every pair each round: each merge
+    visits only the words containing the chosen pair (via the
+    ``pair -> words`` index), subtracts their old adjacent-pair
+    contributions, rewrites the word, and adds the new ones."""
+    from collections import Counter, defaultdict
+
+    vocab: dict[str, list[str]] = {}
+    freqs: dict[str, int] = {}
+    for w, f in word_freqs:
+        vocab[w] = list(w) + [EOW]
+        freqs[w] = int(f)
+    pc: Counter = Counter()
+    where: dict[tuple[str, str], set] = defaultdict(set)
+    for w, syms in vocab.items():
+        f = freqs[w]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pc[p] += f
+            where[p].add(w)
+    rules: list[tuple[int, str, str, str, int]] = []
+    for rank in range(num_merges):
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        rules.append((rank, a, b, a + b, cnt))
+        for w in list(where.get((a, b), ())):
+            syms, f = vocab[w], freqs[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] -= f
+                if pc[p] == 0:
+                    del pc[p]
+                where[p].discard(w)
+            ns = _merge_word(syms, a, b)
+            vocab[w] = ns
+            for i in range(len(ns) - 1):
+                p = (ns[i], ns[i + 1])
+                pc[p] += f
+                where[p].add(w)
+    return rules
 
 
 def _merge_fold(a: str, b: str):
@@ -87,40 +141,31 @@ def _merged_syms(a: str, b: str):
     return F.aggregate(F.col("syms"), F.array().cast("array<string>"), _merge_fold(a, b))
 
 
-def _apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
-    return vocab.select("word", "freq", _merged_syms(a, b).alias("syms"))
-
-
 def bpe_train(
     df: DataFrame,
     *,
     text: str = "text",
     num_merges: int = 30,
     min_pair_count: int = 2,
-    checkpoint_every: int = 8,
+    top_words: int | None = None,
 ) -> DataFrame:
     """Learn ``num_merges`` BPE merge rules from the corpus.
 
     Output: ``rank, left, right, merged, pair_count`` — the ordered rule
     list (the tokenizer artifact).  Stops early when no pair reaches
     ``min_pair_count`` (merging hapax pairs memorizes the corpus).
-    """
-    vocab = _initial_symbols(_word_freqs(df, text=text)).localCheckpoint(eager=True)
-    rules = []
-    for rank in range(num_merges):
-        top = (
-            _pair_counts(vocab)
-            .orderBy(F.col("pair_count").desc(), F.col("left").asc(), F.col("right").asc())
-            .limit(1)
-            .collect()
-        )
-        if not top or top[0]["pair_count"] < min_pair_count:
-            break
-        a, b, c = top[0]["left"], top[0]["right"], top[0]["pair_count"]
-        rules.append((rank, a, b, a + b, c))
-        vocab = _apply_merge(vocab, a, b)
-        if (rank + 1) % checkpoint_every == 0:
-            vocab = vocab.localCheckpoint(eager=True)
+
+    ONE Spark job regardless of ``num_merges``: the corpus-sized work is
+    the word-frequency aggregation; the merge loop runs driver-side over
+    that table with exact incremental deltas (see module docstring).
+    ``top_words`` caps the collected table to the most frequent words
+    (freq desc, word asc — deterministic) so driver state stays bounded
+    on web-scale corpora."""
+    wf = _word_freqs(df, text=text)
+    if top_words is not None:
+        wf = wf.orderBy(F.col("freq").desc(), F.col("word").asc()).limit(int(top_words))
+    word_freqs = [(r["word"], r["freq"]) for r in wf.collect()]
+    rules = _train_rules(word_freqs, num_merges, min_pair_count)
     spark = df.sparkSession
     return spark.createDataFrame(
         rules, "rank int, left string, right string, merged string, pair_count long"
