@@ -1155,6 +1155,28 @@ def test_semantic_dedup_keeps_the_centroid_outlier(spark):
     assert kept[0]["cos_to_centroid"] == min(r["cos_to_centroid"] for r in group)
 
 
+def test_semantic_dedup_auto_k(spark):
+    """k='auto' (the default) sizes k = ceil(n / target_cell_size) from a
+    count, so expected cell size stays bounded without a manual k."""
+    import random
+
+    import pytest as _pytest
+
+    from trend_o_meter_spark.llm.similarity import semantic_dedup
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(256)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, target_cell_size=16, iters=1, threshold=0.99)
+    clusters = out.select("cluster").distinct().count()
+    # k = ceil(256/16) = 16 seeds; empty cells may collapse but the
+    # partitioning must be real (not the degenerate single cell)
+    assert 1 < clusters <= 16
+    assert out.count() == 256
+    with _pytest.raises(ValueError):
+        semantic_dedup(df, k="bogus")
+
+
 def test_semantic_dedup_survivor_always_exists_per_cluster(spark):
     """Even when EVERY pair in a cluster is above threshold (all
     identical vectors), exactly one member survives — the drop rule can

@@ -1,0 +1,104 @@
+"""Replicated-corpus scaling probe (BASELINE.md protocol).
+
+Replicates the sf0.1 ``documents`` / ``embeddings`` tables with shifted
+ids (the ADVERSARIAL input for dedup-family operators: every replica is
+an exact duplicate, so every gram / LSH bucket / cluster cell is
+maximally shared), JIT-warms once, then times each operator at the
+requested replication factors with the noop sink.
+
+    python tools/scale_probe.py semantic_dedup 1 4 16
+    python tools/scale_probe.py pagerank 1 16 64
+    python tools/scale_probe.py dup_span_removal 1 16 64
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, functions as F
+
+from trend_o_meter_spark.catalog import table
+from trend_o_meter_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _replicate(df: DataFrame, reps: int, id_col: str) -> DataFrame:
+    """reps copies with shifted ids (deterministic explode, no rand)."""
+    if reps == 1:
+        return df
+    span = (df.agg(F.max(id_col)).head()[0] or 0) + 1
+    return df.select(
+        F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("__r"), "*"
+    ).select(
+        (F.col(id_col) + F.col("__r") * F.lit(span)).alias(id_col),
+        *[c for c in df.columns if c != id_col],
+    )
+
+
+def _run(build, reps_list):
+    spark = get_spark("scale-probe")
+    for reps in reps_list:
+        out = build(spark, reps)
+        out.write.format("noop").mode("overwrite").save()  # JIT/IO warm
+        t0 = time.time()
+        out.write.format("noop").mode("overwrite").save()
+        print(f"reps={reps}: {time.time() - t0:.1f}s", flush=True)
+
+
+def semantic_dedup_probe(spark, reps):
+    from trend_o_meter_spark.llm import similarity
+
+    emb = _replicate(table(spark, "embeddings", SF_DIR), reps, "vec_id")
+    # auto-k (the new default): no manual k anywhere
+    return similarity.semantic_dedup(emb, iters=2, threshold=0.35)
+
+
+def pagerank_probe(spark, reps):
+    """PageRank over ``reps`` disjoint copies of the simhash near-dup
+    graph (node ids shifted per copy) — edges grow EXACTLY reps x, so
+    the timing isolates the iterative join+agg loop.  Replicating the
+    documents instead would make every replica an exact near-dup and the
+    edge OUTPUT itself quadratic in reps (a property of near-dup
+    semantics under duplication, not of the pagerank plan)."""
+    from trend_o_meter_spark.llm import cluster, dedup
+
+    d = table(spark, "documents", SF_DIR)
+    pairs = dedup.simhash_near_dup_pairs(d, max_hamming=3, bands=4)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    span = (d.agg(F.max("doc_id")).head()[0] or 0) + 1
+    if reps > 1:
+        edges = edges.select(
+            F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("__r"), "*"
+        ).select(
+            (F.col("src") + F.col("__r") * F.lit(span)).alias("src"),
+            (F.col("dst") + F.col("__r") * F.lit(span)).alias("dst"),
+        )
+    return cluster.pagerank(edges, iters=3)
+
+
+def dup_span_removal_probe(spark, reps):
+    from trend_o_meter_spark.llm import dedup
+
+    d = _replicate(table(spark, "documents", SF_DIR), reps, "doc_id")
+    return dedup.dup_span_removal(d)
+
+
+PROBES = {
+    "semantic_dedup": semantic_dedup_probe,
+    "pagerank": pagerank_probe,
+    "dup_span_removal": dup_span_removal_probe,
+}
+
+
+if __name__ == "__main__":
+    name = sys.argv[1]
+    reps = [int(r) for r in sys.argv[2:]] or [1, 4, 16]
+    print(f"== {name} @ {SF_DIR} ==", flush=True)
+    _run(PROBES[name], reps)

@@ -639,9 +639,10 @@ def semantic_dedup(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 8,
+    k: int | str = "auto",
     iters: int = 2,
     threshold: float = 0.95,
+    target_cell_size: int = 128,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
@@ -665,11 +666,14 @@ def semantic_dedup(
     Scale: the only quadratic term is per-cluster, so ``k`` MUST grow
     with the corpus — size it so ``n/k`` (expected cell size) stays
     bounded, exactly the paper's own deployment rule (k=50 000 clusters
-    on LAION).  Measured (BASELINE.md round-4 scaling probe): with k
-    fixed at 8, 4x corpus = 7x wall-clock (cells grow linearly, pairs
-    quadratically); with k scaled to corpus, 16x corpus = 9.2x
-    wall-clock (near-linear).  The pair generator is an equi-join keyed
-    by cluster,
+    on LAION).  That rule is the DEFAULT: ``k="auto"`` sizes
+    ``k = ceil(n / target_cell_size)`` from one cheap count, so a naive
+    caller can no longer hit the fixed-k quadratic.  Pass an explicit
+    int to pin k (fixtures/oracles do).  Measured (BASELINE.md round-4
+    scaling probe): with k fixed at 8, 4x corpus = 7x wall-clock (cells
+    grow linearly, pairs quadratically); with k scaled to corpus, 16x
+    corpus = 9.2x wall-clock (near-linear; round-5 probe reruns this
+    with auto-k).  The pair generator is an equi-join keyed by cluster,
     never corpus x corpus, and the k-means rounds are one KB-sized
     centroid broadcast + one (cluster, dim) shuffle each
     (:func:`kmeans_centroids`).
@@ -681,6 +685,12 @@ def semantic_dedup(
     base = spread(df).select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
     )
+    if k == "auto":
+        import math
+
+        k = max(1, math.ceil(base.count() / target_cell_size))
+    elif not isinstance(k, int):
+        raise ValueError(f"k must be an int or 'auto', got {k!r}")
     # init = the k SMALLEST ids actually present (TakeOrdered — not a
     # dense-id `vid < k` filter, which silently under-seeds on filtered
     # or offset id spaces, e.g. the survivor subsets curation_funnel_v2
