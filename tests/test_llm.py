@@ -1308,6 +1308,44 @@ def test_pq_codes_on_offset_id_space_still_trains(spark):
     assert out.count() == 40
 
 
+def test_topk_and_recall_on_offset_id_space(spark):
+    """Query selection is the n smallest ids PRESENT — an offset id space
+    (no ids < n_queries) used to select zero queries and return empty
+    frames silently from the whole topk/recall family."""
+    from trend_o_meter_spark.llm.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+        ivf_recall,
+        l2_topk,
+        pq_adc_topk,
+        pq_recall,
+    )
+
+    rows = [
+        (1000 + i, [float((i * 13) % 7), float((i * 5) % 11), 1.0, float(i % 3)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    nq = 3
+    for fn, kw in (
+        (cosine_topk, {}),
+        (cosine_topk_ivf, {"n_centroids": 4, "n_probe": 4}),
+        (l2_topk, {}),
+        (pq_adc_topk, {"m": 2, "k": 4, "iters": 1, "topk": 5}),
+    ):
+        out = fn(df, n_queries=nq, **kw)
+        qids = {r["query_id"] for r in out.select("query_id").distinct().collect()}
+        assert qids == {1000, 1001, 1002}, (fn.__name__, qids)
+    # recall evals: exactly n_queries rows, one per present query id
+    for fn, kw in (
+        (ivf_recall, {"n_centroids": 4, "n_probe": 4}),
+        (pq_recall, {"m": 2, "k_codebook": 4, "iters": 1}),
+    ):
+        out = fn(df, n_queries=nq, **kw).collect()
+        assert len(out) == nq, (fn.__name__, out)
+        assert {r["query_id"] for r in out} == {1000, 1001, 1002}
+
+
 def test_weighted_sample_prefers_heavy_weights(spark):
     """Efraimidis-Spirakis race: across many salts, a row with 50x the
     weight is selected far more often than any unit-weight row, and the

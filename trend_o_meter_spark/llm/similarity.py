@@ -62,7 +62,9 @@ def cosine_topk(
     Output: ``query_id, neighbor_id, cos_sim, rank``.  The query side is
     broadcast; the corpus is scanned once — the canonical ANN baseline.
     """
-    queries = df.filter(F.col(id_col) < n_queries).select(
+    # n smallest ids PRESENT (TakeOrdered), not a dense-id `< n` filter —
+    # identical on dense fixtures, still n queries on offset/sparse ids
+    queries = df.orderBy(id_col).limit(n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
     from pyspark.sql import Window
@@ -96,7 +98,8 @@ def cosine_topk_sql(
     cos = cosine_sql("q.qvec", f"c.{vec_col}")
     return f"""
 WITH q AS (
-  SELECT {id_col} AS query_id, {vec_col} AS qvec FROM {table} WHERE {id_col} < {n_queries}
+  SELECT {id_col} AS query_id, {vec_col} AS qvec FROM {table}
+  ORDER BY {id_col} LIMIT {n_queries}
 ),
 scored AS (
   SELECT q.query_id, c.{id_col} AS neighbor_id, {cos} AS cos_sim
@@ -148,10 +151,12 @@ def cosine_topk_ivf(
 
     # query-side: n_probe nearest cells per query (rounded cosine +
     # cluster-id tiebreak — deterministic, oracle-matched)
-    cents = df.filter(F.col(id_col) < n_centroids).select(
+    # smallest-present ids for both centroid seeds and queries (see
+    # cosine_topk) — cluster labels remain the seed vector ids
+    cents = df.orderBy(id_col).limit(n_centroids).select(
         F.col(id_col).alias("cluster"), F.col(vec_col).alias("cvec")
     )
-    queries = df.filter(F.col(id_col) < n_queries).select(
+    queries = df.orderBy(id_col).limit(n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
     wq = Window.partitionBy("query_id").orderBy(
@@ -194,7 +199,8 @@ def cosine_topk_ivf_sql(
     cand_cos = cosine_sql("p.qvec", f"cc.{vec_col}")
     return f"""
 WITH c AS (
-  SELECT {id_col} AS cluster, {vec_col} AS cvec FROM {table} WHERE {id_col} < {n_centroids}
+  SELECT {id_col} AS cluster, {vec_col} AS cvec FROM {table}
+  ORDER BY {id_col} LIMIT {n_centroids}
 ),
 assigned AS (
   SELECT {id_col}, CAST(-(m.nc) AS BIGINT) AS cluster FROM (
@@ -206,7 +212,8 @@ corpus AS (
   SELECT t.*, a.cluster FROM {table} t JOIN assigned a USING ({id_col})
 ),
 q AS (
-  SELECT {id_col} AS query_id, {vec_col} AS qvec FROM {table} WHERE {id_col} < {n_queries}
+  SELECT {id_col} AS query_id, {vec_col} AS qvec FROM {table}
+  ORDER BY {id_col} LIMIT {n_queries}
 ),
 probes AS (
   SELECT query_id, qvec, cluster FROM (
@@ -405,7 +412,7 @@ def ivf_assign(
     cents = (
         centroids.select("cluster", "cvec")
         if centroids is not None
-        else df.filter(F.col(id_col) < n_centroids).select(
+        else df.orderBy(id_col).limit(n_centroids).select(
             F.col(id_col).alias("cluster"), F.col(vec_col).alias("cvec")
         )
     )
@@ -429,7 +436,8 @@ def ivf_assign_sql(
     cos = cosine_sql("c.cvec", f"t.{vec_col}")
     return f"""
 WITH c AS (
-  SELECT {id_col} AS cluster, {vec_col} AS cvec FROM {table} WHERE {id_col} < {n_centroids}
+  SELECT {id_col} AS cluster, {vec_col} AS cvec FROM {table}
+  ORDER BY {id_col} LIMIT {n_centroids}
 ),
 scored AS (
   SELECT t.{id_col}, c.cluster, {cos} AS cos FROM {table} t, c
@@ -803,15 +811,13 @@ def l2_topk(
     ``query_id, neighbor_id, l2_sq, rank`` (ascending distance,
     9-rounded for rank determinism, reported at 6).
 
-    Query selection is ``id_col < n_queries`` — it assumes ids are DENSE
-    FROM 0 (the fixtures satisfy this; so do the PQ/kmeans init paths,
-    which share the convention).  On a corpus with sparse or offset ids
-    this evaluates fewer (possibly zero) queries; pre-map ids to a dense
-    0..n-1 range (``row_number() - 1``) before calling if yours aren't.
+    Queries are the ``n_queries`` smallest ids PRESENT (TakeOrdered —
+    the same pattern as the kmeans/PQ centroid inits), so offset or
+    sparse id spaces still evaluate exactly ``n_queries`` queries.
     """
     from pyspark.sql import Window
 
-    queries = df.filter(F.col(id_col) < n_queries).select(
+    queries = df.orderBy(id_col).limit(n_queries).select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
     )
     d = _sqdist(F.col("qvec"), _as_double(F.col(vec_col)))
@@ -845,7 +851,7 @@ def l2_topk_sql(
 WITH q AS (
   SELECT {id_col} AS query_id,
          list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS qvec
-  FROM {table} WHERE {id_col} < {n_queries}
+  FROM {table} ORDER BY {id_col} LIMIT {n_queries}
 ),
 scored AS (
   SELECT q.query_id, c.{id_col} AS neighbor_id, {sq} AS l2_sq
@@ -877,8 +883,9 @@ def pq_recall(
     squared-L2 baseline per query — the measurement that sizes (m, k)
     codebooks before trusting the compressed index.  Same comparison
     shape as :func:`ivf_recall`; run on a sampled query set at scale
-    (the baseline side is the O(corpus x queries) scan).  Inherits the
-    dense-ids-from-0 query-selection convention of :func:`l2_topk`."""
+    (the baseline side is the O(corpus x queries) scan).  Queries are
+    the n smallest ids present (the :func:`l2_topk` contract), so both
+    sides compare identical query sets on any id space."""
     ex = l2_topk(df, id_col=id_col, vec_col=vec_col, n_queries=n_queries, k=k).select(
         "query_id", "neighbor_id"
     )
@@ -1132,16 +1139,17 @@ def pq_adc_topk(
     join + one agg, never query x corpus float math.  Per-subspace
     distances are 9-rounded and summed as exact DECIMAL so the total is
     order-insensitive.  Output: ``query_id, neighbor_id, adc_dist,
-    rank`` (ascending distance, id tie-break; self excluded).  Query
-    selection inherits the dense-ids-from-0 convention of
-    :func:`l2_topk` (see its docstring).
+    rank`` (ascending distance, id tie-break; self excluded).  Queries
+    are the ``n_queries`` smallest ids PRESENT (same contract as
+    :func:`l2_topk`, so the recall join compares identical query sets).
     """
     base, cents, assigned = _pq_train(
         df, id_col=id_col, vec_col=vec_col, m=m, k=k, iters=iters
     )
+    qids = base.select("vid").distinct().orderBy("vid").limit(n_queries)
     d9 = F.round(_sqdist(F.col("vec"), F.col("cvec")), 9)
     dtab = (
-        base.filter(F.col("vid") < n_queries)
+        base.join(F.broadcast(qids), "vid")
         .join(F.broadcast(cents), "s")
         .select(
             F.col("vid").alias("query_id"), "s", "cluster",
@@ -1189,9 +1197,11 @@ def pq_adc_topk_sql(
         "i -> (b.vec[i] - c.cvec[i]) * (b.vec[i] - c.cvec[i])))"
     )
     ctes.append(
+        "qids AS (SELECT DISTINCT vid FROM base "
+        f"ORDER BY vid LIMIT {n_queries}),\n"
         "dtab AS (SELECT b.vid AS query_id, b.s, c.cluster, "
         f"CAST(round({sq}, 9) AS DECIMAL(18,9)) AS d "
-        f"FROM base b JOIN c{iters} c USING (s) WHERE b.vid < {n_queries})"
+        f"FROM base b JOIN qids USING (vid) JOIN c{iters} c USING (s))"
     )
     ctes.append(
         "scored AS (SELECT dtab.query_id, a.vid AS neighbor_id, sum(dtab.d) AS adc "
