@@ -662,14 +662,30 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "sketch_rollup",
-    None,  # HLL binary internals are engine-specific -> rows-only;
-    # mergeability (union of daily == sketch of whole range) and accuracy
-    # vs exact are pinned by tests/test_sketches.py
+    # The HLL estimate itself can't hash-match cross-engine (binary
+    # internals are engine-specific), but the oracle can still check a
+    # meaningful VALUE bound inside the hash-exact protocol: the Spark
+    # side emits `est_within_5pct = |estimate - exact| <= 0.05 * exact`
+    # next to exact counts, and the oracle asserts TRUE — so the row
+    # hashes match iff the sketch estimate really lands within 5% of the
+    # exact distinct count (HLL lgK=12 RSE is ~0.8%, so 5% is a real
+    # failure detector, not a tautology).  Lossless mergeability (union
+    # of daily == sketch of whole range) stays pinned by
+    # tests/test_sketches.py.
+    """
+SELECT event_type,
+       count(DISTINCT date_trunc('day', ts)) AS n_days,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS est_within_5pct
+FROM events GROUP BY 1
+""",
     doc="Mergeable sketch rollup (the hypertable pattern): per-day HLL "
     "user sketches stored once, any range answered by hll_union_agg "
     "over the daily sketches — range queries never rescan raw events. "
     "At 100 TB the daily sketch table is O(keys x days) KB-sized rows; "
-    "re-aggregation cost is independent of event volume.",
+    "re-aggregation cost is independent of event volume.  The exact "
+    "distinct side exists only to drive the oracle's 5%-bound check.",
 )
 def sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir)
@@ -679,10 +695,23 @@ def sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("user_id").alias("__sk"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    return daily.groupBy("event_type").agg(
+    rolled = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.sum("n_events").alias("n_events"),
-        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("approx_users_range"),
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__approx"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return rolled.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "n_events",
+        "exact_users",
+        (
+            F.abs(F.col("__approx") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("est_within_5pct"),
     )
 
 
