@@ -75,6 +75,23 @@ def test_unknown_command_audited_not_cached(spark):
     assert len(cp._audit_buffer) == 1
 
 
+def test_failed_known_command_is_valid_with_error(spark):
+    """Reference cmdlog semantics (trend-o-meter:236-241,256): a RESOLVED
+    verb whose executor throws keeps valid=true with the error recorded
+    alongside — distinct from an unknown verb (valid=false)."""
+    cp = ControlPlane(spark, clock=_clock())
+    r = cp.execute("set numSamples notanint")
+    assert r.valid is True and r.error and r.ret_val is None
+    # falsy retVal -> not cached / not tx-counted (the publish gate)
+    assert cp.response_cache == {}
+    assert cp.message_stats["tx"] == 0
+    # and falsy-but-successful results are valid, uncached, error-free
+    r2 = cp.execute("set debug 0")
+    assert r2.valid is True and r2.error is None and r2.ret_val is False
+    assert cp.response_cache == {}
+    assert cp.message_stats["tx"] == 0
+
+
 def test_audit_log_roundtrip(spark, tmp_path):
     cp = ControlPlane(spark, audit_path=str(tmp_path / "cmdlog"), clock=_clock())
     cp.execute("get config")
@@ -166,9 +183,10 @@ def test_get_stats_reports_reconnects_from_listener(spark):
 
 
 def test_set_rolls_back_config_when_rebind_fails(spark, tmp_path):
-    """A set whose rebind raises is audited invalid AND leaves the
-    config untouched — get must not report a value the audit log says
-    never took effect."""
+    """A set whose rebind raises is audited with the error recorded
+    (valid stays true — the verb resolved; trend-o-meter:236-241,256)
+    AND leaves the config untouched — get must not report a value the
+    audit log says never took effect."""
     from trend_o_meter_spark.control.plane import ControlPlane
 
     calls = []
@@ -180,7 +198,7 @@ def test_set_rolls_back_config_when_rebind_fails(spark, tmp_path):
     plane = ControlPlane(spark, on_rebind=bad_rebind)
     before = plane.get_config()["min_data_hours_to_render_bin"]
     res = plane.execute(f"set mindatahourstorenderbin {before + 5}")
-    assert not res.valid
+    assert res.valid is True and res.error and res.ret_val is None
     assert plane.get_config()["min_data_hours_to_render_bin"] == before
     assert len(calls) == 1  # rebind saw the CANDIDATE config
     assert calls[0].min_data_hours_to_render_bin == before + 5

@@ -232,9 +232,11 @@ def test_poll_pubsub_drains_push_frames(mock_redis):
 
 def test_c2_bridge_serves_commands_over_redis(spark, mock_redis):
     """S5/K2/K3 over the wire: commands drain from the SUBSCRIBE channel,
-    responses PUBLISH + HSET into the response hash (field = command
-    name), every invocation LPUSHes to the command log — the reference's
-    exact key shapes (trend-o-meter:167-169,243-262)."""
+    truthy return values PUBLISH + HSET into the response hash (field =
+    the command's first token, payload = JSON of retVal alone), every
+    invocation LPUSHes the full envelope to the command log — the
+    reference's exact key shapes and publish gate
+    (trend-o-meter:167-169,243-262)."""
     import json as _json
 
     from trend_o_meter_spark.control.plane import ControlPlane
@@ -242,22 +244,30 @@ def test_c2_bridge_serves_commands_over_redis(spark, mock_redis):
 
     plane = ControlPlane(spark)
     chan = "c2:dev1|app1"
-    cmds = [b"get config", b"set minDataHoursToRenderBin 20", b"frobnicate now"]
+    cmds = [
+        b"get config",
+        b"set minDataHoursToRenderBin 20",
+        b"set debug 0",        # valid but falsy retVal -> NOT published
+        b"frobnicate now",     # unknown verb -> NOT published
+    ]
     mock_redis.c2_queue.extend((chan, m) for m in cmds)
     n = serve_c2(
         plane, "127.0.0.1", mock_redis.port,
-        device_id="dev1", app_id="app1", max_commands=3, timeout=5.0,
+        device_id="dev1", app_id="app1", max_commands=4, timeout=5.0,
     )
-    assert n == 3
+    assert n == 4
     resp_hash = mock_redis.hashes[f"{chan}:resp"]
-    assert set(resp_hash) == {b"get config", b"set mindatahourstorenderbin"}
-    cached = _json.loads(resp_hash[b"get config"])
-    assert cached["valid"] is True and "min_data_hours_to_render_bin" in str(cached["retVal"])
+    # field = msgComps[0] (verb as typed), value = JSON.stringify(retVal)
+    assert set(resp_hash) == {b"get", b"set"}
+    assert "min_data_hours_to_render_bin" in str(_json.loads(resp_hash[b"get"]))
+    assert _json.loads(resp_hash[b"set"]) == 20
     # rebind actually took effect on the engine config
     assert plane.config.min_data_hours_to_render_bin == 20
     # every invocation audited, newest first (LPUSH), invalid included
     log = [_json.loads(e) for e in mock_redis.lists[f"{chan}:cmdlog"]]
-    assert len(log) == 3
+    assert len(log) == 4
     assert log[0]["valid"] is False and "frobnicate" in log[0]["message"]
-    # two valid responses published
+    # `set debug 0` resolved fine: valid=true, falsy retVal, unpublished
+    assert log[1]["valid"] is True and log[1]["retVal"] is False
+    # exactly the two truthy results published
     assert [c for c, _ in mock_redis.publishes] == [f"{chan}:resp"] * 2

@@ -41,6 +41,23 @@ from ..config import EngineConfig
 from ..schemas import AUDIT_LOG_SCHEMA
 
 
+def _js_truthy(value: Any) -> bool:
+    """JS truthiness of a command return value — the reference's publish
+    gate is ``if (retVal)`` (trend-o-meter:243): undefined/null/false/0/
+    ''/NaN are falsy; objects and arrays (even empty) are truthy."""
+    import math
+
+    if value is None or value is False:
+        return False
+    if isinstance(value, bool):
+        return value
+    if isinstance(value, (int, float)):
+        return value != 0 and not (isinstance(value, float) and math.isnan(value))
+    if isinstance(value, str):
+        return len(value) > 0
+    return True
+
+
 def _to_bool(value: str) -> bool:
     """Driver-side mirror of functions.to_bool (trend-o-meter:196-205):
     JS parseInt takes a leading-integer prefix ('1.5'/'2abc' truthy,
@@ -187,18 +204,35 @@ class ControlPlane:
         ts = self.clock()
         tokens = re.split(r"\s+", message.strip()) if message.strip() else []
         verb = tokens[0].lower() if tokens else ""
-        try:
-            if verb == "get":
-                ret = self._do_get(tokens[1:])
-            elif verb == "set":
-                ret = self._do_set(tokens[1:])
-            else:
-                raise ValueError(f"unknown command: {verb!r}")
-            result = CommandResult(ts, True, message, ret, None)
-        except Exception as exc:  # noqa: BLE001 — every failure is audited
-            result = CommandResult(ts, False, message, None, str(exc))
-        if result.valid:
-            # Cache keyed by command name (verb+field), as the HSET hash.
+        if verb == "get":
+            executor: Callable[[list[str]], Any] | None = self._do_get
+        elif verb == "set":
+            executor = self._do_set
+        else:
+            executor = None
+        if executor is None:
+            # Unknown verb: valid=false, exactly the reference's
+            # `valid: !!executor` (trend-o-meter:232-234,256).  We keep a
+            # diagnostic error string where the reference leaves error
+            # undefined — strictly more information, same flag.
+            result = CommandResult(ts, False, message, None, f"unknown command: {verb!r}")
+        else:
+            try:
+                result = CommandResult(ts, True, message, executor(tokens[1:]), None)
+            except Exception as exc:  # noqa: BLE001 — every failure is audited
+                # Resolved verb whose executor threw: the reference keeps
+                # valid=true and records the error ALONGSIDE
+                # (trend-o-meter:236-241,256) — so cmdlog consumers can
+                # tell "no such command" from "command failed".
+                result = CommandResult(ts, True, message, None, str(exc))
+        if _js_truthy(result.ret_val):
+            # Cache + tx gate mirrors the reference's publish gate: only
+            # a JS-truthy retVal is HSET/published/tx-counted
+            # (trend-o-meter:243-250).  The cache key is verb+field —
+            # deliberately FINER than the reference's verb-only HSET
+            # field (under which every `get X` overwrites `get config`);
+            # the wire bridge (transports/c2_bridge.py) uses the faithful
+            # verb-only field.
             cache_key = " ".join(tokens[:2]).lower()
             self.response_cache[cache_key] = result.to_json()
             self.message_stats["tx"] += 1

@@ -3,12 +3,20 @@ command channel shapes (trend-o-meter:165-272), executable over RESP:
 
 * commands arrive on ``SUBSCRIBE {prefix}c2:{device}|{app}``
   (trend-o-meter:167) as push frames;
-* each result is ``PUBLISH``-ed to the response channel AND ``HSET``
-  into the hash of the same name, field = the command's first two
-  tokens — the last-value cache (trend-o-meter:243-250; the channel
-  and the hash share a key, faithfully);
+* a JS-TRUTHY return value — and only that — is ``PUBLISH``-ed to the
+  response channel AND ``HSET`` into the hash of the same name, field =
+  the command's FIRST token (``msgComps[0]``), payload =
+  ``JSON.stringify(retVal)`` — all three exactly the reference's
+  ``if (retVal)`` gate at trend-o-meter:243-250 (the channel and the
+  hash share a key, faithfully);
 * every invocation — valid or not — is ``LPUSH``-ed to the append-only
-  command log (trend-o-meter:253-262).
+  command log as the full ``{ts, valid, message, retVal, error}``
+  envelope (trend-o-meter:253-262).
+
+One deliberate divergence: our ``set`` executors RETURN the applied
+value (so successful rebinds are visible on the wire), where the
+reference's ``set`` returns undefined and therefore never publishes —
+the publish GATE is faithful, the executor return values are richer.
 
 The loop is bounded (message budget / deadline) and driver-side — the
 same control-plane stance as SURVEY §3.3: C2 is an interactive
@@ -19,9 +27,11 @@ table and the Redis cmdlog both receive every command.
 
 from __future__ import annotations
 
+import json
 import re
 import time
 
+from ..control.plane import _js_truthy
 from .resp import RespConnection, encode_command
 
 
@@ -63,12 +73,14 @@ def serve_c2(
             message = frame[2].decode(errors="replace")
             result = plane.execute(message)
             n += 1
-            payload = result.to_json()
-            if result.valid:
-                field = " ".join(re.split(r"\s+", message.strip())[:2]).lower()
+            if _js_truthy(result.ret_val):
+                # field = msgComps[0] as typed; payload = the return
+                # value alone (trend-o-meter:244-248)
+                field = re.split(r"\s+", message.strip())[0]
+                payload = json.dumps(result.ret_val, default=str)
                 pub.command("HSET", resp_key, field, payload)
                 pub.command("PUBLISH", resp_key, payload)
-            pub.command("LPUSH", log_key, payload)
+            pub.command("LPUSH", log_key, result.to_json())
     finally:
         sub.close()
         pub.close()
