@@ -1467,6 +1467,42 @@ def test_logreg_matches_independent_replica(spark):
     assert got["f_vowels"] == w[2]
 
 
+def test_logreg_predict_anchors_stable_across_batches(spark):
+    """Serving contract: with train-time anchors passed, a document's
+    score is identical whether scored alone or with the full corpus;
+    without anchors the call warns (and may drift on subsets)."""
+    import warnings
+
+    from trend_o_meter_spark.catalog import table as cat_table
+    from trend_o_meter_spark.llm.classifier import (
+        logreg_predict,
+        logreg_train,
+        minmax_anchors,
+    )
+
+    d = cat_table(spark, "documents", "/root/testdata/sf0.001").limit(200).cache()
+    w = {r["term"]: r["weight"] for r in logreg_train(d, iters=2, lr=0.5).collect()}
+    anchors = minmax_anchors(d)
+
+    full = {r["doc_id"]: r["p"] for r in logreg_predict(d, w, anchors=anchors).collect()}
+    subset = d.limit(10)
+    sub = {
+        r["doc_id"]: r["p"]
+        for r in logreg_predict(subset, w, anchors=anchors).collect()
+    }
+    assert all(full[k] == v for k, v in sub.items())
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        logreg_predict(subset, w)
+        assert any("anchors" in str(c.message) for c in caught)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="anchors missing"):
+        logreg_predict(subset, w, anchors={"f_chars": (0.0, 1.0)})
+
+
 def test_logreg_predict_separates_language(spark):
     """The trained weights carry real signal: mean predicted p(en) on
     English documents exceeds mean p on the rest of the corpus."""

@@ -60,6 +60,27 @@ def _q_sql(expr: str, s: str) -> str:
     )
 
 
+def minmax_anchors(
+    df: DataFrame, *, features: dict[str, str] | None = None
+) -> dict[str, tuple[float, float]]:
+    """The (min, max) scaling anchors per feature — ONE exact order-free
+    aggregate over ``df``.  Train-time anchors are part of the model:
+    persist them next to the weights and pass them to
+    :func:`logreg_predict` when serving, or the same document scores
+    differently depending on which batch it arrives with."""
+    feats = dict(features or DEFAULT_FEATURES)
+    names = list(feats)
+    mm = (
+        df.select(*[F.expr(sql).alias(n) for n, sql in feats.items()])
+        .agg(
+            *[F.min(n).alias(f"__mn_{n}") for n in names],
+            *[F.max(n).alias(f"__mx_{n}") for n in names],
+        )
+        .collect()[0]
+    )
+    return {n: (float(mm[f"__mn_{n}"]), float(mm[f"__mx_{n}"])) for n in names}
+
+
 def logreg_train(
     df: DataFrame,
     *,
@@ -74,7 +95,9 @@ def logreg_train(
     Features min-max scale to [0, 1] (min/max are exact, order-free
     aggregates — no mean/variance float accumulation to pin down);
     weights start at zero; ``iters`` batch-GD steps of the logistic
-    loss with step ``lr``.
+    loss with step ``lr``.  The scaling anchors are part of the model:
+    recover them with :func:`minmax_anchors` on the SAME training frame
+    and persist them alongside the weights for serving.
     """
     feats = dict(features or DEFAULT_FEATURES)
     names = list(feats)
@@ -82,13 +105,10 @@ def logreg_train(
         *[F.expr(sql).alias(n) for n, sql in feats.items()],
         F.expr(f"CAST(({label_sql}) AS INT)").alias("__y"),
     )
-    mm = base.agg(
-        *[F.min(n).alias(f"__mn_{n}") for n in names],
-        *[F.max(n).alias(f"__mx_{n}") for n in names],
-    ).collect()[0]
+    anchors = minmax_anchors(df, features=feats)
     zcols = []
     for n in names:
-        mn, mx = float(mm[f"__mn_{n}"]), float(mm[f"__mx_{n}"])
+        mn, mx = anchors[n]
         rng = mx - mn if mx > mn else 1.0
         zcols.append(((F.col(n) - F.lit(mn)) / F.lit(rng)).alias(f"__z_{n}"))
     z = base.select(*zcols, "__y").localCheckpoint(eager=True)
@@ -135,24 +155,40 @@ def logreg_predict(
     *,
     features: dict[str, str] | None = None,
     id_col: str = "doc_id",
+    anchors: dict[str, tuple[float, float]] | None = None,
 ) -> DataFrame:
     """Score rows with trained weights: ``(id, p)`` with the same scaled
     features and 1e-6-quantized sigmoid.  ``weights`` must carry
-    ``__bias`` plus every feature term; scaling anchors recompute from
-    ``df`` (score the training corpus, or persist the anchors alongside
-    the weights for serving)."""
+    ``__bias`` plus every feature term.
+
+    ``anchors`` are the TRAIN-TIME min-max anchors
+    (:func:`minmax_anchors` on the training frame) — required for
+    serving: without them the anchors recompute from ``df``, so the
+    same document scores differently depending on which batch it is
+    scored with.  Omitting them is only correct when ``df`` IS the
+    training corpus, and emits a ``UserWarning`` saying so."""
     feats = dict(features or DEFAULT_FEATURES)
     names = list(feats)
+    if anchors is None:
+        import warnings
+
+        warnings.warn(
+            "logreg_predict: scaling anchors recomputed from the scoring "
+            "frame — scores drift across batches unless df is the "
+            "training corpus; pass anchors=minmax_anchors(train_df)",
+            UserWarning,
+            stacklevel=2,
+        )
+        anchors = minmax_anchors(df, features=feats)
+    missing = set(names) - set(anchors)
+    if missing:
+        raise ValueError(f"anchors missing features: {sorted(missing)}")
     base = df.select(
         F.col(id_col), *[F.expr(sql).alias(n) for n, sql in feats.items()]
     )
-    mm = base.agg(
-        *[F.min(n).alias(f"__mn_{n}") for n in names],
-        *[F.max(n).alias(f"__mx_{n}") for n in names],
-    ).collect()[0]
     t = F.lit(float(weights["__bias"]))
     for n in names:
-        mn, mx = float(mm[f"__mn_{n}"]), float(mm[f"__mx_{n}"])
+        mn, mx = anchors[n]
         rng = mx - mn if mx > mn else 1.0
         t = t + F.lit(float(weights[n])) * ((F.col(n) - F.lit(mn)) / F.lit(rng))
     p = F.floor((F.lit(1.0) / (F.lit(1.0) + F.exp(-t))) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
@@ -170,12 +206,15 @@ def logreg_train_and_score(
 ) -> DataFrame:
     """Train on ``df`` then score every row with the trained weights:
     ``(id, p)`` — the full gate pipeline (fit + apply) in one call,
-    sharing the scaling anchors between the two phases."""
+    sharing the train-time scaling anchors between the two phases."""
     w_rows = logreg_train(
         df, features=features, label_sql=label_sql, iters=iters, lr=lr
     ).collect()
     weights = {r["term"]: r["weight"] for r in w_rows}
-    return logreg_predict(df, weights, features=features, id_col=id_col)
+    anchors = minmax_anchors(df, features=features)
+    return logreg_predict(
+        df, weights, features=features, id_col=id_col, anchors=anchors
+    )
 
 
 def logreg_train_sql(
