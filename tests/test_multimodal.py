@@ -353,6 +353,39 @@ def test_avi_roundtrip_and_sniff():
         codecs.decode_avi(b"\x00" * 32)
 
 
+def test_avi_top_down_negative_biheight():
+    """A legal top-down AVI (negative biHeight, rows stored top-to-bottom)
+    must decode to the same frames as its bottom-up twin, not vertically
+    flipped.  Built by byte-surgery on the encoder's bottom-up output:
+    negate biHeight in strf and reverse each frame chunk's row order."""
+    import struct
+
+    from trend_o_meter_spark.llm import codecs
+
+    h, w = 4, 5
+    frames = _test_frames(2, h, w)
+    data = bytearray(codecs.encode_avi(frames, fps=9))
+    # strf payload: biSize(4) biWidth(4) biHeight(4) ...
+    strf = data.index(b"strf") + 8
+    (bh,) = struct.unpack_from("<i", data, strf + 8)
+    assert bh == h
+    struct.pack_into("<i", data, strf + 8, -h)
+    stride = w * 3 + ((-(w * 3)) % 4)
+    pos = 0
+    while True:
+        try:
+            pos = data.index(b"00db", pos)
+        except ValueError:
+            break
+        body = pos + 8
+        rows = [bytes(data[body + i * stride : body + (i + 1) * stride]) for i in range(h)]
+        data[body : body + h * stride] = b"".join(reversed(rows))
+        pos = body
+    back, fps = codecs.decode_avi(bytes(data))
+    assert fps == 9
+    np.testing.assert_array_equal(back, frames)
+
+
 def test_avi_rejects_compressed_streams():
     import struct
 

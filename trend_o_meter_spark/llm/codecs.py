@@ -255,11 +255,15 @@ def _dib_body(arr: np.ndarray) -> bytes:
     return bgr.tobytes()
 
 
-def _dib_frame(data: bytes, offset: int, w: int, h: int) -> np.ndarray:
+def _dib_frame(
+    data: bytes, offset: int, w: int, h: int, top_down: bool = False
+) -> np.ndarray:
     row_bytes = w * 3
     stride = row_bytes + ((-row_bytes) % 4)
     px = np.frombuffer(data, dtype=np.uint8, count=h * stride, offset=offset)
     rows = px.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    if top_down:  # negative biHeight: rows already top-to-bottom
+        return rows[:, :, ::-1].copy()  # BGR -> RGB only
     return rows[::-1, :, ::-1].copy()  # bottom-up BGR -> top-down RGB
 
 
@@ -302,11 +306,12 @@ def decode_avi(data: bytes) -> "tuple[np.ndarray, int]":
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     w = h = None
+    top_down = False
     fps = 0
     frames: list[np.ndarray] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal w, h, fps
+        nonlocal w, h, fps, top_down
         while pos + 8 <= end:
             cid, size = _CHUNK_HDR.unpack_from(data, pos)
             pos += 8
@@ -327,11 +332,13 @@ def decode_avi(data: bytes) -> "tuple[np.ndarray, int]":
                     raise NotImplementedError(
                         f"only 24-bit BI_RGB frames supported (bpp={bpp}, comp={comp})"
                     )
-                w, h = bw, abs(bh_signed)
+                # negative biHeight = legal top-down DIB (rows stored
+                # top-to-bottom); honored rather than silently flipped
+                w, h, top_down = bw, abs(bh_signed), bh_signed < 0
             elif cid in (b"00db", b"00dc"):
                 if w is None:
                     raise ValueError("AVI frame chunk before stream format")
-                frames.append(_dib_frame(data, pos, w, h))
+                frames.append(_dib_frame(data, pos, w, h, top_down))
             pos += size + (size % 2)
 
     walk(12, 8 + struct.unpack_from("<I", data, 4)[0])
