@@ -206,3 +206,54 @@ def test_kmv_global_sketch_matches_keyed_union(spark):
         .collect()
     )[:16]
     assert list(got) == want
+
+
+def test_bloom_no_false_negatives_merge_and_idempotence(spark):
+    """Bloom invariants: every present key probes maybe_present (no
+    false negatives); shard filters union-merge to exactly the filter
+    of the union; the merge is idempotent (replay-safe)."""
+    from trend_o_meter_spark.operators.bloom import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = table(spark, "events", sf)
+    filt = bloom_build(ev, key="user_id", keys=("event_type",), m=2048, k=3)
+
+    present = ev.select("event_type", "user_id").distinct()
+    probed = bloom_probe(
+        filt, present, key="user_id", keys=("event_type",), m=2048, k=3
+    )
+    assert probed.filter("NOT maybe_present").count() == 0
+
+    a = bloom_build(
+        ev.filter(F.col("event_id") % 2 == 0), key="user_id", keys=("event_type",)
+    )
+    b = bloom_build(
+        ev.filter(F.col("event_id") % 2 == 1), key="user_id", keys=("event_type",)
+    )
+    merged = sorted(map(tuple, bloom_merge(a, b, keys=("event_type",)).collect()))
+    want = sorted(map(tuple, filt.collect()))
+    assert merged == want
+    # idempotent: merging a shard with itself changes nothing
+    again = sorted(map(tuple, bloom_merge(a, a, keys=("event_type",)).collect()))
+    assert again == sorted(map(tuple, a.collect()))
+
+
+def test_bloom_fp_rate_shrinks_with_m(spark):
+    """Absent keys false-positive at the standard Bloom rate: a cramped
+    filter (m ~ n) misfires often, a sized one (m >> k*n) rarely."""
+    from trend_o_meter_spark.operators.bloom import bloom_build, bloom_probe
+
+    members = spark.createDataFrame([(f"in{i}",) for i in range(200)], "k string")
+    absent = spark.createDataFrame([(f"out{i}",) for i in range(500)], "k string")
+
+    def fp(m):
+        filt = bloom_build(members, key="k", m=m, k=3)
+        probed = bloom_probe(filt, absent, key="k", m=m, k=3)
+        return probed.filter("maybe_present").count() / 500
+
+    assert fp(256) > 0.3      # n=200 into m=256 bits: saturated
+    assert fp(8192) < 0.02    # m/n = 41, k=3: fp ~ (1-e^-0.073)^3 ~ 3e-4

@@ -1346,3 +1346,46 @@ def test_stream_kmv_equals_batch_sketch_and_replay_safe(spark, tmp_path):
         for r in kmv_sketch(full, keys=("k",), id_col="uid", k=16).collect()
     )
     assert results[1] == want
+
+
+def test_stream_bloom_equals_batch_filter(spark, tmp_path):
+    """The streaming Bloom filter (per-batch partial set-bit rows,
+    union-distinct merge) must be bit-identical to the batch filter over
+    the union, and a REPLAYED batch (at-least-once delivery) must not
+    change it — the idempotence contract, live."""
+    from trend_o_meter_spark.operators.bloom import bloom_build, bloom_probe
+    from trend_o_meter_spark.streaming.pipeline import stream_bloom
+
+    rows = [("t%d" % (i % 3), "u%d" % i) for i in range(120)]
+    b1, b2 = rows[:70], rows[70:]
+    schema = "event_type string, user_id string"
+    results = {}
+    per_batch = stream_bloom(
+        state_path=str(tmp_path / "bits"),
+        keys=("event_type",),
+        key="user_id",
+        on_result=lambda bid, df: results.update(
+            {bid: sorted(map(tuple, df.collect()))}
+        ),
+    )
+    per_batch(spark.createDataFrame(b1, schema), 0)
+    per_batch(spark.createDataFrame(b2, schema), 1)
+    # at-least-once: batch 1 re-delivered under the same id
+    per_batch(spark.createDataFrame(b2, schema), 1)
+
+    full = spark.createDataFrame(rows, schema)
+    want = sorted(
+        map(tuple, bloom_build(full, key="user_id", keys=("event_type",)).collect())
+    )
+    assert results[1] == want
+    # and the merged live filter has no false negatives on the members
+    merged = spark.createDataFrame(
+        [tuple(r) for r in results[1]], "event_type string, pos bigint"
+    )
+    probed = bloom_probe(
+        merged,
+        full.select("event_type", "user_id").distinct(),
+        key="user_id",
+        keys=("event_type",),
+    )
+    assert probed.filter("NOT maybe_present").count() == 0

@@ -638,3 +638,48 @@ def stream_kmv(
             on_result(batch_id, merge(state))
 
     return per_batch
+
+
+def stream_bloom(
+    *,
+    state_path: str,
+    keys: tuple[str, ...] = ("event_type",),
+    key: str = "user_id",
+    m: int = 2048,
+    k: int = 3,
+    compact_every: int = 25,
+    on_result: "object" = None,
+):
+    """Live set-membership sketching: the streaming twin of
+    ``operators.bloom`` (sixth mergeable family) — each micro-batch
+    writes its PARTIAL per-group set-bit rows to the shared
+    replay-idempotent state table; the merged filter (union-distinct)
+    is re-read and handed to ``on_result(batch_id, DataFrame)``, ready
+    for ``bloom_probe``.
+
+    Like HLL and KMV (and unlike the additive CMS/histogram/moments
+    merges), the Bloom merge is IDEMPOTENT — a replayed partial sets
+    bits that are already set — so at-least-once delivery cannot skew
+    the filter.  Returns the ``foreachBatch`` callable.
+    """
+    from ..operators.bloom import bloom_build, bloom_merge
+    from .statestore import PartialStateTable
+
+    st = PartialStateTable(state_path)
+
+    def merge(df: DataFrame) -> DataFrame:
+        return bloom_merge(df, keys=keys)
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            st.compact(spark, transform=merge)
+        if not batch_df.isEmpty():
+            st.append(bloom_build(batch_df, key=key, keys=keys, m=m, k=k), batch_id)
+        state = st.read(spark)
+        if state is None:  # state path not created yet (all-empty batches)
+            return
+        if on_result is not None:
+            on_result(batch_id, merge(state))
+
+    return per_batch

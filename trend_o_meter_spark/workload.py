@@ -48,6 +48,7 @@ from . import functions as tfn
 from .catalog import table
 from .llm import bpe, classifier, cluster, dedup, funnel, multimodal, similarity, text
 from .operators import (
+    bloom,
     asof,
     cms,
     daybins,
@@ -127,6 +128,7 @@ _SCORE_FIRST = (
     "dsir_resample",
     "semantic_dedup",
     "audio_features",
+    "bloom_membership",  # round-5 addition (sixth sketch family) — never scored
     # --- remaining driver slots: stalest previously-scored verdicts
     # (r2/r3-dated), oldest first, so the cross-round union keeps aging
     # uniformly.  sketch_rollup is fronted because its oracle changed
@@ -727,6 +729,25 @@ def sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir)
     return cms.cms_heavy_hitters(ev, key="user_id", width=64, depth=4)
+
+
+@_q(
+    "bloom_membership",
+    bloom.bloom_membership_stats_sql("events", key="user_id", group="event_type",
+                                     m=2048, k=3),
+    doc="Bloom filter membership (sixth mergeable sketch family: set "
+    "membership with no false negatives): per event_type filters over "
+    "user_id as sparse set-bit rows (<= m per group), probed by the "
+    "full distinct-user universe; output counts present/maybe/false-"
+    "positive per group. Shared md5 positions make every set bit "
+    "oracle-checkable; filters merge by idempotent union-distinct "
+    "(replay-safe streaming twin: streaming.stream_bloom).",
+)
+def bloom_membership_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    return bloom.bloom_membership_stats(
+        ev, key="user_id", group="event_type", m=2048, k=3
+    )
 
 
 @_q(
