@@ -1519,3 +1519,60 @@ def test_logreg_predict_separates_language(spark):
     )
     means = {r["is_en"]: r["mean_p"] for r in agg.collect()}
     assert means[True] > means[False], means
+
+
+def test_exact_substr_spans_semantics(spark):
+    """Character-level ExactSubstr pins: the maximal shared region —
+    passage INCLUDING its shared flanking spaces — is cut from BOTH
+    docs (no survivor); a within-doc self-repeat is cut; short or
+    unique docs pass through; lengths reconcile."""
+    from trend_o_meter_spark.llm.dedup import exact_substr_spans
+
+    passage = "abcdefghij" * 4  # 40 chars, >= L
+    rows = [
+        (0, f"unique-head-zero {passage} unique-tail-zero"),
+        (1, f"other-head-one {passage} other-tail-one"),
+        (2, "entirely original text with nothing repeated anywhere here"),
+        (3, "tiny"),                       # shorter than L
+        (4, f"x {passage} y {passage} z"),  # self-repeat inside one doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in exact_substr_spans(df, min_len=40).collect()}
+
+    # the shared passage is cut from BOTH copies (no survivor); the
+    # flanking spaces are part of the shared region (" passage " occurs
+    # in every copy) so exact semantics cuts them too
+    assert out[0]["clean_text"] == "unique-head-zerounique-tail-zero"
+    assert out[1]["clean_text"] == "other-head-oneother-tail-one"
+    # self-repeat: both in-doc copies cut, unique separators kept
+    assert out[4]["clean_text"] == "xyz"
+    # untouched docs
+    assert out[2]["clean_text"] == rows[2][1]
+    assert out[3]["clean_text"] == rows[3][1] and out[3]["n_removed_chars"] == 0
+    # length reconciliation everywhere
+    for r in out.values():
+        assert len(r["clean_text"]) == r["n_chars"] - r["n_removed_chars"]
+
+
+def test_exact_substr_spans_interval_merge(spark):
+    """Two extended intervals overlapping by one character must merge
+    into a single contiguous cut: doc 0 is c1 and c2 OVERLAPPED on the
+    shared 'Z' (39 chars), with c1 duplicated in doc 1 and c2 in doc 2."""
+    from trend_o_meter_spark.llm.dedup import exact_substr_spans
+
+    c1 = "A" * 19 + "Z"          # 20 chars
+    c2 = "Z" + "B" * 19          # 20 chars
+    rows = [
+        (0, f"head {c1}{'B' * 19} tail"),  # = c1 overlapped with c2 on 'Z'
+        (1, f"left.{c1}.right"),
+        (2, f"lead.{c2}.end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in exact_substr_spans(df, min_len=20).collect()}
+    # doc 0: marked starts at the c1 window and the c2 window only
+    # (islands 19 apart), extensions [p, p+19] and [p+19, p+38] overlap
+    # at p+19 -> ONE merged 39-char cut
+    assert out[0]["clean_text"] == "head  tail"
+    assert out[0]["n_removed_chars"] == 39
+    for r in out.values():
+        assert len(r["clean_text"]) == r["n_chars"] - r["n_removed_chars"]
