@@ -78,6 +78,10 @@ HEADLINE = (
     "kmv_user_overlap",
     "asof_nearest_orders",
     "variant_extract_props",
+    # round-5 operator families: Bloom membership (sixth sketch family)
+    # and the exact character-level ExactSubstr
+    "bloom_membership",
+    "exact_substr_spans",
 )
 
 

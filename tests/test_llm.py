@@ -1576,3 +1576,28 @@ def test_exact_substr_spans_interval_merge(spark):
     assert out[0]["n_removed_chars"] == 39
     for r in out.values():
         assert len(r["clean_text"]) == r["n_chars"] - r["n_removed_chars"]
+
+
+def test_bloom_contamination_overshoots_exact_only(spark):
+    """The Bloom count can only OVERSHOOT the exact contamination count
+    (no false negatives), and with a generous filter it matches exactly
+    on a corpus where contamination is planted."""
+    from trend_o_meter_spark.llm.dedup import bloom_contamination
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, bench_text),                                     # the eval doc
+        (1, f"noise words here {bench_text} more noise"),    # contaminated
+        (2, "totally clean document with its own words only entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = df.filter("doc_id = 0")
+    out = {
+        r["doc_id"]: r
+        for r in bloom_contamination(df, bench, shingle_n=3, m=4096, k=3).collect()
+    }
+    for r in out.values():
+        assert r["n_maybe_contaminated"] >= r["n_contaminated"]
+    assert out[1]["n_contaminated"] == 8   # the 8 shingles of the planted span
+    assert out[0]["n_contaminated"] == out[0]["n_grams"]  # the bench doc itself
+    assert out[2]["n_contaminated"] == 0

@@ -130,6 +130,7 @@ _SCORE_FIRST = (
     "audio_features",
     "bloom_membership",  # round-5 addition (sixth sketch family) — never scored
     "exact_substr_spans",  # round-5 addition (true char-level ExactSubstr)
+    "bloom_contamination",  # round-5 addition (sketch-scale decontamination)
     # --- remaining driver slots: stalest previously-scored verdicts
     # (r2/r3-dated), oldest first, so the cross-round union keeps aging
     # uniformly.  sketch_rollup is fronted because its oracle changed
@@ -3143,3 +3144,22 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     bench = d.filter(F.col("doc_id") % 97 == 0)
     return dedup.contamination_check(d, bench, shingle_n=4)
+
+
+@_q(
+    "bloom_contamination",
+    dedup.bloom_contamination_sql(
+        "documents", "(SELECT * FROM documents WHERE doc_id % 97 = 0)",
+        shingle_n=4, m=8192, k=3,
+    ),
+    doc="Decontamination at sketch scale: a Bloom filter over the eval "
+    "set's 4-gram shingles (O(m bits) broadcast however large the "
+    "suite) flags maybe-contaminated corpus grams in one scan, next to "
+    "the exact count as the eval harness — the Bloom column can only "
+    "overshoot (no false negatives). Same bench split as "
+    "contamination_check; shared md5 positions keep it hash-exact.",
+)
+def bloom_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return dedup.bloom_contamination(d, bench, shingle_n=4, m=8192, k=3)
