@@ -1507,11 +1507,17 @@ def test_logreg_predict_separates_language(spark):
     """The trained weights carry real signal: mean predicted p(en) on
     English documents exceeds mean p on the rest of the corpus."""
     from trend_o_meter_spark.catalog import table
-    from trend_o_meter_spark.llm.classifier import logreg_predict, logreg_train
+    from trend_o_meter_spark.llm.classifier import (
+        logreg_predict,
+        logreg_train,
+        minmax_anchors,
+    )
 
     d = table(spark, "documents", "/root/testdata/sf0.001")
     w = {r["term"]: r["weight"] for r in logreg_train(d, iters=5, lr=1.0).collect()}
-    scored = logreg_predict(d, w).join(d.select("doc_id", "lang"), "doc_id")
+    scored = logreg_predict(d, w, anchors=minmax_anchors(d)).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
     from pyspark.sql import functions as F
 
     agg = scored.groupBy((F.col("lang") == "en").alias("is_en")).agg(
