@@ -1607,3 +1607,29 @@ def test_bloom_contamination_overshoots_exact_only(spark):
     assert out[1]["n_contaminated"] == 8   # the 8 shingles of the planted span
     assert out[0]["n_contaminated"] == out[0]["n_grams"]  # the bench doc itself
     assert out[2]["n_contaminated"] == 0
+
+
+def test_bpe_encode_vocab_equals_fold_encoder(spark):
+    """The vocab-path encoder (distinct-word mapInPandas kernel, constant
+    expression depth) must equal the fold encoder exactly — on the
+    reference corpus with learned rules AND on real documents with the
+    registry's fixed rules (empty-doc zero rows included)."""
+    from trend_o_meter_spark.catalog import table as cat_table
+    from trend_o_meter_spark.llm.bpe import bpe_encode, bpe_encode_vocab, bpe_train
+
+    texts = ["low lower lowest", "new newer newest newest", "low low new wider wide", "   "]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rules = [
+        (r["left"], r["right"])
+        for r in bpe_train(df, num_merges=10).orderBy("rank").collect()
+    ]
+    a = sorted(map(tuple, bpe_encode(df, rules).collect()))
+    b = sorted(map(tuple, bpe_encode_vocab(df, rules).collect()))
+    assert a == b
+    assert dict(a)[3] == 0  # whitespace-only doc reported, not dropped
+
+    docs = cat_table(spark, "documents", "/root/testdata/sf0.001").limit(120)
+    fixed = [("t", "h"), ("th", "e</w>"), ("i", "n"), ("a", "n")]
+    a2 = sorted(map(tuple, bpe_encode(docs, fixed).collect()))
+    b2 = sorted(map(tuple, bpe_encode_vocab(docs, fixed).collect()))
+    assert a2 == b2

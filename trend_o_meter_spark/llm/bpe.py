@@ -201,3 +201,62 @@ def bpe_encode(
         F.col(id_col),
         F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_tokens_bpe"),
     )
+
+
+def bpe_encode_vocab(
+    df: DataFrame,
+    rules: list[tuple[str, str]],
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scale-path encode: identical output to :func:`bpe_encode`, but
+    each DISTINCT word is encoded once and joined back, and the merge
+    loop runs as an Arrow-batched Python kernel instead of an
+    O(num_rules)-deep Catalyst expression tree.
+
+    Why: word-level BPE is context-free, so per-doc token counts are a
+    word-table computation — vocab-sized, not corpus-sized (the same
+    insight the trainer rests on).  And the fold encoder nests one
+    ``F.aggregate`` per rule, which is fine at 20 rules and analysis-
+    breaking at a production 50k; here the rule list is a closure over
+    a ``mapInPandas`` kernel applying the SAME sequential left-to-right
+    semantics (``_merge_word`` in rank order, with a symbol-membership
+    guard that skips rules whose parts can't occur), so expression
+    depth is constant in ``num_rules``.  Equality with the fold encoder
+    is test-pinned.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(_norm(F.col(text)), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    vocab = words.select("word").distinct()
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ns = []
+            for w in pdf["word"]:
+                syms = list(w) + [EOW]
+                have = set(syms)
+                for a, b in rules:
+                    if a in have and b in have:
+                        merged = _merge_word(syms, a, b)
+                        if len(merged) != len(syms):
+                            syms = merged
+                            have = set(syms)
+                ns.append(len(syms))
+            yield pd.DataFrame({"word": pdf["word"], "__n": ns})
+
+    encoded = vocab.mapInPandas(encode_batches, "word string, __n long")
+    counts = (
+        words.join(encoded, "word")
+        .groupBy(id_col)
+        .agg(F.sum("__n").cast("long").alias("__total"))
+    )
+    allk = df.select(F.col(id_col)).distinct()
+    return allk.join(counts, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("__total"), F.lit(0)).cast("long").alias("n_tokens_bpe"),
+    )

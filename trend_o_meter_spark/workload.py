@@ -2336,17 +2336,20 @@ _BPE_FIXED_RULES = [("t", "h"), ("th", "e</w>"), ("i", "n"), ("a", "n")]
 
 @_q(
     "bpe_encode_fixed",
-    None,  # the left-to-right non-overlapping merge fold has no clean SQL
+    None,  # the left-to-right non-overlapping merge loop has no clean SQL
     # twin (string-replace approximations break on shared delimiters);
     # encode correctness is pinned vs the python reference in tests
     doc="BPE encoding with a fixed rule list: tokens-per-doc after "
     "applying 4 merges in rank order — the compression measurement on "
-    "the corpus; each rule is a corpus-wide map-side fold, no shuffle "
-    "until the final per-doc sum.  Rows-only by design.",
+    "the corpus, via the scale path: each DISTINCT word is encoded "
+    "once by an Arrow-batched kernel (constant expression depth in "
+    "num_rules, unlike the fold encoder's O(rules)-deep tree) and "
+    "joined back.  Fold/vocab equality is test-pinned.  Rows-only by "
+    "design.",
 )
 def bpe_encode_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
-    return bpe.bpe_encode(d, _BPE_FIXED_RULES)
+    return bpe.bpe_encode_vocab(d, _BPE_FIXED_RULES)
 
 
 @_q(
