@@ -1633,3 +1633,34 @@ def test_bpe_encode_vocab_equals_fold_encoder(spark):
     a2 = sorted(map(tuple, bpe_encode(docs, fixed).collect()))
     b2 = sorted(map(tuple, bpe_encode_vocab(docs, fixed).collect()))
     assert a2 == b2
+
+
+def test_logreg_hashed_separates_token_classes(spark):
+    """The hashed bag-of-words classifier must separate classes that are
+    token-predictable (the fixture's lang label is independent of its
+    tokens — every language shares one 31-word vocabulary — so the test
+    plants two distinct vocabularies), and scores are deterministic."""
+    import random
+
+    from trend_o_meter_spark.llm.classifier import logreg_hashed_train_and_score
+
+    rng = random.Random(3)
+    pos_vocab = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    neg_vocab = ["omega", "sigma", "tau", "kappa", "lambda"]
+    rows = []
+    for i in range(120):
+        vocab = pos_vocab if i % 2 == 0 else neg_vocab
+        words = [vocab[rng.randrange(5)] for _ in range(20)]
+        rows.append((i, " ".join(words), "pos" if i % 2 == 0 else "neg"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string").cache()
+    scored = logreg_hashed_train_and_score(
+        df, label_sql="lang = 'pos'", n_features=64, iters=6, lr=1.0
+    ).join(df.select("doc_id", "lang"), "doc_id")
+    got = scored.collect()
+    pos = [r["p"] for r in got if r["lang"] == "pos"]
+    neg = [r["p"] for r in got if r["lang"] == "neg"]
+    assert min(pos) > max(neg)  # fully separable vocabularies
+    again = logreg_hashed_train_and_score(
+        df, label_sql="lang = 'pos'", n_features=64, iters=6, lr=1.0
+    ).collect()
+    assert {r["doc_id"]: r["p"] for r in got} == {r["doc_id"]: r["p"] for r in again}

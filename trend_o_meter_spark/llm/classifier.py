@@ -328,3 +328,295 @@ SELECT {id_col},
   floor((1.0 / (1.0 + exp(-({zt})))) * 1000000.0 + 0.5) / 1000000.0 AS p
 FROM scored_base, st, {wf}
 """
+
+
+# --- hashed bag-of-words logistic regression (fastText-style) ---------------
+
+
+def _hashed_feats(df: DataFrame, *, text: str, id_col: str, n_features: int):
+    """Sparse term-frequency rows ``(did, bucket, tf)`` — tokens of the
+    normalized text hashed into ``n_features`` buckets (shared md5), tf
+    = bucket count / doc token count.  The feature map needs no
+    vocabulary and no fitting: the standard hashing trick (Weinberger
+    et al. 2009), which is what makes the classifier trainable in one
+    pass over any corpus size."""
+    from ..llm.hashing import md5_int
+    from .dedup import _norm
+
+    toks = df.select(
+        F.col(id_col).alias("did"),
+        F.explode(F.split(_norm(F.col(text)), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    bucket = md5_int(F.concat(F.lit("f:"), F.col("tok"))) % n_features
+    counts = toks.select("did", bucket.alias("bucket")).groupBy("did", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    lens = toks.groupBy("did").agg(F.count(F.lit(1)).alias("len"))
+    return counts.join(lens, "did").select(
+        "did", "bucket", (F.col("cnt").cast("double") / F.col("len")).alias("tf")
+    )
+
+
+def logreg_hashed_train(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    label_sql: str = "lang = 'en'",
+    n_features: int = 64,
+    iters: int = 3,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Sparse-feature batch-GD logistic regression over hashed
+    bag-of-words — the fastText/CCNet-style quality/language gate, with
+    no vocabulary to fit and no dense feature columns to enumerate.
+
+    Output: ``(term, weight)`` rows — ``__bias`` plus ``b<bucket>`` per
+    feature bucket PRESENT in the corpus, 1e-9-quantized.
+
+    Scale shape per iteration: one broadcast join of the KB-sized
+    weight table onto the sparse feature rows + a did-keyed integer sum
+    (the logits), then an err join back + a bucket-keyed integer sum
+    (the gradients) — two keyed shuffles, driver state O(n_features)
+    scalars.  Same determinism discipline as :func:`logreg_train`
+    (per-row 1e-9 BIGINT quantization before every sum, 1e-6 sigmoid,
+    shared away-from-zero quantizer), so the DuckDB oracle is
+    hash-exact."""
+    feats = _hashed_feats(df, text=text, id_col=id_col, n_features=n_features)
+    labels = df.select(
+        F.col(id_col).alias("did"), F.expr(f"CAST(({label_sql}) AS INT)").alias("y")
+    )
+    feats = feats.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+    n_rows = labels.count()
+    present = sorted(r["bucket"] for r in feats.select("bucket").distinct().collect())
+    spark = df.sparkSession
+
+    def qint(col):
+        return (
+            F.when(col >= 0, F.floor(col + F.lit(0.5)))
+            .otherwise(-F.floor(-col + F.lit(0.5)))
+            .cast("long")
+        )
+
+    w = {bkt: 0.0 for bkt in present}
+    b = 0.0
+    lr = float(lr)
+    for _ in range(int(iters)):
+        wdf = spark.createDataFrame(
+            [(int(k), float(v)) for k, v in w.items()], "bucket long, w double"
+        )
+        logits = (
+            feats.join(F.broadcast(wdf), "bucket")
+            .select("did", qint(F.col("w") * F.col("tf") * F.lit(1e9)).alias("__c"))
+            .groupBy("did")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        t = F.lit(b) + F.coalesce(F.col("__s"), F.lit(0)).cast("double") / F.lit(1e9)
+        p = F.floor((F.lit(1.0) / (F.lit(1.0) + F.exp(-t))) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        zp = labels.join(logits, "did", "left").select(
+            "did", "y", p.alias("p")
+        )
+        gb = zp.agg(F.sum(qint((F.col("p") - F.col("y")) * F.lit(1e9))).alias("sb")).collect()[0]
+        grows = (
+            feats.join(zp, "did")
+            .select(
+                "bucket",
+                qint((F.col("p") - F.col("y")) * F.col("tf") * F.lit(1e9)).alias("__g"),
+            )
+            .groupBy("bucket")
+            .agg(F.sum("__g").alias("__gs"))
+            .collect()
+        )
+        b = _q(b - lr * (float(gb["sb"]) / 1e9 / n_rows), 1e9)
+        for r in grows:
+            k = r["bucket"]
+            w[k] = _q(w[k] - lr * (float(r["__gs"]) / 1e9 / n_rows), 1e9)
+    return spark.createDataFrame(
+        [("__bias", b)] + [(f"b{k}", w[k]) for k in present],
+        "term string, weight double",
+    )
+
+
+def logreg_hashed_train_and_score(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    label_sql: str = "lang = 'en'",
+    n_features: int = 64,
+    iters: int = 3,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Fit the hashed classifier on ``df`` then score every row:
+    ``(id, p)`` — docs with no tokens score at the bias alone."""
+    wrows = logreg_hashed_train(
+        df, text=text, id_col=id_col, label_sql=label_sql,
+        n_features=n_features, iters=iters, lr=lr,
+    ).collect()
+    b = next(r["weight"] for r in wrows if r["term"] == "__bias")
+    wmap = [(int(r["term"][1:]), r["weight"]) for r in wrows if r["term"] != "__bias"]
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(wmap or [(0, 0.0)], "bucket long, w double")
+    feats = _hashed_feats(df, text=text, id_col=id_col, n_features=n_features)
+
+    def qint(col):
+        return (
+            F.when(col >= 0, F.floor(col + F.lit(0.5)))
+            .otherwise(-F.floor(-col + F.lit(0.5)))
+            .cast("long")
+        )
+
+    logits = (
+        feats.join(F.broadcast(wdf), "bucket")
+        .select("did", qint(F.col("w") * F.col("tf") * F.lit(1e9)).alias("__c"))
+        .groupBy("did")
+        .agg(F.sum("__c").alias("__s"))
+    )
+    t = F.lit(float(b)) + F.coalesce(F.col("__s"), F.lit(0)).cast("double") / F.lit(1e9)
+    p = F.floor((F.lit(1.0) / (F.lit(1.0) + F.exp(-t))) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    allk = df.select(F.col(id_col).alias("did"))
+    return allk.join(logits, "did", "left").select(
+        F.col("did").alias(id_col), p.alias("p")
+    )
+
+
+def _hashed_sql_parts(
+    table: str, *, text: str, id_col: str, label_sql: str, n_features: int
+) -> list[str]:
+    from ..llm.hashing import md5_int_sql
+    from .dedup import NORM_SQL
+
+    norm = NORM_SQL.format(c=text)
+    bucket = md5_int_sql("'f:' || tok")
+    return [
+        f"base AS (SELECT {id_col} AS did, CAST(({label_sql}) AS INT) AS y FROM {table})",
+        f"""toks AS (
+  SELECT {id_col} AS did, t.tok FROM {table},
+  unnest(str_split({norm}, ' ')) AS t(tok) WHERE t.tok != ''
+)""",
+        "lens AS (SELECT did, count(*) AS len FROM toks GROUP BY 1)",
+        f"""bcnt AS (
+  SELECT did, {bucket} % {n_features} AS bucket, count(*) AS cnt
+  FROM toks GROUP BY 1, 2
+)""",
+        """feats AS (
+  SELECT b.did, b.bucket, CAST(b.cnt AS DOUBLE) / l.len AS tf
+  FROM bcnt b JOIN lens l USING (did)
+)""",
+        "w0 AS (SELECT DISTINCT bucket, 0.0 AS w FROM feats)",
+        "b0 AS (SELECT 0.0 AS b)",
+    ]
+
+
+def _hashed_sql_iters(iters: int, lr: float) -> list[str]:
+    lr_lit = repr(float(lr))
+
+    def qint(expr: str) -> str:
+        return (
+            f"CAST(CASE WHEN ({expr}) >= 0 THEN floor(({expr}) + 0.5) "
+            f"ELSE -floor(-({expr}) + 0.5) END AS BIGINT)"
+        )
+
+    parts = []
+    for i in range(1, int(iters) + 1):
+        t = f"b{i-1}.b + CAST(coalesce(c.s, 0) AS DOUBLE) / 1000000000.0"
+        p = f"floor((1.0 / (1.0 + exp(-({t})))) * 1000000.0 + 0.5) / 1000000.0"
+        parts.append(
+            f"""c{i} AS (
+  SELECT f.did, sum({qint('w.w * f.tf * 1000000000.0')}) AS s
+  FROM feats f JOIN w{i-1} w USING (bucket) GROUP BY 1
+)"""
+        )
+        parts.append(
+            f"""zp{i} AS (
+  SELECT l.did, l.y, {p} AS p
+  FROM base l LEFT JOIN c{i} c USING (did), b{i-1}
+)"""
+        )
+        parts.append(
+            f"""g{i} AS (
+  SELECT f.bucket, sum({qint('(zp.p - zp.y) * f.tf * 1000000000.0')}) AS g
+  FROM feats f JOIN zp{i} zp USING (did) GROUP BY 1
+)"""
+        )
+        parts.append(
+            f"gb{i} AS (SELECT count(*) AS n, "
+            f"sum({qint('(p - y) * 1000000000.0')}) AS sb FROM zp{i})"
+        )
+        parts.append(
+            f"b{i} AS (SELECT "
+            + _q_sql(
+                f"b{i-1}.b - {lr_lit} * (CAST(sb AS DOUBLE) / 1000000000.0 / n)",
+                "1000000000.0",
+            )
+            + f" AS b FROM b{i-1}, gb{i})"
+        )
+        parts.append(
+            f"w{i} AS (SELECT w.bucket, "
+            + _q_sql(
+                f"w.w - {lr_lit} * (CAST(g.g AS DOUBLE) / 1000000000.0 / n)",
+                "1000000000.0",
+            )
+            + f" AS w FROM w{i-1} w JOIN g{i} g USING (bucket), gb{i})"
+        )
+    return parts
+
+
+def logreg_hashed_train_sql(
+    table: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    label_sql: str = "lang = 'en'",
+    n_features: int = 64,
+    iters: int = 3,
+    lr: float = 0.5,
+) -> str:
+    parts = _hashed_sql_parts(
+        table, text=text, id_col=id_col, label_sql=label_sql, n_features=n_features
+    ) + _hashed_sql_iters(iters, lr)
+    k = int(iters)
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT '__bias' AS term, b AS weight FROM b{k}
+UNION ALL
+SELECT 'b' || CAST(bucket AS VARCHAR), w FROM w{k}
+"""
+    )
+
+
+def logreg_hashed_score_sql(
+    table: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    label_sql: str = "lang = 'en'",
+    n_features: int = 64,
+    iters: int = 3,
+    lr: float = 0.5,
+) -> str:
+    def qint(expr: str) -> str:
+        return (
+            f"CAST(CASE WHEN ({expr}) >= 0 THEN floor(({expr}) + 0.5) "
+            f"ELSE -floor(-({expr}) + 0.5) END AS BIGINT)"
+        )
+
+    parts = _hashed_sql_parts(
+        table, text=text, id_col=id_col, label_sql=label_sql, n_features=n_features
+    ) + _hashed_sql_iters(iters, lr)
+    k = int(iters)
+    t = f"b{k}.b + CAST(coalesce(c.s, 0) AS DOUBLE) / 1000000000.0"
+    p = f"floor((1.0 / (1.0 + exp(-({t})))) * 1000000.0 + 0.5) / 1000000.0"
+    parts.append(
+        f"""cf AS (
+  SELECT f.did, sum({qint('w.w * f.tf * 1000000000.0')}) AS s
+  FROM feats f JOIN w{k} w USING (bucket) GROUP BY 1
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT l.did AS {id_col}, {p} AS p
+FROM base l LEFT JOIN cf c USING (did), b{k}
+"""
+    )

@@ -131,6 +131,8 @@ _SCORE_FIRST = (
     "bloom_membership",  # round-5 addition (sixth sketch family) — never scored
     "exact_substr_spans",  # round-5 addition (true char-level ExactSubstr)
     "bloom_contamination",  # round-5 addition (sketch-scale decontamination)
+    "logreg_hashed_weights",  # round-5 addition (hashed sparse classifier)
+    "logreg_hashed_scores",
     # --- remaining driver slots: stalest previously-scored verdicts
     # (r2/r3-dated), oldest first, so the cross-round union keeps aging
     # uniformly.  sketch_rollup is fronted because its oracle changed
@@ -2513,6 +2515,34 @@ def logreg_lang_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def logreg_lang_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return classifier.logreg_train_and_score(d)
+
+
+@_q(
+    "logreg_hashed_weights",
+    classifier.logreg_hashed_train_sql("documents", n_features=64, iters=2),
+    doc="fastText-style hashed bag-of-words logistic regression (the "
+    "vocabulary-free hashing trick, Weinberger et al. 2009): sparse "
+    "(did, bucket, tf) rows, per-iteration one broadcast weight join + "
+    "did-keyed integer logit sum + bucket-keyed integer gradient sum — "
+    "two keyed shuffles per GD step, driver state O(n_features). Same "
+    "1e-9/1e-6 quantization discipline as logreg_train; unrolled-CTE "
+    "oracle is hash-exact.",
+)
+def logreg_hashed_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return classifier.logreg_hashed_train(d, n_features=64, iters=2)
+
+
+@_q(
+    "logreg_hashed_scores",
+    classifier.logreg_hashed_score_sql("documents", n_features=64, iters=2),
+    doc="Apply side of the hashed classifier: fit on the corpus, score "
+    "every document (token-free docs score at the bias alone) — the "
+    "whole sparse gate pipeline reproducible end-to-end.",
+)
+def logreg_hashed_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return classifier.logreg_hashed_train_and_score(d, n_features=64, iters=2)
 
 
 @_q(
