@@ -1664,3 +1664,31 @@ def test_logreg_hashed_separates_token_classes(spark):
         df, label_sql="lang = 'pos'", n_features=64, iters=6, lr=1.0
     ).collect()
     assert {r["doc_id"]: r["p"] for r in got} == {r["doc_id"]: r["p"] for r in again}
+
+
+def test_decontaminate_spans_cuts_bench_overlap_only(spark):
+    """Cross-corpus span decontamination: a passage copied from a bench
+    doc is cut from the training doc at exact boundaries; training-side
+    self-duplicates WITHOUT a bench twin are untouched."""
+    from trend_o_meter_spark.llm.dedup import decontaminate_spans
+
+    leak = "the quick brown fox jumps over the lazy dog tonight"  # > 30 chars
+    traindup = "completely internal duplicated training passage here"
+    corpus = spark.createDataFrame(
+        [
+            (10, f"intro {leak} outro"),
+            (11, f"pre {traindup} mid {traindup} post"),
+            (12, "clean and unrelated content entirely its own"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(0, f"q: {leak}")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in decontaminate_spans(corpus, bench, min_len=30).collect()}
+    assert leak not in out[10]["clean_text"]
+    assert "intro" in out[10]["clean_text"] and "outro" in out[10]["clean_text"]
+    # training-internal duplication is NOT a decontamination target
+    assert out[11]["clean_text"].count(traindup) == 2
+    assert out[11]["n_removed_chars"] == 0
+    assert out[12]["n_removed_chars"] == 0
+    for r in out.values():
+        assert len(r["clean_text"]) == r["n_chars"] - r["n_removed_chars"]

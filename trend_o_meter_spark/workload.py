@@ -131,6 +131,7 @@ _SCORE_FIRST = (
     "bloom_membership",  # round-5 addition (sixth sketch family) — never scored
     "exact_substr_spans",  # round-5 addition (true char-level ExactSubstr)
     "bloom_contamination",  # round-5 addition (sketch-scale decontamination)
+    "decontaminate_spans",  # round-5 addition (cross-corpus span cuts)
     "logreg_hashed_weights",  # round-5 addition (hashed sparse classifier)
     "logreg_hashed_scores",
     # --- remaining driver slots: stalest previously-scored verdicts
@@ -3196,3 +3197,25 @@ def bloom_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     bench = d.filter(F.col("doc_id") % 97 == 0)
     return dedup.bloom_contamination(d, bench, shingle_n=4, m=8192, k=3)
+
+
+@_q(
+    "decontaminate_spans",
+    dedup.decontaminate_spans_sql(
+        "(SELECT * FROM documents WHERE doc_id % 97 != 0)",
+        "(SELECT * FROM documents WHERE doc_id % 97 = 0)",
+        min_len=30,
+    ),
+    doc="Eval-set SPAN decontamination (GPT-3 appendix-C shape): every "
+    ">= 30-char window of a training doc appearing verbatim in the "
+    "held-out bench split is cut at exact character boundaries — the "
+    "cross-corpus sibling of exact_substr_spans (same islands + "
+    "interval-merge + O(intervals) rebuild; marking predicate = "
+    "window-fp IN bench). Corpus side is one hashed-window scan + a "
+    "fp-keyed semi-join against the bench fingerprint set.",
+)
+def decontaminate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return dedup.decontaminate_spans(corpus, bench, min_len=30)
