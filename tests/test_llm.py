@@ -1692,3 +1692,27 @@ def test_decontaminate_spans_cuts_bench_overlap_only(spark):
     assert out[12]["n_removed_chars"] == 0
     for r in out.values():
         assert len(r["clean_text"]) == r["n_chars"] - r["n_removed_chars"]
+
+
+def test_ccnet_buckets_tercile_invariants(spark):
+    """Bucket sizes differ by at most... exactly: head = floor(n/3),
+    middle = floor(2n/3) - floor(n/3), tail = rest, per source; every
+    head score >= every tail score within a source."""
+    from trend_o_meter_spark.catalog import table as cat_table
+    from trend_o_meter_spark.llm.text import ccnet_buckets
+
+    d = cat_table(spark, "documents", "/root/testdata/sf0.001")
+    rows = ccnet_buckets(d).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        n = len(rs)
+        sizes = {b: sum(1 for r in rs if r["bucket"] == b) for b in ("head", "middle", "tail")}
+        assert sizes["head"] == n // 3
+        assert sizes["middle"] == (2 * n) // 3 - n // 3
+        assert sizes["tail"] == n - (2 * n) // 3
+        heads = [r["lm_score"] for r in rs if r["bucket"] == "head" and r["lm_score"] is not None]
+        tails = [r["lm_score"] for r in rs if r["bucket"] == "tail" and r["lm_score"] is not None]
+        if heads and tails:
+            assert min(heads) >= max(tails)

@@ -1898,3 +1898,74 @@ keyed AS (
 SELECT {id_col}, n_grams, dsir_weight, sel_key
 FROM keyed ORDER BY sel_key, {id_col} LIMIT {k}
 """
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): within each
+    group, rank documents by LM score (higher = more natural text) and
+    cut the ranking into terciles — 'head' trains, 'tail' is usually
+    dropped, 'middle' is the dial.  Deterministic: ties (and NULL-score
+    docs, which sink to the tail) break on doc id, and the tercile
+    boundaries are integer arithmetic (rank*3 vs n), so the oracle
+    hash-matches with no float thresholds.
+
+    Output: ``doc_id, <group_col>, lm_score, bucket``.
+
+    Scale: the LM score is :func:`lm_bigram_score` (gram-keyed);
+    ranking is one window per group — each group's rows in one task,
+    the same per-source cardinality any per-group quantile needs (for
+    degenerate single-source corpora, split the window key the way
+    balanced_sample's skew_safe path does).
+    """
+    from pyspark.sql import Window
+
+    scored = lm_bigram_score(df, text=text, id_col=id_col, smoothing=smoothing)
+    base = df.select(F.col(id_col), F.col(group_col)).join(scored, id_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("lm_score").desc_nulls_last(), F.col(id_col).asc()
+    )
+    counts = base.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    ranked = base.withColumn("__rn", F.row_number().over(w)).join(counts, group_col)
+    bucket = (
+        F.when(F.col("__rn") * 3 <= F.col("__n"), F.lit("head"))
+        .when(F.col("__rn") * 3 <= 2 * F.col("__n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ranked.select(id_col, group_col, "lm_score", bucket.alias("bucket"))
+
+
+def ccnet_buckets_sql(
+    table: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    smoothing: float = 0.5,
+) -> str:
+    lm = lm_bigram_score_sql(table, text=text, id_col=id_col, smoothing=smoothing)
+    return f"""
+WITH scored AS ({lm}),
+base AS (
+  SELECT t.{id_col}, t.{group_col}, s.lm_score
+  FROM {table} t JOIN scored s USING ({id_col})
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY {group_col}
+                            ORDER BY lm_score DESC NULLS LAST, {id_col} ASC) AS rn,
+         count(*) OVER (PARTITION BY {group_col}) AS n
+  FROM base
+)
+SELECT {id_col}, {group_col}, lm_score,
+       CASE WHEN rn * 3 <= n THEN 'head'
+            WHEN rn * 3 <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked
+"""

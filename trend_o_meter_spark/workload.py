@@ -132,6 +132,7 @@ _SCORE_FIRST = (
     "exact_substr_spans",  # round-5 addition (true char-level ExactSubstr)
     "bloom_contamination",  # round-5 addition (sketch-scale decontamination)
     "decontaminate_spans",  # round-5 addition (cross-corpus span cuts)
+    "ccnet_buckets",  # round-5 addition (perplexity terciles)
     "logreg_hashed_weights",  # round-5 addition (hashed sparse classifier)
     "logreg_hashed_scores",
     # --- remaining driver slots: stalest previously-scored verdicts
@@ -2782,6 +2783,19 @@ def curation_decisions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return text.lm_bigram_score(d)
+
+
+@_q(
+    "ccnet_buckets",
+    text.ccnet_buckets_sql("documents"),
+    doc="CCNet head/middle/tail split (Wenzek et al. 2020): per-source "
+    "LM-score terciles with integer boundaries and id tie-breaks — "
+    "the perplexity-bucketed sampling gate, deterministic end-to-end "
+    "(NULL-score docs sink to the tail).",
+)
+def ccnet_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.ccnet_buckets(d)
 
 
 @_q(
