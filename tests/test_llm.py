@@ -1716,3 +1716,25 @@ def test_ccnet_buckets_tercile_invariants(spark):
         tails = [r["lm_score"] for r in rs if r["bucket"] == "tail" and r["lm_score"] is not None]
         if heads and tails:
             assert min(heads) >= max(tails)
+
+
+def test_lm_kneser_ney_prefers_natural_sequences(spark):
+    """KN sanity: documents made of the corpus's common bigrams outscore
+    a document of rare (once-seen) transitions; short docs get NULL with
+    n_bigrams = 0; scores are deterministic."""
+    from trend_o_meter_spark.llm.text import lm_kneser_ney_score
+
+    common = "the cat sat on the mat " * 6
+    rows = [
+        (0, common),
+        (1, common),
+        (2, common),
+        (3, "mat zyx qqq www eee rrr ttt"),  # transitions seen once each
+        (4, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lm_kneser_ney_score(df).collect()}
+    assert out[0]["kn_score"] > out[3]["kn_score"]
+    assert out[4]["kn_score"] is None and out[4]["n_bigrams"] == 0
+    again = {r["doc_id"]: r["kn_score"] for r in lm_kneser_ney_score(df).collect()}
+    assert {k: v["kn_score"] for k, v in out.items()} == again

@@ -1969,3 +1969,156 @@ SELECT {id_col}, {group_col}, lm_score,
             ELSE 'tail' END AS bucket
 FROM ranked
 """
+
+
+def lm_kneser_ney_score(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram score — the smoothing family KenLM
+    (and therefore CCNet's reference pipeline) actually uses, next to
+    the simpler add-k model of :func:`lm_bigram_score`:
+
+        P(w2|w1) = max(c(w1,w2) - D, 0) / c(w1,.)
+                   + (D * N1+(w1,.) / c(w1,.)) * (N1+(.,w2) / N1+(.,.))
+
+    — absolute discounting plus a CONTINUATION-count backoff ("how many
+    contexts does w2 follow", not "how often does w2 occur"), the fix
+    for the add-k model's overscoring of frequent-but-context-bound
+    tokens.  Self-scoring (model = the corpus itself, like the
+    registry's lm_score); every scored bigram is therefore in the
+    model, so P > 0 with no unseen-mass special case.
+
+    Output: ``doc_id, n_bigrams, kn_score`` (NULL for docs with < 2
+    tokens).  Determinism discipline, one notch COARSER than
+    :func:`lm_bigram_score`: the KN probability is bit-identical across
+    engines (integer counts through identical double ops), but ln is
+    not correctly-rounded cross-libm and a live 1-ulp flip at a 1e-6
+    rounding boundary was observed at sf0.01 — so per-bigram ln rounds
+    at 1e-5 into DECIMAL(18,5) before the exact-decimal weighted sum,
+    and the mean reports at 6 decimals (residual flip probability
+    ~1e-7 per run vs ~1e-4 at the finer grids).  Scale: all model
+    tables are gram-keyed aggregates of the corpus; totals is one row.
+    """
+    from pyspark.sql import Window  # noqa: F401  (parallel with lm_bigram_score)
+
+    D = float(discount)
+    staged = df.select(F.col(id_col).alias("id"), _tokens(F.col(text)).alias("__t"))
+    n = F.size(F.col("__t"))
+    pairs = (
+        staged.select(
+            "id",
+            F.slice("__t", F.lit(1), F.greatest(F.lit(0), n - 1)).alias("__l"),
+            F.slice("__t", F.lit(2), F.greatest(F.lit(0), n - 1)).alias("__r"),
+        )
+        .select("id", F.explode(F.arrays_zip("__l", "__r")).alias("__p"))
+        .select("id", F.col("__p.__l").alias("w1"), F.col("__p.__r").alias("w2"))
+    )
+    db = pairs.groupBy("id", "w1", "w2").agg(F.count(F.lit(1)).alias("c_d"))
+    bg = db.groupBy("w1", "w2").agg(F.sum("c_d").cast("long").alias("c_bg"))
+    ctx = bg.groupBy("w1").agg(
+        F.sum("c_bg").cast("long").alias("c_left"),
+        F.count(F.lit(1)).cast("long").alias("n1p"),
+    )
+    cont = bg.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n_cont"))
+    total = F.broadcast(bg.agg(F.count(F.lit(1)).cast("long").alias("t_cont")))
+    p = (
+        F.greatest(F.col("c_bg") - F.lit(D), F.lit(0.0)) / F.col("c_left")
+    ) + (
+        (F.lit(D) * F.col("n1p") / F.col("c_left"))
+        * (F.col("n_cont") / F.col("t_cont"))
+    )
+    lp = F.round(F.log(p), 5).cast("decimal(18,5)")
+    scored = (
+        db.join(bg, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(total)
+        .select("id", "c_d", (F.col("c_d").cast("decimal(19,0)") * lp).alias("__wlp"))
+    )
+    agg = scored.groupBy("id").agg(
+        F.sum("c_d").cast("long").alias("n_bigrams"),
+        F.sum("__wlp").alias("__swlp"),
+    )
+    allk = df.select(F.col(id_col).alias("id")).distinct()
+    out = allk.join(agg, "id", "left")
+    nb = F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+    mean = F.col("__swlp").cast("string").cast("double") / nb.cast("double")
+    # shared away-from-zero floor quantization, NOT round(): Spark's
+    # round goes through exact BigDecimal while DuckDB multiplies in
+    # doubles — on a mean like -3.40112049999... the two legitimately
+    # disagree (observed live at sf0.1).  floor(|x|*1e6 + 0.5) written
+    # textually in both engines takes the identical float path.
+    q6 = (
+        F.when(mean >= 0, F.floor(mean * F.lit(1e6) + F.lit(0.5)))
+        .otherwise(-F.floor(-mean * F.lit(1e6) + F.lit(0.5)))
+        / F.lit(1e6)
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        nb.alias("n_bigrams"),
+        F.when(nb > 0, q6).alias("kn_score"),
+    )
+
+
+def lm_kneser_ney_score_sql(
+    table: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> str:
+    norm = NORM_SQL.format(c=text)
+    # CAST the discount to DOUBLE explicitly: a bare 0.75 literal is
+    # DECIMAL in DuckDB, which routes c_bg - 0.75 through decimal
+    # arithmetic instead of the double path Spark takes (observed as a
+    # 1e-9 mean flip at sf0.01).
+    D = f"CAST({repr(float(discount))} AS DOUBLE)"
+    p = (
+        f"(greatest(c_bg - {D}, 0.0) / c_left)"
+        f" + (({D} * n1p / c_left) * (n_cont / t_cont))"
+    )
+    return f"""
+WITH staged AS (
+  SELECT {id_col} AS id, str_split({norm}, ' ') AS __t FROM {table}
+),
+pairs AS (
+  SELECT id, __t[i] AS w1, __t[i + 1] AS w2
+  FROM (SELECT id, __t, unnest(range(1, len(__t))) AS i FROM staged)
+),
+db AS (SELECT id, w1, w2, count(*) AS c_d FROM pairs GROUP BY ALL),
+bg AS (SELECT w1, w2, CAST(sum(c_d) AS BIGINT) AS c_bg FROM db GROUP BY 1, 2),
+ctx AS (
+  SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_left,
+         CAST(count(*) AS BIGINT) AS n1p
+  FROM bg GROUP BY 1
+),
+cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_cont FROM bg GROUP BY 1),
+total AS (SELECT CAST(count(*) AS BIGINT) AS t_cont FROM bg),
+scored AS (
+  SELECT id, c_d,
+         CAST(c_d AS DECIMAL(19,0))
+         * CAST(round(ln({p}), 5) AS DECIMAL(18,5)) AS wlp
+  FROM db JOIN bg USING (w1, w2) JOIN ctx USING (w1) JOIN cont USING (w2)
+       CROSS JOIN total
+),
+agg AS (
+  SELECT id, CAST(sum(c_d) AS BIGINT) AS n_bigrams, sum(wlp) AS swlp
+  FROM scored GROUP BY 1
+)
+SELECT a.id AS {id_col},
+       coalesce(n_bigrams, 0) AS n_bigrams,
+       CASE WHEN coalesce(n_bigrams, 0) > 0 THEN
+            (CASE WHEN (CAST(CAST(swlp AS VARCHAR) AS DOUBLE)
+                        / CAST(coalesce(n_bigrams, 0) AS DOUBLE)) >= 0
+                  THEN floor((CAST(CAST(swlp AS VARCHAR) AS DOUBLE)
+                        / CAST(coalesce(n_bigrams, 0) AS DOUBLE)) * 1000000.0 + 0.5)
+                  ELSE -floor(-(CAST(CAST(swlp AS VARCHAR) AS DOUBLE)
+                        / CAST(coalesce(n_bigrams, 0) AS DOUBLE)) * 1000000.0 + 0.5)
+             END) / 1000000.0
+       END AS kn_score
+FROM (SELECT DISTINCT {id_col} AS id FROM {table}) a LEFT JOIN agg USING (id)
+"""

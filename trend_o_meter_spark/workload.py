@@ -133,6 +133,7 @@ _SCORE_FIRST = (
     "bloom_contamination",  # round-5 addition (sketch-scale decontamination)
     "decontaminate_spans",  # round-5 addition (cross-corpus span cuts)
     "ccnet_buckets",  # round-5 addition (perplexity terciles)
+    "lm_kn_score",  # round-5 addition (Kneser-Ney LM)
     "logreg_hashed_weights",  # round-5 addition (hashed sparse classifier)
     "logreg_hashed_scores",
     # --- remaining driver slots: stalest previously-scored verdicts
@@ -2796,6 +2797,19 @@ def lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ccnet_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return text.ccnet_buckets(d)
+
+
+@_q(
+    "lm_kn_score",
+    text.lm_kneser_ney_score_sql("documents"),
+    doc="Interpolated Kneser-Ney bigram score (absolute discounting + "
+    "continuation-count backoff — the KenLM/CCNet smoothing family) "
+    "next to the add-k lm_score; per-bigram ln quantized at 1e-6 into "
+    "exact-decimal sums, model tables are gram-keyed aggregates.",
+)
+def lm_kn_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.lm_kneser_ney_score(d)
 
 
 @_q(
