@@ -1738,3 +1738,21 @@ def test_lm_kneser_ney_prefers_natural_sequences(spark):
     assert out[4]["kn_score"] is None and out[4]["n_bigrams"] == 0
     again = {r["doc_id"]: r["kn_score"] for r in lm_kneser_ney_score(df).collect()}
     assert {k: v["kn_score"] for k, v in out.items()} == again
+
+
+def test_temperature_mixture_upsamples_small_sources(spark):
+    """alpha=0.5 boosts small sources' SHARE of the budget relative to
+    natural proportions, admission is deterministic, and a budget above
+    the corpus size keeps everything (gate saturates at 1)."""
+    from trend_o_meter_spark.llm.text import temperature_mixture
+
+    rows = [(i, "big") for i in range(900)] + [(900 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["source"]: r for r in temperature_mixture(df, budget_docs=200).collect()}
+    # natural share of 'small' = 10%; sqrt share = sqrt(100)/(sqrt(900)+sqrt(100)) = 25%
+    small_share = out["small"]["n_sampled"] / (out["small"]["n_sampled"] + out["big"]["n_sampled"])
+    assert small_share > 0.15
+    again = {r["source"]: r["n_sampled"] for r in temperature_mixture(df, budget_docs=200).collect()}
+    assert {k: v["n_sampled"] for k, v in out.items()} == again
+    full = {r["source"]: r for r in temperature_mixture(df, budget_docs=10_000).collect()}
+    assert full["big"]["n_sampled"] == 900 and full["small"]["n_sampled"] == 100

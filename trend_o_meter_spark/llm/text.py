@@ -2122,3 +2122,112 @@ SELECT a.id AS {id_col},
        END AS kn_score
 FROM (SELECT DISTINCT {id_col} AS id FROM {table}) a LEFT JOIN agg USING (id)
 """
+
+
+def temperature_mixture(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    alpha: float = 0.5,
+    budget_docs: int = 1000,
+    salt: str = "temp-v1",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling (the T5/PaLM recipe): source
+    i's share of the budget is ``n_i^alpha / sum_j n_j^alpha`` — alpha=1
+    reproduces natural proportions, alpha=0 uniform across sources,
+    alpha~0.5 the standard upsampling of small/quality sources.
+
+    Deterministic admission, never ``rand()``: doc d of source i is kept
+    iff ``md5(salt:id) % 2^28 < floor(t_i * 2^28)`` where
+    ``t_i = min(1, budget * share_i / n_i)`` — the float threshold is
+    pushed through ONE shared floor quantization so both engines gate on
+    the same integer.  Output: ``<group_col>, n_total, n_target,
+    n_sampled`` per source (n_target = the integer gate ceiling, so the
+    mixture weights themselves are value-checked, not just the draw).
+
+    Cross-engine exactness: alpha defaults to 0.5 because ``sqrt`` IS
+    correctly-rounded IEEE (ln/exp/pow are not) — other alphas work in
+    Spark but the oracle pins 0.5.  Scale: one count per source
+    (KB-sized), one broadcast join back, one map-side gate.
+    """
+    from .hashing import HEX_DIGITS, md5_int
+
+    if abs(float(alpha) - 0.5) > 1e-12:
+        import warnings
+
+        warnings.warn(
+            "temperature_mixture: alpha != 0.5 routes through pow(), which "
+            "is not correctly-rounded cross-libm — oracle parity is only "
+            "guaranteed at the sqrt-backed default",
+            UserWarning,
+            stacklevel=2,
+        )
+    M = 1 << (4 * HEX_DIGITS)  # md5_int range: 2^28
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_total"))
+    share_num = (
+        F.sqrt(F.col("n_total").cast("double"))
+        if abs(float(alpha) - 0.5) <= 1e-12
+        else F.pow(F.col("n_total").cast("double"), F.lit(float(alpha)))
+    )
+    tot = counts.agg(F.sum(share_num).alias("__z"))
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_total",
+        F.least(
+            F.lit(float(budget_docs)) * (share_num / F.col("__z")) / F.col("n_total"),
+            F.lit(1.0),
+        ).alias("__t"),
+    )
+    gates = rates.select(
+        group_col,
+        "n_total",
+        F.floor(F.col("__t") * F.lit(float(M)) + F.lit(0.5)).cast("long").alias("n_gate"),
+    )
+    h = md5_int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    tagged = df.select(F.col(group_col), h.alias("__h")).join(
+        F.broadcast(gates), group_col
+    )
+    return (
+        tagged.groupBy(group_col, "n_total", "n_gate")
+        .agg(F.sum(F.when(F.col("__h") < F.col("n_gate"), 1).otherwise(0)).alias("n_sampled"))
+        .select(
+            group_col,
+            "n_total",
+            F.col("n_gate").alias("n_target"),
+            F.col("n_sampled").cast("long").alias("n_sampled"),
+        )
+    )
+
+
+def temperature_mixture_sql(
+    table: str,
+    *,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    budget_docs: int = 1000,
+    salt: str = "temp-v1",
+) -> str:
+    """Oracle twin at the sqrt-backed alpha = 0.5."""
+    from .hashing import HEX_DIGITS, md5_int_sql
+
+    M = float(1 << (4 * HEX_DIGITS))
+    h = md5_int_sql(f"'{salt}:' || CAST(t.{id_col} AS VARCHAR)")
+    return f"""
+WITH counts AS (
+  SELECT {group_col}, CAST(count(*) AS BIGINT) AS n_total FROM {table} GROUP BY 1
+),
+tot AS (SELECT sum(sqrt(CAST(n_total AS DOUBLE))) AS z FROM counts),
+gates AS (
+  SELECT {group_col}, n_total,
+         CAST(floor(least(
+           CAST({float(budget_docs)} AS DOUBLE)
+             * (sqrt(CAST(n_total AS DOUBLE)) / z) / n_total,
+           1.0) * CAST({M} AS DOUBLE) + 0.5) AS BIGINT) AS n_gate
+  FROM counts, tot
+)
+SELECT g.{group_col}, g.n_total, g.n_gate AS n_target,
+       CAST(sum(CASE WHEN {h} < g.n_gate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM {table} t JOIN gates g USING ({group_col})
+GROUP BY 1, 2, 3
+"""

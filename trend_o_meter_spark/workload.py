@@ -134,6 +134,7 @@ _SCORE_FIRST = (
     "decontaminate_spans",  # round-5 addition (cross-corpus span cuts)
     "ccnet_buckets",  # round-5 addition (perplexity terciles)
     "lm_kn_score",  # round-5 addition (Kneser-Ney LM)
+    "temperature_mixture",  # round-5 addition (T5-style mixing)
     "logreg_hashed_weights",  # round-5 addition (hashed sparse classifier)
     "logreg_hashed_scores",
     # --- remaining driver slots: stalest previously-scored verdicts
@@ -2810,6 +2811,19 @@ def ccnet_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lm_kn_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return text.lm_kneser_ney_score(d)
+
+
+@_q(
+    "temperature_mixture",
+    text.temperature_mixture_sql("documents", budget_docs=200),
+    doc="Temperature-scaled mixture sampling (T5/PaLM alpha=0.5): source "
+    "shares n_i^alpha / sum n_j^alpha, deterministic md5 admission "
+    "gates quantized to a shared integer ceiling (sqrt is the one "
+    "correctly-rounded IEEE power, so the oracle is exact).",
+)
+def temperature_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.temperature_mixture(d, budget_docs=200)
 
 
 @_q(
