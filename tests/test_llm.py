@@ -1756,3 +1756,21 @@ def test_temperature_mixture_upsamples_small_sources(spark):
     assert {k: v["n_sampled"] for k, v in out.items()} == again
     full = {r["source"]: r for r in temperature_mixture(df, budget_docs=10_000).collect()}
     assert full["big"]["n_sampled"] == 900 and full["small"]["n_sampled"] == 100
+
+
+def test_hits_hub_authority_separation(spark):
+    """On a directed star (one hub pointing at many targets), the center
+    gets all the hub mass and zero authority; targets split authority
+    evenly; L1 normalization means each vector sums to ~1."""
+    from trend_o_meter_spark.llm.cluster import hits
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    out = {r["node"]: r for r in hits(edges, iters=3).collect()}
+    assert out[0]["hub"] > 0.99 and out[0]["authority"] == 0.0
+    for i in range(1, 6):
+        assert abs(out[i]["authority"] - 0.2) < 1e-6
+        assert out[i]["hub"] == 0.0
+    assert abs(sum(r["authority"] for r in out.values()) - 1.0) < 1e-6
+    assert abs(sum(r["hub"] for r in out.values()) - 1.0) < 1e-6

@@ -515,3 +515,152 @@ def pagerank_sql(
 WITH {ctes}
 SELECT node, round(rank, 9) AS pagerank FROM r{int(iters)}
 """
+
+
+def hits(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999, "Authoritative sources in a
+    hyperlinked environment"): hubs point at good authorities,
+    authorities are pointed at by good hubs — the second classic link
+    prior next to :func:`pagerank` (PageRank ranks by global visit
+    probability; HITS separates "collects good links" from "is a good
+    target", which a crawl-frontier curator uses differently).
+
+    Output: ``(node, authority, hub)``, L1-normalized per round (each
+    score vector sums to 1 — Kleinberg's L2 choice would put a
+    cross-libm-exact sqrt in the loop but non-exact squares; L1 keeps
+    every normalization an integer sum, documented divergence), scores
+    reported at 1e-9.
+
+    Determinism discipline (the pagerank trick, both directions): scores
+    live as 1e-9-quantized BIGINTs; each round's pull is an exact
+    integer sum over in-(then out-)edges, and the only float ops are
+    the two normalizing divisions — identical operand order in the
+    DuckDB oracle.  Bound: per-node in-mass must stay < 9.2e18 (indeg x
+    1e9) — beyond that, widen the sums to DECIMAL(38,0) in both engines.
+
+    100 TB shape: per iteration TWO keyed join+agg rounds (edges x
+    scores on src, then on dst) + two 1-row totals — the same
+    Pregel-in-SQL primitives as pagerank/CC; edges materialize once.
+    """
+    e = _truncate(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct(),
+        checkpoint_dir,
+    )
+    nodes = _truncate(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct(),
+        checkpoint_dir,
+    )
+    nn = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
+
+    def q9(col):
+        return F.floor(col * F.lit(1e9) + F.lit(0.5)).cast("long")  # scores >= 0
+
+    hq = nodes.crossJoin(nn).select(
+        "node", q9(F.lit(1.0) / F.col("__n")).alias("q")
+    )
+    aq = None
+    for i in range(int(iters)):
+        araw = (
+            e.join(hq.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("q").alias("__raw"))
+        )
+        sa = F.broadcast(araw.agg(F.sum("__raw").alias("__s")))
+        aq = (
+            nodes.join(araw.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(sa)
+            .select(
+                "node",
+                q9(
+                    F.coalesce(F.col("__raw"), F.lit(0)).cast("double")
+                    / F.col("__s")
+                ).alias("q"),
+            )
+        )
+        hraw = (
+            e.join(aq.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("q").alias("__raw"))
+        )
+        sh = F.broadcast(hraw.agg(F.sum("__raw").alias("__s")))
+        hq = (
+            nodes.join(hraw.withColumnRenamed("src", "node"), "node", "left")
+            .crossJoin(sh)
+            .select(
+                "node",
+                q9(
+                    F.coalesce(F.col("__raw"), F.lit(0)).cast("double")
+                    / F.col("__s")
+                ).alias("q"),
+            )
+        )
+        if (i + 1) % 5 == 0 and (i + 1) < int(iters):
+            hq = _truncate(hq, checkpoint_dir)
+            aq = _truncate(aq, checkpoint_dir)
+    return (
+        aq.withColumnRenamed("q", "__aq")
+        .join(hq.withColumnRenamed("q", "__hq"), "node")
+        .select(
+            "node",
+            (F.col("__aq") / F.lit(1e9)).alias("authority"),
+            (F.col("__hq") / F.lit(1e9)).alias("hub"),
+        )
+    )
+
+
+def hits_sql(
+    edges_sql: str,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> str:
+    """Unrolled-CTE oracle twin of :func:`hits` (same quantization)."""
+    # every CTE here is re-referenced (e and nodes many times; each
+    # round's scores twice) — MATERIALIZED stops DuckDB's default
+    # inlining from re-evaluating the chain exponentially (iters=3
+    # inlined did not finish; materialized runs in seconds)
+    q9 = "CAST(floor(({x}) * 1000000000.0 + 0.5) AS BIGINT)"
+    parts = [
+        f"e AS MATERIALIZED (SELECT DISTINCT {src} AS src, {dst} AS dst FROM ({edges_sql}))",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)",
+        "h0 AS MATERIALIZED (SELECT node, " + q9.format(x="1.0 / n") + " AS q FROM nodes, nn)",
+    ]
+    for i in range(1, int(iters) + 1):
+        parts.append(
+            f"ar{i} AS MATERIALIZED (SELECT e.dst, CAST(sum(h.q) AS BIGINT) AS raw "
+            f"FROM e JOIN h{i-1} h ON h.node = e.src GROUP BY 1)"
+        )
+        parts.append(f"sa{i} AS (SELECT CAST(sum(raw) AS BIGINT) AS s FROM ar{i})")
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT n.node, "
+            + q9.format(x=f"CAST(coalesce(ar.raw, 0) AS DOUBLE) / s")
+            + f" AS q FROM nodes n LEFT JOIN ar{i} ar ON ar.dst = n.node, sa{i})"
+        )
+        parts.append(
+            f"hr{i} AS MATERIALIZED (SELECT e.src, CAST(sum(a.q) AS BIGINT) AS raw "
+            f"FROM e JOIN a{i} a ON a.node = e.dst GROUP BY 1)"
+        )
+        parts.append(f"sh{i} AS (SELECT CAST(sum(raw) AS BIGINT) AS s FROM hr{i})")
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT n.node, "
+            + q9.format(x=f"CAST(coalesce(hr.raw, 0) AS DOUBLE) / s")
+            + f" AS q FROM nodes n LEFT JOIN hr{i} hr ON hr.src = n.node, sh{i})"
+        )
+    k = int(iters)
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT a.node, a.q / 1000000000.0 AS authority, h.q / 1000000000.0 AS hub
+FROM a{k} a JOIN h{k} h USING (node)
+"""
+    )

@@ -135,6 +135,7 @@ _SCORE_FIRST = (
     "ccnet_buckets",  # round-5 addition (perplexity terciles)
     "lm_kn_score",  # round-5 addition (Kneser-Ney LM)
     "temperature_mixture",  # round-5 addition (T5-style mixing)
+    "hits_docs",  # round-5 addition (second link prior)
     "logreg_hashed_weights",  # round-5 addition (hashed sparse classifier)
     "logreg_hashed_scores",
     # --- remaining driver slots: stalest previously-scored verdicts
@@ -2489,6 +2490,25 @@ def pagerank_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     return cluster.pagerank(edges, iters=3)
+
+
+@_q(
+    "hits_docs",
+    cluster.hits_sql(_PAGERANK_EDGES_SQL, iters=3),
+    doc="HITS hubs/authorities (Kleinberg 1999) over the same "
+    "symmetrized SimHash near-dup graph as pagerank_docs — the second "
+    "classic link prior, 3 fixed iterations, L1-normalized (keeps "
+    "every normalization an exact integer sum; documented divergence "
+    "from the paper's L2).  Scores live as 1e-9 BIGINTs; each round is "
+    "two keyed join+sum passes (in-edges then out-edges).",
+)
+def hits_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    pairs = dedup.simhash_near_dup_pairs(d, max_hamming=3, bands=4)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    return cluster.hits(edges, iters=3)
 
 
 @_q(
