@@ -1774,3 +1774,22 @@ def test_hits_hub_authority_separation(spark):
         assert out[i]["hub"] == 0.0
     assert abs(sum(r["authority"] for r in out.values()) - 1.0) < 1e-6
     assert abs(sum(r["hub"] for r in out.values()) - 1.0) < 1e-6
+
+
+def test_curation_funnel_v3_monotone_and_hygiene_stages(spark):
+    """v3 invariants: counts are monotone non-increasing down the nine
+    stages, the decontamination stage removes at least the bench split's
+    own survivors, and stage names arrive in order."""
+    from trend_o_meter_spark.catalog import table as cat_table
+    from trend_o_meter_spark.llm.funnel import curation_funnel_v3
+
+    d = cat_table(spark, "documents", "/root/testdata/sf0.001")
+    e = cat_table(spark, "embeddings", "/root/testdata/sf0.001")
+    rows = curation_funnel_v3(d, e).collect()
+    assert [r["stage"] for r in rows] == [
+        "total", "quality", "exact_dedup", "near_dedup", "semantic_dedup",
+        "decontaminated", "ccnet_head_mid", "dsir_floor", "token_budget",
+    ]
+    counts = [r["n_docs"] for r in rows]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert counts[0] > counts[-1] > 0

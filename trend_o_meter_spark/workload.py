@@ -136,6 +136,7 @@ _SCORE_FIRST = (
     "lm_kn_score",  # round-5 addition (Kneser-Ney LM)
     "temperature_mixture",  # round-5 addition (T5-style mixing)
     "hits_docs",  # round-5 addition (second link prior)
+    "curation_funnel_v3",  # round-5 addition (composed pipeline)
     "logreg_hashed_weights",  # round-5 addition (hashed sparse classifier)
     "logreg_hashed_scores",
     # --- remaining driver slots: stalest previously-scored verdicts
@@ -2401,6 +2402,22 @@ def curation_funnel_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     e = table(spark, "embeddings", sf_dir)
     return funnel.curation_funnel_v2(d, e)
+
+
+@_q(
+    "curation_funnel_v3",
+    funnel.curation_funnel_v3_sql("documents", "embeddings"),
+    doc="The round-5 end-to-end pipeline: v2 plus the two release-gate "
+    "hygiene stages — eval-set DECONTAMINATION (zero shared shingles "
+    "with the bench split; bench members fall out by construction) and "
+    "the CCNet perplexity-tail drop — between semantic dedup and the "
+    "DSIR floor.  Nine aggregate rows; proves the round-5 operators "
+    "compose with the whole chain, engine vs oracle.",
+)
+def curation_funnel_v3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    e = table(spark, "embeddings", sf_dir)
+    return funnel.curation_funnel_v3(d, e)
 
 
 @_q(
