@@ -82,6 +82,13 @@ HEADLINE = (
     # and the exact character-level ExactSubstr
     "bloom_membership",
     "exact_substr_spans",
+    # round-5 second widening: cross-corpus span decontamination, the
+    # hashed sparse classifier, Kneser-Ney LM, HITS, temperature mixing
+    "decontaminate_spans",
+    "logreg_hashed_weights",
+    "lm_kn_score",
+    "hits_docs",
+    "temperature_mixture",
 )
 
 
