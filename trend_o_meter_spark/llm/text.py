@@ -2231,3 +2231,302 @@ SELECT g.{group_col}, g.n_total, g.n_gate AS n_target,
 FROM {table} t JOIN gates g USING ({group_col})
 GROUP BY 1, 2, 3
 """
+
+
+# -- Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", table A1) ----------
+#
+# The widely-reproduced document-level heuristics.  Every rule is an
+# INTEGER comparison (cross-multiplied ratios), so keep/drop decisions
+# are bit-identical across engines — no float thresholds anywhere.
+
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+GOPHER_DEFAULTS = dict(
+    min_words=50,
+    max_words=100_000,
+    min_mean_word_len=3,   # chars, inclusive
+    max_mean_word_len=10,  # chars, inclusive
+    min_alpha_word_pct=80,     # % words containing >=1 alphabetic char
+    max_symbol_word_pct=10,    # % symbols (#, ellipsis) per word
+    min_required_stopwords=2,  # distinct hits in GOPHER_REQUIRED_STOPWORDS
+)
+
+
+def gopher_rules(
+    df: DataFrame, *, text: str = "text", id_col: str = "doc_id", **thresholds
+) -> DataFrame:
+    """Gopher document-quality rules as per-rule boolean flags + ``keep``.
+
+    Output: ``doc_id, n_tokens, word_count_ok, mean_word_len_ok,
+    alpha_word_ok, symbol_ratio_ok, stopword_ok, keep`` — one flag per
+    published rule so curation decisions are auditable per-rule (the
+    shape FineWeb/Dolma ship as "quality signals").
+
+    Exactness: mean word length in [3, 10] is ``3*n_tokens <= tok_chars
+    AND tok_chars <= 10*n_tokens``; the 80%/10% ratios cross-multiply the
+    same way — pure integer arithmetic in both engines.  Scale: one
+    map-side pass over ``text``, no shuffle, no UDF.
+    """
+    p = {**GOPHER_DEFAULTS, **thresholds}
+    toks = _tokens(F.col(text))
+    n = F.size(toks)
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    # symbols that survive into word-soup text: '#' plus ASCII '...' and
+    # Unicode ellipsis, counted as whole occurrences
+    sym = (
+        (F.length(F.col(text)) - F.length(F.regexp_replace(F.col(text), "#", "")))
+        + (F.length(F.col(text)) - F.length(F.regexp_replace(F.col(text), "\\.\\.\\.", ""))) / 3
+        + (F.length(F.col(text)) - F.length(F.regexp_replace(F.col(text), "…", "")))
+    ).cast("long")
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS]),
+            lambda s: F.array_contains(toks, s),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        ((n >= p["min_words"]) & (n <= p["max_words"])).alias("word_count_ok"),
+        (
+            (tok_chars >= F.lit(p["min_mean_word_len"]) * n)
+            & (tok_chars <= F.lit(p["max_mean_word_len"]) * n)
+        ).alias("mean_word_len_ok"),
+        (F.lit(100) * alpha_words >= F.lit(p["min_alpha_word_pct"]) * n).alias("alpha_word_ok"),
+        (F.lit(100) * sym <= F.lit(p["max_symbol_word_pct"]) * n).alias("symbol_ratio_ok"),
+        (stop_hits >= p["min_required_stopwords"]).alias("stopword_ok"),
+    ).withColumn(
+        "keep",
+        F.col("word_count_ok")
+        & F.col("mean_word_len_ok")
+        & F.col("alpha_word_ok")
+        & F.col("symbol_ratio_ok")
+        & F.col("stopword_ok"),
+    )
+
+
+def gopher_rules_sql(
+    table: str, *, text: str = "text", id_col: str = "doc_id", **thresholds
+) -> str:
+    p = {**GOPHER_DEFAULTS, **thresholds}
+    norm = NORM_SQL.format(c=text)
+    stop_list = ", ".join(f"'{s}'" for s in GOPHER_REQUIRED_STOPWORDS)
+    return f"""
+WITH feats AS (
+  SELECT {id_col},
+    len(str_split({norm}, ' ')) AS n,
+    list_sum(list_transform(str_split({norm}, ' '), x -> length(x))) AS tok_chars,
+    len(list_filter(str_split({norm}, ' '), x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+    CAST((length({text}) - length(replace({text}, '#', '')))
+      + (length({text}) - length(replace({text}, '...', ''))) / 3
+      + (length({text}) - length(replace({text}, chr(8230), ''))) AS BIGINT) AS sym,
+    len(list_filter([{stop_list}], s -> list_contains(str_split({norm}, ' '), s))) AS stop_hits
+  FROM {table}
+)
+SELECT {id_col}, n AS n_tokens,
+  (n >= {p["min_words"]} AND n <= {p["max_words"]}) AS word_count_ok,
+  (tok_chars >= {p["min_mean_word_len"]} * n AND tok_chars <= {p["max_mean_word_len"]} * n)
+    AS mean_word_len_ok,
+  (100 * alpha_words >= {p["min_alpha_word_pct"]} * n) AS alpha_word_ok,
+  (100 * sym <= {p["max_symbol_word_pct"]} * n) AS symbol_ratio_ok,
+  (stop_hits >= {p["min_required_stopwords"]}) AS stopword_ok,
+  ((n >= {p["min_words"]} AND n <= {p["max_words"]})
+   AND (tok_chars >= {p["min_mean_word_len"]} * n AND tok_chars <= {p["max_mean_word_len"]} * n)
+   AND (100 * alpha_words >= {p["min_alpha_word_pct"]} * n)
+   AND (100 * sym <= {p["max_symbol_word_pct"]} * n)
+   AND (stop_hits >= {p["min_required_stopwords"]})) AS keep
+FROM feats
+"""
+
+
+# -- winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003, "Winnowing:
+# Local Algorithms for Document Fingerprinting" — the MOSS algorithm) ----
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection: from the k-gram hash sequence,
+    every window of ``w`` consecutive hashes contributes its minimum
+    (ties: rightmost occurrence — "robust winnowing", §2.3 of the paper),
+    deduplicated per position.
+
+    Guarantees (the paper's): any duplicated token run of length
+    >= k + w - 1 shares at least one selected fingerprint between the two
+    documents, and the expected density is 2/(w+1) — the standard
+    plagiarism/near-dup index with tunable density, complementary to
+    MinHash (which has no positional guarantee).
+
+    Output: ``doc_id, pos, fp`` — ``pos`` is the 0-based k-gram index of
+    each selected fingerprint (docs shorter than k+w-1 tokens emit
+    nothing, as in the paper).  Scale: pure per-row array expressions —
+    gram hashing, window minima, and position-dedup all happen map-side
+    inside one projection; NO shuffle, NO UDF, output is O(n/w) rows per
+    doc.  Hash is the cross-engine md5 (llm/hashing.py).
+    """
+    toks = _tokens(F.col(text))
+    n_grams = F.size(toks) - F.lit(k - 1)
+    empty_h = F.array().cast("array<bigint>")
+    # STAGED projections, not one nested expression: higher-order-function
+    # lambdas are interpreted (no codegen) and Catalyst does not CSE across
+    # lambda bodies, so an inlined `hs` would re-hash every gram
+    # O(windows) times per row (measured: 70 s -> ~2 s at sf0.01).
+    # CollapseProject keeps multi-referenced non-cheap aliases staged.
+    hs = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_grams - 1),
+            lambda i: md5_int(F.array_join(F.slice(toks, i + 1, k), " ")),
+        ),
+    ).otherwise(empty_h)
+    staged = df.select(F.col(id_col), hs.alias("__hs"))
+    hs_c = F.col("__hs")
+    n_win = F.size(hs_c) - F.lit(w - 1)
+    mins = F.when(
+        n_win >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda i: F.array_min(F.slice(hs_c, i + 1, w)),
+        ),
+    ).otherwise(empty_h)
+    staged = staged.select(id_col, "__hs", mins.alias("__mins"))
+    # rightmost-min: position of the min in the REVERSED window gives the
+    # distance from the window's right edge
+    sel = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("__mins"))),
+        lambda j: F.struct(
+            (
+                j
+                + F.lit(w - 1)
+                - F.array_position(
+                    F.reverse(F.slice(hs_c, j, w)), F.element_at(F.col("__mins"), j)
+                )
+            )
+            .cast("int")
+            .alias("pos"),
+            F.element_at(F.col("__mins"), j).alias("fp"),
+        ),
+    )
+    sel = F.when(F.size(F.col("__mins")) >= 1, sel).otherwise(
+        F.array().cast("array<struct<pos:int,fp:bigint>>")
+    )
+    return (
+        staged.select(F.col(id_col), F.explode(F.array_distinct(sel)).alias("s"))
+        .select(id_col, F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+    )
+
+
+def winnowing_fingerprints_sql(
+    table: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> str:
+    norm = NORM_SQL.format(c=text)
+    h = md5_int_sql("array_to_string(list_slice(toks, i + 1, i + {k}), ' ')".format(k=k))
+    return f"""
+WITH t AS (SELECT {id_col}, str_split({norm}, ' ') AS toks FROM {table}),
+g AS (
+  SELECT {id_col},
+         list_transform(range(len(toks) - {k - 1}), i -> {h}) AS hs
+  FROM t
+),
+s AS (
+  SELECT {id_col},
+         list_transform(range(len(hs) - {w - 1}), i -> {{
+           'pos': CAST(i + {w} - list_position(
+                    list_reverse(list_slice(hs, i + 1, i + {w})),
+                    list_min(list_slice(hs, i + 1, i + {w}))) AS INT),
+           'fp': list_min(list_slice(hs, i + 1, i + {w}))
+         }}) AS sel
+  FROM g
+)
+-- DISTINCT here mirrors Spark's map-side array_distinct (DuckDB's
+-- list_distinct lacks struct support); (pos -> fp) is functional, so
+-- row-level and in-array dedup agree
+SELECT DISTINCT {id_col}, r.pos AS pos, r.fp AS fp
+FROM (SELECT {id_col}, unnest(sel) AS r FROM s)
+"""
+
+
+# -- positional phrase search ---------------------------------------------
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    top: int = 20,
+) -> DataFrame:
+    """Exact phrase search: docs containing the tokenized ``phrase`` as a
+    CONSECUTIVE token run, ranked by occurrence count (the positional
+    complement of :func:`bm25_search`'s bag-of-words ranking).
+
+    Output: ``doc_id, n_matches`` — top ``top`` by (count desc, doc_id
+    asc), a deterministic total order.  Scale: the match count is one
+    map-side array scan per doc (no posting-list join, no shuffle); the
+    ranking compiles to TakeOrderedAndProject.  ``F.get`` (0-based,
+    NULL-safe) rather than ``element_at`` so ANSI mode can't throw on
+    window edges.
+    """
+    words = phrase.strip().lower().split()
+    if not words:
+        raise ValueError("phrase_search: empty phrase")
+    L = len(words)
+    toks = _tokens(F.col(text))
+    n_start = F.size(toks) - F.lit(L - 1)
+
+    def is_match(i: Column) -> Column:
+        cond = F.get(toks, i) == words[0]
+        for j, wd in enumerate(words[1:], start=1):
+            cond = cond & (F.get(toks, i + j) == wd)
+        return cond
+
+    starts = F.when(n_start >= 1, F.sequence(F.lit(0), n_start - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    n_matches = F.size(F.filter(starts, is_match))
+    return (
+        df.select(F.col(id_col), n_matches.alias("n_matches"))
+        .where(F.col("n_matches") > 0)
+        .orderBy(F.col("n_matches").desc(), F.col(id_col).asc())
+        .limit(top)
+    )
+
+
+def phrase_search_sql(
+    table: str,
+    phrase: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    top: int = 20,
+) -> str:
+    words = phrase.strip().lower().split()
+    L = len(words)
+    norm = NORM_SQL.format(c=text)
+    cond = " AND ".join(
+        f"toks[i + {j + 1}] = '{wd}'" for j, wd in enumerate(words)
+    )
+    return f"""
+WITH t AS (SELECT {id_col}, str_split({norm}, ' ') AS toks FROM {table}),
+m AS (
+  SELECT {id_col},
+         len(list_filter(range(len(toks) - {L - 1}), i -> {cond})) AS n_matches
+  FROM t
+)
+SELECT {id_col}, n_matches FROM m WHERE n_matches > 0
+ORDER BY n_matches DESC, {id_col} ASC
+LIMIT {top}
+"""

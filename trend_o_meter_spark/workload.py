@@ -139,6 +139,9 @@ _SCORE_FIRST = (
     "curation_funnel_v3",  # round-5 addition (composed pipeline)
     "logreg_hashed_weights",  # round-5 addition (hashed sparse classifier)
     "logreg_hashed_scores",
+    "gopher_rules",  # round-5 addition (Rae 2021 quality rules)
+    "winnowing_fingerprints",  # round-5 addition (Schleimer 2003 / MOSS)
+    "phrase_search",  # round-5 addition (positional phrase ranking)
     # --- remaining driver slots: stalest previously-scored verdicts
     # (r2/r3-dated), oldest first, so the cross-round union keeps aging
     # uniformly.  sketch_rollup is fronted because its oracle changed
@@ -3298,3 +3301,45 @@ def decontaminate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") % 97 != 0)
     bench = d.filter(F.col("doc_id") % 97 == 0)
     return dedup.decontaminate_spans(corpus, bench, min_len=30)
+
+
+@_q(
+    "gopher_rules",
+    text.gopher_rules_sql("documents", min_words=32, min_required_stopwords=1),
+    doc="Gopher document-quality rules (Rae 2021 table A1) as auditable "
+    "per-rule flags + keep — every threshold an integer cross-multiplied "
+    "comparison (no float cut anywhere), one map-side pass, no shuffle. "
+    "Fixture thresholds: min_words=32, min_required_stopwords=1 so the "
+    "word-soup corpus splits on both rules.",
+)
+def gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.gopher_rules(d, min_words=32, min_required_stopwords=1)
+
+
+@_q(
+    "winnowing_fingerprints",
+    text.winnowing_fingerprints_sql("documents"),
+    doc="Winnowing fingerprint selection (Schleimer 2003 / MOSS): "
+    "rightmost-min of every w=4 window over k=5-gram md5 hashes, "
+    "position-deduplicated — guarantees any shared token run >= k+w-1 "
+    "shares a fingerprint, at 2/(w+1) density. Entirely map-side array "
+    "expressions: no shuffle, no UDF, O(n/w) output rows per doc.",
+)
+def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.winnowing_fingerprints(d)
+
+
+@_q(
+    "phrase_search",
+    text.phrase_search_sql("documents", "value table"),
+    doc="Exact consecutive-phrase search ranked by occurrence count — the "
+    "positional complement of bm25_search. Match counting is one "
+    "map-side array scan per doc (F.get, never ANSI-throwing "
+    "element_at); ranking compiles to TakeOrderedAndProject with a "
+    "doc_id tiebreak for a deterministic top-20.",
+)
+def phrase_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.phrase_search(d, "value table")
