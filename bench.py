@@ -89,6 +89,11 @@ HEADLINE = (
     "lm_kn_score",
     "hits_docs",
     "temperature_mixture",
+    # round-5 third widening: quality rules + the two search/fingerprint
+    # operators (all map-side; tracks the staged-HOF-projection fix)
+    "gopher_rules",
+    "winnowing_fingerprints",
+    "phrase_search",
 )
 
 

@@ -1793,3 +1793,21 @@ def test_curation_funnel_v3_monotone_and_hygiene_stages(spark):
     counts = [r["n_docs"] for r in rows]
     assert all(a >= b for a, b in zip(counts, counts[1:]))
     assert counts[0] > counts[-1] > 0
+
+
+def test_mrl_recall_full_width_is_perfect(spark):
+    """Truncating to the full dimension is the identity -> recall 1.0;
+    truncating to 2 of 16 dims on random vectors loses neighbors."""
+    import random
+
+    from trend_o_meter_spark.llm.similarity import mrl_recall
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    full = mrl_recall(df, n_queries=3, k=5, dim=16).collect()
+    assert len(full) == 3
+    assert all(r["recall"] == 1.0 and r["n_hit"] == r["n_exact"] == 5 for r in full)
+    narrow = mrl_recall(df, n_queries=3, k=5, dim=2).collect()
+    assert all(0.0 <= r["recall"] <= 1.0 for r in narrow)
+    assert any(r["recall"] < 1.0 for r in narrow)

@@ -168,3 +168,89 @@ def test_ewma_null_values_emit_null_and_carry_state(spark):
     assert oracle[("m", 3)] == got[("m", 3)]
     assert oracle[("n", 1)] is None
     assert oracle[("n", 2)] == got[("n", 2)]
+
+
+def test_holt_linear_matches_hand_recursion(spark):
+    """Independent Python recursion (written against the Hyndman &
+    Athanasopoulos formulas, not the operator's code path) agrees to the
+    bit on a smooth-plus-noise series."""
+    from trend_o_meter_spark.operators.trend import holt_linear
+
+    rows = [(i * 60, float(np.sin(i / 3.0) * 10 + i * 0.5 + 50)) for i in range(50)]
+    out = (
+        holt_linear(_series(spark, rows), keys=("metric",), alpha=0.3, beta=0.2)
+        .orderBy("ts")
+        .collect()
+    )
+    lv, tr = None, 0.0
+    exp_l, exp_t = [], []
+    for _, y in rows:
+        if lv is None:
+            lv, tr = y, 0.0
+        else:
+            nl = 0.3 * y + 0.7 * (lv + tr)
+            tr = 0.2 * (nl - lv) + 0.8 * tr
+            lv = nl
+        exp_l.append(lv)
+        exp_t.append(tr)
+    assert [r["level"] for r in out] == exp_l
+    assert [r["trend"] for r in out] == exp_t
+
+
+def test_holt_linear_tracks_linear_ramp(spark):
+    """On an exact linear ramp the trend estimate converges to the slope
+    per step and the one-step forecast (level+trend) approaches y_{t+1}."""
+    from trend_o_meter_spark.operators.trend import holt_linear
+
+    rows = [(i * 60, 10.0 + 2.0 * i) for i in range(200)]
+    out = (
+        holt_linear(_series(spark, rows), keys=("metric",), alpha=0.5, beta=0.3)
+        .orderBy("ts")
+        .collect()
+    )
+    last = out[-1]
+    assert last["trend"] == pytest.approx(2.0, abs=1e-6)
+    assert last["level"] == pytest.approx(10.0 + 2.0 * 199, abs=1e-4)
+
+
+def test_holt_linear_null_values_emit_null_and_carry_state(spark):
+    """Nulls emit (NULL, NULL) without advancing level/trend, matching the
+    DuckDB oracle row-for-row (the ewma contract)."""
+    import duckdb
+
+    from trend_o_meter_spark.operators.trend import holt_linear, holt_linear_sql
+
+    rows = [
+        ("m", 1, 10.0),
+        ("m", 2, None),
+        ("m", 3, 20.0),
+        ("n", 1, None),
+        ("n", 2, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    got = {
+        (r["metric"], r["ts"]): (r["level"], r["trend"])
+        for r in holt_linear(df).collect()
+    }
+    assert got[("m", 1)] == (10.0, 0.0)
+    assert got[("m", 2)] == (None, None)
+    # alpha=0.2, beta=0.1: l = .2*20 + .8*(10+0) = 12; b = .1*(12-10) + .9*0
+    assert got[("m", 3)] == (12.0, 0.1 * 2.0)
+    assert got[("n", 1)] == (None, None)
+    assert got[("n", 2)] == (4.0, 0.0)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        "('m', TIMESTAMP '2024-01-01 00:00:01', 10.0),"
+        "('m', TIMESTAMP '2024-01-01 00:00:02', NULL),"
+        "('m', TIMESTAMP '2024-01-01 00:00:03', 20.0),"
+        "('n', TIMESTAMP '2024-01-01 00:00:01', NULL),"
+        "('n', TIMESTAMP '2024-01-01 00:00:02', 4.0)"
+        ") AS v(metric, ts, value)"
+    )
+    oracle = {
+        (m, int(t.timestamp()) % 60): (lv, tr)
+        for m, t, _v, lv, tr in con.execute(holt_linear_sql("t")).fetchall()
+    }
+    assert oracle == got

@@ -1338,3 +1338,80 @@ SELECT vid AS {id_col}, cluster, dist, z_score,
        coalesce(abs(z_score) > {float(z_threshold)}, false) AS is_outlier
 FROM zz
 """
+
+
+def mrl_recall(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 5,
+    k: int = 10,
+    dim: int = 16,
+) -> DataFrame:
+    """Matryoshka truncation eval (Kusupati et al. 2022, "Matryoshka
+    Representation Learning"): recall@k of cosine top-k computed on the
+    FIRST ``dim`` components against the full-dimension baseline — the
+    measurement behind serving embeddings at a fraction of their stored
+    width (coarse-to-fine retrieval funnels).
+
+    Output: ``query_id, n_exact, n_hit, recall`` (the
+    :func:`ivf_recall` shape, so the two ANN-quality evals read alike).
+
+    Scale: both sides are :func:`cosine_topk` (broadcast queries, one
+    corpus scan each); the truncated side slices vectors map-side before
+    scoring, and the comparison join is k·n_queries rows — noise.  At
+    100 TB you run the truncated scan FIRST (cheaper dot products),
+    keeping this eval to decide how small ``dim`` can go.
+    """
+    ex = cosine_topk(
+        df, id_col=id_col, vec_col=vec_col, n_queries=n_queries, k=k
+    ).select("query_id", "neighbor_id")
+    trunc = df.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, dim).alias(vec_col)
+    )
+    ap = (
+        cosine_topk(trunc, id_col=id_col, vec_col=vec_col, n_queries=n_queries, k=k)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    j = ex.join(ap, ["query_id", "neighbor_id"], "left")
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 9).alias("recall"),
+        )
+    )
+
+
+def mrl_recall_sql(
+    table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 5,
+    k: int = 10,
+    dim: int = 16,
+) -> str:
+    ex = cosine_topk_sql(table, id_col=id_col, vec_col=vec_col, n_queries=n_queries, k=k)
+    trunc = (
+        f"(SELECT {id_col}, list_slice({vec_col}, 1, {dim}) AS {vec_col} FROM {table})"
+    )
+    ap = cosine_topk_sql(trunc, id_col=id_col, vec_col=vec_col, n_queries=n_queries, k=k)
+    return f"""
+WITH ex AS ({ex}),
+ap AS ({ap})
+SELECT ex.query_id, count(*) AS n_exact,
+       CAST(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       round(CAST(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(count(*) AS DOUBLE), 9) AS recall
+FROM ex LEFT JOIN ap USING (query_id, neighbor_id)
+GROUP BY 1
+"""

@@ -658,3 +658,138 @@ SELECT {ks}, make_timestamp(b * 1000000) AS bucket_start, mean_value,
        mean_value IS NULL AS is_gap
 FROM w
 """
+
+
+def holt_linear(
+    df: DataFrame,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    keys: Sequence[str] = ("metric",),
+    alpha: float = 0.2,
+    beta: float = 0.1,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Holt's linear-trend smoothing (double exponential smoothing) per
+    key, time-ascending — the next member of the smoothing family after
+    :func:`ewma` (Holt 1957; Hyndman & Athanasopoulos, "Forecasting:
+    Principles and Practice" §8.2):
+
+        level_t = alpha*y_t + (1-alpha)*(level_{t-1} + trend_{t-1})
+        trend_t = beta*(level_t - level_{t-1}) + (1-beta)*trend_{t-1}
+
+    seeded ``level = y`` and ``trend = 0.0`` at the first non-null
+    sample.  Like :func:`ewma` it is inherently recursive, so it runs as
+    an Arrow-batched ``applyInPandas`` scan per key (parallel across
+    keys, sequential within one), with the op order pinned EXACTLY so
+    the DuckDB recursive-CTE oracle (:func:`holt_linear_sql`) reproduces
+    it bit-for-bit.  Null values emit null and do not advance the state
+    (the ewma contract).  Output: ``*keys, *tiebreak, ts, value, level,
+    trend`` — the one-step forecast is ``level + trend`` by definition,
+    derivable downstream.
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    cols = [*keys, *tiebreak, ts, value]
+    out_schema = StructType(
+        [df.schema[c] for c in cols]
+        + [StructField("level", DoubleType()), StructField("trend", DoubleType())]
+    )
+    one_minus_a = 1.0 - alpha
+    one_minus_b = 1.0 - beta
+    sort_cols = [ts, *tiebreak, value]
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        out = pdf[cols].copy()
+        levels: list[float | None] = []
+        trends: list[float | None] = []
+        lv: float | None = None
+        tr = 0.0
+        for y in pdf[value].astype("float64"):
+            if pd.isna(y):
+                levels.append(None)
+                trends.append(None)
+                continue
+            if lv is None:
+                lv, tr = y, 0.0
+            else:
+                new_lv = alpha * y + one_minus_a * (lv + tr)
+                tr = beta * (new_lv - lv) + one_minus_b * tr
+                lv = new_lv
+            levels.append(lv)
+            trends.append(tr)
+        out["level"] = pd.Series(levels, index=out.index, dtype="object")
+        out["trend"] = pd.Series(trends, index=out.index, dtype="object")
+        return out
+
+    return df.select(*cols).groupBy(*keys).applyInPandas(scan, schema=out_schema)
+
+
+def holt_linear_sql(
+    table: str,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    keys: Sequence[str] = ("metric",),
+    alpha: float = 0.2,
+    beta: float = 0.1,
+    tiebreak: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`holt_linear`: recursive CTE carrying
+    (acc_l, acc_b); the trend update references the new level, which SQL
+    cannot let-bind, so the level expression is inlined textually — the
+    duplicated subtree computes the identical double, preserving
+    bit-exactness.  Same MATERIALIZED + longest-key iteration notes as
+    :func:`ewma_sql`."""
+    ks = ", ".join(keys)
+    out_cols = [*keys, *tiebreak, ts, value]
+    sel = ", ".join(out_cols)
+    o_sel = ", ".join(f"o.{c}" for c in out_cols)
+    order_by = ", ".join([ts, *tiebreak, value])
+    join_on = " AND ".join(f"o.{k} = r.{k}" for k in keys)
+    a, ia = repr(alpha), repr(1.0 - alpha)
+    b, ib = repr(beta), repr(1.0 - beta)
+    # the Python scan's `alpha*y + (1-alpha)*(lv+tr)`, textually
+    new_l = (
+        f"CAST({a} AS DOUBLE) * o.{value} "
+        f"+ CAST({ia} AS DOUBLE) * (r.acc_l + r.acc_b)"
+    )
+    new_b = (
+        f"CAST({b} AS DOUBLE) * (({new_l}) - r.acc_l) "
+        f"+ CAST({ib} AS DOUBLE) * r.acc_b"
+    )
+    return f"""
+WITH RECURSIVE ordered AS MATERIALIZED (
+  SELECT {sel},
+         row_number() OVER (PARTITION BY {ks} ORDER BY {order_by}) AS rn
+  FROM {table}
+),
+rec AS (
+  SELECT {sel}, rn,
+         CAST({value} AS DOUBLE) AS acc_l,
+         CASE WHEN {value} IS NULL THEN CAST(NULL AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS acc_b,
+         CAST({value} AS DOUBLE) AS level,
+         CASE WHEN {value} IS NULL THEN CAST(NULL AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS trend
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT {o_sel}, o.rn,
+         CASE WHEN o.{value} IS NULL THEN r.acc_l
+              WHEN r.acc_l IS NULL THEN CAST(o.{value} AS DOUBLE)
+              ELSE {new_l} END,
+         CASE WHEN o.{value} IS NULL THEN r.acc_b
+              WHEN r.acc_l IS NULL THEN CAST(0.0 AS DOUBLE)
+              ELSE {new_b} END,
+         CASE WHEN o.{value} IS NULL THEN NULL
+              WHEN r.acc_l IS NULL THEN CAST(o.{value} AS DOUBLE)
+              ELSE {new_l} END,
+         CASE WHEN o.{value} IS NULL THEN NULL
+              WHEN r.acc_l IS NULL THEN CAST(0.0 AS DOUBLE)
+              ELSE {new_b} END
+  FROM ordered o JOIN rec r ON {join_on} AND o.rn = r.rn + 1
+)
+SELECT {sel}, level, trend FROM rec
+"""

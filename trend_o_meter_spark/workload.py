@@ -3343,3 +3343,33 @@ def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def phrase_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return text.phrase_search(d, "value table")
+
+
+@_q(
+    "holt_linear_02",
+    trend.holt_linear_sql(
+        "events", keys=("event_type",), alpha=0.2, beta=0.1, tiebreak=("event_id",)
+    ),
+    doc="Holt's linear-trend (double exponential) smoothing per metric — "
+    "the smoothing family's second member after ewma_02, same "
+    "applyInPandas-scan shape (parallel across keys, sequential within "
+    "one) and a bit-exact recursive-CTE oracle with the trend update's "
+    "level reference inlined textually.",
+)
+def holt_linear_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir).select("event_id", "ts", "event_type", "value")
+    return trend.holt_linear(ev, keys=("event_type",), alpha=0.2, beta=0.1, tiebreak=("event_id",))
+
+
+@_q(
+    "mrl_recall",
+    similarity.mrl_recall_sql("embeddings", n_queries=5, k=10, dim=16),
+    doc="Matryoshka truncation eval (Kusupati 2022): recall@10 of "
+    "16-of-64-dim cosine top-k vs the full-width baseline — the "
+    "measurement that sizes a coarse-to-fine retrieval funnel. Both "
+    "sides are the broadcast-query corpus scan; comparison join is "
+    "k*n_queries rows.",
+)
+def mrl_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "embeddings", sf_dir)
+    return similarity.mrl_recall(e, n_queries=5, k=10, dim=16)
