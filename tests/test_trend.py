@@ -254,3 +254,36 @@ def test_holt_linear_null_values_emit_null_and_carry_state(spark):
         for m, t, _v, lv, tr in con.execute(holt_linear_sql("t")).fetchall()
     }
     assert oracle == got
+
+
+def test_seasonal_decompose_recovers_planted_profile(spark):
+    """A pure hour-of-day signal decomposes to seasonal == profile and
+    residual == noise; null samples pass through with null parts."""
+    from trend_o_meter_spark.operators.trend import seasonal_decompose
+
+    profile = {h: 10.0 * h for h in range(24)}
+    rows = []
+    for day in range(4):
+        for h in range(24):
+            off = 86400 * day + 3600 * h + 60
+            actual_phase = ((BASE + off) % 86400) // 3600  # _series shifts by BASE
+            rows.append((off, profile[actual_phase] + (1.0 if day % 2 else -1.0)))
+    out = seasonal_decompose(_series(spark, rows), keys=("metric",)).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        if r["value"] is None:
+            continue
+        h = r["phase"]
+        assert r["seasonal"] == pytest.approx(profile[h], abs=1e-9)
+        assert abs(r["residual"]) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_seasonal_decompose_null_value_rows_kept(spark):
+    from trend_o_meter_spark.operators.trend import seasonal_decompose
+
+    df = spark.createDataFrame(
+        [("m", 100, 5.0), ("m", 3700, None)], "metric string, epoch long, value double"
+    ).select(F.timestamp_seconds("epoch").alias("ts"), "metric", "value")
+    out = {r["phase"]: r for r in seasonal_decompose(df, keys=("metric",)).collect()}
+    assert out[0]["seasonal"] == 5.0 and out[0]["residual"] == 0.0
+    assert out[1]["value"] is None and out[1]["residual"] is None

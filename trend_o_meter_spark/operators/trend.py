@@ -793,3 +793,80 @@ rec AS (
 )
 SELECT {sel}, level, trend FROM rec
 """
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    keys: Sequence[str] = ("metric",),
+    period_seconds: int = 86400,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Seasonal-naive decomposition: each sample splits into the mean of
+    its phase bucket (e.g. hour-of-day under the defaults) and a
+    residual — the classical seasonal/remainder split a monitor uses to
+    spot "high for 3am" rather than "high overall" (additive
+    decomposition with a periodic-mean seasonal, Hyndman & A. §3.2;
+    trend removal composes via :func:`holt_linear` upstream).
+
+    Phase = ``floor((epoch % period) / bucket)`` — engine-neutral pure
+    integer arithmetic, no timezone/calendar functions anywhere.  The
+    phase-mean is the exact-decimal-sum-then-double-divide recipe (the
+    resample contract).  Null samples carry null seasonal/residual and
+    do not pollute the profile.
+
+    Output: ``*keys, ts, <value>, phase, seasonal, residual``.  Scale:
+    one partial-aggregating groupBy to a (keys x phases)-row profile —
+    KB-sized by construction — broadcast-joined back onto the stream;
+    the events table itself is never shuffled.
+    """
+    phase = F.floor((F.unix_seconds(F.col(ts)) % period_seconds) / bucket_seconds).cast("int")
+    tagged = df.select(*keys, F.col(ts), F.col(value), phase.alias("phase"))
+    prof = (
+        tagged.filter(F.col(value).isNotNull())
+        .groupBy(*keys, "phase")
+        .agg(
+            (F.sum(F.col(value).cast("decimal(28,8)")).cast("double") / F.count(F.lit(1)))
+            .alias("seasonal")
+        )
+    )
+    out = tagged.join(F.broadcast(prof), [*keys, "phase"], "left")
+    return out.select(
+        *keys,
+        ts,
+        value,
+        "phase",
+        "seasonal",
+        (F.col(value) - F.col("seasonal")).alias("residual"),
+    )
+
+
+def seasonal_decompose_sql(
+    table: str,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    keys: Sequence[str] = ("metric",),
+    period_seconds: int = 86400,
+    bucket_seconds: int = 3600,
+) -> str:
+    ks = ", ".join(keys)
+    join_on = " AND ".join(f"e.{k} = p.{k}" for k in keys)
+    e_ks = ", ".join(f"e.{k}" for k in keys)
+    phase = (
+        f"CAST(floor((epoch({ts}) % {period_seconds}) / {bucket_seconds}) AS INT)"
+    )
+    e_phase = phase.replace(f"epoch({ts})", f"epoch(e.{ts})")
+    return f"""
+WITH prof AS (
+  SELECT {ks}, {phase} AS phase,
+         CAST(sum(CAST({value} AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS seasonal
+  FROM {table} WHERE {value} IS NOT NULL
+  GROUP BY ALL
+)
+SELECT {e_ks}, e.{ts}, e.{value}, {e_phase} AS phase,
+       p.seasonal, e.{value} - p.seasonal AS residual
+FROM {table} e LEFT JOIN prof p ON {join_on} AND {e_phase} = p.phase
+"""

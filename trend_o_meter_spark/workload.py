@@ -3373,3 +3373,16 @@ def holt_linear_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mrl_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, "embeddings", sf_dir)
     return similarity.mrl_recall(e, n_queries=5, k=10, dim=16)
+
+
+@_q(
+    "seasonal_hourly",
+    trend.seasonal_decompose_sql("events", keys=("event_type",)),
+    doc="Seasonal-naive decomposition: hour-of-day phase means (engine-"
+    "neutral integer phase arithmetic, exact-decimal means) broadcast "
+    "back as seasonal + residual — 'high for 3am' beats 'high overall'. "
+    "The profile is keys x 24 rows; the events table is never shuffled.",
+)
+def seasonal_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir).select("ts", "event_type", "value")
+    return trend.seasonal_decompose(ev, keys=("event_type",))
