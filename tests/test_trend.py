@@ -287,3 +287,32 @@ def test_seasonal_decompose_null_value_rows_kept(spark):
     out = {r["phase"]: r for r in seasonal_decompose(df, keys=("metric",)).collect()}
     assert out[0]["seasonal"] == 5.0 and out[0]["residual"] == 0.0
     assert out[1]["value"] is None and out[1]["residual"] is None
+
+
+def test_mad_anomalies_robust_to_masking(spark):
+    """One wild outlier must not mask a moderate one: classical z-score
+    lets the 1000.0 spike inflate sigma until 50.0 looks normal; the
+    MAD cut flags both."""
+    from trend_o_meter_spark.operators.trend import mad_anomalies
+
+    rows = [(i * 60, 10.0 + (0.5 if i % 2 else -0.5)) for i in range(40)]
+    rows.append((41 * 60, 1000.0))
+    rows.append((42 * 60, 50.0))
+    out = mad_anomalies(_series(spark, rows), keys=("metric",), z_threshold=3.5).collect()
+    flagged = sorted(r["value"] for r in out)
+    assert flagged == [50.0, 1000.0]
+    # sorted values: 20x9.5, 20x10.5, 50, 1000 -> median 10.5; deviations
+    # 20x1.0, 20x0.0, 39.5, 989.5 -> MAD 1.0
+    for r in out:
+        assert r["med"] == pytest.approx(10.5, abs=1e-6)
+        assert r["mad"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_mad_anomalies_zero_mad_yields_no_flags(spark):
+    """A constant-majority key has MAD 0 -> null z everywhere, so nothing
+    is flagged (no divide-by-zero, no spurious infinities)."""
+    from trend_o_meter_spark.operators.trend import mad_anomalies
+
+    rows = [(i * 60, 7.0) for i in range(20)] + [(21 * 60, 99.0)]
+    out = mad_anomalies(_series(spark, rows), keys=("metric",)).collect()
+    assert out == []

@@ -870,3 +870,103 @@ SELECT {e_ks}, e.{ts}, e.{value}, {e_phase} AS phase,
        p.seasonal, e.{value} - p.seasonal AS residual
 FROM {table} e LEFT JOIN prof p ON {join_on} AND {e_phase} = p.phase
 """
+
+
+def mad_anomalies(
+    df: DataFrame,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    keys: Sequence[str] = ("metric",),
+    z_threshold: float = 3.5,
+) -> DataFrame:
+    """Robust anomaly detection via the modified z-score (Iglewicz &
+    Hoaglin 1993): ``0.6745 * (y - median) / MAD`` with the classic
+    |z| > 3.5 cut — unlike :func:`zscore_anomalies`, one wild outlier
+    cannot inflate the spread estimate and mask the others (50%
+    breakdown point vs 0%).
+
+    Exactness: median/MAD use interpolated ``percentile`` ==
+    ``quantile_cont`` (sort-based, proven by value_quantiles); every
+    emitted double goes through the shared away-from-zero 1e-9 floor
+    quantization.  A key with MAD = 0 (over half its samples identical)
+    yields null z — surfaced, not divided by zero.
+
+    Output: ``*keys, ts, <value>, med, mad, robust_z`` for flagged rows.
+    Scale: two percentile aggregates to O(keys)-row profiles, each
+    broadcast back; the event stream itself is never shuffled.
+    """
+    c = F.col(value)
+
+    def q9(x: Column) -> Column:
+        return (
+            F.when(x >= 0, F.floor(x * F.lit(1e9) + F.lit(0.5)))
+            .otherwise(-F.floor(-x * F.lit(1e9) + F.lit(0.5)))
+            / F.lit(1e9)
+        )
+
+    med = df.groupBy(*keys).agg(F.percentile(c, F.lit(0.5)).alias("__med"))
+    with_med = df.join(F.broadcast(med), list(keys))
+    mad = (
+        with_med.groupBy(*keys)
+        .agg(F.percentile(F.abs(c - F.col("__med")), F.lit(0.5)).alias("__mad"))
+    )
+    scored = with_med.join(F.broadcast(mad), list(keys)).withColumn(
+        "__rz",
+        F.lit(0.6745) * (c - F.col("__med")) / F.nullif(F.col("__mad"), F.lit(0.0)),
+    )
+    return scored.filter(F.abs(F.col("__rz")) > F.lit(float(z_threshold))).select(
+        *keys,
+        ts,
+        value,
+        q9(F.col("__med")).alias("med"),
+        q9(F.col("__mad")).alias("mad"),
+        q9(F.col("__rz")).alias("robust_z"),
+    )
+
+
+def mad_anomalies_sql(
+    table: str,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    keys: Sequence[str] = ("metric",),
+    z_threshold: float = 3.5,
+) -> str:
+    ks = ", ".join(keys)
+    join1 = " AND ".join(f"t.{k} = m.{k}" for k in keys)
+    join2 = " AND ".join(f"d.{k} = a.{k}" for k in keys)
+    t_ks = ", ".join(f"t.{k}" for k in keys)
+    d_ks = ", ".join(f"d.{k}" for k in keys)
+
+    def q9(x: str) -> str:
+        return (
+            f"CASE WHEN ({x}) >= 0 THEN floor(({x}) * 1e9 + 0.5) "
+            f"ELSE -floor(-({x}) * 1e9 + 0.5) END / 1e9"
+        )
+
+    rz = (
+        f"CAST(0.6745 AS DOUBLE) * (d.{value} - d.__med) / nullif(a.__mad, 0.0)"
+    )
+    return f"""
+WITH med AS (
+  SELECT {ks}, quantile_cont({value}, 0.5) AS __med FROM {table} GROUP BY ALL
+),
+dev AS (
+  SELECT {t_ks}, t.{ts}, t.{value}, m.__med
+  FROM {table} t JOIN med m ON {join1}
+),
+mad AS (
+  SELECT {ks}, quantile_cont(abs({value} - __med), 0.5) AS __mad
+  FROM dev GROUP BY ALL
+),
+scored AS (
+  SELECT {d_ks}, d.{ts}, d.{value}, d.__med, a.__mad, {rz} AS __rz
+  FROM dev d JOIN mad a ON {join2}
+)
+SELECT {ks}, {ts}, {value},
+       {q9('__med')} AS med,
+       {q9('__mad')} AS mad,
+       {q9('__rz')} AS robust_z
+FROM scored WHERE abs(__rz) > CAST({float(z_threshold)} AS DOUBLE)
+"""

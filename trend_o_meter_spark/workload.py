@@ -3386,3 +3386,17 @@ def mrl_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def seasonal_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir).select("ts", "event_type", "value")
     return trend.seasonal_decompose(ev, keys=("event_type",))
+
+
+@_q(
+    "mad_anomalies",
+    trend.mad_anomalies_sql("events", keys=("event_type",), z_threshold=3.5),
+    doc="Robust modified-z-score anomalies (Iglewicz & Hoaglin 1993): "
+    "0.6745*(y - median)/MAD with |z| > 3.5 — a wild outlier can't "
+    "inflate the spread and mask the rest, unlike zscore_anomalies. "
+    "Two O(keys)-row percentile profiles broadcast back; the event "
+    "stream is never shuffled.",
+)
+def mad_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir).select("ts", "event_type", "value")
+    return trend.mad_anomalies(ev, keys=("event_type",), z_threshold=3.5)
