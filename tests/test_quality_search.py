@@ -139,3 +139,36 @@ def test_phrase_search_tiebreak_and_top(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     rows = phrase_search(df, "p q", top=10).collect()
     assert [r["doc_id"] for r in rows] == list(range(10))  # doc_id tiebreak
+
+
+# -- winnow near-dup pairs --------------------------------------------------
+
+
+def test_winnow_near_dup_finds_planted_overlap(spark):
+    from trend_o_meter_spark.llm.text import winnow_near_dup_pairs
+
+    shared = "one two three four five six seven eight nine ten eleven twelve"
+    docs = [
+        (0, "aa bb " + shared + " cc"),
+        (1, "dd " + shared + " ee ff"),
+        (2, "totally different words with no overlap at all here friend"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"] for r in
+             winnow_near_dup_pairs(df, min_shared=1).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 1
+    assert not any(2 in p for p in pairs)
+
+
+def test_winnow_near_dup_max_df_drops_boilerplate(spark):
+    """A fingerprint shared by EVERY doc is boilerplate: with max_df it
+    stops generating candidates, and pair counts can only shrink."""
+    from trend_o_meter_spark.llm.text import winnow_near_dup_pairs
+
+    boiler = "the same boilerplate header appears in every single document here"
+    docs = [(i, boiler + f" unique{i} filler{i} words{i} more{i}") for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    full = winnow_near_dup_pairs(df, min_shared=1).count()
+    capped = winnow_near_dup_pairs(df, min_shared=1, max_df=3).count()
+    assert full == 15  # all C(6,2) pairs share the boilerplate run
+    assert capped < full

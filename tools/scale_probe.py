@@ -90,10 +90,33 @@ def dup_span_removal_probe(spark, reps):
     return dedup.dup_span_removal(d)
 
 
+def winnowing_probe(spark, reps):
+    from trend_o_meter_spark.llm import text
+
+    d = _replicate(table(spark, "documents", SF_DIR), reps, "doc_id")
+    return text.winnowing_fingerprints(d)
+
+
+def holt_probe(spark, reps):
+    """Replicated events with shifted event_ids: key count stays fixed
+    (5 event_types) so per-key series grow reps x — the worst case for a
+    sequential-within-key scan (parallelism across keys can't help)."""
+    from trend_o_meter_spark.operators import trend
+
+    ev = _replicate(
+        table(spark, "events", SF_DIR).select("event_id", "ts", "event_type", "value"),
+        reps,
+        "event_id",
+    )
+    return trend.holt_linear(ev, keys=("event_type",), tiebreak=("event_id",))
+
+
 PROBES = {
     "semantic_dedup": semantic_dedup_probe,
     "pagerank": pagerank_probe,
     "dup_span_removal": dup_span_removal_probe,
+    "winnowing": winnowing_probe,
+    "holt": holt_probe,
 }
 
 

@@ -2530,3 +2530,78 @@ SELECT {id_col}, n_matches FROM m WHERE n_matches > 0
 ORDER BY n_matches DESC, {id_col} ASC
 LIMIT {top}
 """
+
+
+def winnow_near_dup_pairs(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate candidate pairs from shared winnowing fingerprints —
+    the MOSS overlap detector (Schleimer 2003 §4) next to the MinHash
+    and SimHash families: two docs pair when they share >= ``min_shared``
+    selected fingerprint VALUES, which (by the winnowing guarantee)
+    catches any shared token run of length >= k + w - 1 per shared
+    fingerprint, with positional evidence MinHash can't give.
+
+    Output: ``id_a, id_b, n_shared`` (id_a < id_b).
+
+    Scale: the join is KEYED on the fingerprint value — never all-pairs.
+    ``max_df`` mirrors minhash-LSH's ``max_bucket``: a fingerprint
+    appearing in more than ``max_df`` docs is boilerplate (the paper's
+    own suggestion) and is dropped from candidate generation, bounding
+    per-key fan-out at O(max_df^2) instead of O(df^2).  Default None
+    keeps exact output for the oracle; production sets it.
+    """
+    fps = winnowing_fingerprints(df, text=text, id_col=id_col, k=k, w=w).select(
+        F.col(id_col).alias("id"), "fp"
+    ).distinct()
+    if max_df is not None:
+        admitted = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("fp")
+        )
+        fps = fps.join(admitted, "fp")
+    a = fps.select(F.col("id").alias("id_a"), "fp")
+    b = fps.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_near_dup_pairs_sql(
+    table: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> str:
+    fps = winnowing_fingerprints_sql(table, text=text, id_col=id_col, k=k, w=w)
+    df_filter = (
+        f"WHERE fp IN (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {max_df})"
+        if max_df is not None
+        else ""
+    )
+    return f"""
+WITH raw AS ({fps}),
+fps AS (SELECT DISTINCT {id_col} AS id, fp FROM raw),
+adm AS (SELECT id, fp FROM fps {df_filter})
+SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+FROM adm a JOIN adm b ON a.fp = b.fp AND a.id < b.id
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+"""

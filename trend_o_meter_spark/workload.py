@@ -3400,3 +3400,17 @@ def seasonal_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mad_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir).select("ts", "event_type", "value")
     return trend.mad_anomalies(ev, keys=("event_type",), z_threshold=3.5)
+
+
+@_q(
+    "winnow_near_dup",
+    text.winnow_near_dup_pairs_sql("documents", min_shared=2),
+    doc="MOSS-style near-dup pairs from shared winnowing fingerprints "
+    "(Schleimer 2003 §4): fingerprint-value-KEYED join (never "
+    "all-pairs), >= 2 shared values per pair, positional evidence the "
+    "MinHash family can't give; max_df boilerplate cap mirrors LSH's "
+    "max_bucket for production fan-out bounds.",
+)
+def winnow_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.winnow_near_dup_pairs(d, min_shared=2)
