@@ -316,3 +316,41 @@ def test_mad_anomalies_zero_mad_yields_no_flags(spark):
     rows = [(i * 60, 7.0) for i in range(20)] + [(21 * 60, 99.0)]
     out = mad_anomalies(_series(spark, rows), keys=("metric",)).collect()
     assert out == []
+
+
+def test_theil_sen_robust_to_outlier_bucket(spark):
+    """A clean 2.0/hour ramp with ONE wild daily bucket: OLS trend_slope
+    drags visibly; Theil-Sen's median slope stays exactly on the ramp."""
+    from trend_o_meter_spark.operators.trend import theil_sen_slope
+
+    delta = -(BASE % 86400)  # align offsets to the UTC day grid
+    rows = []
+    for d in range(10):
+        for h in (1, 13):  # both samples inside the same UTC day
+            t = delta + d * 86400 + h * 3600
+            v = 2.0 * (t / 3600.0)
+            if d == 9:
+                v += 10000.0  # contaminated END day (max OLS leverage)
+            rows.append((t, v))
+    out = theil_sen_slope(_series(spark, rows), keys=("metric",)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_buckets"] == 10 and r["n_pairs"] == 45
+    assert r["slope_per_hour"] == pytest.approx(2.0, abs=1e-6)
+
+    # year-wide bucket so the whole series lands in ONE OLS regression
+    ols_rows = trend_slope(_series(spark, rows), bucket_seconds=86400 * 365).collect()
+    assert len(ols_rows) == 1
+    assert abs(ols_rows[0]["slope_per_hour"] - 2.0) > 0.5  # OLS dragged, TS not
+
+
+def test_theil_sen_recovers_line_exactly(spark):
+    from trend_o_meter_spark.operators.trend import theil_sen_slope
+
+    rows = [(d * 86400, 5.0 + 3.0 * (d * 24)) for d in range(6)]  # 3/hour
+    out = theil_sen_slope(_series(spark, rows), keys=("metric",)).collect()[0]
+    assert out["slope_per_hour"] == pytest.approx(3.0, abs=1e-6)
+    # intercept measured at epoch 0 of the BASE-shifted timeline
+    base_h = (BASE - BASE % 86400) / 3600.0 + 0  # first bucket hour
+    expected_icpt = (5.0 + 3.0 * 0) - 3.0 * ((BASE + 0) // 86400 * 86400 / 3600.0)
+    assert out["intercept"] == pytest.approx(expected_icpt, rel=1e-9)

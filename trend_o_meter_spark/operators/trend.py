@@ -970,3 +970,125 @@ SELECT {ks}, {ts}, {value},
        {q9('__rz')} AS robust_z
 FROM scored WHERE abs(__rz) > CAST({float(z_threshold)} AS DOUBLE)
 """
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    keys: Sequence[str] = ("metric",),
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Theil-Sen robust trend estimate per key: the MEDIAN of all
+    pairwise slopes between bucket means (Theil 1950 / Sen 1968) plus
+    the matching median intercept — up to ~29% contaminated buckets
+    cannot drag the estimate, where :func:`trend_slope`'s OLS breaks at
+    one wild bucket (the robust sibling, same relation as
+    :func:`mad_anomalies` to zscore_anomalies).
+
+    Output: ``*keys, n_buckets, n_pairs, slope_per_hour, intercept``.
+
+    Exactness: bucket means use the exact-decimal recipe; pairwise
+    slope arithmetic and the interpolated median are the identical
+    double expressions in both engines; emitted doubles go through the
+    shared away-from-zero 1e-9 quantization.  Scale: the pairwise join
+    runs over BUCKET MEANS, not samples — O((span/bucket)^2) pairs per
+    key, bounded by the series span exactly like the retention-bounded
+    oracles; the sample stream contributes one partial-aggregating
+    groupBy only.
+    """
+    b = (F.floor(F.unix_seconds(F.col(ts)) / bucket_seconds) * bucket_seconds).cast("long")
+    means = (
+        df.filter(F.col(value).isNotNull())
+        .groupBy(*keys, b.alias("__b"))
+        .agg(
+            (F.sum(F.col(value).cast("decimal(28,8)")).cast("double") / F.count(F.lit(1)))
+            .alias("__m")
+        )
+    )
+    l = means.select(*keys, F.col("__b").alias("__b1"), F.col("__m").alias("__m1"))
+    r = means.select(*keys, F.col("__b").alias("__b2"), F.col("__m").alias("__m2"))
+    pairs = l.join(r, list(keys)).filter(F.col("__b1") < F.col("__b2")).withColumn(
+        "__slope",
+        (F.col("__m2") - F.col("__m1"))
+        / ((F.col("__b2") - F.col("__b1")).cast("double") / F.lit(3600.0)),
+    )
+    med_slope = pairs.groupBy(*keys).agg(
+        F.percentile(F.col("__slope"), F.lit(0.5)).alias("__med_slope"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    resid = means.join(F.broadcast(med_slope), list(keys)).withColumn(
+        "__resid",
+        F.col("__m") - F.col("__med_slope") * (F.col("__b").cast("double") / F.lit(3600.0)),
+    )
+
+    def q9(x: Column) -> Column:
+        return (
+            F.when(x >= 0, F.floor(x * F.lit(1e9) + F.lit(0.5)))
+            .otherwise(-F.floor(-x * F.lit(1e9) + F.lit(0.5)))
+            / F.lit(1e9)
+        )
+
+    return (
+        resid.groupBy(*keys, "__med_slope", "n_pairs")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.percentile(F.col("__resid"), F.lit(0.5)).alias("__icpt"),
+        )
+        .select(
+            *keys,
+            "n_buckets",
+            "n_pairs",
+            q9(F.col("__med_slope")).alias("slope_per_hour"),
+            q9(F.col("__icpt")).alias("intercept"),
+        )
+    )
+
+
+def theil_sen_slope_sql(
+    table: str,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    keys: Sequence[str] = ("metric",),
+    bucket_seconds: int = 86400,
+) -> str:
+    ks = ", ".join(keys)
+    join_k = " AND ".join(f"l.{k} = r.{k}" for k in keys)
+    l_ks = ", ".join(f"l.{k}" for k in keys)
+    m_join = " AND ".join(f"m.{k} = s.{k}" for k in keys)
+    m_ks = ", ".join(f"m.{k}" for k in keys)
+
+    def q9(x: str) -> str:
+        return (
+            f"CASE WHEN ({x}) >= 0 THEN floor(({x}) * 1e9 + 0.5) "
+            f"ELSE -floor(-({x}) * 1e9 + 0.5) END / 1e9"
+        )
+
+    return f"""
+WITH means AS (
+  SELECT {ks},
+         CAST(floor(epoch({ts}) / {bucket_seconds}) * {bucket_seconds} AS BIGINT) AS __b,
+         CAST(sum(CAST({value} AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS __m
+  FROM {table} WHERE {value} IS NOT NULL GROUP BY ALL
+),
+pairs AS (
+  SELECT {l_ks}, (r.__m - l.__m) / ((r.__b - l.__b) / CAST(3600.0 AS DOUBLE)) AS __slope
+  FROM means l JOIN means r ON {join_k} AND l.__b < r.__b
+),
+slopes AS (
+  SELECT {ks}, quantile_cont(__slope, 0.5) AS __med_slope,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY ALL
+),
+resid AS (
+  SELECT {m_ks}, s.__med_slope, s.n_pairs,
+         m.__m - s.__med_slope * (m.__b / CAST(3600.0 AS DOUBLE)) AS __resid
+  FROM means m JOIN slopes s ON {m_join}
+)
+SELECT {ks}, CAST(count(*) AS BIGINT) AS n_buckets, n_pairs,
+       {q9('__med_slope')} AS slope_per_hour,
+       {q9('quantile_cont(__resid, 0.5)')} AS intercept
+FROM resid GROUP BY {ks}, __med_slope, n_pairs
+"""

@@ -3414,3 +3414,17 @@ def mad_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def winnow_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return text.winnow_near_dup_pairs(d, min_shared=2)
+
+
+@_q(
+    "theil_sen_daily",
+    trend.theil_sen_slope_sql("events", keys=("event_type",), bucket_seconds=86400),
+    doc="Theil-Sen robust trend per metric: median of pairwise slopes "
+    "between daily bucket means + median intercept — 29% contaminated "
+    "buckets can't drag it, where trend_slope's OLS breaks at one wild "
+    "bucket. Pairwise only over bucket means (span-bounded), samples "
+    "contribute one partial-aggregating groupBy.",
+)
+def theil_sen_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir).select("ts", "event_type", "value")
+    return trend.theil_sen_slope(ev, keys=("event_type",), bucket_seconds=86400)
