@@ -147,7 +147,9 @@ _SCORE_FIRST = (
     # uniformly.  sketch_rollup is fronted because its oracle changed
     # this round (no_oracle -> estimate-within-bound check). ----------
     "sketch_rollup",
-    "contamination_check",
+    "holt_linear_02",  # round-5 addition — swapped into slot 50 over
+    # contamination_check (which keeps its r2 verdict) so one more
+    # never-scored query gains a driver verdict this round
     "asof_join_orders",
     "window_rank",
     "unpivot_lineitem_charges",
