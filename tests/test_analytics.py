@@ -1,0 +1,72 @@
+"""Product-analytics operators: ordered funnel + cohort retention."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from trend_o_meter_spark.operators.analytics import cohort_retention, funnel_steps
+
+DAY0 = datetime(2024, 1, 1, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+
+def test_funnel_order_is_strict(spark):
+    rows = [
+        # u1 completes the whole funnel in order
+        (1, DAY0, "view"), (1, DAY0 + timedelta(hours=1), "click"),
+        (1, DAY0 + timedelta(hours=2), "purchase"),
+        # u2 clicks BEFORE viewing: click must not count
+        (2, DAY0 + timedelta(hours=1), "click"), (2, DAY0 + timedelta(hours=2), "view"),
+        # u3 views only
+        (3, DAY0, "view"),
+        # u4 view and click at the SAME timestamp: tie does not advance
+        (4, DAY0, "view"), (4, DAY0, "click"),
+    ]
+    out = {r["step_name"]: r for r in
+           funnel_steps(_ev(spark, rows), ("view", "click", "purchase")).collect()}
+    assert out["view"]["n_users"] == 4
+    assert out["click"]["n_users"] == 1  # only u1
+    assert out["purchase"]["n_users"] == 1
+    assert out["view"]["conversion"] == 1.0
+    assert out["click"]["conversion"] == 0.25
+    assert out["purchase"]["conversion"] == 1.0
+
+
+def test_funnel_first_touch_anchor(spark):
+    """The step-2 anchor is the FIRST step-1 event: a click between the
+    user's two views counts (it follows the first view)."""
+    rows = [
+        (1, DAY0, "view"),
+        (1, DAY0 + timedelta(hours=1), "click"),
+        (1, DAY0 + timedelta(hours=2), "view"),
+    ]
+    out = {r["step_name"]: r["n_users"] for r in
+           funnel_steps(_ev(spark, rows), ("view", "click")).collect()}
+    assert out == {"view": 1, "click": 1}
+
+
+def test_cohort_retention_triangle(spark):
+    rows = []
+    # cohort day 0: users 1, 2; user 1 returns day 1 and 2, user 2 never
+    for u, days in ((1, [0, 1, 2]), (2, [0]), (3, [1, 2])):
+        for d in days:
+            rows.append((u, DAY0 + timedelta(days=d), "view"))
+    out = {(r["day_offset"], r["cohort_day"] % 10): r for r in
+           cohort_retention(_ev(spark, rows).select("user_id", "ts")).collect()}
+    d0 = int(DAY0.timestamp()) // 86400
+    got = {(r["cohort_day"] - d0, r["day_offset"]): (r["n_active"], r["cohort_size"], r["retention"])
+           for r in cohort_retention(_ev(spark, rows).select("user_id", "ts")).collect()}
+    assert got[(0, 0)] == (2, 2, 1.0)
+    assert got[(0, 1)] == (1, 2, 0.5)
+    assert got[(0, 2)] == (1, 2, 0.5)
+    assert got[(1, 0)] == (1, 1, 1.0)  # user 3's cohort
+    assert got[(1, 1)] == (1, 1, 1.0)
+
+
+def test_cohort_retention_offset_cap(spark):
+    rows = [(1, DAY0, "view"), (1, DAY0 + timedelta(days=40), "view")]
+    out = cohort_retention(_ev(spark, rows).select("user_id", "ts"), max_offset_days=30).collect()
+    assert max(r["day_offset"] for r in out) == 0  # day-40 activity capped away

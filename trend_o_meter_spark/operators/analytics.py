@@ -1,0 +1,234 @@
+"""Ordered funnel analysis and cohort retention — the product-analytics
+queries an event monitor grows once it has ``user_id`` on the stream
+(absent from the reference, shipped Spark-first like SURVEY §2.11's
+relational surface).
+
+* :func:`funnel_steps` — users progressing through an ORDERED sequence
+  of event types (each step strictly after the previous step's first
+  completion) — the classic conversion funnel.
+* :func:`cohort_retention` — users bucketed by first-seen day, distinct
+  actives per (cohort, day-offset) — the classic retention triangle.
+
+Both are pure relational compositions (filter-pushed scans, user-keyed
+joins, map-side-combinable min/distinct aggregates); exact integer
+counts everywhere, ratios through the shared away-from-zero 1e-9
+quantization.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _q9(x: Column) -> Column:
+    return (
+        F.when(x >= 0, F.floor(x * F.lit(1e9) + F.lit(0.5)))
+        .otherwise(-F.floor(-x * F.lit(1e9) + F.lit(0.5)))
+        / F.lit(1e9)
+    )
+
+
+_Q9_SQL = (
+    "CASE WHEN ({x}) >= 0 THEN floor(({x}) * 1e9 + 0.5) "
+    "ELSE -floor(-({x}) * 1e9 + 0.5) END / 1e9"
+)
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: Sequence[str],
+    *,
+    ts: str = "ts",
+    user: str = "user_id",
+    event_type: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: a user completes step i+1 only with an
+    event STRICTLY after their first completion of step i (first-touch
+    semantics; same-timestamp ties do not advance — documented, both
+    engines compare identically).
+
+    Output: ``step_index, step_name, n_users, conversion`` — one row per
+    step, ``conversion`` = n_users / previous step's n_users (1.0 for
+    the first step).
+
+    Scale: one filter-pushed scan per step (``event_type`` predicate
+    reaches the parquet scan), each reduced to a per-user MIN before the
+    user-keyed join with the previous frontier — map-side combinable,
+    the frontier only shrinks.  Never a window over raw events.
+    """
+    if not steps:
+        raise ValueError("funnel_steps: empty step list")
+    frontier: DataFrame | None = None
+    counts = []
+    for i, step in enumerate(steps):
+        ev = df.filter(F.col(event_type) == step).select(
+            F.col(user).alias("__u"), F.col(ts).alias("__t")
+        )
+        if frontier is None:
+            frontier = ev.groupBy("__u").agg(F.min("__t").alias("__ft"))
+        else:
+            frontier = (
+                ev.join(frontier.select("__u", F.col("__ft").alias("__prev")), "__u")
+                .filter(F.col("__t") > F.col("__prev"))
+                .groupBy("__u")
+                .agg(F.min("__t").alias("__ft"))
+            )
+        counts.append(
+            frontier.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).alias("step_index"),
+                F.lit(step).alias("step_name"),
+                "n_users",
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    # conversion vs the previous step via a self-join on step_index - 1
+    prev = out.select(
+        (F.col("step_index") + 1).alias("step_index"),
+        F.col("n_users").alias("__prev_n"),
+    )
+    return (
+        out.join(prev, "step_index", "left")
+        .select(
+            "step_index",
+            "step_name",
+            "n_users",
+            _q9(
+                F.when(F.col("__prev_n").isNull(), F.lit(1.0)).otherwise(
+                    F.col("n_users").cast("double") / F.col("__prev_n").cast("double")
+                )
+            ).alias("conversion"),
+        )
+    )
+
+
+def funnel_steps_sql(
+    table: str,
+    steps: Sequence[str],
+    *,
+    ts: str = "ts",
+    user: str = "user_id",
+    event_type: str = "event_type",
+) -> str:
+    ctes = []
+    for i, step in enumerate(steps):
+        if i == 0:
+            ctes.append(
+                f"s1 AS (SELECT {user} AS u, min({ts}) AS ft FROM {table} "
+                f"WHERE {event_type} = '{step}' GROUP BY 1)"
+            )
+        else:
+            ctes.append(
+                f"s{i + 1} AS (SELECT e.{user} AS u, min(e.{ts}) AS ft "
+                f"FROM {table} e JOIN s{i} p ON e.{user} = p.u "
+                f"WHERE e.{event_type} = '{step}' AND e.{ts} > p.ft GROUP BY 1)"
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT {i + 1} AS step_index, '{s}' AS step_name, "
+        f"CAST(count(*) AS BIGINT) AS n_users FROM s{i + 1}"
+        for i, s in enumerate(steps)
+    )
+    conv = _Q9_SQL.format(
+        x="CASE WHEN p.__prev_n IS NULL THEN CAST(1.0 AS DOUBLE) "
+        "ELSE CAST(c.n_users AS DOUBLE) / CAST(p.__prev_n AS DOUBLE) END"
+    )
+    return f"""
+WITH {", ".join(ctes)},
+counts AS ({selects})
+SELECT c.step_index, c.step_name, c.n_users, {conv} AS conversion
+FROM counts c LEFT JOIN (
+  SELECT step_index + 1 AS step_index, n_users AS __prev_n FROM counts
+) p USING (step_index)
+"""
+
+
+def cohort_retention(
+    df: DataFrame,
+    *,
+    ts: str = "ts",
+    user: str = "user_id",
+    max_offset_days: int = 30,
+) -> DataFrame:
+    """Retention triangle: users cohorted by FIRST-seen UTC day; for each
+    (cohort_day, day_offset <= max_offset_days) the count of distinct
+    users from that cohort active on that day.
+
+    Output: ``cohort_day, day_offset, n_active, cohort_size,
+    retention`` (epoch-day bigints; retention = n_active/cohort_size,
+    1e-9-quantized; offset 0 rows are the cohort sizes by definition).
+
+    Scale: per-user first-day is one map-side-combinable MIN; actives
+    dedupe to (user, day) BEFORE the cohort join (the distinct is keyed,
+    its output bounded by users x span); the triangle itself is
+    O(span^2 / 2) rows — KB-sized.  ``max_offset_days`` bounds the
+    output like every span-bounded contract here.
+    """
+    day = F.floor(F.unix_seconds(F.col(ts)) / 86400).cast("long")
+    firsts = (
+        df.select(F.col(user).alias("__u"), day.alias("__d"))
+        .groupBy("__u")
+        .agg(F.min("__d").alias("__cohort"))
+    )
+    active = df.select(F.col(user).alias("__u"), day.alias("__d")).distinct()
+    joined = (
+        active.join(firsts, "__u")
+        .select(
+            "__u",
+            "__cohort",
+            (F.col("__d") - F.col("__cohort")).alias("__off"),
+        )
+        .filter(F.col("__off") <= max_offset_days)
+    )
+    counts = joined.groupBy("__cohort", "__off").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    sizes = firsts.groupBy("__cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        counts.join(sizes, "__cohort")
+        .select(
+            F.col("__cohort").alias("cohort_day"),
+            F.col("__off").alias("day_offset"),
+            "n_active",
+            "cohort_size",
+            _q9(F.col("n_active").cast("double") / F.col("cohort_size").cast("double"))
+            .alias("retention"),
+        )
+    )
+
+
+def cohort_retention_sql(
+    table: str,
+    *,
+    ts: str = "ts",
+    user: str = "user_id",
+    max_offset_days: int = 30,
+) -> str:
+    ret = _Q9_SQL.format(
+        x="CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE)"
+    )
+    return f"""
+WITH firsts AS (
+  SELECT {user} AS u, min(CAST(floor(epoch({ts}) / 86400) AS BIGINT)) AS cohort
+  FROM {table} GROUP BY 1
+),
+active AS (
+  SELECT DISTINCT {user} AS u, CAST(floor(epoch({ts}) / 86400) AS BIGINT) AS d
+  FROM {table}
+),
+counts AS (
+  SELECT f.cohort, a.d - f.cohort AS off, CAST(count(*) AS BIGINT) AS n_active
+  FROM active a JOIN firsts f ON a.u = f.u
+  WHERE a.d - f.cohort <= {max_offset_days}
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size FROM firsts GROUP BY 1
+)
+SELECT c.cohort AS cohort_day, c.off AS day_offset, c.n_active, s.cohort_size,
+       {ret} AS retention
+FROM counts c JOIN sizes s ON c.cohort = s.cohort
+"""

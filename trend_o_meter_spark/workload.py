@@ -48,6 +48,7 @@ from . import functions as tfn
 from .catalog import table
 from .llm import bpe, classifier, cluster, dedup, funnel, multimodal, similarity, text
 from .operators import (
+    analytics,
     bloom,
     asof,
     cms,
@@ -3430,3 +3431,30 @@ def winnow_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def theil_sen_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir).select("ts", "event_type", "value")
     return trend.theil_sen_slope(ev, keys=("event_type",), bucket_seconds=86400)
+
+
+@_q(
+    "funnel_views",
+    analytics.funnel_steps_sql("events", ("view", "click", "purchase")),
+    doc="Ordered conversion funnel view -> click -> purchase: each step "
+    "strictly after the user's first completion of the previous one. "
+    "One filter-pushed scan per step reduced to a per-user MIN before "
+    "the user-keyed join with the shrinking frontier — never a window "
+    "over raw events.",
+)
+def funnel_views_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir).select("ts", "user_id", "event_type")
+    return analytics.funnel_steps(ev, ("view", "click", "purchase"))
+
+
+@_q(
+    "cohort_retention",
+    analytics.cohort_retention_sql("events", max_offset_days=30),
+    doc="Retention triangle: users cohorted by first-seen UTC day, "
+    "distinct actives per (cohort, offset <= 30d). Per-user firsts are "
+    "one map-side MIN; actives dedupe to (user, day) before the cohort "
+    "join; the triangle output is span-bounded KBs.",
+)
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir).select("ts", "user_id")
+    return analytics.cohort_retention(ev, max_offset_days=30)
