@@ -70,3 +70,32 @@ def test_cohort_retention_offset_cap(spark):
     rows = [(1, DAY0, "view"), (1, DAY0 + timedelta(days=40), "view")]
     out = cohort_retention(_ev(spark, rows).select("user_id", "ts"), max_offset_days=30).collect()
     assert max(r["day_offset"] for r in out) == 0  # day-40 activity capped away
+
+
+def test_event_transitions_counts(spark):
+    rows = [
+        (1, DAY0, "view"), (1, DAY0 + timedelta(minutes=1), "click"),
+        (1, DAY0 + timedelta(minutes=2), "view"),
+        (2, DAY0, "view"), (2, DAY0 + timedelta(minutes=1), "click"),
+        (3, DAY0, "purchase"),  # single event: no transition
+    ]
+    from trend_o_meter_spark.operators.analytics import event_transitions
+
+    df = _ev(spark, rows)
+    out = {(r["from_type"], r["to_type"]): r["n"] for r in event_transitions(df).collect()}
+    assert out == {("view", "click"): 2, ("click", "view"): 1}
+
+
+def test_rfm_extremes_and_partition(spark):
+    """A whale (many big purchases, most recent) lands in 555; a one-shot
+    ancient small buyer in 111; per-code counts partition the users."""
+    from trend_o_meter_spark.operators.analytics import rfm_segments
+
+    rows = []
+    for u in range(10):
+        for k in range(u + 1):  # user u makes u+1 purchases
+            rows.append((u, DAY0 + timedelta(days=u, hours=k), "purchase", float((u + 1) * 10)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, value double")
+    out = {r["rfm"]: r["n_users"] for r in rfm_segments(df).collect()}
+    # 10 users, perfectly correlated dims -> exactly 2 per quintile code
+    assert out == {"111": 2, "222": 2, "333": 2, "444": 2, "555": 2}

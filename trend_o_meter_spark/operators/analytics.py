@@ -232,3 +232,140 @@ SELECT c.cohort AS cohort_day, c.off AS day_offset, c.n_active, s.cohort_size,
        {ret} AS retention
 FROM counts c JOIN sizes s ON c.cohort = s.cohort
 """
+
+
+def event_transitions(
+    df: DataFrame,
+    *,
+    ts: str = "ts",
+    user: str = "user_id",
+    event_type: str = "event_type",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """First-order Markov transition counts: per user, each consecutive
+    event pair (by time) contributes one (from_type, to_type) count —
+    the navigation/behavior matrix product analytics reads funnels out
+    of.
+
+    Output: ``from_type, to_type, n`` — at most |types|^2 rows.
+
+    Scale: ONE window (lag) PARTITIONED BY USER (keyed, never a global
+    single-partition sort) + a tiny groupBy; pass a unique ``tiebreak``
+    (e.g. event id) so timestamp collisions within a user order
+    deterministically in both engines.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user).orderBy(ts, *tiebreak)
+    pairs = df.select(
+        F.lag(event_type).over(w).alias("from_type"),
+        F.col(event_type).alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    return pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def event_transitions_sql(
+    table: str,
+    *,
+    ts: str = "ts",
+    user: str = "user_id",
+    event_type: str = "event_type",
+    tiebreak: Sequence[str] = (),
+) -> str:
+    order_by = ", ".join([ts, *tiebreak])
+    return f"""
+WITH pairs AS (
+  SELECT lag({event_type}) OVER (PARTITION BY {user} ORDER BY {order_by}) AS from_type,
+         {event_type} AS to_type
+  FROM {table}
+)
+SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+FROM pairs WHERE from_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def rfm_segments(
+    df: DataFrame,
+    *,
+    ts: str = "ts",
+    user: str = "user_id",
+    value: str = "value",
+    event_type: str = "event_type",
+    purchase_type: str = "purchase",
+) -> DataFrame:
+    """RFM segmentation (Hughes 1994): per-user Recency (last purchase
+    epoch — higher is better), Frequency (purchase count), Monetary
+    (exact-decimal value sum), each scored 1-5 against the population's
+    interpolated quintile BREAKPOINTS, then counted per ``rfm`` code.
+
+    Output: ``rfm (e.g. '545'), n_users``.
+
+    Scale: scoring by comparison against 4 broadcast breakpoints per
+    dimension — NOT ``ntile`` (a global ntile is a single-partition
+    window sort, the plan-audit red flag); the per-user reduce is one
+    map-side-combinable aggregate.  Boundary semantics: score = 1 +
+    #(breakpoints strictly below the metric), identical doubles both
+    engines.
+    """
+    p = df.filter(F.col(event_type) == purchase_type)
+    per_user = p.groupBy(F.col(user).alias("__u")).agg(
+        F.max(F.unix_seconds(F.col(ts))).alias("__r"),
+        F.count(F.lit(1)).cast("double").alias("__f"),
+        (F.sum(F.col(value).cast("decimal(28,8)")).cast("double")).alias("__m"),
+    ).withColumn("__r", F.col("__r").cast("double"))
+    qs = [0.2, 0.4, 0.6, 0.8]
+    breaks = per_user.agg(
+        *[F.percentile(f"__{d}", F.lit(q)).alias(f"__{d}{i}")
+          for d in ("r", "f", "m") for i, q in enumerate(qs)]
+    )
+
+    def score(d: str) -> Column:
+        c = F.lit(1)
+        for i in range(4):
+            c = c + F.when(F.col(f"__{d}") > F.col(f"__{d}{i}"), 1).otherwise(0)
+        return c.cast("string")
+
+    scored = per_user.crossJoin(F.broadcast(breaks)).select(
+        F.concat(score("r"), score("f"), score("m")).alias("rfm")
+    )
+    return scored.groupBy("rfm").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+def rfm_segments_sql(
+    table: str,
+    *,
+    ts: str = "ts",
+    user: str = "user_id",
+    value: str = "value",
+    event_type: str = "event_type",
+    purchase_type: str = "purchase",
+) -> str:
+    qs = [0.2, 0.4, 0.6, 0.8]
+    brk = ", ".join(
+        f"quantile_cont(__{d}, {q}) AS __{d}{i}"
+        for d in ("r", "f", "m") for i, q in enumerate(qs)
+    )
+
+    def score(d: str) -> str:
+        terms = " + ".join(
+            f"CASE WHEN __{d} > __{d}{i} THEN 1 ELSE 0 END" for i in range(4)
+        )
+        return f"CAST(1 + {terms} AS VARCHAR)"
+
+    return f"""
+WITH per_user AS (
+  SELECT {user} AS __u,
+         -- floor: Spark's unix_seconds truncates to whole seconds while
+         -- DuckDB's epoch() keeps fractional microseconds
+         CAST(max(floor(epoch({ts}))) AS DOUBLE) AS __r,
+         CAST(count(*) AS DOUBLE) AS __f,
+         CAST(sum(CAST({value} AS DECIMAL(28,8))) AS DOUBLE) AS __m
+  FROM {table} WHERE {event_type} = '{purchase_type}' GROUP BY 1
+),
+breaks AS (SELECT {brk} FROM per_user)
+SELECT {score('r')} || {score('f')} || {score('m')} AS rfm,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM per_user, breaks
+GROUP BY 1
+"""

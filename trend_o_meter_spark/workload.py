@@ -3458,3 +3458,29 @@ def funnel_views_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir).select("ts", "user_id")
     return analytics.cohort_retention(ev, max_offset_days=30)
+
+
+@_q(
+    "event_transitions",
+    analytics.event_transitions_sql("events", tiebreak=("event_id",)),
+    doc="First-order Markov transition counts (from_type, to_type, n): "
+    "one USER-PARTITIONED lag window (keyed, never a global sort) + a "
+    "|types|^2-row groupBy; event_id tiebreak pins ordering under "
+    "timestamp collisions.",
+)
+def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir).select("ts", "event_id", "user_id", "event_type")
+    return analytics.event_transitions(ev, tiebreak=("event_id",))
+
+
+@_q(
+    "rfm_segments",
+    analytics.rfm_segments_sql("events"),
+    doc="RFM segmentation over purchase events: recency/frequency/"
+    "monetary scored 1-5 by comparison against broadcast interpolated "
+    "quintile breakpoints — NOT a global ntile (single-partition window "
+    "sort); monetary sums are exact decimal.",
+)
+def rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir).select("ts", "user_id", "event_type", "value")
+    return analytics.rfm_segments(ev)
