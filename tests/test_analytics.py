@@ -99,3 +99,21 @@ def test_rfm_extremes_and_partition(spark):
     out = {r["rfm"]: r["n_users"] for r in rfm_segments(df).collect()}
     # 10 users, perfectly correlated dims -> exactly 2 per quintile code
     assert out == {"111": 2, "222": 2, "333": 2, "444": 2, "555": 2}
+
+
+def test_dau_mau_stickiness(spark):
+    from trend_o_meter_spark.operators.analytics import dau_mau
+
+    rows = [
+        (1, DAY0, "view"), (2, DAY0, "view"),          # day 0: u1, u2
+        (1, DAY0 + timedelta(days=1), "view"),          # day 1: u1
+        (3, DAY0 + timedelta(days=40), "view"),         # day 40: u3 (window reset)
+    ]
+    df = _ev(spark, rows).select("user_id", "ts")
+    d0 = int(DAY0.timestamp()) // 86400
+    out = {r["day"] - d0: r for r in dau_mau(df, window_days=30).collect()}
+    assert set(out) == {0, 1, 40}
+    assert (out[0]["dau"], out[0]["mau"]) == (2, 2)
+    assert (out[1]["dau"], out[1]["mau"]) == (1, 2)  # u2 still in trailing 30d
+    assert out[1]["stickiness"] == 0.5
+    assert (out[40]["dau"], out[40]["mau"]) == (1, 1)  # day-0/1 actives aged out

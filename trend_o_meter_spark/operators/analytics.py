@@ -369,3 +369,68 @@ SELECT {score('r')} || {score('f')} || {score('m')} AS rfm,
 FROM per_user, breaks
 GROUP BY 1
 """
+
+
+def dau_mau(
+    df: DataFrame,
+    *,
+    ts: str = "ts",
+    user: str = "user_id",
+    window_days: int = 30,
+) -> DataFrame:
+    """Stickiness (DAU/MAU): per observed UTC day, the distinct daily
+    actives, the distinct actives over the trailing ``window_days``
+    window, and their ratio — the classic engagement metric.
+
+    Output: ``day, dau, mau, stickiness`` (epoch-day bigint; ratio
+    1e-9-quantized).
+
+    Scale: the stream dedupes to (user, day) FIRST (keyed distinct,
+    output bounded by actives x span); each such row then explodes into
+    the <= ``window_days`` trailing window days it contributes to — a
+    bounded fan-out of an already-small table — and MAU is one exact
+    count-distinct per day.  No sliding window over raw events, no
+    global sort.
+    """
+    day = F.floor(F.unix_seconds(F.col(ts)) / 86400).cast("long")
+    ud = df.select(F.col(user).alias("__u"), day.alias("__d")).distinct()
+    dau = ud.groupBy(F.col("__d").alias("day")).agg(F.count(F.lit(1)).alias("dau"))
+    contrib = ud.select(
+        "__u",
+        F.explode(F.sequence(F.col("__d"), F.col("__d") + (window_days - 1))).alias("day"),
+    )
+    mau = contrib.groupBy("day").agg(F.count_distinct("__u").alias("mau"))
+    return (
+        dau.join(mau, "day")  # inner: only observed days reported
+        .select(
+            "day",
+            "dau",
+            "mau",
+            _q9(F.col("dau").cast("double") / F.col("mau").cast("double"))
+            .alias("stickiness"),
+        )
+    )
+
+
+def dau_mau_sql(
+    table: str,
+    *,
+    ts: str = "ts",
+    user: str = "user_id",
+    window_days: int = 30,
+) -> str:
+    ratio = "CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE)"
+    q = _Q9_SQL.format(x=ratio)
+    return f"""
+WITH ud AS (
+  SELECT DISTINCT {user} AS u, CAST(floor(epoch({ts}) / 86400) AS BIGINT) AS d
+  FROM {table}
+),
+dau AS (SELECT d AS day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+contrib AS (
+  SELECT u, unnest(range(d, d + {window_days})) AS day FROM ud
+),
+mau AS (SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS mau FROM contrib GROUP BY 1)
+SELECT day, dau, mau, {q} AS stickiness
+FROM dau JOIN mau USING (day)
+"""

@@ -3484,3 +3484,16 @@ def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir).select("ts", "user_id", "event_type", "value")
     return analytics.rfm_segments(ev)
+
+
+@_q(
+    "dau_mau",
+    analytics.dau_mau_sql("events", window_days=30),
+    doc="DAU/MAU stickiness per observed day: events dedupe to "
+    "(user, day) first, each row explodes into its <= 30 trailing "
+    "window days (bounded fan-out of a small keyed table), MAU is one "
+    "exact count-distinct per day — no sliding window over raw events.",
+)
+def dau_mau_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir).select("ts", "user_id")
+    return analytics.dau_mau(ev, window_days=30)
