@@ -117,3 +117,30 @@ def test_dau_mau_stickiness(spark):
     assert (out[1]["dau"], out[1]["mau"]) == (1, 2)  # u2 still in trailing 30d
     assert out[1]["stickiness"] == 0.5
     assert (out[40]["dau"], out[40]["mau"]) == (1, 1)  # day-0/1 actives aged out
+
+
+def test_attribution_last_touch_semantics(spark):
+    from trend_o_meter_spark.operators.analytics import attribution_last_touch
+
+    rows = [
+        # u1: view, then click, then purchase -> credited to click (latest)
+        (1, 10, DAY0, "view", 0.0),
+        (1, 11, DAY0 + timedelta(hours=1), "click", 0.0),
+        (1, 12, DAY0 + timedelta(hours=2), "purchase", 100.0),
+        # u2: purchase with NO prior touch (view comes after)
+        (2, 20, DAY0, "purchase", 50.0),
+        (2, 21, DAY0 + timedelta(hours=1), "view", 0.0),
+        # u3: view AT the purchase timestamp -> at-or-before counts
+        (3, 30, DAY0, "view", 0.0),
+        (3, 31, DAY0, "purchase", 25.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r["touch_type"]: (r["n_conversions"], r["revenue"])
+           for r in attribution_last_touch(df).collect()}
+    assert out == {
+        "click": (1, 100.0),
+        "unattributed": (1, 50.0),
+        "view": (1, 25.0),
+    }

@@ -434,3 +434,94 @@ mau AS (SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS mau FROM contrib GROUP 
 SELECT day, dau, mau, {q} AS stickiness
 FROM dau JOIN mau USING (day)
 """
+
+
+def attribution_last_touch(
+    df: DataFrame,
+    *,
+    ts: str = "ts",
+    user: str = "user_id",
+    event_type: str = "event_type",
+    value: str = "value",
+    event_id: str = "event_id",
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("view", "click"),
+) -> DataFrame:
+    """Last-touch attribution: each conversion is credited to the user's
+    most recent touch event AT OR BEFORE it (merge_asof ``backward``
+    semantics; ties on timestamp resolve by greatest event id in both
+    engines); conversions with no prior touch report as
+    ``unattributed``.
+
+    Output: ``touch_type, n_conversions, revenue`` (exact-decimal sum
+    emitted as double).
+
+    Scale: this is the as-of join (:mod:`..asof`) in its
+    marketing-attribution costume — conversions are the left side,
+    touches the right, both filter-pushed scans keyed by user; the
+    reduce is a |touch_types|+1-row aggregate.
+    """
+    from . import asof
+
+    conv = df.filter(F.col(event_type) == conversion_type).select(
+        F.col(user).alias("__u"), ts, value, event_id
+    )
+    touches = df.filter(F.col(event_type).isin(*touch_types)).select(
+        F.col(user).alias("__u"),
+        F.col(ts).alias("__tts"),
+        F.col(event_type).alias("touch_type"),
+        F.col(event_id).alias("__tid"),
+    )
+    j = asof.asof_join(
+        conv,
+        touches,
+        left_on=ts,
+        right_on="__tts",
+        by_left="__u",
+        by_right="__u",
+        right_cols=("touch_type",),
+        tiebreak="__tid",
+        direction="backward",
+    )
+    return (
+        j.groupBy(F.coalesce(F.col("touch_type"), F.lit("unattributed")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum(F.col(value).cast("decimal(28,8)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+def attribution_last_touch_sql(
+    table: str,
+    *,
+    ts: str = "ts",
+    user: str = "user_id",
+    event_type: str = "event_type",
+    value: str = "value",
+    event_id: str = "event_id",
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("view", "click"),
+) -> str:
+    tt = ", ".join(f"'{t}'" for t in touch_types)
+    return f"""
+WITH conv AS (
+  SELECT {user} AS u, {ts} AS cts, {value} AS v, {event_id} AS cid
+  FROM {table} WHERE {event_type} = '{conversion_type}'
+),
+touch AS (
+  SELECT {user} AS u, {ts} AS tts, {event_type} AS touch_type, {event_id} AS tid
+  FROM {table} WHERE {event_type} IN ({tt})
+),
+cand AS (
+  SELECT c.cid, c.v, t.touch_type,
+         row_number() OVER (PARTITION BY c.cid
+                            ORDER BY t.tts DESC, t.tid DESC) AS rn
+  FROM conv c LEFT JOIN touch t ON c.u = t.u AND t.tts <= c.cts
+)
+SELECT coalesce(touch_type, 'unattributed') AS touch_type,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(sum(CAST(v AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+FROM cand WHERE rn = 1
+GROUP BY 1
+"""

@@ -3497,3 +3497,19 @@ def rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dau_mau_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir).select("ts", "user_id")
     return analytics.dau_mau(ev, window_days=30)
+
+
+@_q(
+    "attribution_last_touch",
+    analytics.attribution_last_touch_sql("events"),
+    doc="Last-touch attribution: every purchase credited to the user's "
+    "most recent view/click at-or-before it (the as-of join in its "
+    "marketing costume; timestamp ties resolve by greatest event_id in "
+    "both engines), no-touch purchases reported as unattributed; "
+    "revenue is an exact-decimal sum.",
+)
+def attribution_last_touch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir).select(
+        "ts", "user_id", "event_type", "value", "event_id"
+    )
+    return analytics.attribution_last_touch(ev)
