@@ -144,3 +144,33 @@ def test_attribution_last_touch_semantics(spark):
         "unattributed": (1, 50.0),
         "view": (1, 25.0),
     }
+
+
+def test_ab_lift_counts_and_z(spark):
+    """Hand-check against the arm assignment the salted hash actually
+    makes, including a known-lift construction."""
+    import hashlib
+    import math
+
+    from trend_o_meter_spark.operators.analytics import ab_lift
+
+    def arm(u, salt="exp-v1"):
+        return int(hashlib.md5(f"{salt}:{u}".encode()).hexdigest()[:7], 16) % 2
+
+    # 40 users; convert exactly the even-indexed HALF of each arm's list
+    users = list(range(40))
+    arms = {u: arm(u) for u in users}
+    a_users = [u for u in users if arms[u] == 0]
+    b_users = [u for u in users if arms[u] == 1]
+    converters = set(a_users[: len(a_users) // 4]) | set(b_users[: len(b_users) // 2])
+    rows = [(u, "view") for u in users] + [(u, "purchase") for u in converters]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = ab_lift(df).collect()[0]
+    assert (out["n_a"], out["n_b"]) == (len(a_users), len(b_users))
+    assert out["conv_a"] == len(a_users) // 4
+    assert out["conv_b"] == len(b_users) // 2
+    ra, rb = out["conv_a"] / out["n_a"], out["conv_b"] / out["n_b"]
+    pp = (out["conv_a"] + out["conv_b"]) / (out["n_a"] + out["n_b"])
+    se = math.sqrt(pp * (1 - pp) * (1 / out["n_a"] + 1 / out["n_b"]))
+    assert out["lift"] == round(rb - ra, 9) or abs(out["lift"] - (rb - ra)) < 2e-9
+    assert abs(out["z_score"] - (rb - ra) / se) < 2e-9

@@ -525,3 +525,110 @@ SELECT coalesce(touch_type, 'unattributed') AS touch_type,
 FROM cand WHERE rn = 1
 GROUP BY 1
 """
+
+
+def ab_lift(
+    df: DataFrame,
+    *,
+    user: str = "user_id",
+    event_type: str = "event_type",
+    conversion_type: str = "purchase",
+    salt: str = "exp-v1",
+) -> DataFrame:
+    """Deterministic A/B experiment readout: users split into arms by the
+    SALTED md5 parity of their id (the repo's reproducible-assignment
+    rule — never ``rand()``, assignment survives re-runs and engines),
+    then per-arm conversion (>= 1 ``conversion_type`` event) with the
+    two-proportion pooled z statistic.
+
+    Output (one row): ``n_a, n_b, conv_a, conv_b, rate_a, rate_b, lift,
+    z_score`` (rates/lift/z 1e-9-quantized; lift = rate_b - rate_a; z
+    follows the standard pooled-SE form, NULL when either arm is empty
+    or the pooled rate is degenerate 0/1).
+
+    Exactness: all counts are exact integers; the float tail is
+    divisions and one ``sqrt`` (correctly-rounded IEEE) in pinned
+    operand order.  Scale: one distinct per side, one user-keyed join,
+    one global 1-row aggregate.
+    """
+    from ..llm.hashing import md5_int
+
+    arm = (md5_int(F.concat(F.lit(salt + ":"), F.col("__u").cast("string"))) % 2).alias("__arm")
+    users = df.select(F.col(user).alias("__u")).distinct().select("__u", arm)
+    conv = (
+        df.filter(F.col(event_type) == conversion_type)
+        .select(F.col(user).alias("__u"))
+        .distinct()
+        .withColumn("__c", F.lit(1))
+    )
+    j = users.join(conv, "__u", "left")
+    agg = j.agg(
+        F.sum(F.when(F.col("__arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("__arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when((F.col("__arm") == 0) & F.col("__c").isNotNull(), 1).otherwise(0)).alias("conv_a"),
+        F.sum(F.when((F.col("__arm") == 1) & F.col("__c").isNotNull(), 1).otherwise(0)).alias("conv_b"),
+    )
+    ra = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    rb = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n_a").cast("double") + F.lit(1.0) / F.col("n_b").cast("double"))
+    )
+    z = (rb - ra) / F.nullif(se, F.lit(0.0))
+    return agg.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        _q9(ra).alias("rate_a"),
+        _q9(rb).alias("rate_b"),
+        _q9(rb - ra).alias("lift"),
+        _q9(z).alias("z_score"),
+    )
+
+
+def ab_lift_sql(
+    table: str,
+    *,
+    user: str = "user_id",
+    event_type: str = "event_type",
+    conversion_type: str = "purchase",
+    salt: str = "exp-v1",
+) -> str:
+    from ..llm.hashing import md5_int_sql
+
+    h = md5_int_sql(f"'{salt}:' || CAST(__u AS VARCHAR)")
+    ra = "CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+    rb = "CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)"
+    pp = "CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)"
+    se = (
+        f"sqrt(({pp}) * (CAST(1.0 AS DOUBLE) - ({pp})) "
+        f"* (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE) "
+        f"+ CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE)))"
+    )
+    z = f"(({rb}) - ({ra})) / nullif({se}, CAST(0.0 AS DOUBLE))"
+    return f"""
+WITH users AS (
+  SELECT __u, {h} % 2 AS __arm FROM (SELECT DISTINCT {user} AS __u FROM {table})
+),
+conv AS (
+  SELECT DISTINCT {user} AS __u FROM {table} WHERE {event_type} = '{conversion_type}'
+),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN u.__arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN u.__arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(sum(CASE WHEN u.__arm = 0 AND c.__u IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+    CAST(sum(CASE WHEN u.__arm = 1 AND c.__u IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+  FROM users u LEFT JOIN conv c ON u.__u = c.__u
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       {_Q9_SQL.format(x=ra)} AS rate_a,
+       {_Q9_SQL.format(x=rb)} AS rate_b,
+       {_Q9_SQL.format(x=f"({rb}) - ({ra})")} AS lift,
+       {_Q9_SQL.format(x=z)} AS z_score
+FROM agg
+"""

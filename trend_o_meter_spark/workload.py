@@ -3513,3 +3513,22 @@ def attribution_last_touch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", "user_id", "event_type", "value", "event_id"
     )
     return analytics.attribution_last_touch(ev)
+
+
+@_q(
+    "ab_lift",
+    analytics.ab_lift_sql(
+        "(SELECT * FROM events WHERE event_type != 'purchase' OR value > 200.0)"
+    ),
+    doc="Deterministic A/B readout: arms by salted md5 parity of user id "
+    "(reproducible across runs and engines, never rand()), per-arm "
+    "conversion + two-proportion pooled z. Conversion = a QUALIFYING "
+    "purchase (value > 200), ~20% of users at both SFs, so the fixture "
+    "exercises a non-degenerate z. Exact integer counts; the float "
+    "tail is divisions and one correctly-rounded sqrt in pinned "
+    "operand order.",
+)
+def ab_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir).select("user_id", "event_type", "value")
+    qualified = ev.filter((F.col("event_type") != "purchase") | (F.col("value") > 200.0))
+    return analytics.ab_lift(qualified)
