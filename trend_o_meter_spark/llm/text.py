@@ -2484,19 +2484,29 @@ def phrase_search(
     if not words:
         raise ValueError("phrase_search: empty phrase")
     L = len(words)
+    # Shifted-slice arrays_zip matcher, NOT per-index F.get in a HOF
+    # lambda: CollapseProject treats split() as cheap and inlines the
+    # token array into the lambda, where interpreted evaluation re-runs
+    # the regexp+split on EVERY element access (measured 3.8 s); each
+    # slice here evaluates its child once per ROW (0.8 s at sf0.1).
     toks = _tokens(F.col(text))
     n_start = F.size(toks) - F.lit(L - 1)
+    shifted = [
+        F.slice(toks, j + 1, F.greatest(n_start, F.lit(0))).alias(f"w{j}")
+        for j in range(L)
+    ]
+    zipped = F.arrays_zip(*shifted)
 
-    def is_match(i: Column) -> Column:
-        cond = F.get(toks, i) == words[0]
+    def is_match(x: Column) -> Column:
+        cond = x["w0"] == words[0]
         for j, wd in enumerate(words[1:], start=1):
-            cond = cond & (F.get(toks, i + j) == wd)
+            cond = cond & (x[f"w{j}"] == wd)
         return cond
 
-    starts = F.when(n_start >= 1, F.sequence(F.lit(0), n_start - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    n_matches = F.size(F.filter(starts, is_match))
+    n_matches = F.when(
+        n_start >= 1,
+        F.aggregate(zipped, F.lit(0), lambda a, x: a + F.when(is_match(x), 1).otherwise(0)),
+    ).otherwise(F.lit(0))
     return (
         df.select(F.col(id_col), n_matches.alias("n_matches"))
         .where(F.col("n_matches") > 0)
