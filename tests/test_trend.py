@@ -354,3 +354,29 @@ def test_theil_sen_recovers_line_exactly(spark):
     base_h = (BASE - BASE % 86400) / 3600.0 + 0  # first bucket hour
     expected_icpt = (5.0 + 3.0 * 0) - 3.0 * ((BASE + 0) // 86400 * 86400 / 3600.0)
     assert out["intercept"] == pytest.approx(expected_icpt, rel=1e-9)
+
+
+def test_seasonal_adjusted_anomaly_composition(spark):
+    """A value that's normal-for-its-hour never fires; a value wild for
+    its hour fires even when globally unremarkable."""
+    from trend_o_meter_spark.operators.trend import mad_anomalies, seasonal_decompose
+
+    delta = -(BASE % 86400)
+    rows = []
+    for d in range(30):
+        for h in (2, 14):
+            # hour 2 runs at ~10, hour 14 at ~100 — a 100 at hour 14 is
+            # normal; plant a 100 at hour 2 on day 29 (wild for 3am,
+            # globally unremarkable)
+            base_v = 10.0 if h == 2 else 100.0
+            v = base_v + (0.5 if d % 2 else -0.5)
+            if d == 29 and h == 2:
+                v = 100.0
+            rows.append((delta + d * 86400 + h * 3600, v))
+    seasonal = seasonal_decompose(_series(spark, rows), keys=("metric",))
+    out = mad_anomalies(
+        seasonal.select("metric", "ts", "residual"),
+        value="residual", keys=("metric",), z_threshold=3.5,
+    ).collect()
+    assert len(out) == 1  # only the planted wild-for-its-hour sample
+    assert out[0]["residual"] > 80.0

@@ -3532,3 +3532,28 @@ def ab_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir).select("user_id", "event_type", "value")
     qualified = ev.filter((F.col("event_type") != "purchase") | (F.col("value") > 200.0))
     return analytics.ab_lift(qualified)
+
+
+@_q(
+    "seasonal_adjusted_anomalies",
+    trend.mad_anomalies_sql(
+        "(" + trend.seasonal_decompose_sql("events", keys=("event_type",)) + ")",
+        value="residual",
+        keys=("event_type",),
+        z_threshold=3.5,
+    ),
+    doc="Composed monitor: MAD modified-z anomalies over the SEASONAL "
+    "RESIDUAL (seasonal_decompose -> mad_anomalies), so a value that is "
+    "normal-for-3am never fires and a value that is wild-for-3am does "
+    "even when globally unremarkable — the composition a real monitor "
+    "deploys, mirroring how the curation funnels compose the LLM ops.",
+)
+def seasonal_adjusted_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir).select("ts", "event_type", "value")
+    seasonal = trend.seasonal_decompose(ev, keys=("event_type",))
+    return trend.mad_anomalies(
+        seasonal.select("event_type", "ts", "residual"),
+        value="residual",
+        keys=("event_type",),
+        z_threshold=3.5,
+    )
