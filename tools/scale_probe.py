@@ -44,10 +44,16 @@ def _run(build, reps_list):
     spark = get_spark("scale-probe")
     for reps in reps_list:
         out = build(spark, reps)
+        t0 = time.time()
         out.write.format("noop").mode("overwrite").save()  # JIT/IO warm
+        cold = time.time() - t0
         t0 = time.time()
         out.write.format("noop").mode("overwrite").save()
-        print(f"reps={reps}: {time.time() - t0:.1f}s", flush=True)
+        # cold matters for plans with a localCheckpoint: the warm run
+        # materializes it and the timed run reuses it
+        print(
+            f"reps={reps}: {time.time() - t0:.1f}s (cold {cold:.1f}s)", flush=True
+        )
 
 
 def semantic_dedup_probe(spark, reps):
@@ -111,12 +117,56 @@ def holt_probe(spark, reps):
     return trend.holt_linear(ev, keys=("event_type",), tiebreak=("event_id",))
 
 
+def mad_probe(spark, reps):
+    """Replicated events, FIXED key count (5 event_types): each key's
+    sample multiset grows reps x — exactly the shape where the old
+    exact-``percentile`` median built a reps x value buffer in one
+    final-merge task.  The exact-rank rewrite must stay ~linear wall
+    with no fat single task (ties collapse at the per-(key, value)
+    counts step; the replicas ARE ties, so the adversarial input for
+    the old shape is the BEST case for the new one — pair with
+    rfm_probe, whose replicas are all-distinct, for the other pole)."""
+    from trend_o_meter_spark.operators import trend
+
+    ev = _replicate(
+        table(spark, "events", SF_DIR).select("event_id", "ts", "event_type", "value"),
+        reps,
+        "event_id",
+    )
+    return trend.mad_anomalies(ev, keys=("event_type",))
+
+
+def rfm_probe(spark, reps):
+    """Replicated events with SHIFTED user ids: the per-user table (the
+    population whose 12 quintile breakpoints the old implementation
+    computed with exact ``percentile``) grows reps x, and the recency
+    metric stays near-all-distinct — the continuous pole of the
+    exact-rank construction (distinct values spread across buckets, so
+    the per-bucket windows grow reps/B x, never reps x in one task)."""
+    from trend_o_meter_spark.operators import analytics
+
+    ev = table(spark, "events", SF_DIR).select("ts", "user_id", "event_type", "value")
+    if reps > 1:
+        span = (ev.agg(F.max("user_id")).head()[0] or 0) + 1
+        ev = ev.select(
+            F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("__r"), "*"
+        ).select(
+            "ts",
+            (F.col("user_id") + F.col("__r") * F.lit(span)).alias("user_id"),
+            "event_type",
+            "value",
+        )
+    return analytics.rfm_segments(ev)
+
+
 PROBES = {
     "semantic_dedup": semantic_dedup_probe,
     "pagerank": pagerank_probe,
     "dup_span_removal": dup_span_removal_probe,
     "winnowing": winnowing_probe,
     "holt": holt_probe,
+    "mad": mad_probe,
+    "rfm": rfm_probe,
 }
 
 

@@ -304,20 +304,50 @@ def rfm_segments(
     Scale: scoring by comparison against 4 broadcast breakpoints per
     dimension — NOT ``ntile`` (a global ntile is a single-partition
     window sort, the plan-audit red flag); the per-user reduce is one
-    map-side-combinable aggregate.  Boundary semantics: score = 1 +
-    #(breakpoints strictly below the metric), identical doubles both
-    engines.
+    map-side-combinable aggregate.  The breakpoints themselves must NOT
+    use Spark's exact ``percentile`` either (its buffer is the full
+    per-user value multiset — ~10^9 doubles in ONE final-merge task at
+    scale): the three metrics melt into a (dimension, value) stream and
+    :func:`..quantiles.exact_quantiles` selects the quintile ranks via
+    per-(dimension, bucket) running sums, never holding a multiset.
+    Boundary semantics: score = 1 + #(breakpoints strictly below the
+    metric), identical doubles both engines.
     """
+    from .quantiles import exact_quantiles
+
     p = df.filter(F.col(event_type) == purchase_type)
     per_user = p.groupBy(F.col(user).alias("__u")).agg(
         F.max(F.unix_seconds(F.col(ts))).alias("__r"),
         F.count(F.lit(1)).cast("double").alias("__f"),
         (F.sum(F.col(value).cast("decimal(28,8)")).cast("double")).alias("__m"),
     ).withColumn("__r", F.col("__r").cast("double"))
+    # per_user feeds both the breakpoint derivation and the scoring pass
+    per_user = per_user.localCheckpoint(eager=False)
     qs = [0.2, 0.4, 0.6, 0.8]
-    breaks = per_user.agg(
-        *[F.percentile(f"__{d}", F.lit(q)).alias(f"__{d}{i}")
-          for d in ("r", "f", "m") for i, q in enumerate(qs)]
+    melt = per_user.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("__dim"), F.col(f"__{d}").alias("__v")
+                    )
+                    for d in ("r", "f", "m")
+                ]
+            )
+        ).alias("__e")
+    ).select("__e.__dim", "__e.__v")
+    bq = exact_quantiles(melt, value="__v", keys=("__dim",), qs=qs)
+    breaks = bq.groupBy().agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("__dim") == d) & (F.col("__qi") == i),
+                    F.col("quantile"),
+                )
+            ).alias(f"__{d}{i}")
+            for d in ("r", "f", "m")
+            for i in range(4)
+        ]
     )
 
     def score(d: str) -> Column:
@@ -341,10 +371,15 @@ def rfm_segments_sql(
     event_type: str = "event_type",
     purchase_type: str = "purchase",
 ) -> str:
+    from .quantiles import exact_quantiles_sql_ctes
+
     qs = [0.2, 0.4, 0.6, 0.8]
+    q_ctes = exact_quantiles_sql_ctes(
+        "melt", value="__v", keys=("__dim",), qs=qs, prefix="__qb"
+    )
     brk = ", ".join(
-        f"quantile_cont(__{d}, {q}) AS __{d}{i}"
-        for d in ("r", "f", "m") for i, q in enumerate(qs)
+        f"max(CASE WHEN __dim = '{d}' AND __qi = {i} THEN quantile END) AS __{d}{i}"
+        for d in ("r", "f", "m") for i in range(4)
     )
 
     def score(d: str) -> str:
@@ -363,7 +398,13 @@ WITH per_user AS (
          CAST(sum(CAST({value} AS DECIMAL(28,8))) AS DOUBLE) AS __m
   FROM {table} WHERE {event_type} = '{purchase_type}' GROUP BY 1
 ),
-breaks AS (SELECT {brk} FROM per_user)
+melt AS (
+  SELECT 'r' AS __dim, __r AS __v FROM per_user
+  UNION ALL SELECT 'f', __f FROM per_user
+  UNION ALL SELECT 'm', __m FROM per_user
+),
+{q_ctes},
+breaks AS (SELECT {brk} FROM __qb)
 SELECT {score('r')} || {score('f')} || {score('m')} AS rfm,
        CAST(count(*) AS BIGINT) AS n_users
 FROM per_user, breaks

@@ -886,16 +886,25 @@ def mad_anomalies(
     cannot inflate the spread estimate and mask the others (50%
     breakdown point vs 0%).
 
-    Exactness: median/MAD use interpolated ``percentile`` ==
-    ``quantile_cont`` (sort-based, proven by value_quantiles); every
-    emitted double goes through the shared away-from-zero 1e-9 floor
-    quantization.  A key with MAD = 0 (over half its samples identical)
-    yields null z — surfaced, not divided by zero.
+    Exactness: median/MAD use the bucket-decomposed exact-rank
+    interpolated quantile (:mod:`..operators.quantiles` — identical
+    value to ``percentile`` == ``quantile_cont``, proven bit-exact);
+    every emitted double goes through the shared away-from-zero 1e-9
+    floor quantization.  A key with MAD = 0 (over half its samples
+    identical) yields null z — surfaced, not divided by zero.
 
     Output: ``*keys, ts, <value>, med, mad, robust_z`` for flagged rows.
-    Scale: two percentile aggregates to O(keys)-row profiles, each
-    broadcast back; the event stream itself is never shuffled.
+    Scale: metric keys are FEW AND FAT by construction, so the medians
+    must NOT use Spark's exact ``percentile`` (its aggregation buffer
+    is the per-key value multiset — one final-merge task holding every
+    sample of the hottest key).  exact_quantiles instead collapses to
+    per-(key, value) counts and selects the median ranks through
+    per-(key, bucket) running sums — no single task ever holds a key's
+    multiset; the resulting O(keys)-row profiles broadcast back and the
+    event stream itself is never shuffled.
     """
+    from .quantiles import exact_quantiles
+
     c = F.col(value)
 
     def q9(x: Column) -> Column:
@@ -905,12 +914,17 @@ def mad_anomalies(
             / F.lit(1e9)
         )
 
-    med = df.groupBy(*keys).agg(F.percentile(c, F.lit(0.5)).alias("__med"))
+    med = exact_quantiles(
+        df.select(*keys, value), value=value, keys=keys, qs=[0.5], out="__med"
+    ).select(*keys, "__med")
     with_med = df.join(F.broadcast(med), list(keys))
-    mad = (
-        with_med.groupBy(*keys)
-        .agg(F.percentile(F.abs(c - F.col("__med")), F.lit(0.5)).alias("__mad"))
-    )
+    mad = exact_quantiles(
+        with_med.select(*keys, F.abs(c - F.col("__med")).alias("__ad")),
+        value="__ad",
+        keys=keys,
+        qs=[0.5],
+        out="__mad",
+    ).select(*keys, "__mad")
     scored = with_med.join(F.broadcast(mad), list(keys)).withColumn(
         "__rz",
         F.lit(0.6745) * (c - F.col("__med")) / F.nullif(F.col("__mad"), F.lit(0.0)),
@@ -948,18 +962,24 @@ def mad_anomalies_sql(
     rz = (
         f"CAST(0.6745 AS DOUBLE) * (d.{value} - d.__med) / nullif(a.__mad, 0.0)"
     )
+    from .quantiles import exact_quantiles_sql_ctes
+
+    med_ctes = exact_quantiles_sql_ctes(
+        table, value=value, keys=keys, qs=[0.5], prefix="__qmed", out="__med"
+    )
+    mad_ctes = exact_quantiles_sql_ctes(
+        "dev", value=f"abs({value} - __med)", keys=keys, qs=[0.5],
+        prefix="__qmad", out="__mad",
+    )
     return f"""
-WITH med AS (
-  SELECT {ks}, quantile_cont({value}, 0.5) AS __med FROM {table} GROUP BY ALL
-),
+WITH {med_ctes},
+med AS (SELECT {ks}, __med FROM __qmed),
 dev AS (
   SELECT {t_ks}, t.{ts}, t.{value}, m.__med
   FROM {table} t JOIN med m ON {join1}
 ),
-mad AS (
-  SELECT {ks}, quantile_cont(abs({value} - __med), 0.5) AS __mad
-  FROM dev GROUP BY ALL
-),
+{mad_ctes},
+mad AS (SELECT {ks}, __mad FROM __qmad),
 scored AS (
   SELECT {d_ks}, d.{ts}, d.{value}, d.__med, a.__mad, {rz} AS __rz
   FROM dev d JOIN mad a ON {join2}

@@ -41,7 +41,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import functions as tfn
@@ -56,6 +56,7 @@ from .operators import (
     downsample,
     histogram,
     moments,
+    quantiles,
     rates,
     retention,
     rolling,
@@ -561,25 +562,53 @@ def zscore_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend.zscore_anomalies(ev, keys=("event_type",), bucket_seconds=86400, z_threshold=2.0)
 
 
+def _q9_sql(x: str) -> str:
+    return (
+        f"CASE WHEN ({x}) >= 0 THEN floor(({x}) * 1e9 + 0.5) "
+        f"ELSE -floor(-({x}) * 1e9 + 0.5) END / 1e9"
+    )
+
+
+def _q9_col(x: Column) -> Column:
+    return (
+        F.when(x >= 0, F.floor(x * F.lit(1e9) + F.lit(0.5)))
+        .otherwise(-F.floor(-x * F.lit(1e9) + F.lit(0.5)))
+        / F.lit(1e9)
+    )
+
+
 @_q(
     "value_quantiles",
-    """
-SELECT event_type,
-  round(quantile_cont({v}, 0.5), 9) AS p50,
-  round(quantile_cont({v}, 0.9), 9) AS p90,
-  round(quantile_cont({v}, 0.99), 9) AS p99
-FROM events GROUP BY event_type
-""".replace("{v}", "value"),
-    doc="Exact interpolated quantiles per metric (Spark percentile == "
-    "DuckDB quantile_cont: both linear interpolation over the sorted "
-    "set — sort-based, not accumulation-order-dependent).",
+    "WITH "
+    + quantiles.exact_quantiles_sql_ctes(
+        "events", value="value", keys=("event_type",), qs=[0.5, 0.9, 0.99],
+        prefix="__qv",
+    )
+    + "\nSELECT event_type,\n"
+    + ",\n".join(
+        f"  {_q9_sql(f'max(CASE WHEN __qi = {i} THEN quantile END)')} AS {nm}"
+        for i, nm in enumerate(("p50", "p90", "p99"))
+    )
+    + "\nFROM __qv GROUP BY event_type",
+    doc="Exact interpolated quantiles per metric via the bucket-"
+    "decomposed exact-rank construction (operators/quantiles.py): the "
+    "identical value percentile/quantile_cont would produce, but no "
+    "per-key value-multiset aggregation buffer — event_type keys are "
+    "few and fat, the exact shape where Spark's exact percentile "
+    "degenerates to one giant final-merge task.  Both engines pick the "
+    "same order statistics by integer rank and run the same q9 floor "
+    "quantization.",
 )
 def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 9).alias("p50"),
-        F.round(F.percentile("value", F.lit(0.9)), 9).alias("p90"),
-        F.round(F.percentile("value", F.lit(0.99)), 9).alias("p99"),
+    q = quantiles.exact_quantiles(
+        ev, value="value", keys=("event_type",), qs=[0.5, 0.9, 0.99]
+    )
+    return q.groupBy("event_type").agg(
+        *[
+            _q9_col(F.max(F.when(F.col("__qi") == i, F.col("quantile")))).alias(nm)
+            for i, nm in enumerate(("p50", "p90", "p99"))
+        ]
     )
 
 
