@@ -174,3 +174,32 @@ def test_ab_lift_counts_and_z(spark):
     se = math.sqrt(pp * (1 - pp) * (1 / out["n_a"] + 1 / out["n_b"]))
     assert out["lift"] == round(rb - ra, 9) or abs(out["lift"] - (rb - ra)) < 2e-9
     assert abs(out["z_score"] - (rb - ra) / se) < 2e-9
+
+
+def test_funnel_zero_user_step_reports_null_not_nan(spark):
+    """A step nobody reaches has 0 users; the NEXT step's conversion is
+    0/0 — both engines must report NULL (nullif guard), never NaN/inf."""
+    rows = [(1, DAY0, "view")]
+    out = {r["step_name"]: r for r in
+           funnel_steps(_ev(spark, rows), ("view", "checkout", "purchase")).collect()}
+    assert out["checkout"]["n_users"] == 0
+    assert out["checkout"]["conversion"] == 0.0  # 0 / 1 view-user
+    assert out["purchase"]["n_users"] == 0
+    assert out["purchase"]["conversion"] is None  # 0 / 0, guarded
+
+
+def test_ab_lift_empty_arm_reports_null(spark):
+    """With a single user only one hash-arm is populated: the empty
+    arm's rate and the z-score must surface as NULL (nullif on every
+    count divisor), not crash or emit inf."""
+    from trend_o_meter_spark.operators.analytics import ab_lift
+
+    rows = [(1, DAY0, "purchase")]
+    out = ab_lift(_ev(spark, rows)).collect()[0]
+    assert out["n_a"] + out["n_b"] == 1
+    assert (out["n_a"] == 0) != (out["n_b"] == 0)
+    empty = "rate_a" if out["n_a"] == 0 else "rate_b"
+    full = "rate_b" if out["n_a"] == 0 else "rate_a"
+    assert out[empty] is None
+    assert out[full] == 1.0
+    assert out["z_score"] is None

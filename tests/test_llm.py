@@ -1811,3 +1811,17 @@ def test_mrl_recall_full_width_is_perfect(spark):
     narrow = mrl_recall(df, n_queries=3, k=5, dim=2).collect()
     assert all(0.0 <= r["recall"] <= 1.0 for r in narrow)
     assert any(r["recall"] < 1.0 for r in narrow)
+
+
+def test_hits_rejects_zero_iters(spark):
+    """iters=0 used to leave aq=None and crash at the final join (and
+    hits_sql emitted CTEs referencing nonexistent a0/h0)."""
+    import pytest as _pytest
+
+    from trend_o_meter_spark.llm.cluster import hits, hits_sql
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError):
+        hits(edges, iters=0)
+    with _pytest.raises(ValueError):
+        hits_sql("SELECT 1 AS src, 2 AS dst", iters=0)

@@ -257,3 +257,19 @@ def test_bloom_fp_rate_shrinks_with_m(spark):
 
     assert fp(256) > 0.3      # n=200 into m=256 bits: saturated
     assert fp(8192) < 0.02    # m/n = 41, k=3: fp ~ (1-e^-0.073)^3 ~ 3e-4
+
+
+def test_bloom_probe_duplicate_candidates_no_false_negative(spark):
+    """A candidate row appearing N times produces N*k probe rows; the
+    min-based membership test must still report maybe_present for a
+    present key (the sum==k form read 2k hits as a miss — a silent
+    false negative for any caller probing non-distinct keys)."""
+    from trend_o_meter_spark.operators.bloom import bloom_build, bloom_probe
+
+    ev = table(spark, "events", "/root/testdata/sf0.001")
+    filt = bloom_build(ev, key="user_id", m=2048, k=3)
+    one = ev.select("user_id").distinct().limit(4)
+    dup = one.unionByName(one).unionByName(one)  # every candidate x3
+    probed = bloom_probe(filt, dup, key="user_id", m=2048, k=3).collect()
+    assert len(probed) == 4  # duplicates collapse to one verdict each
+    assert all(r["maybe_present"] for r in probed)

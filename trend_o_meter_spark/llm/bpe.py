@@ -26,8 +26,9 @@ corpus.  The 100 TB shape keys everything off the WORD-FREQUENCY table
 The driver-side loop is deliberate, not a scale compromise: the merge
 decision is inherently global-sequential, and the word-frequency table
 is the bounded-state representation every production BPE trainer
-operates on in memory.  ``top_words`` is the explicit admission cap
-that keeps that state bounded regardless of corpus size.
+operates on in memory.  ``top_words`` (default 1M, matching
+production-trainer practice) is the explicit admission cap that keeps
+that state bounded regardless of corpus size.
 
 No SQL oracle: the loop's data-dependent merge choices aren't
 expressible as a fixed query — the registry entry is rows-only and the
@@ -147,7 +148,7 @@ def bpe_train(
     text: str = "text",
     num_merges: int = 30,
     min_pair_count: int = 2,
-    top_words: int | None = None,
+    top_words: int | None = 1_000_000,
 ) -> DataFrame:
     """Learn ``num_merges`` BPE merge rules from the corpus.
 
@@ -160,7 +161,10 @@ def bpe_train(
     that table with exact incremental deltas (see module docstring).
     ``top_words`` caps the collected table to the most frequent words
     (freq desc, word asc — deterministic) so driver state stays bounded
-    on web-scale corpora."""
+    on web-scale corpora; the 1M default matches production-trainer
+    practice (a web corpus has hundreds of millions of distinct
+    "words", almost all noise below the cap).  Pass ``None`` only for
+    corpora known to be small."""
     wf = _word_freqs(df, text=text)
     if top_words is not None:
         wf = wf.orderBy(F.col("freq").desc(), F.col("word").asc()).limit(int(top_words))

@@ -549,6 +549,8 @@ def hits(
     scores on src, then on dst) + two 1-row totals — the same
     Pregel-in-SQL primitives as pagerank/CC; edges materialize once.
     """
+    if int(iters) < 1:
+        raise ValueError(f"hits requires iters >= 1, got {iters}")
     e = _truncate(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct(),
         checkpoint_dir,
@@ -633,6 +635,8 @@ def hits_sql(
     iters: int = 3,
 ) -> str:
     """Unrolled-CTE oracle twin of :func:`hits` (same quantization)."""
+    if int(iters) < 1:
+        raise ValueError(f"hits_sql requires iters >= 1, got {iters}")
     # every CTE here is re-referenced (e and nodes many times; each
     # round's scores twice) — MATERIALIZED stops DuckDB's default
     # inlining from re-evaluating the chain exponentially (iters=3

@@ -2476,9 +2476,10 @@ def phrase_search(
     Output: ``doc_id, n_matches`` — top ``top`` by (count desc, doc_id
     asc), a deterministic total order.  Scale: the match count is one
     map-side array scan per doc (no posting-list join, no shuffle); the
-    ranking compiles to TakeOrderedAndProject.  ``F.get`` (0-based,
-    NULL-safe) rather than ``element_at`` so ANSI mode can't throw on
-    window edges.
+    ranking compiles to TakeOrderedAndProject.  Matching uses L shifted
+    ``F.slice`` columns ``arrays_zip``-ed together (each slice evaluates
+    the token array once per ROW — see the inline comment), counted by
+    an ``F.aggregate`` when-counter.
     """
     words = phrase.strip().lower().split()
     if not words:

@@ -97,9 +97,12 @@ def funnel_steps(
             "step_index",
             "step_name",
             "n_users",
+            # nullif: a 0-user previous step reports NULL identically in
+            # both engines (Spark 0/0 is NULL, DuckDB's is NaN/inf)
             _q9(
                 F.when(F.col("__prev_n").isNull(), F.lit(1.0)).otherwise(
-                    F.col("n_users").cast("double") / F.col("__prev_n").cast("double")
+                    F.col("n_users").cast("double")
+                    / F.nullif(F.col("__prev_n").cast("double"), F.lit(0.0))
                 )
             ).alias("conversion"),
         )
@@ -134,7 +137,7 @@ def funnel_steps_sql(
     )
     conv = _Q9_SQL.format(
         x="CASE WHEN p.__prev_n IS NULL THEN CAST(1.0 AS DOUBLE) "
-        "ELSE CAST(c.n_users AS DOUBLE) / CAST(p.__prev_n AS DOUBLE) END"
+        "ELSE CAST(c.n_users AS DOUBLE) / nullif(CAST(p.__prev_n AS DOUBLE), 0.0) END"
     )
     return f"""
 WITH {", ".join(ctes)},
@@ -609,14 +612,17 @@ def ab_lift(
         F.sum(F.when((F.col("__arm") == 0) & F.col("__c").isNotNull(), 1).otherwise(0)).alias("conv_a"),
         F.sum(F.when((F.col("__arm") == 1) & F.col("__c").isNotNull(), 1).otherwise(0)).alias("conv_b"),
     )
-    ra = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
-    rb = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
-    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
-        F.col("n_a") + F.col("n_b")
-    ).cast("double")
+    # nullif on every count divisor: an empty arm reports NULL rate/z
+    # identically in both engines (Spark 0-div is NULL, DuckDB's is inf)
+    na = F.nullif(F.col("n_a").cast("double"), F.lit(0.0))
+    nb = F.nullif(F.col("n_b").cast("double"), F.lit(0.0))
+    ra = F.col("conv_a").cast("double") / na
+    rb = F.col("conv_b").cast("double") / nb
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / F.nullif(
+        (F.col("n_a") + F.col("n_b")).cast("double"), F.lit(0.0)
+    )
     se = F.sqrt(
-        pp * (F.lit(1.0) - pp)
-        * (F.lit(1.0) / F.col("n_a").cast("double") + F.lit(1.0) / F.col("n_b").cast("double"))
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / na + F.lit(1.0) / nb)
     )
     z = (rb - ra) / F.nullif(se, F.lit(0.0))
     return agg.select(
@@ -642,13 +648,13 @@ def ab_lift_sql(
     from ..llm.hashing import md5_int_sql
 
     h = md5_int_sql(f"'{salt}:' || CAST(__u AS VARCHAR)")
-    ra = "CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
-    rb = "CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)"
-    pp = "CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)"
+    ra = "CAST(conv_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0)"
+    rb = "CAST(conv_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0)"
+    pp = "CAST(conv_a + conv_b AS DOUBLE) / nullif(CAST(n_a + n_b AS DOUBLE), 0.0)"
     se = (
         f"sqrt(({pp}) * (CAST(1.0 AS DOUBLE) - ({pp})) "
-        f"* (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE) "
-        f"+ CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE)))"
+        f"* (CAST(1.0 AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0) "
+        f"+ CAST(1.0 AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0)))"
     )
     z = f"(({rb}) - ({ra})) / nullif({se}, CAST(0.0 AS DOUBLE))"
     return f"""

@@ -90,6 +90,13 @@ def bloom_probe(
     The probe joins candidates x k against the ≤ m-row-per-group filter
     on (keys..., pos) — broadcast the filter side, it is KB-sized by
     construction.  All non-key candidate columns pass through.
+
+    Duplicate-safe: the test is ``min(hit) == 1`` (EVERY probe row must
+    hit), not ``sum(hit) == k`` — a candidate appearing twice in
+    ``candidates`` produces 2k probe rows, which a sum-based test would
+    read as a miss, a silent FALSE NEGATIVE violating the guarantee
+    above.  (Duplicates still collapse to one output row per distinct
+    candidate tuple, since the group key is the full candidate row.)
     """
     probes = candidates.select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__j")
@@ -99,7 +106,11 @@ def bloom_probe(
     return (
         probes.join(hit, [*keys, "pos"], "left")
         .groupBy(key, *keys, *others)
-        .agg((F.sum(F.coalesce(F.col("__hit"), F.lit(0))) == k).alias("maybe_present"))
+        .agg(
+            (F.min(F.coalesce(F.col("__hit"), F.lit(0))) == 1).alias(
+                "maybe_present"
+            )
+        )
     )
 
 
@@ -181,7 +192,9 @@ cands AS (
 ),
 probed AS (
   SELECT c.{group}, c.{key},
-         (count(f.pos) = {k}) AS maybe_present
+         -- min-based: every probe row must hit (duplicate-safe, mirrors
+         -- bloom_probe's Spark-side test)
+         (min(CASE WHEN f.pos IS NULL THEN 0 ELSE 1 END) = 1) AS maybe_present
   FROM (SELECT c.{group}, c.{key}, {h_probe} % {m} AS pos
         FROM cands c, range({k}) AS r(j)) c
   LEFT JOIN filt f ON f.{group} = c.{group} AND f.pos = c.pos

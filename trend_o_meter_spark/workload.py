@@ -2877,8 +2877,9 @@ def ccnet_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     text.lm_kneser_ney_score_sql("documents"),
     doc="Interpolated Kneser-Ney bigram score (absolute discounting + "
     "continuation-count backoff — the KenLM/CCNet smoothing family) "
-    "next to the add-k lm_score; per-bigram ln quantized at 1e-6 into "
-    "exact-decimal sums, model tables are gram-keyed aggregates.",
+    "next to the add-k lm_score; per-bigram ln quantized at 1e-5 into "
+    "DECIMAL(18,5) exact-decimal sums, model tables are gram-keyed "
+    "aggregates.",
 )
 def lm_kn_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
@@ -3368,9 +3369,10 @@ def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     text.phrase_search_sql("documents", "value table"),
     doc="Exact consecutive-phrase search ranked by occurrence count — the "
     "positional complement of bm25_search. Match counting is one "
-    "map-side array scan per doc (F.get, never ANSI-throwing "
-    "element_at); ranking compiles to TakeOrderedAndProject with a "
-    "doc_id tiebreak for a deterministic top-20.",
+    "map-side array scan per doc (L shifted F.slice columns "
+    "arrays_zip-ed, an F.aggregate when-counter); ranking compiles to "
+    "TakeOrderedAndProject with a doc_id tiebreak for a deterministic "
+    "top-20.",
 )
 def phrase_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
