@@ -188,6 +188,21 @@ def stream_lsh_probe(spark, sf_dir: str, n_batches: int = 20) -> dict:
     return out
 
 
+def _host_load() -> dict:
+    """Co-tenant-load stamp: BASELINE.md documents that streaming
+    throughput tracks ambient host load; recording loadavg/uptime at
+    each checkpoint makes that adjudication data instead of prose."""
+    la1, la5, la15 = os.getloadavg()
+    snap = {"loadavg_1m": round(la1, 2), "loadavg_5m": round(la5, 2),
+            "loadavg_15m": round(la15, 2)}
+    try:
+        with open("/proc/uptime") as fh:
+            snap["uptime_sec"] = round(float(fh.read().split()[0]))
+    except OSError:
+        pass
+    return snap
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -204,14 +219,24 @@ def main() -> None:
     # spike (e.g. the driver's own correctness jobs sharing the host) cannot
     # manufacture a false >2x outlier in the recorded artifact.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    load = {"cpus": os.cpu_count(), "batch_start": _host_load()}
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    pass_loads = []
     for _ in range(n_runs):
         for name in HEADLINE:
             t0 = time.time()
             specs[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(round(time.time() - t0, 3))
+        pass_loads.append(_host_load())
+    load["batch_after_pass"] = pass_loads
 
     times = {name: sorted(ts)[len(ts) // 2] for name, ts in samples.items()}
+
+    load["streaming_start"] = _host_load()
+    streaming = stream_probe(spark, sf_dir)
+    load["streaming_lsh_start"] = _host_load()
+    streaming_lsh = stream_lsh_probe(spark, sf_dir)
+    load["end"] = _host_load()
 
     out = {
         "metric": "headline_suite_wall_clock",
@@ -222,8 +247,9 @@ def main() -> None:
         "aggregation": "per_query_median",
         "samples": samples,
         "sf": sf,
-        "streaming": stream_probe(spark, sf_dir),
-        "streaming_lsh": stream_lsh_probe(spark, sf_dir),
+        "streaming": streaming,
+        "streaming_lsh": streaming_lsh,
+        "host_load": load,
     }
     # Full result (with per-run samples) goes to its own file: the driver
     # records a bounded tail of stdout, and round 4's ~6 KB samples dict

@@ -92,66 +92,39 @@ def _q(name: str, oracle: str | None, doc: str = ""):
 # verdict across rounds even under a query-count/time cap; remaining
 # entries keep declaration order (stable sort).
 _SCORE_FIRST = (
-    # --- round 5: the 34 registry queries that have NEVER appeared in any
-    # CORRECTNESS_r0*.json (VERDICT r4 "Next round" task 1).  The driver
-    # samples ~50 queries/round; fronting these converts their local-gate
-    # green into hard driver verdicts. ---------------------------------
-    "asof_forward_orders",
-    "asof_nearest_orders",
-    "histogram_quantiles",
-    "kmv_distinct_users",
-    "kmv_user_overlap",
-    "moments_by_type",
-    "variant_extract_props",
-    "q2_min_cost_supplier",
-    "q4_priority_returns",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_lines_by_class",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q19_discounted_revenue",
-    "q20_promotion_candidates",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    "grouping_sets_revenue",
-    "dup_span_removal",
-    "curation_funnel_v2",
-    "pagerank_docs",
-    "logreg_lang_weights",
-    "logreg_lang_scores",
-    "dsir_weights",
-    "dsir_resample",
-    "semantic_dedup",
-    "audio_features",
-    "bloom_membership",  # round-5 addition (sixth sketch family) — never scored
-    "exact_substr_spans",  # round-5 addition (true char-level ExactSubstr)
-    "bloom_contamination",  # round-5 addition (sketch-scale decontamination)
-    "decontaminate_spans",  # round-5 addition (cross-corpus span cuts)
-    "ccnet_buckets",  # round-5 addition (perplexity terciles)
-    "lm_kn_score",  # round-5 addition (Kneser-Ney LM)
-    "temperature_mixture",  # round-5 addition (T5-style mixing)
-    "hits_docs",  # round-5 addition (second link prior)
-    "curation_funnel_v3",  # round-5 addition (composed pipeline)
-    "logreg_hashed_weights",  # round-5 addition (hashed sparse classifier)
-    "logreg_hashed_scores",
-    "gopher_rules",  # round-5 addition (Rae 2021 quality rules)
-    "winnowing_fingerprints",  # round-5 addition (Schleimer 2003 / MOSS)
-    "phrase_search",  # round-5 addition (positional phrase ranking)
-    # --- remaining driver slots: stalest previously-scored verdicts
-    # (r2/r3-dated), oldest first, so the cross-round union keeps aging
-    # uniformly.  sketch_rollup is fronted because its oracle changed
-    # this round (no_oracle -> estimate-within-bound check). ----------
-    "sketch_rollup",
-    "holt_linear_02",  # round-5 addition — swapped into slot 50 over
-    # contamination_check (which keeps its r2 verdict) so one more
-    # never-scored query gains a driver verdict this round
+    # --- round 6 rotation (VERDICT r5 tasks 2 + 7). Slots 1-13: the 13
+    # round-5 monitoring/product-analytics queries that have NEVER
+    # appeared in a CORRECTNESS file (judge-selfchecked hash-exact in
+    # r5; this converts that into driver verdicts). Three of them
+    # (mad_anomalies, seasonal_adjusted_anomalies, rfm_segments) were
+    # ALSO rewritten this round onto the exact-rank quantile operator,
+    # so their verdicts vouch for the new shape. ----------------------
+    "mrl_recall",
+    "seasonal_hourly",
+    "mad_anomalies",
+    "winnow_near_dup",
+    "theil_sen_daily",
+    "funnel_views",
+    "cohort_retention",
+    "event_transitions",
+    "rfm_segments",
+    "dau_mau",
+    "attribution_last_touch",
+    "ab_lift",
+    "seasonal_adjusted_anomalies",
+    # --- queries whose implementation changed this round (re-verdict so
+    # every green row postdates the code it vouches for): value_quantiles
+    # moved onto exact_quantiles + q9; the bloom twins moved to the
+    # duplicate-safe min-based membership test. -----------------------
+    "value_quantiles",
+    "bloom_membership",
+    "bloom_contamination",
+    # --- stalest oracle-backed driver verdicts, oldest first (r02 then
+    # r03, declaration order), so the cross-round union keeps aging
+    # uniformly.  The no_oracle rows-only entries (approx_sketches,
+    # bpe_merges, bpe_encode_fixed) are NOT fronted: re-sampling them
+    # cannot produce a stronger verdict than they already carry. ------
+    "contamination_check",
     "asof_join_orders",
     "window_rank",
     "unpivot_lineitem_charges",
@@ -166,6 +139,25 @@ _SCORE_FIRST = (
     "q18_large_volume_orders",
     "semi_join_urgent_customers",
     "anti_join_orderless_customers",
+    "rollup_returns",
+    "sql_orders_by_year",
+    "cube_order_priority",
+    "window_distribution",
+    "set_ops_nations",
+    "distinct_agg",
+    "pivot_events",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "dup_span_stats",
+    "cross_corpus_lsh",
+    "verified_near_dups",
+    "split_drift_ks",
+    "curation_funnel",
+    "dedup_clusters_star",
+    "simhash_fingerprints",
+    "simhash_near_dup",
+    "text_stats",
 )
 
 
