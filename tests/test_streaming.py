@@ -1389,3 +1389,140 @@ def test_stream_bloom_equals_batch_filter(spark, tmp_path):
         keys=("event_type",),
     )
     assert probed.filter("NOT maybe_present").count() == 0
+
+
+def test_stream_seasonal_profile_equals_batch_and_replay_safe(spark, tmp_path):
+    """The streaming seasonal profile (per-(key, phase) decimal-sum +
+    count partials) must be BIT-IDENTICAL to the batch phase-mean
+    profile over the union — decimal addition is associative — and an
+    at-least-once replay must not double a partial's sums."""
+    from trend_o_meter_spark.operators.trend import seasonal_decompose
+    from trend_o_meter_spark.streaming.pipeline import stream_seasonal_profile
+
+    base = 1_700_000_000
+    rows = [
+        ("m%d" % (i % 2), float(base + i * 1800), round(10.0 + (i % 24) * 0.37, 2))
+        for i in range(400)
+    ]
+    schema = "k string, epoch double, value double"
+
+    def _df(rs):
+        return (
+            spark.createDataFrame(rs, schema)
+            .select("k", F.timestamp_seconds("epoch").alias("ts"), "value")
+        )
+
+    b1, b2 = rows[:250], rows[250:]
+    results = {}
+    per_batch = stream_seasonal_profile(
+        state_path=str(tmp_path / "seas"),
+        keys=("k",),
+        on_result=lambda bid, df: results.update({bid: sorted(map(tuple, df.collect()))}),
+    )
+    per_batch(_df(b1), 0)
+    per_batch(_df(b2), 1)
+    per_batch(_df(b2), 1)  # at-least-once replay
+
+    want = sorted(
+        map(
+            tuple,
+            seasonal_decompose(_df(rows), keys=("k",))
+            .select("k", "phase", "seasonal")
+            .distinct()
+            .collect(),
+        )
+    )
+    assert results[1] == want
+
+    # restart: a fresh closure over the same state path resumes exactly
+    per_batch2 = stream_seasonal_profile(
+        state_path=str(tmp_path / "seas"),
+        keys=("k",),
+        on_result=lambda bid, df: results.update({bid: sorted(map(tuple, df.collect()))}),
+    )
+    per_batch2(_df([]), 2)
+    assert results[2] == want
+
+
+def test_stream_mad_estimates_within_bound_and_flags(spark, tmp_path):
+    """The streaming MAD monitor's sketch-backed estimates must land
+    within the documented 3*bin_width of the exact median/MAD over the
+    union (replay- and restart-safe), and flagged rows must be exactly
+    the current batch's |modified z| > threshold rows under those
+    estimates — including the MAD=0 key reporting NULL z, never a
+    division blow-up."""
+    from pyspark.sql import functions as SF
+
+    from trend_o_meter_spark.streaming.pipeline import stream_mad
+
+    base = 1_700_000_000
+    rows = [
+        ("a", float(base + i * 60), float((i * 7) % 40))  # spread key
+        for i in range(300)
+    ] + [
+        ("c", float(base + i * 60), 5.0)  # constant key: MAD = 0
+        for i in range(50)
+    ]
+    outlier = ("a", float(base + 999_000), 1000.0)
+    schema = "k string, epoch double, value double"
+
+    def _df(rs):
+        return (
+            spark.createDataFrame(rs, schema)
+            .select("k", SF.timestamp_seconds("epoch").alias("ts"), "value")
+        )
+
+    b1, b2 = rows[:200], rows[200:] + [outlier]
+    profiles, flagged = {}, {}
+    kw = dict(
+        state_path=str(tmp_path / "mad"),
+        keys=("k",),
+        bin_width=0.5,
+        z_threshold=3.5,
+        on_profile=lambda bid, df: profiles.update(
+            {bid: {r["k"]: (r["med_est"], r["mad_est"]) for r in df.collect()}}
+        ),
+        on_result=lambda bid, df: flagged.update(
+            {bid: sorted((r["k"], r["value"]) for r in df.collect())}
+        ),
+    )
+    per_batch = stream_mad(**kw)
+    per_batch(_df(b1), 0)
+    per_batch(_df(b2), 1)
+    per_batch(_df(b2), 1)  # at-least-once replay: estimates unchanged
+
+    # exact median/MAD via two passes for the accuracy bound
+    full = _df(rows + [outlier])
+    med_df = full.groupBy("k").agg(SF.percentile("value", SF.lit(0.5)).alias("med"))
+    mad_df = (
+        full.join(med_df, "k")
+        .groupBy("k")
+        .agg(
+            SF.first("med").alias("med"),
+            SF.percentile(SF.abs(SF.col("value") - SF.col("med")), SF.lit(0.5)).alias("mad"),
+        )
+    )
+    exact = {r["k"]: (r["med"], r["mad"]) for r in mad_df.collect()}
+
+    got = profiles[1]
+    for k in ("a", "c"):
+        assert abs(got[k][0] - exact[k][0]) <= 3 * 0.5, (k, got[k], exact[k])
+        assert abs(got[k][1] - exact[k][1]) <= 3 * 0.5, (k, got[k], exact[k])
+    # constant key: true MAD is 0; the estimate carries only the
+    # within-bin uniform-placement offset (< one bin), never more
+    assert 0.0 <= got["c"][1] < 0.5
+
+    # the wild outlier in batch 1 is flagged; the constant key never is
+    # (its values sit at the median, |z| << threshold; and if mad_est
+    # ever interpolates to exactly 0 the nullif guard yields NULL z)
+    assert ("a", 1000.0) in flagged[1]
+    assert all(k != "c" for k, _ in flagged[1])
+
+    # restart: a fresh closure on the same path sees identical estimates
+    profiles2 = {}
+    kw2 = dict(kw, on_profile=lambda bid, df: profiles2.update(
+        {bid: {r["k"]: (r["med_est"], r["mad_est"]) for r in df.collect()}}
+    ))
+    per_batch2 = stream_mad(**kw2)
+    per_batch2(_df([]), 2)
+    assert profiles2[2] == profiles[1]

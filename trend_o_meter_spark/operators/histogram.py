@@ -143,3 +143,159 @@ SELECT q,
 FROM cum CROSS JOIN targets
 WHERE cum >= r AND cum - cnt < r
 """
+
+
+def histogram_sketch_keyed(
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    value: str = "value",
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """Per-key sketch: ``*keys, bin, cnt`` — the keyed form of
+    :func:`histogram_sketch`, merging by (keys, bin)-keyed addition.
+    One partial-aggregating scan; <= range/bin_width rows PER KEY by
+    construction."""
+    return (
+        df.filter(F.col(value).isNotNull())
+        .groupBy(
+            *keys,
+            F.floor(F.col(value) / F.lit(float(bin_width))).cast("long").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def histogram_median_mad(
+    sketch: DataFrame,
+    *,
+    keys: Sequence[str],
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """Per-key robust location/spread ESTIMATES from a keyed sketch:
+    ``*keys, med_est, mad_est`` — the mergeable-sketch backing for a
+    streaming MAD monitor (:func:`..streaming.pipeline.stream_mad`).
+
+    ``med_est`` follows the :func:`histogram_quantiles` convention
+    (rank ``floor(0.5*(n-1)) + 1``, uniform within-bin interpolation) —
+    within ``bin_width`` of the exact median.  ``mad_est`` re-bins each
+    value bin's MIDPOINT by its distance from ``med_est`` and takes the
+    median of that derived deviation histogram — every step is off by
+    at most ~1.5 bins, so the estimate is within ``3 * bin_width`` of
+    the exact MAD (test-pinned bound; exact batch semantics live in
+    ``trend.mad_anomalies``, this is the O(bins)-state live form).
+
+    Scale: cumulative ranks are windows partitioned BY KEY over the
+    per-key bin rows (<= range/bin_width each, never corpus-sized).
+    """
+    from pyspark.sql import Window
+
+    w = float(bin_width)
+    kcols = list(keys)
+
+    def _median_est(sk: DataFrame, out: str) -> DataFrame:
+        tot = sk.groupBy(*kcols).agg(F.sum("cnt").cast("long").alias("__n"))
+        r = (F.floor(F.lit(0.5) * (F.col("__n") - 1)) + 1).cast("long")
+        wcum = (
+            Window.partitionBy(*kcols)
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = sk.select(*kcols, "bin", "cnt", F.sum("cnt").over(wcum).alias("cum"))
+        return (
+            cum.join(tot.select(*kcols, r.alias("__r")), kcols)
+            .filter(
+                (F.col("cum") >= F.col("__r"))
+                & (F.col("cum") - F.col("cnt") < F.col("__r"))
+            )
+            .select(
+                *kcols,
+                (
+                    F.col("bin") * F.lit(w)
+                    + F.lit(w)
+                    * (F.col("__r") - (F.col("cum") - F.col("cnt")) - 1)
+                    / F.col("cnt")
+                ).alias(out),
+            )
+        )
+
+    med = _median_est(sketch, "med_est")
+    dev = (
+        sketch.join(med, kcols)
+        .select(
+            *kcols,
+            "med_est",
+            F.floor(
+                F.abs(
+                    (F.col("bin") * F.lit(w) + F.lit(w / 2.0)) - F.col("med_est")
+                )
+                / F.lit(w)
+            )
+            .cast("long")
+            .alias("bin"),
+            "cnt",
+        )
+        .groupBy(*kcols, "bin")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    mad = _median_est(dev, "mad_est")
+    return med.join(mad, kcols)
+
+
+def histogram_median_mad_sql(
+    table: str,
+    *,
+    value: str = "value",
+    key: str = "event_type",
+    bin_width: float = 1.0,
+) -> str:
+    """DuckDB twin of :func:`histogram_median_mad` over a raw table:
+    identical binning, rank and interpolation arithmetic (cumulative
+    ranks via per-key window sums; every float literal CAST to DOUBLE —
+    a bare 0.5 is DECIMAL in DuckDB and would silently switch the
+    arithmetic)."""
+    w = f"CAST({float(bin_width)!r} AS DOUBLE)"
+    half = f"CAST({float(bin_width) / 2.0!r} AS DOUBLE)"
+    est = "c.bin * {w} + {w} * (t.r - (c.cum - c.cnt) - 1) / c.cnt".format(w=w)
+    return f"""
+WITH sk AS (
+  SELECT {key} AS k, CAST(floor({value} / {w}) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM {table} WHERE {value} IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+  SELECT k, bin, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY k ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM sk
+),
+tgt AS (
+  SELECT k, CAST(floor(CAST(0.5 AS DOUBLE) * (sum(cnt) - 1)) + 1 AS BIGINT) AS r
+  FROM sk GROUP BY 1
+),
+med AS (
+  SELECT c.k, {est} AS med_est
+  FROM cum c JOIN tgt t ON c.k = t.k AND c.cum >= t.r AND c.cum - c.cnt < t.r
+),
+dev AS (
+  SELECT s.k, CAST(floor(abs((s.bin * {w} + {half}) - m.med_est) / {w}) AS BIGINT) AS bin,
+         CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM sk s JOIN med m ON s.k = m.k GROUP BY 1, 2
+),
+dcum AS (
+  SELECT k, bin, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY k ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM dev
+),
+dtgt AS (
+  SELECT k, CAST(floor(CAST(0.5 AS DOUBLE) * (sum(cnt) - 1)) + 1 AS BIGINT) AS r
+  FROM dev GROUP BY 1
+),
+mad AS (
+  SELECT c.k, {est} AS mad_est
+  FROM dcum c JOIN dtgt t ON c.k = t.k AND c.cum >= t.r AND c.cum - c.cnt < t.r
+)
+SELECT med.k AS {key}, med.med_est, mad.mad_est
+FROM med JOIN mad ON med.k = mad.k
+"""

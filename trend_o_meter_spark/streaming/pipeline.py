@@ -683,3 +683,147 @@ def stream_bloom(
             on_result(batch_id, merge(state))
 
     return per_batch
+
+
+def stream_seasonal_profile(
+    *,
+    state_path: str,
+    ts: str = "ts",
+    value: str = "value",
+    keys: tuple[str, ...] = ("metric",),
+    period_seconds: int = 86400,
+    bucket_seconds: int = 3600,
+    compact_every: int = 25,
+    on_result: "object" = None,
+):
+    """Live seasonal profile: the streaming twin of
+    ``operators.trend.seasonal_decompose``'s phase-mean profile — each
+    micro-batch writes its PARTIAL per-(key, phase) exact-decimal sum +
+    count to a replay-idempotent state table; the merged profile
+    (``sum(decimal)/count`` — decimal addition is associative, so the
+    streaming profile EQUALS the batch profile of the union bit-for-bit)
+    is handed to ``on_result(batch_id, DataFrame)`` as ``*keys, phase,
+    seasonal``, ready to broadcast against incoming samples for live
+    "wild for 3am" residuals.
+
+    Additive state (a replayed partial would double its sums) — the
+    same :class:`.statestore.PartialStateTable` discipline as
+    :func:`stream_cms`.  State is O(keys x phases) per partial (24
+    rows/key under the defaults), folding to one base every
+    ``compact_every`` batches.  Returns the ``foreachBatch`` callable.
+    """
+    from .statestore import PartialStateTable
+
+    phase = F.floor(
+        (F.unix_seconds(F.col(ts)) % period_seconds) / bucket_seconds
+    ).cast("int")
+    st = PartialStateTable(state_path)
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.groupBy(*keys, "phase").agg(
+            F.sum("__s").alias("__s"), F.sum("__c").cast("long").alias("__c")
+        )
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            st.compact(spark, transform=merge)
+        if not batch_df.isEmpty():
+            partial = (
+                batch_df.filter(F.col(value).isNotNull())
+                .withColumn("phase", phase)
+                .groupBy(*keys, "phase")
+                .agg(
+                    F.sum(F.col(value).cast("decimal(28,8)")).alias("__s"),
+                    F.count(F.lit(1)).cast("long").alias("__c"),
+                )
+            )
+            st.append(partial, batch_id)
+        state = st.read(spark)
+        if state is None:  # state path not created yet (all-empty batches)
+            return
+        m = merge(state)
+        # identical expression shape to the batch profile: decimal total
+        # cast double, divided by the long count
+        profile = m.select(
+            *keys,
+            "phase",
+            (F.col("__s").cast("double") / F.col("__c")).alias("seasonal"),
+        )
+        if on_result is not None:
+            on_result(batch_id, profile)
+
+    return per_batch
+
+
+def stream_mad(
+    *,
+    state_path: str,
+    ts: str = "ts",
+    value: str = "value",
+    keys: tuple[str, ...] = ("metric",),
+    bin_width: float = 1.0,
+    z_threshold: float = 3.5,
+    compact_every: int = 25,
+    on_result: "object" = None,
+    on_profile: "object" = None,
+):
+    """Live robust anomaly monitor: the streaming form of
+    ``operators.trend.mad_anomalies``, with the per-key median/MAD
+    carried as the MERGEABLE keyed histogram sketch
+    (``operators.histogram.histogram_sketch_keyed``) instead of an
+    exact value multiset — state is O(keys x bins) however long the
+    stream runs, and a replayed micro-batch cannot double-count
+    (additive state on the shared :class:`.statestore
+    .PartialStateTable` discipline).
+
+    Each batch: append the batch's partial keyed histogram, re-estimate
+    per-key ``med_est/mad_est`` from the merged sketch
+    (``histogram_median_mad`` — within ``3*bin_width`` of the exact
+    values, test-pinned), then flag THIS batch's rows with
+    ``|0.6745*(v-med_est)/mad_est| > z_threshold`` — the live-monitor
+    semantics (new points scored against all history including
+    themselves; the batch operator scores every point against the full
+    population the same way).  ``on_profile(batch_id, DataFrame)`` gets
+    ``*keys, med_est, mad_est``; ``on_result(batch_id, DataFrame)``
+    gets the flagged rows ``*keys, ts, value, med_est, mad_est,
+    robust_z``.  Returns the ``foreachBatch`` callable.
+    """
+    from ..operators.histogram import histogram_median_mad, histogram_sketch_keyed
+    from .statestore import PartialStateTable
+
+    st = PartialStateTable(state_path)
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.groupBy(*keys, "bin").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            st.compact(spark, transform=merge)
+        if not batch_df.isEmpty():
+            st.append(
+                histogram_sketch_keyed(
+                    batch_df, keys=keys, value=value, bin_width=bin_width
+                ),
+                batch_id,
+            )
+        state = st.read(spark)
+        if state is None:  # state path not created yet (all-empty batches)
+            return
+        prof = histogram_median_mad(merge(state), keys=keys, bin_width=bin_width)
+        if on_profile is not None:
+            on_profile(batch_id, prof)
+        if on_result is not None:
+            scored = batch_df.join(F.broadcast(prof), list(keys)).withColumn(
+                "robust_z",
+                F.lit(0.6745)
+                * (F.col(value) - F.col("med_est"))
+                / F.nullif(F.col("mad_est"), F.lit(0.0)),
+            )
+            flagged = scored.filter(
+                F.abs(F.col("robust_z")) > F.lit(float(z_threshold))
+            ).select(*keys, ts, value, "med_est", "mad_est", "robust_z")
+            on_result(batch_id, flagged)
+
+    return per_batch

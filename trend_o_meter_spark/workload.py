@@ -119,6 +119,8 @@ _SCORE_FIRST = (
     "value_quantiles",
     "bloom_membership",
     "bloom_contamination",
+    # --- round-6 addition: the sketch backing stream_mad ------------
+    "hist_median_mad",
     # --- stalest oracle-backed driver verdicts, oldest first (r02 then
     # r03, declaration order), so the cross-round union keeps aging
     # uniformly.  The no_oracle rows-only entries (approx_sketches,
@@ -157,7 +159,6 @@ _SCORE_FIRST = (
     "dedup_clusters_star",
     "simhash_fingerprints",
     "simhash_near_dup",
-    "text_stats",
 )
 
 
@@ -3412,6 +3413,23 @@ def mrl_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def seasonal_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir).select("ts", "event_type", "value")
     return trend.seasonal_decompose(ev, keys=("event_type",))
+
+
+@_q(
+    "hist_median_mad",
+    histogram.histogram_median_mad_sql("events", key="event_type", bin_width=0.5),
+    doc="Per-key median/MAD ESTIMATES from the mergeable keyed histogram "
+    "sketch (within 3*bin_width of exact, hard bound) — the O(keys x "
+    "bins) state backing stream_mad's live robust monitor; rank and "
+    "interpolation arithmetic identical in both engines (every float "
+    "literal CAST to DOUBLE on the DuckDB side).",
+)
+def hist_median_mad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir).select("event_type", "value")
+    sk = histogram.histogram_sketch_keyed(
+        ev, keys=("event_type",), value="value", bin_width=0.5
+    )
+    return histogram.histogram_median_mad(sk, keys=("event_type",), bin_width=0.5)
 
 
 @_q(
