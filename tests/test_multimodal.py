@@ -67,7 +67,7 @@ def test_codec_roundtrips():
     # widths 3 and 5 force BMP row padding (row_bytes % 4 != 0)
     for w, h in [(3, 2), (5, 4), (8, 8), (1, 1), (16, 3)]:
         img = _test_image(w, h)
-        for fmt in ("bmp", "ppm"):
+        for fmt in ("bmp", "ppm", "png"):
             data = codecs.encode_image(img, fmt)
             assert codecs.sniff(data) == fmt
             back = codecs.decode_image(data)
@@ -418,3 +418,106 @@ def test_video_frame_features_real_decode(spark):
         assert (r["width"], r["height"], r["fps"]) == (9, 8, 4)
         assert r["mean_pixel"] == mean
         assert r["std_pixel"] == (var**0.5 if var >= 0 else 0.0)
+
+
+def _png_pack(ihdr_fields, scanlines, extra_chunks=()):
+    """Hand-assemble a PNG from already-filtered scanlines (independent
+    of encode_png, which only ever emits filter 0)."""
+    import struct
+    import zlib
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", struct.pack(">IIBBBBB", *ihdr_fields))
+    for typ, body in extra_chunks:
+        out += chunk(typ, body)
+    out += chunk(b"IDAT", zlib.compress(b"".join(scanlines)))
+    return out + chunk(b"IEND", b"")
+
+
+def test_png_all_filter_types_reconstruct():
+    """Scanlines filtered with Sub/Up/Average/Paeth (one each), with the
+    filtered bytes computed HERE from the spec formulas over known
+    pixels — decode_png must invert every filter exactly."""
+    from trend_o_meter_spark.llm import codecs
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(5, 4, 3)).astype(np.uint8)
+    h, w, _ = img.shape
+    bpp = 3
+    lines = []
+    prior = np.zeros(w * bpp, dtype=np.int32)
+    for r, f in zip(range(h), (0, 1, 2, 3, 4)):
+        cur = img[r].reshape(-1).astype(np.int32)
+        filt = np.zeros_like(cur)
+        for i in range(w * bpp):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            if f == 0:
+                filt[i] = cur[i]
+            elif f == 1:
+                filt[i] = (cur[i] - a) % 256
+            elif f == 2:
+                filt[i] = (cur[i] - b) % 256
+            elif f == 3:
+                filt[i] = (cur[i] - ((a + b) >> 1)) % 256
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[i] = (cur[i] - pred) % 256
+        lines.append(bytes([f]) + bytes(filt.astype(np.uint8)))
+        prior = cur
+    data = _png_pack((w, h, 8, 2, 0, 0, 0), lines)
+    np.testing.assert_array_equal(codecs.decode_png(data), img)
+
+
+def test_png_color_types_normalize_to_rgb():
+    from trend_o_meter_spark.llm import codecs
+
+    # grayscale (type 0) replicates to RGB
+    g = np.array([[10, 200], [0, 255]], dtype=np.uint8)
+    lines = [b"\x00" + bytes(row) for row in g]
+    data = _png_pack((2, 2, 8, 0, 0, 0, 0), lines)
+    np.testing.assert_array_equal(
+        codecs.decode_png(data), np.repeat(g[:, :, None], 3, axis=2)
+    )
+
+    # palette (type 3) resolves through PLTE
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    lines = [b"\x00" + bytes(row) for row in idx]
+    data = _png_pack((2, 2, 8, 3, 0, 0, 0), lines, extra_chunks=[(b"PLTE", pal)])
+    want = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 0, 0]]], dtype=np.uint8
+    )
+    np.testing.assert_array_equal(codecs.decode_png(data), want)
+
+    # RGBA (type 6): alpha dropped
+    rgba = np.array([[[1, 2, 3, 200], [4, 5, 6, 0]]], dtype=np.uint8)
+    lines = [b"\x00" + rgba[0].tobytes()]
+    data = _png_pack((2, 1, 8, 6, 0, 0, 0), lines)
+    np.testing.assert_array_equal(codecs.decode_png(data), rgba[:, :, :3])
+
+
+def test_png_rejects_bad_crc_interlace_and_16bit():
+    import pytest
+
+    from trend_o_meter_spark.llm import codecs
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = bytearray(codecs.encode_png(img))
+    good[-17] ^= 0xFF  # flip a byte inside IDAT without fixing its CRC
+    with pytest.raises(ValueError, match="CRC"):
+        codecs.decode_png(bytes(good))
+
+    lines = [b"\x00" + b"\x00" * 6] * 2
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        codecs.decode_png(_png_pack((2, 2, 8, 2, 0, 0, 1), lines))
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        codecs.decode_png(_png_pack((2, 2, 16, 2, 0, 0, 0), lines))

@@ -1,5 +1,6 @@
 """Pure-Python media codecs: uncompressed 24-bit BMP, binary PPM (P6),
-and PCM WAV (RIFF).
+PCM WAV (RIFF), and 8-bit PNG (stdlib zlib + the spec's scanline
+filters — see :func:`decode_png`).
 
 The container ships no PIL/libav, so the multimodal pipeline's *real*
 decode path (:func:`.multimodal.decode_media` with ``real=True``, and
@@ -351,8 +352,154 @@ def decode_avi(data: bytes) -> "tuple[np.ndarray, int]":
 # ------------------------------------------------------------ dispatch --
 
 
+# ---------------------------------------------------------------- PNG --
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# filter-type codes from the PNG spec (W3C REC-png / RFC 2083 §6)
+_PNG_NONE, _PNG_SUB, _PNG_UP, _PNG_AVERAGE, _PNG_PAETH = range(5)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """RGB (h, w, 3) uint8 -> PNG bytes (color type 2, bit depth 8,
+    filter 0 on every scanline, one zlib-level-9 IDAT).  Deterministic:
+    fixed filter choice and compression level, no ancillary chunks."""
+    import zlib
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got shape {arr.shape}")
+    h, w, _ = arr.shape
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> RGB (h, w, 3) uint8 — a real decoder on stdlib
+    ``zlib`` plus the public spec's scanline filters (W3C REC-png §6 /
+    RFC 2083): chunk walk with CRC verification, IDAT concatenation +
+    inflate, per-row defiltering (None/Sub/Up/Average/Paeth), then
+    color-type normalization to RGB.
+
+    Supported: bit depth 8, color types 0 (grayscale, replicated to
+    RGB), 2 (RGB), 3 (palette via PLTE), 4/6 (gray/RGB + alpha — the
+    alpha channel is DROPPED; features operate on color planes).
+    16-bit depths and Adam7 interlacing fail loudly (NotImplementedError)
+    rather than decoding wrongly.  Defiltering is O(h*w) with a Python
+    per-pixel loop on Sub/Average/Paeth rows (None/Up vectorize) —
+    correct-first; fixture-scale images decode in microseconds.
+    """
+    import zlib
+
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr: bytes | None = None
+    plte: bytes | None = None
+    idat: list[bytes] = []
+    while pos + 12 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        crc = int.from_bytes(data[pos + 8 + ln : pos + 12 + ln], "big")
+        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"PLTE":
+            plte = body
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG nonstandard compression/filter method")
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} unsupported (8 only)")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    try:
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    except KeyError:
+        raise NotImplementedError(f"PNG color type {ctype} unsupported") from None
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel data length mismatch")
+    bpp = channels  # bytes per pixel at depth 8
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        f = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == _PNG_NONE:
+            rec = line
+        elif f == _PNG_UP:
+            rec = (line + prior) & 0xFF
+        elif f in (_PNG_SUB, _PNG_AVERAGE, _PNG_PAETH):
+            rec = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                b = int(prior[i])
+                c = int(prior[i - bpp]) if i >= bpp else 0
+                if f == _PNG_SUB:
+                    v = line[i] + a
+                elif f == _PNG_AVERAGE:
+                    v = line[i] + ((a + b) >> 1)
+                else:  # Paeth predictor, spec order of the tie-breaks
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = line[i] + pred
+                rec[i] = v & 0xFF
+        else:
+            raise ValueError(f"PNG scanline filter {f} invalid")
+        out[r] = rec.astype(np.uint8)
+        prior = rec
+    px = out.reshape(h, w, channels)
+    if ctype == 2:
+        return px.copy()
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    if ctype == 6:
+        return px[:, :, :3].copy()
+    # ctype == 3: palette lookup
+    if plte is None or len(plte) % 3:
+        raise ValueError("paletted PNG without a valid PLTE")
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    idx = px[:, :, 0]
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("PNG palette index out of range")
+    return pal[idx]
+
+
 def sniff(data: bytes) -> str | None:
-    """Identify a payload by magic bytes: 'bmp', 'ppm', 'wav', 'avi', or None."""
+    """Identify a payload by magic bytes: 'bmp', 'ppm', 'wav', 'avi',
+    'png', or None."""
+    if data[:8] == PNG_SIG:
+        return "png"
     if data[:2] == b"BM":
         return "bmp"
     if data[:2] == b"P6":
@@ -371,10 +518,12 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_bmp(data)
     if fmt == "ppm":
         return decode_ppm(data)
+    if fmt == "png":
+        return decode_png(data)
     raise NotImplementedError(
         "no shipped codec for this payload (magic %r); real decode supports "
-        "uncompressed 24-bit BMP and binary PPM — PNG/JPEG need PIL, absent "
-        "from this environment" % data[:2]
+        "uncompressed 24-bit BMP, binary PPM, and 8-bit PNG — JPEG needs a "
+        "DCT codec (PIL/libjpeg), absent from this environment" % data[:2]
     )
 
 
@@ -383,6 +532,8 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         return encode_bmp(arr)
     if fmt == "ppm":
         return encode_ppm(arr)
+    if fmt == "png":
+        return encode_png(arr)
     raise NotImplementedError(f"no shipped encoder for format {fmt!r}")
 
 

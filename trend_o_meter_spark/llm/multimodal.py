@@ -666,3 +666,141 @@ def resize_image(media: DataFrame, *, width: int, height: int, real: bool = Fals
     return media.withColumn(
         "content", _resize(F.col("content"), F.col("media_type"))
     ).withColumn("meta", new_meta)
+
+
+# -- images: real PNG codec round-trip ------------------------------------
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("n_px", LongType(), False),
+        StructField("mean_px", DoubleType(), False),
+        StructField("std_px", DoubleType(), False),
+        StructField("px_histogram", ArrayType(LongType()), False),
+    ]
+)
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Decode image payloads through the REAL PNG codec and extract
+    pixel-domain features — the image sibling of :func:`audio_features`,
+    same contract:
+
+    * a payload that sniffs as a shipped image format (PNG/BMP/PPM) is
+      decoded directly (:func:`.codecs.decode_image`);
+    * any other payload (the synthetic corpus: UTF-8 text bytes) is
+      TILED into an RGB array of ``w = (n % 24) + 8`` by
+      ``h = (n % 16) + 8`` pixels (byte ``i`` of the array is payload
+      byte ``i % n``), encoded to a real PNG (zlib deflate, filter-0
+      scanlines) and decoded back through the full chunk-walk /
+      inflate / defilter path — so a single corrupted byte anywhere in
+      the codec breaks the features.
+
+    Features over the decoded pixels: geometry from the decoded header,
+    exact integer pixel-byte count, mean/std from exact integer sums
+    with the fixed float expression (one division each, one
+    correctly-rounded sqrt), and the 8-bin ``pixel >> 5`` histogram —
+    hash-reproduced by :func:`image_features_sql` straight from
+    character codes.
+
+    Scale shape: Arrow-batched ``mapInPandas``; output rows carry 7
+    scalars + an 8-long histogram, never payload bytes.
+    """
+    import numpy as np  # local import: runs on executors
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs  # executor-side import
+
+        for pdf in it:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content)
+                if codecs.sniff(raw) in ("png", "bmp", "ppm"):
+                    img = codecs.decode_image(raw)
+                else:
+                    n = len(raw)
+                    w = (n % 24) + 8
+                    h = (n % 16) + 8
+                    need = w * h * 3
+                    tiled = (raw * (need // n + 1))[:need]
+                    arr = np.frombuffer(tiled, dtype=np.uint8).reshape(h, w, 3)
+                    img = codecs.decode_png(codecs.encode_png(arr))
+                s = img.reshape(-1).astype(np.int64)
+                n_px = int(s.size)
+                s1, s2 = int(s.sum()), int((s * s).sum())
+                mean = float(s1) / n_px
+                var = float(s2) / n_px - mean * mean
+                std = float(np.sqrt(var)) if var >= 0 else 0.0
+                hist = np.bincount(s >> 5, minlength=8).astype("int64")
+                out.append(
+                    (
+                        int(mid),
+                        int(img.shape[1]),
+                        int(img.shape[0]),
+                        n_px,
+                        mean,
+                        std,
+                        hist.tolist(),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields]
+            )
+
+    return (
+        media.filter(
+            (F.col("media_type") == "image") & (F.octet_length("content") > 0)
+        )
+        .select("media_id", "content")
+        .mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
+    )
+
+
+def image_features_sql(table: str, *, id_col: str = "doc_id", text: str = "text") -> str:
+    """Oracle twin of :func:`image_features` over the synthetic corpus:
+    the same features computed straight from character codes (tiling =
+    modulo position) — if the PNG encode/decode round-trip corrupts a
+    single pixel, the hash diverges."""
+    cte = _media_table_sql_parts(table, id_col=id_col, text=text)
+    return f"""
+WITH {cte},
+images AS (
+  SELECT media_id, atext, n_bytes,
+         (n_bytes % 24) + 8 AS w, (n_bytes % 16) + 8 AS h,
+         ((n_bytes % 24) + 8) * ((n_bytes % 16) + 8) * 3 AS need
+  FROM media WHERE media_type = 'image' AND n_bytes > 0
+),
+codes AS (
+  SELECT media_id, w, h, need,
+         ascii(substring(atext, CAST(((t.i - 1) % n_bytes) + 1 AS INT), 1)) AS c
+  FROM images, unnest(range(1, need + 1)) AS t(i)
+),
+slots AS (
+  SELECT media_id, CAST(g.i AS BIGINT) AS slot FROM images, unnest(range(0, 8)) AS g(i)
+),
+stats AS (
+  SELECT media_id, any_value(w) AS w, any_value(h) AS h,
+         CAST(count(*) AS BIGINT) AS n_px,
+         CAST(sum(c) AS DOUBLE) / count(*) AS mean_px,
+         CAST(sum(CAST(c AS BIGINT) * c) AS DOUBLE) / count(*) AS s2n
+  FROM codes GROUP BY media_id
+),
+hist AS (
+  SELECT media_id, c // 32 AS slot, count(*) AS cnt FROM codes GROUP BY 1, 2
+),
+histvec AS (
+  SELECT s.media_id,
+         string_agg(CAST(coalesce(h.cnt, 0) AS VARCHAR), ',' ORDER BY s.slot)
+           AS px_histogram_csv
+  FROM slots s LEFT JOIN hist h ON s.media_id = h.media_id AND s.slot = h.slot
+  GROUP BY s.media_id
+)
+SELECT st.media_id, CAST(st.w AS BIGINT) AS width, CAST(st.h AS BIGINT) AS height,
+  st.n_px, st.mean_px,
+  CASE WHEN st.s2n - st.mean_px * st.mean_px >= 0
+       THEN sqrt(st.s2n - st.mean_px * st.mean_px) ELSE 0.0 END AS std_px,
+  hv.px_histogram_csv
+FROM stats st JOIN histvec hv USING (media_id)
+"""

@@ -119,8 +119,10 @@ _SCORE_FIRST = (
     "value_quantiles",
     "bloom_membership",
     "bloom_contamination",
-    # --- round-6 addition: the sketch backing stream_mad ------------
+    # --- round-6 additions: the sketch backing stream_mad; the real
+    # PNG codec round-trip ---------------------------------------------
     "hist_median_mad",
+    "image_features",
     # --- stalest oracle-backed driver verdicts, oldest first (r02 then
     # r03, declaration order), so the cross-round union keeps aging
     # uniformly.  The no_oracle rows-only entries (approx_sketches,
@@ -158,7 +160,6 @@ _SCORE_FIRST = (
     "curation_funnel",
     "dedup_clusters_star",
     "simhash_fingerprints",
-    "simhash_near_dup",
 )
 
 
@@ -3200,6 +3201,33 @@ def decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("feature_vec", lambda x: F.round(x * F.lit(1e6), 0).cast("bigint").cast("string")),
             ",",
         ).alias("feature_vec_q6"),
+    )
+
+
+@_q(
+    "image_features",
+    multimodal.image_features_sql("documents"),
+    doc="REAL PNG codec round-trip per image row (stdlib-zlib deflate + "
+    "spec scanline filters in llm/codecs.py): synthetic payloads tile "
+    "into RGB pixels, encode to PNG, decode back through the full "
+    "chunk-walk/inflate/defilter path, then pixel stats from exact "
+    "integer sums.  The DuckDB twin computes the same features straight "
+    "from character codes, so one corrupted pixel anywhere in the codec "
+    "breaks the hash — the audio_features recipe, for images.",
+)
+def image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    feats = multimodal.image_features(multimodal.media_table(d))
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_px",
+        "mean_px",
+        "std_px",
+        F.array_join(
+            F.transform("px_histogram", lambda x: x.cast("string")), ","
+        ).alias("px_histogram_csv"),
     )
 
 
