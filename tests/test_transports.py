@@ -358,3 +358,63 @@ def test_redis_pubsub_datasource_backfill_and_live_tail(spark, mock_redis, tmp_p
         assert _wait_for(lambda: day1_max() == 99.0, timeout=60.0), results.get("last")
     finally:
         q.stop()
+
+
+def test_firehose_bridge_exactly_once_across_reader_restart(spark, mock_redis, tmp_path):
+    """The durable bridge closes the raw DataSource's documented
+    at-most-once gap: frames drained while NO Spark reader is running
+    wait in atomically-published segments, and a reader restarted from
+    its checkpoint picks up exactly the new frames — 10 published, 10
+    delivered, no loss, no duplicates.  The raw pub/sub reader's own
+    restart recovery demonstrably drops (empty readBetweenOffsets)."""
+    from trend_o_meter_spark.streaming.redis_datasource import _PubSubReader
+    from trend_o_meter_spark.transports.firehose_bridge import (
+        DurableFirehoseBridge,
+        bridge_stream,
+        bridge_table,
+    )
+
+    mock_redis.pubsub_seconds = 120.0
+    log, ckpt, out = tmp_path / "fhlog", tmp_path / "ckpt", tmp_path / "out"
+
+    def run_reader_to_completion():
+        q = (
+            bridge_stream(spark, str(log))
+            .writeStream.format("json")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    msgs = [("sensor:m", b'{"i": %d}' % i) for i in range(10)]
+    with DurableFirehoseBridge(
+        "127.0.0.1", mock_redis.port, pattern="sensor:*", log_dir=str(log)
+    ) as br:
+        mock_redis.published.extend(msgs[:5])
+        assert br.drain_segment(poll_seconds=3.0) == 5
+        run_reader_to_completion()  # reader pass 1, then gone
+
+        # frames keep flowing while no reader exists — the exact window
+        # where the raw DataSource loses data
+        mock_redis.published.extend(msgs[5:])
+        assert br.drain_segment(poll_seconds=3.0) == 5
+
+    run_reader_to_completion()  # restart from the same checkpoint
+
+    delivered = sorted(
+        r["payload"]
+        for r in spark.read.schema("channel string, payload string, recv_ts double")
+        .json(str(out))
+        .collect()
+    )
+    assert delivered == sorted(p.decode() for _, p in msgs)  # 10/10, no dups
+
+    # the batch/audit view sees the same frames
+    assert bridge_table(spark, str(log)).count() == 10
+
+    # contrast: the raw reader's restart recovery is the empty range —
+    # at-most-once by design (its own docstring), which the bridge fixes
+    raw = _PubSubReader({"host": "127.0.0.1", "port": str(mock_redis.port)})
+    assert list(raw.readBetweenOffsets({"seq": 0}, {"seq": 5})) == []
