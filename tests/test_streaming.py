@@ -1526,3 +1526,58 @@ def test_stream_mad_estimates_within_bound_and_flags(spark, tmp_path):
     per_batch2 = stream_mad(**kw2)
     per_batch2(_df([]), 2)
     assert profiles2[2] == profiles[1]
+
+def test_stream_theil_sen_equals_batch_and_replay_safe(spark, tmp_path):
+    """The streaming Theil-Sen snapshot (per-(key, bucket) decimal-sum
+    + count partials -> the batch estimator core) must be BIT-IDENTICAL
+    to the batch operator over the union, survive an at-least-once
+    replay, and resume exactly across a restart."""
+    from trend_o_meter_spark.operators.trend import theil_sen_slope
+    from trend_o_meter_spark.streaming.pipeline import stream_theil_sen
+
+    base = 1_700_000_000
+    # two keys: one rising ~0.5/hour with wobble, one flat with a wild
+    # contaminated bucket the median-of-slopes must shrug off
+    rows = [
+        ("up", float(base + i * 1800), 10.0 + i * 0.25 + (0.9 if i % 7 == 0 else 0.0))
+        for i in range(300)
+    ] + [
+        ("flat", float(base + i * 1800), 5.0 + (500.0 if 40 <= i < 44 else 0.0))
+        for i in range(300)
+    ]
+    schema = "k string, epoch double, value double"
+
+    def _df(rs):
+        return spark.createDataFrame(rs, schema).select(
+            "k", F.timestamp_seconds("epoch").alias("ts"), "value"
+        )
+
+    b1, b2 = rows[:200] + rows[300:400], rows[200:300] + rows[400:]
+    results = {}
+    kw = dict(
+        state_path=str(tmp_path / "ts_state"),
+        keys=("k",),
+        bucket_seconds=21600,
+        on_result=lambda bid, df: results.update(
+            {bid: sorted(map(tuple, df.collect()))}
+        ),
+    )
+    per_batch = stream_theil_sen(**kw)
+    per_batch(_df(b1), 0)
+    per_batch(_df(b2), 1)
+    per_batch(_df(b2), 1)  # at-least-once replay: partials not doubled
+
+    want = sorted(
+        map(
+            tuple,
+            theil_sen_slope(_df(rows), keys=("k",), bucket_seconds=21600).collect(),
+        )
+    )
+    assert results[1] == want
+    # the mid-batch snapshot is a genuine prefix answer, not the union
+    assert results[0] != want
+
+    # restart: a fresh closure over the same state path resumes exactly
+    per_batch2 = stream_theil_sen(**kw)
+    per_batch2(_df([]), 2)
+    assert results[2] == want

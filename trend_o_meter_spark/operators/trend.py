@@ -1027,6 +1027,15 @@ def theil_sen_slope(
             .alias("__m")
         )
     )
+    return theil_sen_from_means(means, keys=keys)
+
+
+def theil_sen_from_means(means: DataFrame, *, keys: Sequence[str] = ("metric",)) -> DataFrame:
+    """The estimator core of :func:`theil_sen_slope`, taking the
+    per-(key, bucket) means table ``*keys, __b, __m`` directly — shared
+    with the streaming twin (``streaming.pipeline.stream_theil_sen``),
+    whose mergeable decimal-sum/count partials reproduce the identical
+    means, so stream == batch bit-for-bit."""
     l = means.select(*keys, F.col("__b").alias("__b1"), F.col("__m").alias("__m1"))
     r = means.select(*keys, F.col("__b").alias("__b2"), F.col("__m").alias("__m2"))
     pairs = l.join(r, list(keys)).filter(F.col("__b1") < F.col("__b2")).withColumn(

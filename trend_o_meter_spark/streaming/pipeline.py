@@ -827,3 +827,76 @@ def stream_mad(
             on_result(batch_id, flagged)
 
     return per_batch
+
+
+def stream_theil_sen(
+    *,
+    state_path: str,
+    ts: str = "ts",
+    value: str = "value",
+    keys: tuple[str, ...] = ("metric",),
+    bucket_seconds: int = 86400,
+    compact_every: int = 25,
+    on_result: "object" = None,
+):
+    """Live robust trend: the streaming twin of
+    ``operators.trend.theil_sen_slope``, completing the monitoring
+    family's live forms (seasonal profile, MAD, and now the slope).
+
+    Each micro-batch appends its PARTIAL per-(key, bucket) exact-decimal
+    sum + count; the merged state reproduces the batch operator's bucket
+    means bit-for-bit (decimal addition is associative), and the
+    snapshot handed to ``on_result(batch_id, DataFrame)`` runs the
+    IDENTICAL pairwise-slope/median estimator
+    (``operators.trend.theil_sen_from_means``) — so the streaming
+    answer EQUALS the batch answer over the union, not an approximation
+    of it.  Output columns match the batch operator: ``*keys,
+    n_buckets, n_pairs, slope_per_hour, intercept``.
+
+    Scale: state is O(keys x span/bucket) rows forever (the same
+    span-bounded contract as the batch oracle); the sample stream
+    contributes one partial-aggregating groupBy per batch and is never
+    re-shuffled.  Additive state on the replay-idempotent
+    :class:`.statestore.PartialStateTable` discipline, like
+    :func:`stream_seasonal_profile`.  Returns the ``foreachBatch``
+    callable.
+    """
+    from ..operators.trend import theil_sen_from_means
+    from .statestore import PartialStateTable
+
+    b = (F.floor(F.unix_seconds(F.col(ts)) / bucket_seconds) * bucket_seconds).cast(
+        "long"
+    )
+    st = PartialStateTable(state_path)
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.groupBy(*keys, "__b").agg(
+            F.sum("__s").alias("__s"), F.sum("__c").cast("long").alias("__c")
+        )
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            st.compact(spark, transform=merge)
+        if not batch_df.isEmpty():
+            partial = (
+                batch_df.filter(F.col(value).isNotNull())
+                .groupBy(*keys, b.alias("__b"))
+                .agg(
+                    F.sum(F.col(value).cast("decimal(28,8)")).alias("__s"),
+                    F.count(F.lit(1)).cast("long").alias("__c"),
+                )
+            )
+            st.append(partial, batch_id)
+        state = st.read(spark)
+        if state is None:  # state path not created yet (all-empty batches)
+            return
+        m = merge(state)
+        # identical expression shape to the batch operator's bucket means
+        means = m.select(
+            *keys, "__b", (F.col("__s").cast("double") / F.col("__c")).alias("__m")
+        )
+        if on_result is not None:
+            on_result(batch_id, theil_sen_from_means(means, keys=keys))
+
+    return per_batch
