@@ -514,3 +514,60 @@ def test_moments_mean_within_quantization_bound(spark, vals):
     true_mean = sum(float(v) for v in vals) / len(vals)
     assert out["n"] == len(vals)
     assert abs(out["mean"] - true_mean) <= 0.5 / 100 + 1e-9
+
+
+@given(rows=samples, kh=st.sampled_from([(0.5, 4.0), (0.25, 2.0), (1.0, 6.0)]))
+@settings(**SETTINGS)
+def test_cusum_matches_handrolled_model(spark, rows, kh):
+    """cusum_changepoints vs a naive Python model: the same robust
+    calibration (interpolated median / MAD via the quantile_cont
+    definition, written independently here over a plain sorted list)
+    and the same pinned recursion must reproduce every accumulator,
+    alarm, and direction."""
+    from trend_o_meter_spark.operators.trend import cusum_changepoints
+
+    k_mult, h_mult = kh
+
+    def q_cont(sorted_vals, q):
+        n = len(sorted_vals)
+        h = (n - 1) * q
+        lo = int(h // 1)
+        hi = min(lo + 1, n - 1)
+        return sorted_vals[lo] + (h - lo) * (sorted_vals[hi] - sorted_vals[lo])
+
+    def q9(x):
+        if x is None:
+            return None
+        import math
+
+        return (
+            math.floor(x * 1e9 + 0.5) if x >= 0 else -math.floor(-x * 1e9 + 0.5)
+        ) / 1e9
+
+    vals = [float(v) for _, v in rows]
+    med = q_cont(sorted(vals), 0.5)
+    mad = q_cont(sorted(abs(v - med) for v in vals), 0.5)
+    k, h = k_mult * mad, h_mult * mad
+    want = []
+    sp = sn = 0.0
+    for off, v in sorted(rows):
+        y = float(v)
+        spr = max(0.0, sp + ((y - med) - k))
+        snr = max(0.0, sn + ((med - y) - k))
+        alarm = spr > h or snr > h
+        want.append(
+            (off, q9(spr), q9(snr), alarm, ("up" if spr > h else "down") if alarm else None)
+        )
+        sp, sn = (0.0, 0.0) if alarm else (spr, snr)
+
+    df = spark.createDataFrame(
+        [(off, datetime.fromtimestamp(BASE + off, tz=timezone.utc), float(v)) for off, v in rows],
+        "eid long, ts timestamp, value double",
+    ).withColumn("k", F.lit("m"))
+    got = sorted(
+        (r["eid"], r["s_pos"], r["s_neg"], r["alarm"], r["direction"])
+        for r in cusum_changepoints(
+            df, keys=("k",), tiebreak=("eid",), k_mult=k_mult, h_mult=h_mult
+        ).collect()
+    )
+    assert got == want

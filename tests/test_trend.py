@@ -380,3 +380,69 @@ def test_seasonal_adjusted_anomaly_composition(spark):
     ).collect()
     assert len(out) == 1  # only the planted wild-for-its-hour sample
     assert out[0]["residual"] > 80.0
+
+
+def test_cusum_detects_planted_shift_and_direction(spark):
+    from trend_o_meter_spark.operators.trend import cusum_changepoints
+
+    # 60 quiet samples wobbling SYMMETRICALLY around 10 (an asymmetric
+    # wobble is a real drift vs the global median — CUSUM would rightly
+    # flag it), then a persistent +1.5 shift
+    rows = [(i * 60, 10.0 + (0.1 if i % 2 == 0 else -0.1)) for i in range(60)]
+    rows += [(i * 60, 11.5 + (0.1 if i % 2 == 0 else -0.1)) for i in range(60, 100)]
+    out = sorted(
+        (r["ts"], r["alarm"], r["direction"], r["s_pos"])
+        for r in cusum_changepoints(_series(spark, rows), keys=("metric",)).collect()
+    )
+    alarms = [i for i, (_, a, _, _) in enumerate(out) if a]
+    # no alarm in the quiet half; first alarm lands within a few samples
+    # of the shift (the accumulator needs ~h/(shift-k) steps to cross)
+    assert alarms and alarms[0] >= 60
+    assert alarms[0] <= 70
+    assert all(out[i][2] == "up" for i in alarms)
+    # after each reset the persistent shift re-fires: more than one alarm
+    assert len(alarms) > 1
+
+
+def test_cusum_downward_drift_fires_down(spark):
+    from trend_o_meter_spark.operators.trend import cusum_changepoints
+
+    rows = [(i * 60, 5.0 + (0.05 if i % 2 == 0 else -0.05)) for i in range(50)]
+    rows += [(i * 60, 5.0 - 0.05 * (i - 50)) for i in range(50, 90)]
+    out = [
+        r
+        for r in cusum_changepoints(_series(spark, rows), keys=("metric",)).collect()
+        if r["alarm"]
+    ]
+    assert out and all(r["direction"] == "down" for r in out)
+
+
+def test_cusum_mad_zero_key_alarms_on_any_deviation(spark):
+    from trend_o_meter_spark.operators.trend import cusum_changepoints
+
+    # constant series (MAD = 0 => k = h = 0): the lone spike must alarm,
+    # the constant rows must not (s = 0 is not > h = 0)
+    rows = [(i * 60, 3.0) for i in range(20)] + [(20 * 60, 9.0)]
+    out = {
+        r["value"]: (r["alarm"], r["direction"])
+        for r in cusum_changepoints(_series(spark, rows), keys=("metric",)).collect()
+    }
+    assert out[9.0] == (True, "up")
+    assert out[3.0] == (False, None)
+
+
+def test_cusum_null_rows_emit_null_and_do_not_advance(spark):
+    from trend_o_meter_spark.operators.trend import cusum_changepoints
+
+    rows = [(0, 4.0), (60, 4.2), (120, None), (180, 3.8), (240, 4.1)]
+    df = spark.createDataFrame(
+        [(float(BASE + off), "m", v) for off, v in rows],
+        "epoch double, metric string, value double",
+    ).select("metric", F.timestamp_seconds("epoch").alias("ts"), "value")
+    out = sorted(
+        (r["ts"], r["value"], r["s_pos"], r["alarm"]) for r in
+        cusum_changepoints(df, keys=("metric",)).collect()
+    )
+    assert len(out) == 5
+    null_row = out[2]
+    assert null_row[1] is None and null_row[2] is None and null_row[3] is None

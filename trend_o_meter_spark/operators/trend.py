@@ -1121,3 +1121,254 @@ SELECT {ks}, CAST(count(*) AS BIGINT) AS n_buckets, n_pairs,
        {q9('quantile_cont(__resid, 0.5)')} AS intercept
 FROM resid GROUP BY {ks}, __med_slope, n_pairs
 """
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    keys: Sequence[str] = ("metric",),
+    k_mult: float = 0.5,
+    h_mult: float = 4.0,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Tabular CUSUM changepoint detection per key (Page 1954; NIST/
+    SEMATECH e-Handbook §6.3.2.3), robust-calibrated: the target is the
+    per-key MEDIAN and the slack/decision parameters are multiples of
+    the per-key MAD (``k = k_mult*MAD``, ``h = h_mult*MAD``) — so one
+    wild outlier can't move the calibration the way a mean/stddev CUSUM
+    lets it (the same robustness story as :func:`mad_anomalies`, which
+    flags POINT outliers where this accumulates small persistent SHIFTS
+    a point test never sees):
+
+        s_pos_t = max(0, s_pos_{t-1} + (y_t - med - k))
+        s_neg_t = max(0, s_neg_{t-1} + (med - y_t - k))
+
+    with an alarm when either side exceeds ``h``; on alarm both sides
+    reset to 0 (the standard restart, so successive changepoints are
+    each detected).  ``direction`` is ``'up'`` when the positive side
+    fired (pinned precedence if both did), ``'down'`` otherwise.
+
+    Null values emit null state/alarm and do not advance the recursion
+    (the :func:`ewma` contract).  A key with MAD = 0 degenerates to
+    ``k = h = 0`` — any deviation from the median alarms immediately
+    (documented, deterministic in both engines).
+
+    Exactness: median/MAD come from the bucket-decomposed exact-rank
+    quantile (bit-equal to ``quantile_cont``); the recursion is pinned
+    left-to-right (``carry + ((y - med) - k)`` under ``max(0.0, .)``)
+    and reproduced textually by the DuckDB recursive-CTE oracle
+    (:func:`cusum_changepoints_sql`), so the accumulators are bit-exact
+    cross-engine; emitted doubles pass the shared away-from-zero 1e-9
+    quantization.  Output: ``*keys, *tiebreak, ts, <value>, s_pos,
+    s_neg, alarm, direction`` — every row, accumulators included, so
+    downstream can plot the trajectory, not just the alarms.
+
+    Scale: calibration is two O(keys)-row broadcast profiles (the event
+    stream is never shuffled for it); the scan is an Arrow-batched
+    ``applyInPandas`` per key — parallel across keys, sequential within
+    one, the same shape as :func:`ewma`/:func:`holt_linear` (inherently
+    recursive; bounded per key by the retention contract).
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .quantiles import exact_quantiles
+
+    c = F.col(value)
+    med = exact_quantiles(
+        df.select(*keys, value), value=value, keys=keys, qs=[0.5], out="__med"
+    ).select(*keys, "__med")
+    with_med = df.join(F.broadcast(med), list(keys))
+    mad = exact_quantiles(
+        with_med.select(*keys, F.abs(c - F.col("__med")).alias("__ad")),
+        value="__ad",
+        keys=keys,
+        qs=[0.5],
+        out="__mad",
+    ).select(*keys, "__mad")
+    src = with_med.join(F.broadcast(mad), list(keys))
+
+    cols = [*keys, *tiebreak, ts, value]
+    out_schema = StructType(
+        [df.schema[c2] for c2 in cols]
+        + [
+            StructField("s_pos", DoubleType()),
+            StructField("s_neg", DoubleType()),
+            StructField("alarm", BooleanType()),
+            StructField("direction", StringType()),
+        ]
+    )
+    sort_cols = [ts, *tiebreak, value]
+    km, hm = float(k_mult), float(h_mult)
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        out = pdf[cols].copy()
+        med_v = float(pdf["__med"].iloc[0])
+        mad_v = float(pdf["__mad"].iloc[0])
+        k = km * mad_v
+        h = hm * mad_v
+        sps: list[float | None] = []
+        sns: list[float | None] = []
+        alarms: list[bool | None] = []
+        dirs: list[str | None] = []
+        sp = sn = 0.0
+        for y in pdf[value].astype("float64"):
+            if pd.isna(y):
+                sps.append(None)
+                sns.append(None)
+                alarms.append(None)
+                dirs.append(None)
+                continue
+            spr = max(0.0, sp + ((y - med_v) - k))
+            snr = max(0.0, sn + ((med_v - y) - k))
+            alarm = spr > h or snr > h
+            sps.append(spr)
+            sns.append(snr)
+            alarms.append(alarm)
+            dirs.append(("up" if spr > h else "down") if alarm else None)
+            if alarm:
+                sp = sn = 0.0
+            else:
+                sp, sn = spr, snr
+        out["s_pos"] = pd.Series(sps, index=out.index, dtype="object")
+        out["s_neg"] = pd.Series(sns, index=out.index, dtype="object")
+        out["alarm"] = pd.Series(alarms, index=out.index, dtype="object")
+        out["direction"] = pd.Series(dirs, index=out.index, dtype="object")
+        return out
+
+    def q9(x):
+        return (
+            F.when(x >= 0, F.floor(x * F.lit(1e9) + F.lit(0.5)))
+            .otherwise(-F.floor(-x * F.lit(1e9) + F.lit(0.5)))
+            / F.lit(1e9)
+        )
+
+    scanned = (
+        src.select(*cols, "__med", "__mad")
+        .groupBy(*keys)
+        .applyInPandas(scan, schema=out_schema)
+    )
+    return scanned.select(
+        *cols,
+        q9(F.col("s_pos")).alias("s_pos"),
+        q9(F.col("s_neg")).alias("s_neg"),
+        "alarm",
+        "direction",
+    )
+
+
+def cusum_changepoints_sql(
+    table: str,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    keys: Sequence[str] = ("metric",),
+    k_mult: float = 0.5,
+    h_mult: float = 4.0,
+    tiebreak: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`cusum_changepoints`: the same exact-rank
+    median/MAD CTEs, then a recursive CTE carrying the post-reset
+    (sp_c, sn_c) pair; the raw-side expressions are inlined textually
+    everywhere they're referenced (SQL cannot let-bind), computing the
+    identical IEEE doubles — the :func:`holt_linear_sql` discipline."""
+    from .quantiles import exact_quantiles_sql_ctes
+
+    ks = ", ".join(keys)
+    join1 = " AND ".join(f"t.{k} = m.{k}" for k in keys)
+    join2 = " AND ".join(f"d.{k} = a.{k}" for k in keys)
+    t_ks = ", ".join(f"t.{k}" for k in keys)
+    d_ks = ", ".join(f"d.{k}" for k in keys)
+    out_cols = [*keys, *tiebreak, ts, value]
+    sel = ", ".join(out_cols)
+    o_sel = ", ".join(f"o.{c}" for c in out_cols)
+    order_by = ", ".join([ts, *tiebreak, value])
+    join_on = " AND ".join(f"o.{k} = r.{k}" for k in keys)
+    km = f"CAST({float(k_mult)!r} AS DOUBLE)"
+    hm = f"CAST({float(h_mult)!r} AS DOUBLE)"
+
+    def q9(x: str) -> str:
+        return (
+            f"CASE WHEN ({x}) >= 0 THEN floor(({x}) * 1e9 + 0.5) "
+            f"ELSE -floor(-({x}) * 1e9 + 0.5) END / 1e9"
+        )
+
+    med_ctes = exact_quantiles_sql_ctes(
+        table, value=value, keys=keys, qs=[0.5], prefix="__qmed", out="__med"
+    )
+    mad_ctes = exact_quantiles_sql_ctes(
+        "dev", value=f"abs({value} - __med)", keys=keys, qs=[0.5],
+        prefix="__qmad", out="__mad",
+    )
+    zero = "CAST(0.0 AS DOUBLE)"
+    # base-case raws: carry = 0.0, textually the Python seed
+    spr0 = f"greatest({zero}, {zero} + (({value} - __med) - __k))"
+    snr0 = f"greatest({zero}, {zero} + ((__med - {value}) - __k))"
+    alarm0 = f"(({spr0}) > __h OR ({snr0}) > __h)"
+    # recursive-step raws against the carried state
+    spr = f"greatest({zero}, r.sp_c + ((o.{value} - o.__med) - o.__k))"
+    snr = f"greatest({zero}, r.sn_c + ((o.__med - o.{value}) - o.__k))"
+    alarm = f"(({spr}) > o.__h OR ({snr}) > o.__h)"
+    return f"""
+WITH RECURSIVE {med_ctes},
+med AS (SELECT {ks}, __med FROM __qmed),
+dev AS (
+  SELECT {t_ks}, t.{ts}, t.{value}, m.__med
+  FROM {table} t JOIN med m ON {join1}
+),
+{mad_ctes},
+params AS (
+  SELECT {ks}, __med, {km} * __mad AS __k, {hm} * __mad AS __h
+  FROM (SELECT {ks}, __mad FROM __qmad) a JOIN med USING ({ks})
+),
+ordered AS MATERIALIZED (
+  SELECT {sel}, p.__med, p.__k, p.__h,
+         row_number() OVER (PARTITION BY {ks} ORDER BY {order_by}) AS rn
+  FROM {table} JOIN params p USING ({ks})
+),
+rec AS (
+  SELECT {sel}, __med, __k, __h, rn,
+         CASE WHEN {value} IS NULL THEN {zero}
+              WHEN {alarm0} THEN {zero} ELSE {spr0} END AS sp_c,
+         CASE WHEN {value} IS NULL THEN {zero}
+              WHEN {alarm0} THEN {zero} ELSE {snr0} END AS sn_c,
+         CASE WHEN {value} IS NULL THEN CAST(NULL AS DOUBLE)
+              ELSE {spr0} END AS s_pos,
+         CASE WHEN {value} IS NULL THEN CAST(NULL AS DOUBLE)
+              ELSE {snr0} END AS s_neg,
+         CASE WHEN {value} IS NULL THEN CAST(NULL AS BOOLEAN)
+              ELSE {alarm0} END AS alarm,
+         CASE WHEN {value} IS NULL OR NOT {alarm0} THEN CAST(NULL AS VARCHAR)
+              WHEN ({spr0}) > __h THEN 'up' ELSE 'down' END AS direction
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT {o_sel}, o.__med, o.__k, o.__h, o.rn,
+         CASE WHEN o.{value} IS NULL THEN r.sp_c
+              WHEN {alarm} THEN {zero} ELSE {spr} END,
+         CASE WHEN o.{value} IS NULL THEN r.sn_c
+              WHEN {alarm} THEN {zero} ELSE {snr} END,
+         CASE WHEN o.{value} IS NULL THEN CAST(NULL AS DOUBLE)
+              ELSE {spr} END,
+         CASE WHEN o.{value} IS NULL THEN CAST(NULL AS DOUBLE)
+              ELSE {snr} END,
+         CASE WHEN o.{value} IS NULL THEN CAST(NULL AS BOOLEAN)
+              ELSE {alarm} END,
+         CASE WHEN o.{value} IS NULL OR NOT {alarm} THEN CAST(NULL AS VARCHAR)
+              WHEN ({spr}) > o.__h THEN 'up' ELSE 'down' END
+  FROM ordered o JOIN rec r ON {join_on} AND o.rn = r.rn + 1
+)
+SELECT {sel},
+       {q9('s_pos')} AS s_pos,
+       {q9('s_neg')} AS s_neg,
+       alarm, direction
+FROM rec
+"""

@@ -120,9 +120,10 @@ _SCORE_FIRST = (
     "bloom_membership",
     "bloom_contamination",
     # --- round-6 additions: the sketch backing stream_mad; the real
-    # PNG codec round-trip ---------------------------------------------
+    # PNG codec round-trip; CUSUM changepoints (new operator) ----------
     "hist_median_mad",
     "image_features",
+    "cusum_shifts",
     # --- stalest oracle-backed driver verdicts, oldest first (r02 then
     # r03, declaration order), so the cross-round union keeps aging
     # uniformly.  The no_oracle rows-only entries (approx_sketches,
@@ -159,7 +160,8 @@ _SCORE_FIRST = (
     "split_drift_ks",
     "curation_funnel",
     "dedup_clusters_star",
-    "simhash_fingerprints",
+    # (simhash_fingerprints rotated out to stay at exactly 50 — its r02
+    # verdict re-queues next round)
 )
 
 
@@ -3414,6 +3416,27 @@ def phrase_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def holt_linear_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir).select("event_id", "ts", "event_type", "value")
     return trend.holt_linear(ev, keys=("event_type",), alpha=0.2, beta=0.1, tiebreak=("event_id",))
+
+
+@_q(
+    "cusum_shifts",
+    trend.cusum_changepoints_sql(
+        "events", keys=("event_type",), k_mult=0.5, h_mult=4.0, tiebreak=("event_id",)
+    ),
+    doc="Tabular CUSUM changepoint detection per metric (Page 1954), "
+    "robust-calibrated: target = exact-rank median, slack/decision "
+    "k = 0.5*MAD / h = 4*MAD — accumulates small persistent level "
+    "shifts that mad_anomalies' point test never sees; resets on alarm "
+    "so successive changepoints each fire. Calibration is two O(keys)-"
+    "row broadcast profiles; the scan is the ewma/holt applyInPandas "
+    "shape with a bit-exact recursive-CTE oracle (raw accumulators "
+    "inlined textually at every reference).",
+)
+def cusum_shifts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir).select("event_id", "ts", "event_type", "value")
+    return trend.cusum_changepoints(
+        ev, keys=("event_type",), k_mult=0.5, h_mult=4.0, tiebreak=("event_id",)
+    )
 
 
 @_q(
