@@ -982,6 +982,46 @@ def test_split_drift_ks_empty_split_is_explicit_null(spark):
     assert not (r["ks_stat"] is not None and math.isnan(r["ks_stat"]))
 
 
+def test_split_drift_psi_matches_model_and_contracts(spark):
+    """PSI per-bin terms and total match a naive Python model computed
+    from the same split assignment; identical distributions give PSI 0;
+    an empty split reports explicit NULL (fail-closed gate)."""
+    import math
+
+    from trend_o_meter_spark.llm.text import dataset_split, split_drift_psi
+
+    same = [(i, "one two three four five") for i in range(40)]
+    df_same = spark.createDataFrame(same, "doc_id long, text string")
+    for r in split_drift_psi(df_same).collect():
+        assert r["psi_total"] == 0.0 and r["psi_term"] == 0.0
+
+    rows = [(i, "w " * (2 + 37 * (i % 5))) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["bin_lo"]: r for r in split_drift_psi(df, bin_width=32).collect()}
+    splits = {x["doc_id"]: x["split"] for x in dataset_split(df).collect()}
+    toks = {i: 2 + 37 * (i % 5) for i, _ in rows}
+    a = [toks[i] for i in toks if splits[i] == "train"]
+    b = [toks[i] for i in toks if splits[i] == "val"]
+    bins = sorted({(t // 32) * 32 for t in a + b})
+    total_q = 0
+    for lo in bins:
+        na = sum(1 for t in a if (t // 32) * 32 == lo)
+        nb = sum(1 for t in b if (t // 32) * 32 == lo)
+        p = max(na / len(a), 1e-4)
+        q = max(nb / len(b), 1e-4)
+        term = (p - q) * math.log(p / q)
+        tq = math.floor(term * 1e6 + 0.5) if term >= 0 else -math.floor(-term * 1e6 + 0.5)
+        total_q += tq
+        assert got[lo]["n_a"] == na and got[lo]["n_b"] == nb
+        assert got[lo]["psi_term"] == tq / 1e6
+    assert all(r["psi_total"] == total_q / 1e6 for r in got.values())
+    # every (p-q)ln(p/q) term is nonnegative, so the total must be too
+    assert got and total_q >= 0
+
+    r = split_drift_psi(df, split_b="no-such-split").collect()[0]
+    assert r["psi_total"] is None and r["psi_term"] is None
+
+
 def test_pq_recall_well_separated_clusters_is_high(spark):
     """With clusters far apart relative to quantization error, ADC@k
     recovers most exact-L2 neighbors; recall is always within [0, 1]."""

@@ -480,6 +480,138 @@ FROM diff
 """
 
 
+def split_drift_psi(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+    split_a: str = "train",
+    split_b: str = "val",
+    bin_width: int = 32,
+    eps: float = 1e-4,
+) -> DataFrame:
+    """Population Stability Index between dataset splits over the
+    token-count feature — :func:`split_drift_ks`'s model-monitoring
+    sibling (the statistic credit-risk/ML-ops dashboards alarm on;
+    conventional reading: <0.1 stable, 0.1-0.25 moderate, >0.25 major
+    shift):
+
+        PSI = sum over bins of (p_i - q_i) * ln(p_i / q_i)
+
+    with ``p``/``q`` the per-bin proportions of the two splits.  Where
+    KS finds the single worst ECDF gap (location-sensitive, binless),
+    PSI charges EVERY reshaped bin — mass moving symmetrically in two
+    directions cancels in KS's max but adds in PSI.
+
+    Bins a split has no mass in get the standard epsilon clamp
+    (``max(p, eps)``, fixed documented constant) — the log stays
+    finite and the clamp is engine-deterministic.  Cross-engine
+    exactness: proportions are single long/long double divisions;
+    each bin's term passes the shared away-from-zero 1e-6 floor
+    quantization (absorbing cross-libm ``ln`` ulp) into a BIGINT, and
+    the total is the EXACT integer sum of those BIGINTs divided once —
+    no float-sum order dependence.  Empty-split contract: either split
+    empty => ``psi_term``/``psi_total`` explicit NULL (the
+    :func:`split_drift_ks` gate discipline).
+
+    Output: one row per occupied bin — ``bin_lo, n_a, n_b, psi_term,
+    psi_total`` (the total repeated per row, broadcast-joined).
+    Scale: one (bin)-keyed count shuffle (map-side combinable), a
+    1-row totals broadcast, an O(bins)-row totals aggregate; the
+    corpus is scanned once and never re-shuffled.
+    """
+    sp = dataset_split(df, id_col=id_col, salt=salt)
+    feat = (
+        df.filter(F.col(text).isNotNull())
+        .select(F.col(id_col), F.size(_tokens(F.col(text))).alias("v"))
+        .join(sp, id_col)
+        .filter(F.col("split").isin(split_a, split_b))
+    )
+    bins = feat.groupBy(
+        (F.floor(F.col("v") / bin_width) * bin_width).cast("long").alias("bin_lo")
+    ).agg(
+        F.sum(F.when(F.col("split") == split_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("split") == split_b, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    tot = bins.agg(
+        F.sum("n_a").cast("long").alias("__ta"), F.sum("n_b").cast("long").alias("__tb")
+    )
+    e = F.lit(float(eps))
+    p = F.greatest(F.col("n_a").cast("double") / F.col("__ta").cast("double"), e)
+    q = F.greatest(F.col("n_b").cast("double") / F.col("__tb").cast("double"), e)
+    term = (p - q) * F.log(p / q)
+    # away-from-zero floor quantization at 1e-6 into a BIGINT: absorbs
+    # the cross-libm ln ulp AND makes the total an exact integer sum
+    tq = (
+        F.when(term >= 0, F.floor(term * F.lit(1e6) + F.lit(0.5)))
+        .otherwise(-F.floor(-term * F.lit(1e6) + F.lit(0.5)))
+        .cast("long")
+    )
+    per_bin = bins.crossJoin(F.broadcast(tot)).select(
+        "bin_lo",
+        "n_a",
+        "n_b",
+        F.when((F.col("__ta") > 0) & (F.col("__tb") > 0), tq).alias("__tq"),
+    )
+    total = per_bin.agg(F.sum("__tq").cast("long").alias("__tot"))
+    return per_bin.crossJoin(F.broadcast(total)).select(
+        "bin_lo",
+        "n_a",
+        "n_b",
+        (F.col("__tq").cast("double") / F.lit(1e6)).alias("psi_term"),
+        (F.col("__tot").cast("double") / F.lit(1e6)).alias("psi_total"),
+    )
+
+
+def split_drift_psi_sql(
+    table: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+    split_a: str = "train",
+    split_b: str = "val",
+    bin_width: int = 32,
+    eps: float = 1e-4,
+) -> str:
+    norm = NORM_SQL.format(c=text)
+    sp = dataset_split_sql(table, id_col=id_col, salt=salt).strip()
+    e = f"CAST({float(eps)!r} AS DOUBLE)"
+    p = f"greatest(CAST(n_a AS DOUBLE) / CAST(__ta AS DOUBLE), {e})"
+    q = f"greatest(CAST(n_b AS DOUBLE) / CAST(__tb AS DOUBLE), {e})"
+    term = f"(({p}) - ({q})) * ln(({p}) / ({q}))"
+    tq = (
+        f"CASE WHEN ({term}) >= 0 THEN CAST(floor(({term}) * 1e6 + 0.5) AS BIGINT) "
+        f"ELSE -CAST(floor(-({term}) * 1e6 + 0.5) AS BIGINT) END"
+    )
+    return f"""
+WITH sp AS ({sp}),
+feat AS (
+  SELECT d.{id_col}, len(str_split({norm}, ' ')) AS v, sp.split
+  FROM {table} d JOIN sp USING ({id_col})
+  WHERE sp.split IN ('{split_a}', '{split_b}') AND d.{text} IS NOT NULL
+),
+bins AS (
+  SELECT CAST(floor(v / {bin_width}) * {bin_width} AS BIGINT) AS bin_lo,
+         CAST(sum(CASE WHEN split = '{split_a}' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN split = '{split_b}' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM feat GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS __ta, CAST(sum(n_b) AS BIGINT) AS __tb FROM bins),
+per_bin AS (
+  SELECT bin_lo, n_a, n_b,
+         CASE WHEN __ta > 0 AND __tb > 0 THEN {tq} END AS __tq
+  FROM bins CROSS JOIN tot
+),
+total AS (SELECT CAST(sum(__tq) AS BIGINT) AS __tot FROM per_bin)
+SELECT bin_lo, n_a, n_b,
+       CAST(__tq AS DOUBLE) / 1e6 AS psi_term,
+       CAST(__tot AS DOUBLE) / 1e6 AS psi_total
+FROM per_bin CROSS JOIN total
+"""
+
+
 def token_histogram(
     df: DataFrame, *, text: str = "text", id_col: str = "doc_id", bin_width: int = 10
 ) -> DataFrame:

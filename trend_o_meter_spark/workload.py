@@ -124,6 +124,7 @@ _SCORE_FIRST = (
     "hist_median_mad",
     "image_features",
     "cusum_shifts",
+    "split_drift_psi",
     # --- stalest oracle-backed driver verdicts, oldest first (r02 then
     # r03, declaration order), so the cross-round union keeps aging
     # uniformly.  The no_oracle rows-only entries (approx_sketches,
@@ -159,9 +160,8 @@ _SCORE_FIRST = (
     "verified_near_dups",
     "split_drift_ks",
     "curation_funnel",
-    "dedup_clusters_star",
-    # (simhash_fingerprints rotated out to stay at exactly 50 — its r02
-    # verdict re-queues next round)
+    # (simhash_fingerprints and dedup_clusters_star rotated out to stay
+    # at exactly 50 — their r02/r04 verdicts re-queue next round)
 )
 
 
@@ -2403,6 +2403,22 @@ def bpe_encode_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def split_drift_ks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return text.split_drift_ks(d)
+
+
+@_q(
+    "split_drift_psi",
+    text.split_drift_psi_sql("documents"),
+    doc="Population Stability Index between train and val splits over "
+    "binned token counts — split_drift_ks's model-monitoring sibling: "
+    "KS finds the worst single ECDF gap, PSI charges every reshaped "
+    "bin (symmetric mass moves cancel in KS's max but add here). "
+    "Epsilon-clamped empty bins; per-bin ln terms 1e-6-quantized to "
+    "BIGINT (absorbs cross-libm ulp) and the total is their EXACT "
+    "integer sum — one bin-keyed count shuffle, two 1-row broadcasts.",
+)
+def split_drift_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.split_drift_psi(d)
 
 
 @_q(
