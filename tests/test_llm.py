@@ -1865,3 +1865,41 @@ def test_hits_rejects_zero_iters(spark):
         hits(edges, iters=0)
     with _pytest.raises(ValueError):
         hits_sql("SELECT 1 AS src, 2 AS dst", iters=0)
+
+
+def test_calibration_bins_model_and_edges(spark):
+    """A hand-built scored frame: perfectly calibrated bins give ECE 0;
+    a planted gap charges exactly (n_b/N)*|acc-conf|; p = 1.0 lands in
+    the top bin, not an 11th."""
+    from trend_o_meter_spark.llm.classifier import calibration_bins
+
+    rows = []
+    # bin 2 (p=0.25): 8 rows, 2 positives => acc 0.25 == conf -> no gap
+    rows += [(0.25, 1 if i < 2 else 0) for i in range(8)]
+    # bin 9 (p=0.95): 8 rows, 0 positives => gap 0.95
+    rows += [(0.95, 0) for _ in range(8)]
+    # p = 1.0 edge: top bin too, positive
+    rows += [(1.0, 1)] * 4
+    df = spark.createDataFrame(rows, "p double, y int")
+    got = {r["bin"]: r for r in calibration_bins(df).collect()}
+    assert set(got) == {2, 9}
+    assert got[2]["gap"] == 0.0
+    b9 = got[9]
+    assert b9["n"] == 12 and b9["n_pos"] == 4
+    conf = ((8 * 950000 + 4 * 1000000) / 1e6) / 12.0
+    acc = 4.0 / 12.0
+    assert b9["conf"] == conf and b9["acc"] == acc
+    want_ece = round((12 / 20) * abs(acc - conf) * 1e9) / 1e9
+    assert abs(got[2]["ece"] - want_ece) <= 1e-9
+    assert got[2]["ece"] == got[9]["ece"]
+
+
+def test_calibration_bins_perfectly_calibrated_is_zero(spark):
+    from trend_o_meter_spark.llm.classifier import calibration_bins
+
+    rows = []
+    for p, k in [(0.1, 1), (0.5, 5), (0.9, 9)]:
+        rows += [(p, 1 if i < k else 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "p double, y int")
+    out = calibration_bins(df).collect()
+    assert all(r["ece"] == 0.0 and r["gap"] == 0.0 for r in out)

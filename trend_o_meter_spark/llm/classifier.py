@@ -620,3 +620,127 @@ SELECT l.did AS {id_col}, {p} AS p
 FROM base l LEFT JOIN cf c USING (did), b{k}
 """
     )
+
+
+# --- probability calibration (reliability diagram + ECE) --------------------
+
+
+def calibration_bins(
+    df: DataFrame, *, p: str = "p", label: str = "y", n_bins: int = 10
+) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error for a scored
+    frame (Guo et al. 2017, "On Calibration of Modern Neural Networks"):
+    equal-width probability bins, per bin the mean predicted confidence
+    vs the observed positive rate, and
+
+        ECE = sum over bins of (n_b / N) * |acc_b - conf_b|
+
+    — the QA check between training a quality/language gate and TRUSTING
+    its scores as probabilities (a miscalibrated gate silently mis-sizes
+    whatever threshold a curation pipeline sets on it).
+
+    Expects ``p`` already 1e-6-quantized (the classifier family's score
+    contract) — confidences then sum EXACTLY as BIGINT micro-units, the
+    positive rate is a long/long division, and each bin's ECE
+    contribution passes the shared away-from-zero 1e-9 quantization into
+    a BIGINT so the total is an exact integer sum (no float-sum order
+    dependence anywhere).  ``p = 1.0`` lands in the top bin.
+
+    Output: one row per occupied bin — ``bin, n, n_pos, conf, acc, gap,
+    ece`` (the total repeated per row).  Scale: one bin-keyed count
+    shuffle (map-side combinable) over B <= n_bins rows, a 1-row totals
+    broadcast; the scored frame is scanned once.
+    """
+    pc = F.col(p)
+    b = F.least(F.lit(n_bins - 1), F.floor(pc * n_bins).cast("long")).alias("bin")
+    bins = (
+        df.filter(pc.isNotNull())
+        .groupBy(b)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col(label).cast("long")).cast("long").alias("n_pos"),
+            F.sum(F.floor(pc * F.lit(1e6) + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("__psum"),
+        )
+    )
+    tot = bins.agg(F.sum("n").cast("long").alias("__N"))
+    conf = (F.col("__psum").cast("double") / F.lit(1e6)) / F.col("n").cast("double")
+    acc = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    per = bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "n_pos",
+        conf.alias("conf"),
+        acc.alias("acc"),
+        F.abs(acc - conf).alias("gap"),
+        (
+            (F.col("n").cast("double") / F.col("__N").cast("double"))
+            * F.abs(acc - conf)
+        ).alias("__contrib"),
+    )
+    cq = (
+        F.when(F.col("__contrib") >= 0, F.floor(F.col("__contrib") * F.lit(1e9) + F.lit(0.5)))
+        .otherwise(-F.floor(-F.col("__contrib") * F.lit(1e9) + F.lit(0.5)))
+        .cast("long")
+    )
+    staged = per.select("bin", "n", "n_pos", "conf", "acc", "gap", cq.alias("__cq"))
+    ece = staged.agg(F.sum("__cq").cast("long").alias("__e"))
+    return staged.crossJoin(F.broadcast(ece)).select(
+        "bin",
+        "n",
+        "n_pos",
+        "conf",
+        "acc",
+        "gap",
+        (F.col("__e").cast("double") / F.lit(1e9)).alias("ece"),
+    )
+
+
+def calibration_bins_sql(
+    scored_subquery: str,
+    table: str,
+    *,
+    label_sql: str = "lang = 'en'",
+    id_col: str = "doc_id",
+    p: str = "p",
+    n_bins: int = 10,
+) -> str:
+    """DuckDB twin of :func:`calibration_bins` over a scoring subquery
+    (e.g. :func:`logreg_score_sql`'s SELECT) joined back to the labels:
+    textually the same micro-unit sums, divisions, and 1e-9-quantized
+    ECE contributions."""
+    conf = f"(CAST(__psum AS DOUBLE) / 1e6) / CAST(n AS DOUBLE)"
+    acc = f"CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)"
+    contrib = f"(CAST(n AS DOUBLE) / CAST(__N AS DOUBLE)) * abs(({acc}) - ({conf}))"
+    cq = (
+        f"CASE WHEN ({contrib}) >= 0 THEN CAST(floor(({contrib}) * 1e9 + 0.5) AS BIGINT) "
+        f"ELSE -CAST(floor(-({contrib}) * 1e9 + 0.5) AS BIGINT) END"
+    )
+    return f"""
+WITH scored AS ({scored_subquery}),
+lab AS (SELECT {id_col}, CASE WHEN {label_sql} THEN 1 ELSE 0 END AS __y FROM {table}),
+j AS (
+  SELECT s.{p} AS __p, l.__y
+  FROM scored s JOIN lab l USING ({id_col})
+  WHERE s.{p} IS NOT NULL
+),
+bins AS (
+  SELECT least({n_bins} - 1, CAST(floor(__p * {n_bins}) AS BIGINT)) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(__y) AS BIGINT) AS n_pos,
+         CAST(sum(CAST(floor(__p * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS __psum
+  FROM j GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS __N FROM bins),
+staged AS (
+  SELECT bin, n, n_pos,
+         {conf} AS conf, {acc} AS acc, abs(({acc}) - ({conf})) AS gap,
+         {cq} AS __cq
+  FROM bins CROSS JOIN tot
+),
+ece AS (SELECT CAST(sum(__cq) AS BIGINT) AS __e FROM staged)
+SELECT bin, n, n_pos, conf, acc, gap,
+       CAST(__e AS DOUBLE) / 1e9 AS ece
+FROM staged CROSS JOIN ece
+"""

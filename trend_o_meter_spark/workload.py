@@ -125,6 +125,7 @@ _SCORE_FIRST = (
     "image_features",
     "cusum_shifts",
     "split_drift_psi",
+    "calibration_ece",
     # --- stalest oracle-backed driver verdicts, oldest first (r02 then
     # r03, declaration order), so the cross-round union keeps aging
     # uniformly.  The no_oracle rows-only entries (approx_sketches,
@@ -159,9 +160,8 @@ _SCORE_FIRST = (
     "cross_corpus_lsh",
     "verified_near_dups",
     "split_drift_ks",
-    "curation_funnel",
-    # (simhash_fingerprints and dedup_clusters_star rotated out to stay
-    # at exactly 50 — their r02/r04 verdicts re-queue next round)
+    # (simhash_fingerprints, dedup_clusters_star, curation_funnel rotated
+    # out to stay at exactly 50 — their stale verdicts re-queue next round)
 )
 
 
@@ -2631,6 +2631,26 @@ def logreg_hashed_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def logreg_hashed_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return classifier.logreg_hashed_train_and_score(d, n_features=64, iters=2)
+
+
+@_q(
+    "calibration_ece",
+    classifier.calibration_bins_sql(
+        classifier.logreg_score_sql("documents").strip(), "documents"
+    ),
+    doc="Reliability diagram + Expected Calibration Error (Guo 2017) for "
+    "the language-gate classifier: per probability-decile confidence vs "
+    "observed positive rate, ECE as the n-weighted gap sum — the check "
+    "between training a gate and TRUSTING its scores as probabilities. "
+    "Confidences sum exactly as 1e-6 micro-unit BIGINTs (the score "
+    "contract), ECE contributions 1e-9-quantize before an exact integer "
+    "total; one <=10-row bin shuffle + two 1-row broadcasts.",
+)
+def calibration_ece_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    scored = classifier.logreg_train_and_score(d)
+    labels = d.select("doc_id", F.expr("lang = 'en'").cast("int").alias("y"))
+    return classifier.calibration_bins(scored.join(labels, "doc_id"))
 
 
 @_q(
