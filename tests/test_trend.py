@@ -446,3 +446,55 @@ def test_cusum_null_rows_emit_null_and_do_not_advance(spark):
     assert len(out) == 5
     null_row = out[2]
     assert null_row[1] is None and null_row[2] is None and null_row[3] is None
+
+
+def test_holt_winters_learns_planted_seasonal_profile(spark):
+    """After several periods of a clean 4-phase repeating signal on a
+    flat level, the adaptive seasonal slots converge toward the planted
+    per-phase offsets and the level toward the signal mean."""
+    import math
+
+    from trend_o_meter_spark.operators.trend import holt_winters
+
+    offs = [3.0, -1.0, -3.0, 1.0]  # zero-mean planted profile
+    period, bucket = 4 * 3600, 3600
+    base_h = BASE - (BASE % period)  # align to the period grid
+    rows = []
+    for i in range(160):  # 40 full periods
+        ph = i % 4
+        rows.append((base_h - BASE + i * bucket, 10.0 + offs[ph]))
+    out = holt_winters(
+        _series(spark, rows),
+        keys=("metric",),
+        period_seconds=period,
+        bucket_seconds=bucket,
+        gamma=0.4,
+    ).collect()
+    out = sorted(out, key=lambda r: r["ts"])
+    tail = out[-4:]
+    phases = {
+        int((r["ts"].replace(tzinfo=__import__("datetime").timezone.utc).timestamp() % period) // bucket): r
+        for r in tail
+    }
+    for ph, want in enumerate(offs):
+        got = phases[ph]["seasonal"]
+        assert abs(got - want) < 0.5, (ph, got, want)
+    assert abs(tail[-1]["level"] - 10.0) < 1.0
+    assert abs(tail[-1]["trend"]) < 0.2
+
+
+def test_holt_winters_null_and_seed_contract(spark):
+    from trend_o_meter_spark.operators.trend import holt_winters
+
+    rows = [(0, 5.0), (3600, None), (7200, 6.0)]
+    df = spark.createDataFrame(
+        [(float(BASE + off), "m", v) for off, v in rows],
+        "epoch double, metric string, value double",
+    ).select("metric", F.timestamp_seconds("epoch").alias("ts"), "value")
+    out = sorted(holt_winters(df, keys=("metric",)).collect(), key=lambda r: r["ts"])
+    # seed row: level = y, trend = 0, seasonal = 0 (additive identity)
+    assert (out[0]["level"], out[0]["trend"], out[0]["seasonal"]) == (5.0, 0.0, 0.0)
+    # null row emits null and does not advance
+    assert out[1]["level"] is None and out[1]["seasonal"] is None
+    # next sample updates from the seed state, not from the null
+    assert out[2]["level"] is not None and out[2]["level"] != 6.0

@@ -1372,3 +1372,198 @@ SELECT {sel},
        alarm, direction
 FROM rec
 """
+
+
+def holt_winters(
+    df: DataFrame,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    keys: Sequence[str] = ("metric",),
+    alpha: float = 0.2,
+    beta: float = 0.1,
+    gamma: float = 0.3,
+    period_seconds: int = 86400,
+    bucket_seconds: int = 3600,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing per key — the smoothing
+    family's third member (Winters 1960; Hyndman & Athanasopoulos §8.3)
+    after :func:`ewma` (level) and :func:`holt_linear` (level+trend),
+    adding a ``period/bucket``-slot seasonal state indexed by the
+    sample's integer phase (hour-of-day under the defaults):
+
+        level_t  = alpha*(y_t - s[ph]) + (1-alpha)*(level + trend)
+        trend_t  = beta*(level_t - level) + (1-beta)*trend
+        s[ph]    = gamma*(y_t - level_t) + (1-gamma)*s[ph]
+
+    seeded ``level = y, trend = 0`` at the first non-null sample with
+    the seasonal slots all 0.0 (the additive-identity seed: the profile
+    is LEARNED from the stream, converging at rate gamma — documented
+    divergence from textbook first-season averaging, which needs a
+    second pass).  Unlike :func:`seasonal_decompose`'s static phase
+    means, the profile here ADAPTS — a seasonal shape that changes
+    mid-stream is tracked, not averaged away.
+
+    Null values emit null and do not advance (the :func:`ewma`
+    contract).  Phase uses the engine-neutral integer arithmetic of
+    :func:`seasonal_decompose`.  Output: ``*keys, *tiebreak, ts,
+    <value>, level, trend, seasonal`` (the slot value AFTER this
+    sample's update); the one-step forecast is ``level + trend +
+    s[next phase]`` downstream.
+
+    Exactness: op order pinned so the DuckDB recursive-CTE oracle
+    (:func:`holt_winters_sql`) — which carries the seasonal state as a
+    LIST column updated by a single-slot comprehension — reproduces
+    every double bit-for-bit.  Scale: the :func:`holt_linear`
+    applyInPandas shape; per-key state is O(period/bucket) floats.
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    m = int(period_seconds // bucket_seconds)
+    if m < 1:
+        raise ValueError("period_seconds must be >= bucket_seconds")
+    cols = [*keys, *tiebreak, ts, value]
+    out_schema = StructType(
+        [df.schema[c] for c in cols]
+        + [
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("seasonal", DoubleType()),
+        ]
+    )
+    one_minus_a = 1.0 - alpha
+    one_minus_b = 1.0 - beta
+    one_minus_g = 1.0 - gamma
+    sort_cols = [ts, *tiebreak, value]
+    ph = (
+        F.floor((F.unix_seconds(F.col(ts)) % period_seconds) / bucket_seconds)
+        .cast("long")
+        .alias("__ph")
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        out = pdf[cols].copy()
+        levels: list[float | None] = []
+        trends: list[float | None] = []
+        seas: list[float | None] = []
+        lv: float | None = None
+        tr = 0.0
+        s = [0.0] * m
+        for y, p in zip(pdf[value].astype("float64"), pdf["__ph"]):
+            if pd.isna(y):
+                levels.append(None)
+                trends.append(None)
+                seas.append(None)
+                continue
+            p = int(p)
+            if lv is None:
+                lv, tr = y, 0.0
+            else:
+                new_lv = alpha * (y - s[p]) + one_minus_a * (lv + tr)
+                tr = beta * (new_lv - lv) + one_minus_b * tr
+                s[p] = gamma * (y - new_lv) + one_minus_g * s[p]
+                lv = new_lv
+            levels.append(lv)
+            trends.append(tr)
+            seas.append(s[p])
+        out["level"] = pd.Series(levels, index=out.index, dtype="object")
+        out["trend"] = pd.Series(trends, index=out.index, dtype="object")
+        out["seasonal"] = pd.Series(seas, index=out.index, dtype="object")
+        return out
+
+    return (
+        df.select(*cols, ph).groupBy(*keys).applyInPandas(scan, schema=out_schema)
+    )
+
+
+def holt_winters_sql(
+    table: str,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    keys: Sequence[str] = ("metric",),
+    alpha: float = 0.2,
+    beta: float = 0.1,
+    gamma: float = 0.3,
+    period_seconds: int = 86400,
+    bucket_seconds: int = 3600,
+    tiebreak: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`holt_winters`: the :func:`holt_linear_sql`
+    recursion carrying an extra LIST-typed seasonal state, updated by a
+    one-slot list comprehension; every raw expression is inlined
+    textually at each reference (level inside trend/seasonal, seasonal
+    inside the carried list), computing the identical IEEE doubles."""
+    m = int(period_seconds // bucket_seconds)
+    ks = ", ".join(keys)
+    out_cols = [*keys, *tiebreak, ts, value]
+    sel = ", ".join(out_cols)
+    o_sel = ", ".join(f"o.{c}" for c in out_cols)
+    order_by = ", ".join([ts, *tiebreak, value])
+    join_on = " AND ".join(f"o.{k} = r.{k}" for k in keys)
+    a, ia = repr(float(alpha)), repr(1.0 - float(alpha))
+    b, ib = repr(float(beta)), repr(1.0 - float(beta))
+    g, ig = repr(float(gamma)), repr(1.0 - float(gamma))
+    zeros = f"[CAST(0.0 AS DOUBLE) FOR x IN range(1, {m} + 1)]"
+    slot = "r.acc_s[CAST(o.__ph + 1 AS INT)]"
+    new_l = (
+        f"CAST({a} AS DOUBLE) * (o.{value} - {slot}) "
+        f"+ CAST({ia} AS DOUBLE) * (r.acc_l + r.acc_b)"
+    )
+    new_b = (
+        f"CAST({b} AS DOUBLE) * (({new_l}) - r.acc_l) "
+        f"+ CAST({ib} AS DOUBLE) * r.acc_b"
+    )
+    new_s = (
+        f"CAST({g} AS DOUBLE) * (o.{value} - ({new_l})) "
+        f"+ CAST({ig} AS DOUBLE) * {slot}"
+    )
+    new_list = (
+        f"[CASE WHEN x = CAST(o.__ph + 1 AS INT) THEN {new_s} "
+        f"ELSE r.acc_s[x] END FOR x IN range(1, {m} + 1)]"
+    )
+    return f"""
+WITH RECURSIVE ordered AS MATERIALIZED (
+  SELECT {sel},
+         CAST(floor((epoch({ts}) % {period_seconds}) / {bucket_seconds}) AS BIGINT) AS __ph,
+         row_number() OVER (PARTITION BY {ks} ORDER BY {order_by}) AS rn
+  FROM {table}
+),
+rec AS (
+  SELECT {sel}, __ph, rn,
+         CAST({value} AS DOUBLE) AS acc_l,
+         CASE WHEN {value} IS NULL THEN CAST(NULL AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS acc_b,
+         {zeros} AS acc_s,
+         CAST({value} AS DOUBLE) AS level,
+         CASE WHEN {value} IS NULL THEN CAST(NULL AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS trend,
+         CASE WHEN {value} IS NULL THEN CAST(NULL AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS seasonal
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT {o_sel}, o.__ph, o.rn,
+         CASE WHEN o.{value} IS NULL THEN r.acc_l
+              WHEN r.acc_l IS NULL THEN CAST(o.{value} AS DOUBLE)
+              ELSE {new_l} END,
+         CASE WHEN o.{value} IS NULL THEN r.acc_b
+              WHEN r.acc_l IS NULL THEN CAST(0.0 AS DOUBLE)
+              ELSE {new_b} END,
+         CASE WHEN o.{value} IS NULL OR r.acc_l IS NULL THEN r.acc_s
+              ELSE {new_list} END,
+         CASE WHEN o.{value} IS NULL THEN CAST(NULL AS DOUBLE)
+              WHEN r.acc_l IS NULL THEN CAST(o.{value} AS DOUBLE)
+              ELSE {new_l} END,
+         CASE WHEN o.{value} IS NULL THEN CAST(NULL AS DOUBLE)
+              WHEN r.acc_l IS NULL THEN CAST(0.0 AS DOUBLE)
+              ELSE {new_b} END,
+         CASE WHEN o.{value} IS NULL THEN CAST(NULL AS DOUBLE)
+              WHEN r.acc_l IS NULL THEN {slot}
+              ELSE {new_s} END
+  FROM ordered o JOIN rec r ON {join_on} AND o.rn = r.rn + 1
+)
+SELECT {sel}, level, trend, seasonal FROM rec
+"""

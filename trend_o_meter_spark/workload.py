@@ -126,6 +126,7 @@ _SCORE_FIRST = (
     "cusum_shifts",
     "split_drift_psi",
     "calibration_ece",
+    "holt_winters_hourly",
     # --- stalest oracle-backed driver verdicts, oldest first (r02 then
     # r03, declaration order), so the cross-round union keeps aging
     # uniformly.  The no_oracle rows-only entries (approx_sketches,
@@ -159,9 +160,9 @@ _SCORE_FIRST = (
     "dup_span_stats",
     "cross_corpus_lsh",
     "verified_near_dups",
-    "split_drift_ks",
-    # (simhash_fingerprints, dedup_clusters_star, curation_funnel rotated
-    # out to stay at exactly 50 — their stale verdicts re-queue next round)
+    # (simhash_fingerprints, dedup_clusters_star, curation_funnel,
+    # split_drift_ks rotated out to stay at exactly 50 — their stale
+    # verdicts re-queue next round)
 )
 
 
@@ -3452,6 +3453,32 @@ def phrase_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def holt_linear_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir).select("event_id", "ts", "event_type", "value")
     return trend.holt_linear(ev, keys=("event_type",), alpha=0.2, beta=0.1, tiebreak=("event_id",))
+
+
+@_q(
+    "holt_winters_hourly",
+    trend.holt_winters_sql(
+        "events",
+        keys=("event_type",),
+        alpha=0.2,
+        beta=0.1,
+        gamma=0.3,
+        tiebreak=("event_id",),
+    ),
+    doc="Holt-Winters additive seasonal smoothing per metric (Winters "
+    "1960) — the smoothing family's third member after ewma_02 and "
+    "holt_linear_02, carrying a 24-slot hour-of-day seasonal state that "
+    "ADAPTS (a shape change mid-stream is tracked, where "
+    "seasonal_hourly's static phase means average it away). Same "
+    "applyInPandas scan shape; the recursive-CTE oracle carries the "
+    "seasonal state as a LIST column updated by a one-slot "
+    "comprehension, bit-exact.",
+)
+def holt_winters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir).select("event_id", "ts", "event_type", "value")
+    return trend.holt_winters(
+        ev, keys=("event_type",), alpha=0.2, beta=0.1, gamma=0.3, tiebreak=("event_id",)
+    )
 
 
 @_q(
