@@ -94,6 +94,18 @@ HEADLINE = (
     "gopher_rules",
     "winnowing_fingerprints",
     "phrase_search",
+    # round-6 operator families: the exact-rank quantile rewires (tracks
+    # the value-multiset-buffer fix round-over-round), the histogram
+    # median/MAD estimator behind stream_mad, the PNG codec round-trip,
+    # and the monitoring/drift/calibration additions
+    "mad_anomalies",
+    "rfm_segments",
+    "hist_median_mad",
+    "image_features",
+    "cusum_shifts",
+    "holt_winters_hourly",
+    "split_drift_psi",
+    "calibration_ece",
 )
 
 
