@@ -1581,3 +1581,53 @@ def test_stream_theil_sen_equals_batch_and_replay_safe(spark, tmp_path):
     per_batch2 = stream_theil_sen(**kw)
     per_batch2(_df([]), 2)
     assert results[2] == want
+
+
+def test_stream_cusum_accumulates_across_batches(spark, stream_dirs):
+    """The live CUSUM's accumulator must survive the micro-batch
+    boundary — a persistent small shift whose evidence is split across
+    batches alarms exactly where the batch recursion says (state-store
+    carry), with uncalibrated metrics passed through as nulls."""
+    from trend_o_meter_spark.streaming.stateful import stream_cusum
+
+    in_dir, ckpt = stream_dirs
+    med, mad = 10.0, 0.4  # k = 0.2, h = 1.6; y = 10.5 adds 0.3/sample
+    offs = list(range(0, 40, 5))  # 8 samples, alarm due at the 6th
+    batches = [
+        [_sensor(o, temperature=10.5, humidity=1.0) for o in offs[:4]],
+        [_sensor(o, temperature=10.5) for o in offs[4:]],
+    ]
+    out = _run_batches(
+        spark,
+        in_dir,
+        ckpt,
+        lambda raw: stream_cusum(
+            decode_sensor_stream(raw).filter(F.col("corrupt").isNull()),
+            params={"temperature": (med, mad)},
+        ),
+        batches,
+        "cusum_stream_out",
+    )
+    temp = sorted(
+        (r for r in out.collect() if r["metric"] == "temperature"),
+        key=lambda r: r["ts"],
+    )
+    assert len(temp) == 8
+    # hand recursion with the same frozen calibration
+    sp, want = 0.0, []
+    for _ in offs:
+        spr = max(0.0, sp + ((10.5 - med) - 0.5 * mad))
+        alarm = spr > 4.0 * mad
+        want.append((round(spr * 1e9) / 1e9, alarm))
+        sp = 0.0 if alarm else spr
+    assert [(r["s_pos"], r["alarm"]) for r in temp] == want
+    # the alarm lands in batch 2 on accumulated cross-batch evidence
+    alarms = [i for i, r in enumerate(temp) if r["alarm"]]
+    assert alarms == [5]
+    assert temp[5]["direction"] == "up" and temp[5]["s_neg"] == 0.0
+
+    hum = [r for r in out.collect() if r["metric"] == "humidity"]
+    assert hum and all(
+        r["s_pos"] is None and r["alarm"] is None and r["direction"] is None
+        for r in hum
+    )

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -103,6 +104,132 @@ def stream_anchored_downsample(
             scan,
             outputStructType=DOWNSAMPLED_SCHEMA,
             stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+CUSUM_SCHEMA = StructType(
+    [
+        StructField("metric", StringType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("s_pos", DoubleType(), True),
+        StructField("s_neg", DoubleType(), True),
+        StructField("alarm", BooleanType(), True),
+        StructField("direction", StringType(), True),
+    ]
+)
+
+_CUSUM_STATE_SCHEMA = StructType(
+    [StructField("sp", DoubleType(), True), StructField("sn", DoubleType(), True)]
+)
+
+
+def stream_cusum(
+    readings: DataFrame,
+    *,
+    params: dict[str, tuple[float, float]],
+    ts: str = "ts",
+    value: str = "value",
+    metric: str = "metric",
+    k_mult: float = 0.5,
+    h_mult: float = 4.0,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Live CUSUM shift monitor: the streaming form of
+    ``operators.trend.cusum_changepoints``, the (s_pos, s_neg)
+    accumulator pair carried per metric in the Spark state store so a
+    shift building across micro-batches (or a restart) is never lost —
+    CUSUM's whole point is accumulating evidence TOO SMALL for any
+    single batch to flag.
+
+    ``params`` is the frozen calibration ``{metric: (median, MAD)}`` —
+    live monitors score against a profile fitted on history (compute it
+    with the batch operator's exact-rank quantiles and refresh on
+    whatever cadence policy allows); recalibrating on the live window
+    itself would let a slow drift move its own baseline.  Metrics
+    absent from ``params`` pass through with null state/alarm
+    (surfaced, not silently dropped).  Identical recursion, reset, and
+    1e-9 output quantization as the batch operator; rows sort by event
+    time within a batch, in-order arrival across batches is assumed
+    (the :func:`stream_anchored_downsample` contract), late rows
+    beyond the watermark drop rather than corrupting the accumulator.
+
+    Scale: state is two doubles per metric; the only shuffle is the
+    groupBy(metric) routing.  Output: every scored row with its
+    accumulator trajectory, ``CUSUM_SCHEMA``.
+    """
+    km, hm = float(k_mult), float(h_mult)
+
+    def q9(x: float) -> float:
+        import math
+
+        return (
+            math.floor(x * 1e9 + 0.5) if x >= 0 else -math.floor(-x * 1e9 + 0.5)
+        ) / 1e9
+
+    def scan(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        chunks = list(pdfs)
+        pdf = (chunks[0] if len(chunks) == 1 else pd.concat(chunks)).sort_values(
+            [ts, value], kind="mergesort"
+        )
+        cal = params.get(key[0])
+        if cal is None:
+            yield pd.DataFrame(
+                {
+                    "metric": key[0],
+                    "ts": pdf[ts],
+                    "value": pdf[value],
+                    "s_pos": pd.Series([None] * len(pdf), index=pdf.index, dtype="object"),
+                    "s_neg": pd.Series([None] * len(pdf), index=pdf.index, dtype="object"),
+                    "alarm": pd.Series([None] * len(pdf), index=pdf.index, dtype="object"),
+                    "direction": pd.Series([None] * len(pdf), index=pdf.index, dtype="object"),
+                }
+            )
+            return
+        med, mad = float(cal[0]), float(cal[1])
+        k, h = km * mad, hm * mad
+        sp, sn = state.get if state.exists else (0.0, 0.0)
+        sps, sns, alarms, dirs = [], [], [], []
+        for y in pdf[value].astype("float64"):
+            if pd.isna(y):
+                sps.append(None)
+                sns.append(None)
+                alarms.append(None)
+                dirs.append(None)
+                continue
+            spr = max(0.0, sp + ((y - med) - k))
+            snr = max(0.0, sn + ((med - y) - k))
+            alarm = spr > h or snr > h
+            sps.append(q9(spr))
+            sns.append(q9(snr))
+            alarms.append(alarm)
+            dirs.append(("up" if spr > h else "down") if alarm else None)
+            sp, sn = (0.0, 0.0) if alarm else (spr, snr)
+        yield pd.DataFrame(
+            {
+                "metric": key[0],
+                "ts": pdf[ts],
+                "value": pdf[value],
+                "s_pos": pd.Series(sps, index=pdf.index, dtype="object"),
+                "s_neg": pd.Series(sns, index=pdf.index, dtype="object"),
+                "alarm": pd.Series(alarms, index=pdf.index, dtype="object"),
+                "direction": pd.Series(dirs, index=pdf.index, dtype="object"),
+            }
+        )
+        state.update((sp, sn))
+
+    return (
+        readings.withWatermark(ts, watermark)
+        .groupBy(metric)
+        .applyInPandasWithState(
+            scan,
+            outputStructType=CUSUM_SCHEMA,
+            stateStructType=_CUSUM_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
