@@ -1631,3 +1631,109 @@ def test_stream_cusum_accumulates_across_batches(spark, stream_dirs):
         r["s_pos"] is None and r["alarm"] is None and r["direction"] is None
         for r in hum
     )
+
+
+def test_stream_holt_winters_equals_batch_across_batches(spark, stream_dirs):
+    """The live Holt-Winters state (level/trend/24-slot seasonal array)
+    must survive the micro-batch boundary: an in-order replay split
+    across batches reproduces the batch operator's scan over the union
+    bit-for-bit, including the adaptive seasonal slots."""
+    import math
+
+    from trend_o_meter_spark.operators.trend import holt_winters
+    from trend_o_meter_spark.streaming.stateful import stream_holt_winters
+
+    period, bucket = 4 * 3600, 3600
+    offs = list(range(0, 40 * 3600, 1800))  # 80 samples, 20 periods
+    vals = [
+        round(10.0 + 2.5 * math.sin((o % period) / period * 2 * math.pi) + 0.01 * i, 4)
+        for i, o in enumerate(offs)
+    ]
+    msgs = [_sensor(o, temperature=v) for o, v in zip(offs, vals)]
+    in_dir, ckpt = stream_dirs
+    out = _run_batches(
+        spark,
+        in_dir,
+        ckpt,
+        lambda raw: stream_holt_winters(
+            decode_sensor_stream(raw).filter(F.col("corrupt").isNull()),
+            period_seconds=period,
+            bucket_seconds=bucket,
+            watermark="100 hours",  # in-order replay; nothing is late
+        ),
+        [msgs[:30], msgs[30:55], msgs[55:]],
+        "hw_stream_out",
+    )
+    got = sorted(
+        ((r["ts"], r["level"], r["trend"], r["seasonal"]) for r in out.collect()),
+    )
+    batch_df = spark.createDataFrame(
+        [(float(BASE + o), "temperature", v) for o, v in zip(offs, vals)],
+        "epoch double, metric string, value double",
+    ).select("metric", F.timestamp_seconds("epoch").alias("ts"), "value")
+    want = sorted(
+        (r["ts"], r["level"], r["trend"], r["seasonal"])
+        for r in holt_winters(
+            batch_df, keys=("metric",), period_seconds=period, bucket_seconds=bucket
+        ).collect()
+    )
+    assert got == want
+
+
+def test_stream_holt_winters_state_survives_restart(spark, stream_dirs):
+    import math
+
+    from trend_o_meter_spark.operators.trend import holt_winters
+    from trend_o_meter_spark.streaming.stateful import stream_holt_winters
+
+    period, bucket = 4 * 3600, 3600
+    offs = list(range(0, 20 * 3600, 1800))  # 40 samples
+    vals = [round(5.0 + ((i % 8) - 3.5) * 0.8, 4) for i in range(len(offs))]
+    msgs = [_sensor(o, temperature=v) for o, v in zip(offs, vals)]
+    in_dir, ckpt = stream_dirs
+    in_dir.mkdir(parents=True, exist_ok=True)
+    transform = lambda r: stream_holt_winters(  # noqa: E731
+        decode_sensor_stream(r).filter(F.col("corrupt").isNull()),
+        period_seconds=period,
+        bucket_seconds=bucket,
+        watermark="100 hours",
+    )
+    seen: list[tuple[int, tuple]] = []
+
+    def start(run):
+        return (
+            transform(_read_text_stream(spark, in_dir))
+            .writeStream.foreachBatch(
+                lambda bdf, bid: seen.extend(
+                    (run, (r["ts"], r["level"], r["trend"], r["seasonal"]))
+                    for r in bdf.collect()
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+
+    q1 = start(1)
+    _write_batch(in_dir / "b0.json", msgs[:25])
+    q1.processAllAvailable()
+    q1.stop()
+    # new data lands while "down"; the restarted query must resume the
+    # level/trend/seasonal-array state from the checkpoint
+    _write_batch(in_dir / "b1.json", msgs[25:])
+    q2 = start(2)
+    q2.processAllAvailable()
+    q2.stop()
+    got = sorted(t for run, t in seen if run == 2)
+    batch_df = spark.createDataFrame(
+        [(float(BASE + o), "temperature", v) for o, v in zip(offs, vals)],
+        "epoch double, metric string, value double",
+    ).select("metric", F.timestamp_seconds("epoch").alias("ts"), "value")
+    full = sorted(
+        (r["ts"], r["level"], r["trend"], r["seasonal"])
+        for r in holt_winters(
+            batch_df, keys=("metric",), period_seconds=period, bucket_seconds=bucket
+        ).collect()
+    )
+    # the restarted query's memory sink only holds the post-restart rows
+    assert got == full[25:]

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     DoubleType,
     LongType,
@@ -230,6 +231,122 @@ def stream_cusum(
             scan,
             outputStructType=CUSUM_SCHEMA,
             stateStructType=_CUSUM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+HW_SCHEMA = StructType(
+    [
+        StructField("metric", StringType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("level", DoubleType(), True),
+        StructField("trend", DoubleType(), True),
+        StructField("seasonal", DoubleType(), True),
+    ]
+)
+
+_HW_STATE_SCHEMA = StructType(
+    [
+        StructField("lv", DoubleType(), True),
+        StructField("tr", DoubleType(), True),
+        StructField("s", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+def stream_holt_winters(
+    readings: DataFrame,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    metric: str = "metric",
+    alpha: float = 0.2,
+    beta: float = 0.1,
+    gamma: float = 0.3,
+    period_seconds: int = 86400,
+    bucket_seconds: int = 3600,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Live Holt-Winters: the streaming form of
+    ``operators.trend.holt_winters`` — level, trend, and the
+    O(period/bucket)-slot ADAPTIVE seasonal profile carried per metric
+    in the state store, so the learned shape survives micro-batches and
+    restarts and every new sample updates it in place (the modern form
+    of the reference's always-on trend monitor, now seasonality-aware).
+
+    Identical recursion and seeding as the batch operator (level = y,
+    trend = 0, zero seasonal slots at the first non-null sample; null
+    samples emit null and do not advance); phases use the same integer
+    arithmetic.  In-order arrival across batches is assumed (the
+    :func:`stream_anchored_downsample` contract); a feed whose batches
+    replay in order reproduces the batch scan exactly — test-pinned
+    against the batch operator over the union.
+
+    Scale: state is ``2 + period/bucket`` doubles per metric (26 under
+    the defaults) — constant, not data-sized; the only shuffle is the
+    groupBy(metric) routing.  Output: every row with its smoothed
+    state, ``HW_SCHEMA``.
+    """
+    m = int(period_seconds // bucket_seconds)
+    if m < 1:
+        raise ValueError("period_seconds must be >= bucket_seconds")
+    one_minus_a = 1.0 - alpha
+    one_minus_b = 1.0 - beta
+    one_minus_g = 1.0 - gamma
+
+    def scan(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        chunks = list(pdfs)
+        pdf = (chunks[0] if len(chunks) == 1 else pd.concat(chunks)).sort_values(
+            [ts, value], kind="mergesort"
+        )
+        if state.exists:
+            lv, tr, s = state.get
+            s = list(s)
+        else:
+            lv, tr, s = None, 0.0, [0.0] * m
+        t_s = (pdf[ts].astype("int64") // 1_000_000_000).to_numpy()
+        levels, trends, seas = [], [], []
+        for y, t in zip(pdf[value].astype("float64"), t_s):
+            if pd.isna(y):
+                levels.append(None)
+                trends.append(None)
+                seas.append(None)
+                continue
+            p = int((int(t) % period_seconds) // bucket_seconds)
+            if lv is None:
+                lv, tr = y, 0.0
+            else:
+                new_lv = alpha * (y - s[p]) + one_minus_a * (lv + tr)
+                tr = beta * (new_lv - lv) + one_minus_b * tr
+                s[p] = gamma * (y - new_lv) + one_minus_g * s[p]
+                lv = new_lv
+            levels.append(lv)
+            trends.append(tr)
+            seas.append(s[p])
+        yield pd.DataFrame(
+            {
+                "metric": key[0],
+                "ts": pdf[ts],
+                "value": pdf[value],
+                "level": pd.Series(levels, index=pdf.index, dtype="object"),
+                "trend": pd.Series(trends, index=pdf.index, dtype="object"),
+                "seasonal": pd.Series(seas, index=pdf.index, dtype="object"),
+            }
+        )
+        state.update((lv, tr, s))
+
+    return (
+        readings.withWatermark(ts, watermark)
+        .groupBy(metric)
+        .applyInPandasWithState(
+            scan,
+            outputStructType=HW_SCHEMA,
+            stateStructType=_HW_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
