@@ -571,3 +571,33 @@ def test_cusum_matches_handrolled_model(spark, rows, kh):
         ).collect()
     )
     assert got == want
+
+
+@given(edges=edges_strategy)
+@settings(**SETTINGS)
+def test_triangle_counts_match_naive_enumeration(spark, edges):
+    """The oriented-wedge triangle count equals a naive O(n^3)
+    adjacency-set enumeration on arbitrary graphs (self-loops,
+    duplicates, reversed edges included); nodes in no triangle are
+    absent, never zero-rowed."""
+    from itertools import combinations
+
+    from trend_o_meter_spark.llm.cluster import triangle_counts
+
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want: dict[int, int] = {}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+
+    if not edges:
+        edges = [(0, 0)]  # createDataFrame needs >= 1 row; self-loop drops
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == want

@@ -676,3 +676,118 @@ SELECT a.node, a.q / 1000000000.0 AS authority, h.q / 1000000000.0 AS hub
 FROM a{k} a JOIN h{k} h USING (node)
 """
     )
+
+
+# --- triangle counting ------------------------------------------------------
+
+
+def triangle_counts(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts over an undirected graph — the local
+    clustering signal (a near-dup graph's triangles are its template
+    families: a doc in many triangles sits inside a dense boilerplate
+    clique, where a bridge doc joining two clusters sits in few).
+
+    The compact-forward algorithm (Schank & Wagner 2005; Suri & Vassilvitskii
+    WWW'11 for the MapReduce form): canonicalize + dedup edges, orient
+    every edge from the (degree, id)-SMALLER endpoint to the larger,
+    enumerate wedges only at each edge's low endpoint, and close them
+    against the oriented edge list.  Orientation bounds every node's
+    out-degree by O(sqrt(m)), so wedge enumeration is O(m^{3/2}) total
+    and a degree-skewed hub (the classic failure: one boilerplate doc
+    near-dup to everything makes naive wedge counting quadratic in its
+    degree) generates almost no wedges — its edges all point INTO it.
+
+    Input may contain self-loops, duplicates, or both directions (they
+    are dropped/canonicalized).  Output: ``node, n_triangles`` for
+    nodes in >= 1 triangle (the node universe is the caller's; a left
+    join recovers zeros).  Exactness: pure integer counting —
+    deterministic in any engine.  Scale: one distinct shuffle, one
+    degree aggregate (broadcast-joinable), the wedge join keyed by the
+    low endpoint, the closure join keyed by (v, w) — all equi-joins,
+    no cartesian anywhere.
+    """
+    a = F.least(F.col(src), F.col(dst))
+    b = F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(a.alias("__a"), b.alias("__b"))
+        .distinct()
+        # two consumers (degrees + the edge-degree join) would otherwise
+        # re-derive the whole upstream edge pipeline — the exact_substr
+        # materialize-once discipline
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("__a").alias("__n"))
+        .unionByName(e.select(F.col("__b").alias("__n")))
+        .groupBy("__n")
+        .agg(F.count(F.lit(1)).cast("long").alias("__d"))
+    )
+    ed = e.join(
+        deg.select(F.col("__n").alias("__a"), F.col("__d").alias("__da")), "__a"
+    ).join(deg.select(F.col("__n").alias("__b"), F.col("__d").alias("__db")), "__b")
+    lo_is_a = F.struct(F.col("__da"), F.col("__a")) < F.struct(
+        F.col("__db"), F.col("__b")
+    )
+    oriented = ed.select(
+        F.when(lo_is_a, F.col("__a")).otherwise(F.col("__b")).alias("__lo"),
+        F.when(lo_is_a, F.col("__b")).otherwise(F.col("__a")).alias("__hi"),
+        F.when(lo_is_a, F.col("__db")).otherwise(F.col("__da")).alias("__dhi"),
+        # three consumers (both wedge legs + the closure probe)
+    ).localCheckpoint(eager=False)
+    e1 = oriented.select(
+        "__lo", F.col("__hi").alias("__v"), F.col("__dhi").alias("__dv")
+    )
+    e2 = oriented.select(
+        "__lo", F.col("__hi").alias("__w"), F.col("__dhi").alias("__dw")
+    )
+    wedges = e1.join(e2, "__lo").filter(
+        F.struct(F.col("__dv"), F.col("__v")) < F.struct(F.col("__dw"), F.col("__w"))
+    )
+    tri = wedges.join(
+        oriented.select(F.col("__lo").alias("__v"), F.col("__hi").alias("__w")),
+        ["__v", "__w"],
+    )
+    return (
+        tri.select(F.explode(F.array("__lo", "__v", "__w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+def triangle_counts_sql(edges_sql: str, *, src: str = "src", dst: str = "dst") -> str:
+    """DuckDB twin of :func:`triangle_counts` — the identical
+    orientation ((degree, id) row comparison) and joins; integer-exact
+    by construction."""
+    return f"""
+WITH raw_e AS ({edges_sql}),
+e AS MATERIALIZED (
+  SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+  FROM raw_e WHERE {src} <> {dst}
+),
+deg AS MATERIALIZED (
+  SELECT n, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e) GROUP BY 1
+),
+oriented AS MATERIALIZED (
+  SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS lo,
+         CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS hi,
+         CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS dhi
+  FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b
+),
+wedges AS (
+  SELECT e1.lo, e1.hi AS v, e2.hi AS w
+  FROM oriented e1 JOIN oriented e2 ON e1.lo = e2.lo
+  WHERE (e1.dhi, e1.hi) < (e2.dhi, e2.hi)
+),
+tri AS (
+  SELECT wd.lo, wd.v, wd.w
+  FROM wedges wd JOIN oriented o ON o.lo = wd.v AND o.hi = wd.w
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT lo AS node FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri
+) GROUP BY 1
+"""

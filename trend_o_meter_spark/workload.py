@@ -127,6 +127,7 @@ _SCORE_FIRST = (
     "split_drift_psi",
     "calibration_ece",
     "holt_winters_hourly",
+    "triangle_counts",
     # --- stalest oracle-backed driver verdicts, oldest first (r02 then
     # r03, declaration order), so the cross-round union keeps aging
     # uniformly.  The no_oracle rows-only entries (approx_sketches,
@@ -159,10 +160,9 @@ _SCORE_FIRST = (
     "ngram_jaccard_pairs",
     "dup_span_stats",
     "cross_corpus_lsh",
-    "verified_near_dups",
     # (simhash_fingerprints, dedup_clusters_star, curation_funnel,
-    # split_drift_ks rotated out to stay at exactly 50 — their stale
-    # verdicts re-queue next round)
+    # split_drift_ks, verified_near_dups rotated out to stay at exactly
+    # 50 — their stale verdicts re-queue next round)
 )
 
 
@@ -2555,6 +2555,31 @@ def pagerank_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     return cluster.pagerank(edges, iters=3)
+
+
+@_q(
+    "triangle_counts",
+    cluster.triangle_counts_sql(
+        "WITH vp AS ("
+        + dedup.verified_near_dups_sql("documents").strip()
+        + ") SELECT id_a AS src, id_b AS dst FROM vp"
+    ),
+    doc="Per-node triangle counts over the VERIFIED near-dup graph "
+    "(compact-forward, Schank & Wagner 2005): triangles expose dense "
+    "template families that pairwise edges alone understate. "
+    "(degree, id)-orientation bounds wedge enumeration at O(m^1.5) and "
+    "neuters hub skew (a hub's edges all point inward, generating no "
+    "wedges); equi-joins only, pure integer counting. The verified "
+    "graph (not raw SimHash) is the right input: an undeduped corpus's "
+    "near-clique makes ANY triangle enumeration inherently "
+    "Omega(clique^3) — dedup first, then count structure.",
+)
+def triangle_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    pairs = dedup.verified_near_dups(d)
+    return cluster.triangle_counts(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
 
 
 @_q(
