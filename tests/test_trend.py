@@ -498,3 +498,39 @@ def test_holt_winters_null_and_seed_contract(spark):
     assert out[1]["level"] is None and out[1]["seasonal"] is None
     # next sample updates from the seed state, not from the null
     assert out[2]["level"] is not None and out[2]["level"] != 6.0
+
+
+def test_metric_correlation_matches_numpy_and_contracts(spark):
+    """Correlation over aligned hourly totals matches numpy's corrcoef
+    on the same totals (within the 1e-9 output quantization + 1e-6
+    input micro-unit quantization); a constant metric reports explicit
+    NULL; buckets only one metric has samples in are excluded."""
+    from trend_o_meter_spark.operators.trend import metric_correlation
+
+    rows = []
+    xs, ys = [], []
+    for h in range(30):
+        x = float(10.0 + 3.0 * np.sin(h / 5.0) + 0.1 * h)
+        y = float(2.0 - 1.5 * np.sin(h / 5.0) + 0.05 * ((-1) ** h))
+        xs.append(round(x, 4)); ys.append(round(y, 4))
+        rows.append((h * 3600, "a", round(x, 4)))
+        rows.append((h * 3600 + 60, "b", round(y, 4)))
+        rows.append((h * 3600, "c", 7.0))  # constant
+    rows.append((100 * 3600, "a", 1.0))  # unpaired bucket: excluded
+    base_h = BASE - (BASE % 3600)
+    df = spark.createDataFrame(
+        [(float(base_h - BASE + off), m, v) for off, m, v in rows],
+        "epoch double, metric string, value double",
+    ).select(F.timestamp_seconds(F.col("epoch") + BASE).alias("ts"), "metric", "value")
+    got = {
+        (r["metric_a"], r["metric_b"]): r
+        for r in metric_correlation(df, metric_col="metric").collect()
+    }
+    ab = got[("a", "b")]
+    assert ab["n_buckets"] == 30
+    want = float(np.corrcoef(np.array(xs), np.array(ys))[0, 1])
+    assert abs(ab["corr"] - want) < 1e-6
+    assert -1.0 <= ab["corr"] <= 1.0
+    # constant metric: zero variance -> NULL, never NaN/crash
+    assert got[("a", "c")]["corr"] is None
+    assert got[("b", "c")]["corr"] is None

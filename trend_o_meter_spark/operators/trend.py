@@ -1567,3 +1567,144 @@ rec AS (
 )
 SELECT {sel}, level, trend, seasonal FROM rec
 """
+
+
+def metric_correlation(
+    df: DataFrame,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    metric_col: str = "metric",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Pairwise Pearson correlation between metrics over time-aligned
+    bucket totals — the cross-metric monitoring signal ("do errors and
+    latency move together hour-by-hour?") none of the per-metric
+    operators can see.  For every metric pair (a < b), over the buckets
+    BOTH metrics have samples in:
+
+        r = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+
+    Exactness (the :func:`trend_slope` integer discipline, taken one
+    step further — no float appears until the final closed form): each
+    sample quantizes to exact BIGINT micro-units via
+    ``DECIMAL(18,6) * 1e6`` (integral by construction, no rounding
+    rule invoked in either engine); bucket totals are BIGINT sums;
+    the five Pearson sums accumulate as DECIMAL(38,0) with per-pair
+    products computed at DECIMAL(19,0) x DECIMAL(19,0) (inside
+    precision 38 — a wider product overflows and the engines degrade
+    differently); the closed form runs in doubles converted through
+    the exact string roundtrip with identical op order, and a
+    zero-variance side yields explicit NULL (also guarding DuckDB's
+    erroring sqrt against a rounded-negative zero).  Final r passes
+    the shared 1e-9 quantization.
+
+    Output: ``metric_a, metric_b, n_buckets, corr``.  Scale: one
+    (metric, bucket) partial-aggregating shuffle over the stream, then
+    all joins/aggregates run on the O(metrics x span/bucket) totals
+    table — pairs are metrics^2, fine for monitoring cardinalities
+    (document a metric allowlist upstream if metrics are unbounded).
+    """
+    b = (F.floor(F.unix_seconds(F.col(ts)) / bucket_seconds) * bucket_seconds).cast(
+        "long"
+    )
+    yq = (F.col(value).cast("decimal(18,6)") * F.lit(1000000)).cast("long")
+    tot = (
+        df.filter(F.col(value).isNotNull())
+        .groupBy(F.col(metric_col).alias("__m"), b.alias("__b"))
+        .agg(F.sum(yq).cast("long").alias("__t"))
+    )
+    l = tot.select(
+        F.col("__m").alias("metric_a"), "__b", F.col("__t").alias("__xa")
+    )
+    r = tot.select(
+        F.col("__m").alias("metric_b"), "__b", F.col("__t").alias("__xb")
+    )
+    paired = l.join(r, "__b").filter(F.col("metric_a") < F.col("metric_b"))
+    d19 = "decimal(19,0)"
+    g = paired.groupBy("metric_a", "metric_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.col("__xa").cast(d19)).cast("decimal(38,0)").alias("__sx"),
+        F.sum(F.col("__xb").cast(d19)).cast("decimal(38,0)").alias("__sy"),
+        F.sum(F.col("__xa").cast(d19) * F.col("__xb").cast(d19))
+        .cast("decimal(38,0)")
+        .alias("__sxy"),
+        F.sum(F.col("__xa").cast(d19) * F.col("__xa").cast(d19))
+        .cast("decimal(38,0)")
+        .alias("__sxx"),
+        F.sum(F.col("__xb").cast(d19) * F.col("__xb").cast(d19))
+        .cast("decimal(38,0)")
+        .alias("__syy"),
+    )
+
+    def _d(c: str):
+        return F.col(c).cast("string").cast("double")
+
+    n = F.col("n_buckets").cast("double")
+    sx, sy = _d("__sx"), _d("__sy")
+    sxy, sxx, syy = _d("__sxy"), _d("__sxx"), _d("__syy")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = (n * sxy - sx * sy) / F.sqrt(vx * vy)
+
+    def q9(x):
+        return (
+            F.when(x >= 0, F.floor(x * F.lit(1e9) + F.lit(0.5)))
+            .otherwise(-F.floor(-x * F.lit(1e9) + F.lit(0.5)))
+            / F.lit(1e9)
+        )
+
+    return g.select(
+        "metric_a",
+        "metric_b",
+        "n_buckets",
+        F.when((vx > 0) & (vy > 0), q9(corr)).alias("corr"),
+    )
+
+
+def metric_correlation_sql(
+    table: str,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    metric_col: str = "metric",
+    bucket_seconds: int = 3600,
+) -> str:
+    def d(c: str) -> str:
+        return f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"
+
+    def q9(x: str) -> str:
+        return (
+            f"CASE WHEN ({x}) >= 0 THEN floor(({x}) * 1e9 + 0.5) "
+            f"ELSE -floor(-({x}) * 1e9 + 0.5) END / 1e9"
+        )
+
+    n = "CAST(n_buckets AS DOUBLE)"
+    vx = f"({n} * {d('__sxx')} - {d('__sx')} * {d('__sx')})"
+    vy = f"({n} * {d('__syy')} - {d('__sy')} * {d('__sy')})"
+    corr = f"({n} * {d('__sxy')} - {d('__sx')} * {d('__sy')}) / sqrt({vx} * {vy})"
+    return f"""
+WITH tot AS (
+  SELECT {metric_col} AS __m,
+         CAST(floor(epoch({ts}) / {bucket_seconds}) * {bucket_seconds} AS BIGINT) AS __b,
+         CAST(sum(CAST(CAST({value} AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS __t
+  FROM {table} WHERE {value} IS NOT NULL GROUP BY 1, 2
+),
+paired AS (
+  SELECT l.__m AS metric_a, r.__m AS metric_b, l.__t AS __xa, r.__t AS __xb
+  FROM tot l JOIN tot r ON l.__b = r.__b AND l.__m < r.__m
+),
+g AS (
+  SELECT metric_a, metric_b,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(CAST(__xa AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS __sx,
+         CAST(sum(CAST(__xb AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS __sy,
+         CAST(sum(CAST(__xa AS DECIMAL(19,0)) * CAST(__xb AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS __sxy,
+         CAST(sum(CAST(__xa AS DECIMAL(19,0)) * CAST(__xa AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS __sxx,
+         CAST(sum(CAST(__xb AS DECIMAL(19,0)) * CAST(__xb AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS __syy
+  FROM paired GROUP BY 1, 2
+)
+SELECT metric_a, metric_b, n_buckets,
+       CASE WHEN {vx} > 0 AND {vy} > 0 THEN {q9(corr)} END AS corr
+FROM g
+"""

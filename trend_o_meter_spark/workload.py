@@ -128,6 +128,7 @@ _SCORE_FIRST = (
     "calibration_ece",
     "holt_winters_hourly",
     "triangle_counts",
+    "metric_correlation",
     # --- stalest oracle-backed driver verdicts, oldest first (r02 then
     # r03, declaration order), so the cross-round union keeps aging
     # uniformly.  The no_oracle rows-only entries (approx_sketches,
@@ -159,10 +160,9 @@ _SCORE_FIRST = (
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "dup_span_stats",
-    "cross_corpus_lsh",
     # (simhash_fingerprints, dedup_clusters_star, curation_funnel,
-    # split_drift_ks, verified_near_dups rotated out to stay at exactly
-    # 50 — their stale verdicts re-queue next round)
+    # split_drift_ks, verified_near_dups, cross_corpus_lsh rotated out to
+    # stay at exactly 50 — their stale verdicts re-queue next round)
 )
 
 
@@ -3478,6 +3478,23 @@ def phrase_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def holt_linear_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir).select("event_id", "ts", "event_type", "value")
     return trend.holt_linear(ev, keys=("event_type",), alpha=0.2, beta=0.1, tiebreak=("event_id",))
+
+
+@_q(
+    "metric_correlation",
+    trend.metric_correlation_sql("events", metric_col="event_type"),
+    doc="Pairwise Pearson correlation between metrics over time-aligned "
+    "hourly bucket totals — the cross-metric signal (errors vs latency "
+    "moving together) no per-metric operator sees. Integer end-to-end "
+    "until the closed form: BIGINT micro-unit sample quantization, "
+    "BIGINT bucket totals, DECIMAL(38,0) Pearson sums with (19,0)x"
+    "(19,0) products, exact string->double conversion, zero-variance "
+    "explicit NULL. One partial-aggregating (metric, bucket) shuffle; "
+    "everything after runs on the O(metrics x buckets) totals table.",
+)
+def metric_correlation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir).select("ts", "event_type", "value")
+    return trend.metric_correlation(ev, metric_col="event_type")
 
 
 @_q(
