@@ -1737,3 +1737,70 @@ def test_stream_holt_winters_state_survives_restart(spark, stream_dirs):
     )
     # the restarted query's memory sink only holds the post-restart rows
     assert got == full[25:]
+
+
+def test_stream_psi_tracks_drift_and_is_replay_safe(spark, tmp_path):
+    """The live PSI matches a naive model over the accumulated stream at
+    every batch (frozen reference), a replayed partial does not double
+    the counts, and a restart resumes the state exactly."""
+    import math
+
+    from trend_o_meter_spark.streaming.pipeline import stream_psi
+
+    ref = {0: 50, 32: 30, 64: 20}  # frozen training distribution
+    # b1 mirrors the reference proportions (PSI ~ 0); b2 is new mass
+    b1 = [0.0 + i % 20 for i in range(50)] + [40.0] * 30 + [70.0] * 20
+    b2 = [100.0 + i % 10 for i in range(60)]
+    results = {}
+    kw = dict(
+        state_path=str(tmp_path / "psi"),
+        ref_counts=ref,
+        bin_width=32,
+        on_result=lambda bid, df: results.update(
+            {bid: {r["bin_lo"]: r for r in df.collect()}}
+        ),
+    )
+
+    def _df(vals):
+        return spark.createDataFrame([(float(v),) for v in vals], "value double")
+
+    per_batch = stream_psi(**kw)
+    per_batch(_df(b1), 0)
+    per_batch(_df(b2), 1)
+    per_batch(_df(b2), 1)  # at-least-once replay
+
+    def model(live_vals):
+        nref = sum(ref.values())
+        live: dict[int, int] = {}
+        for v in live_vals:
+            live[int(v // 32) * 32] = live.get(int(v // 32) * 32, 0) + 1
+        nl = sum(live.values())
+        total = 0
+        terms = {}
+        for lo in sorted(set(ref) | set(live)):
+            p = max(ref.get(lo, 0) / nref, 1e-4)
+            q = max(live.get(lo, 0) / nl, 1e-4)
+            t = (p - q) * math.log(p / q)
+            tq = math.floor(t * 1e6 + 0.5) if t >= 0 else -math.floor(-t * 1e6 + 0.5)
+            terms[lo] = tq / 1e6
+            total += tq
+        return terms, total / 1e6
+
+    for bid, vals in ((0, b1), (1, b1 + b2)):
+        terms, total = model(vals)
+        got = results[bid]
+        assert set(got) == set(terms)
+        for lo, t in terms.items():
+            assert got[lo]["psi_term"] == t
+            assert got[lo]["psi_total"] == total
+    # drift raises PSI
+    assert results[1][0]["psi_total"] > results[0][0]["psi_total"]
+
+    # restart: fresh closure on the same state path resumes exactly
+    results2 = {}
+    kw2 = dict(kw, on_result=lambda bid, df: results2.update(
+        {bid: {r["bin_lo"]: r["psi_total"] for r in df.collect()}}
+    ))
+    per_batch2 = stream_psi(**kw2)
+    per_batch2(_df([]), 2)
+    assert set(results2[2].values()) == {results[1][0]["psi_total"]}

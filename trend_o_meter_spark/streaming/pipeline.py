@@ -900,3 +900,100 @@ def stream_theil_sen(
             on_result(batch_id, theil_sen_from_means(means, keys=keys))
 
     return per_batch
+
+
+def stream_psi(
+    *,
+    state_path: str,
+    ref_counts: dict[int, int],
+    value: str = "value",
+    bin_width: int = 32,
+    eps: float = 1e-4,
+    compact_every: int = 25,
+    on_result: "object" = None,
+):
+    """Live Population Stability Index: the streaming form of
+    ``llm.text.split_drift_psi`` — the accumulating live distribution
+    (per-bin counts, the perfectly ADDITIVE state) scored each
+    micro-batch against a FROZEN reference profile (``ref_counts``:
+    ``{bin_lo: n}`` from the training corpus; freezing is the point —
+    drift must not move its own baseline).  The production data-quality
+    gate: a feature pipeline silently reshaping its output distribution
+    alarms here batches before a model metric would move.
+
+    Same term arithmetic as the batch operator (epsilon clamp, per-bin
+    ``(p-q)*ln(p/q)`` quantized at 1e-6 into BIGINTs, exact integer
+    total).  State is O(occupied bins) counts on the replay-idempotent
+    :class:`.statestore.PartialStateTable` discipline.
+    ``on_result(batch_id, DataFrame)`` receives ``bin_lo, n_ref,
+    n_live, psi_term, psi_total``.  Returns the ``foreachBatch``
+    callable.
+    """
+    from .statestore import PartialStateTable
+
+    st = PartialStateTable(state_path)
+    n_ref_total = sum(int(v) for v in ref_counts.values())
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.groupBy("bin_lo").agg(F.sum("__c").cast("long").alias("__c"))
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            st.compact(spark, transform=merge)
+        if not batch_df.isEmpty():
+            partial = (
+                batch_df.filter(F.col(value).isNotNull())
+                .groupBy(
+                    (F.floor(F.col(value) / bin_width) * bin_width)
+                    .cast("long")
+                    .alias("bin_lo")
+                )
+                .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+            )
+            st.append(partial, batch_id)
+        state = st.read(spark)
+        if state is None:
+            return
+        live = merge(state)
+        ref = spark.createDataFrame(
+            [(int(k), int(v)) for k, v in ref_counts.items()] or [(0, 0)],
+            "bin_lo long, n_ref long",
+        )
+        j = live.select("bin_lo", F.col("__c").alias("n_live")).join(
+            F.broadcast(ref), "bin_lo", "full_outer"
+        ).select(
+            "bin_lo",
+            F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
+            F.coalesce(F.col("n_live"), F.lit(0)).alias("n_live"),
+        )
+        tot = j.agg(F.sum("n_live").cast("long").alias("__tl"))
+        e = F.lit(float(eps))
+        p = F.greatest(
+            F.col("n_ref").cast("double") / F.lit(float(n_ref_total)), e
+        )
+        q = F.greatest(F.col("n_live").cast("double") / F.col("__tl").cast("double"), e)
+        term = (p - q) * F.log(p / q)
+        tq = (
+            F.when(term >= 0, F.floor(term * F.lit(1e6) + F.lit(0.5)))
+            .otherwise(-F.floor(-term * F.lit(1e6) + F.lit(0.5)))
+            .cast("long")
+        )
+        staged = j.crossJoin(F.broadcast(tot)).select(
+            "bin_lo",
+            "n_ref",
+            "n_live",
+            F.when((F.lit(n_ref_total) > 0) & (F.col("__tl") > 0), tq).alias("__tq"),
+        )
+        total = staged.agg(F.sum("__tq").cast("long").alias("__e"))
+        out = staged.crossJoin(F.broadcast(total)).select(
+            "bin_lo",
+            "n_ref",
+            "n_live",
+            (F.col("__tq").cast("double") / F.lit(1e6)).alias("psi_term"),
+            (F.col("__e").cast("double") / F.lit(1e6)).alias("psi_total"),
+        )
+        if on_result is not None:
+            on_result(batch_id, out)
+
+    return per_batch
