@@ -1903,3 +1903,44 @@ def test_calibration_bins_perfectly_calibrated_is_zero(spark):
     df = spark.createDataFrame(rows, "p double, y int")
     out = calibration_bins(df).collect()
     assert all(r["ece"] == 0.0 and r["gap"] == 0.0 for r in out)
+
+
+def test_label_balance_model_and_edges(spark):
+    """Entropy/Gini/shares match a naive model; uniform distribution
+    gives norm_entropy 1; single class gives entropy 0 and NULL
+    norm_entropy (ln(1) division guarded)."""
+    import math
+
+    from trend_o_meter_spark.llm.text import label_balance
+
+    rows = [("en",)] * 60 + [("fr",)] * 30 + [("de",)] * 10
+    df = spark.createDataFrame(rows, "lang string")
+    got = {r["label"]: r for r in label_balance(df, label="lang").collect()}
+    N = 100
+    ent_q = sum(
+        math.floor(-(n / N) * math.log(n / N) * 1e6 + 0.5) for n in (60, 30, 10)
+    )
+    gini_q = sum(math.floor((n / N) ** 2 * 1e9 + 0.5) for n in (60, 30, 10))
+    assert got["en"]["share"] == 0.6 and got["en"]["n"] == 60
+    for r in got.values():
+        assert r["entropy"] == ent_q / 1e6
+        assert r["gini"] == 1.0 - gini_q / 1e9
+        assert r["norm_entropy"] == math.floor(
+            (ent_q / 1e6) / math.log(3.0) * 1e6 + 0.5
+        ) / 1e6
+        assert not r["below_min_share"]
+
+    uni = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "lang string")
+    u = label_balance(uni, label="lang").collect()[0]
+    # within the 1e-6 term quantization of exactly 1.0
+    assert abs(u["norm_entropy"] - 1.0) <= 2e-6
+
+    one = spark.createDataFrame([("only",)] * 5 + [(None,)], "lang string")
+    o = label_balance(one, label="lang").collect()
+    assert len(o) == 1  # NULL labels excluded
+    assert o[0]["entropy"] == 0.0 and o[0]["norm_entropy"] is None
+    assert o[0]["gini"] == 0.0
+
+    tiny = spark.createDataFrame([("big",)] * 999 + [("rare",)], "lang string")
+    t = {r["label"]: r for r in label_balance(tiny, label="lang").collect()}
+    assert t["rare"]["below_min_share"] and not t["big"]["below_min_share"]

@@ -2748,3 +2748,107 @@ FROM adm a JOIN adm b ON a.fp = b.fp AND a.id < b.id
 GROUP BY 1, 2
 HAVING count(*) >= {min_shared}
 """
+
+
+def label_balance(
+    df: DataFrame, *, label: str = "lang", min_share_alert: float = 0.01
+) -> DataFrame:
+    """Class-balance report over a label column — the pre-training mix
+    QA (a silently collapsing language/domain mix starves every
+    minority capability before any eval notices): per class its count
+    and share, plus the distribution's Shannon entropy (nats),
+    normalized entropy (vs uniform over the observed classes), and
+    Gini impurity — repeated per row for gate-ability, with a
+    ``below_min_share`` flag per class.
+
+    Exactness: shares are long/long divisions; each ``-p*ln(p)`` term
+    passes the shared 1e-6 floor quantization into a BIGINT (absorbing
+    cross-libm ``ln`` ulp) and the entropy is their EXACT integer sum;
+    ``p^2`` terms quantize at 1e-9 likewise for Gini; normalized
+    entropy divides the quantized entropy by ``ln(n_classes)`` and
+    re-quantizes at 1e-6 (identical op order in the twin).  NULL labels
+    count as a class only if present as empty string upstream — NULL
+    rows are excluded (documented).
+
+    Output: ``label, n, share, below_min_share, entropy, norm_entropy,
+    gini``.  Scale: one label-keyed count shuffle (map-side
+    combinable) to O(classes) rows; two 1-row broadcasts.
+    """
+    counts = (
+        df.filter(F.col(label).isNotNull())
+        .groupBy(F.col(label).alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = counts.agg(
+        F.sum("n").cast("long").alias("__N"),
+        F.count(F.lit(1)).cast("long").alias("__k"),
+    )
+    p = F.col("n").cast("double") / F.col("__N").cast("double")
+    ent_term = -(p * F.log(p))
+    tq6 = (
+        F.when(ent_term >= 0, F.floor(ent_term * F.lit(1e6) + F.lit(0.5)))
+        .otherwise(-F.floor(-ent_term * F.lit(1e6) + F.lit(0.5)))
+        .cast("long")
+    )
+    p2q9 = F.floor(p * p * F.lit(1e9) + F.lit(0.5)).cast("long")
+    staged = counts.crossJoin(F.broadcast(tot)).select(
+        "label",
+        "n",
+        p.alias("share"),
+        (p < F.lit(float(min_share_alert))).alias("below_min_share"),
+        "__N",
+        "__k",
+        tq6.alias("__tq"),
+        p2q9.alias("__p2"),
+    )
+    sums = staged.agg(
+        F.sum("__tq").cast("long").alias("__e"),
+        F.sum("__p2").cast("long").alias("__s2"),
+    )
+    ent = F.col("__e").cast("double") / F.lit(1e6)
+    nent = ent / F.log(F.col("__k").cast("double"))
+    nent_q = (
+        F.when(F.col("__k") > 1, F.floor(nent * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+    )
+    return staged.crossJoin(F.broadcast(sums)).select(
+        "label",
+        "n",
+        "share",
+        "below_min_share",
+        ent.alias("entropy"),
+        nent_q.alias("norm_entropy"),
+        (F.lit(1.0) - F.col("__s2").cast("double") / F.lit(1e9)).alias("gini"),
+    )
+
+
+def label_balance_sql(
+    table: str, *, label: str = "lang", min_share_alert: float = 0.01
+) -> str:
+    p = "CAST(n AS DOUBLE) / CAST(__N AS DOUBLE)"
+    ent_term = f"-(({p}) * ln({p}))"
+    tq6 = (
+        f"CASE WHEN ({ent_term}) >= 0 THEN CAST(floor(({ent_term}) * 1e6 + 0.5) AS BIGINT) "
+        f"ELSE -CAST(floor(-({ent_term}) * 1e6 + 0.5) AS BIGINT) END"
+    )
+    p2q9 = f"CAST(floor(({p}) * ({p}) * 1e9 + 0.5) AS BIGINT)"
+    ms = f"CAST({float(min_share_alert)!r} AS DOUBLE)"
+    return f"""
+WITH counts AS (
+  SELECT {label} AS label, CAST(count(*) AS BIGINT) AS n
+  FROM {table} WHERE {label} IS NOT NULL GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS __N, CAST(count(*) AS BIGINT) AS __k FROM counts),
+staged AS (
+  SELECT label, n, {p} AS share, ({p}) < {ms} AS below_min_share,
+         __N, __k, {tq6} AS __tq, {p2q9} AS __p2
+  FROM counts CROSS JOIN tot
+),
+sums AS (SELECT CAST(sum(__tq) AS BIGINT) AS __e, CAST(sum(__p2) AS BIGINT) AS __s2 FROM staged)
+SELECT label, n, share, below_min_share,
+       CAST(__e AS DOUBLE) / 1e6 AS entropy,
+       CASE WHEN __k > 1 THEN
+         floor((CAST(__e AS DOUBLE) / 1e6) / ln(CAST(__k AS DOUBLE)) * 1e6 + 0.5) / 1e6
+       END AS norm_entropy,
+       1.0 - CAST(__s2 AS DOUBLE) / 1e9 AS gini
+FROM staged CROSS JOIN sums
+"""

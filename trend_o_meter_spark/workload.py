@@ -129,6 +129,7 @@ _SCORE_FIRST = (
     "holt_winters_hourly",
     "triangle_counts",
     "metric_correlation",
+    "label_balance",
     # --- stalest oracle-backed driver verdicts, oldest first (r02 then
     # r03, declaration order), so the cross-round union keeps aging
     # uniformly.  The no_oracle rows-only entries (approx_sketches,
@@ -159,10 +160,9 @@ _SCORE_FIRST = (
     "dedup_exact",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
-    "dup_span_stats",
     # (simhash_fingerprints, dedup_clusters_star, curation_funnel,
-    # split_drift_ks, verified_near_dups, cross_corpus_lsh rotated out to
-    # stay at exactly 50 — their stale verdicts re-queue next round)
+    # split_drift_ks, verified_near_dups, cross_corpus_lsh, dup_span_stats
+    # rotated out to stay at exactly 50 — stale verdicts re-queue)
 )
 
 
@@ -2657,6 +2657,21 @@ def logreg_hashed_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def logreg_hashed_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return classifier.logreg_hashed_train_and_score(d, n_features=64, iters=2)
+
+
+@_q(
+    "label_balance",
+    text.label_balance_sql("documents", label="lang"),
+    doc="Class-balance report over the language label — the training-"
+    "mix QA (a collapsing minority class starves capability before any "
+    "eval notices): per-class share + below-min-share flag, Shannon "
+    "entropy, normalized entropy, Gini impurity. Entropy/Gini terms "
+    "quantize (1e-6 / 1e-9) into BIGINTs so totals are exact integer "
+    "sums; one label-keyed count shuffle to O(classes) rows.",
+)
+def label_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.label_balance(d, label="lang")
 
 
 @_q(
