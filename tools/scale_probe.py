@@ -159,6 +159,35 @@ def rfm_probe(spark, reps):
     return analytics.rfm_segments(ev)
 
 
+def triangles_probe(spark, reps):
+    """Replicated verified-near-dup EDGE LIST with both endpoints
+    shifted: reps disjoint copies of the graph, so edges, wedges, and
+    triangles all grow exactly reps x — the linear-scaling check for
+    the oriented wedge join (the operator's contract input is a deduped
+    graph; the adversarial near-clique case is documented as
+    out-of-contract in SCALE.md with the measured 2.15M-edge boundary)."""
+    from trend_o_meter_spark.llm import cluster, dedup
+
+    d = table(spark, "documents", SF_DIR)
+    pairs = dedup.verified_near_dups(d).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).localCheckpoint()  # probe the triangle join, not the LSH pipeline
+    if reps > 1:
+        span = (
+            pairs.agg(
+                F.greatest(F.max("src"), F.max("dst")).alias("m")
+            ).head()["m"]
+            or 0
+        ) + 1
+        pairs = pairs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("__r"), "*"
+        ).select(
+            (F.col("src") + F.col("__r") * F.lit(span)).alias("src"),
+            (F.col("dst") + F.col("__r") * F.lit(span)).alias("dst"),
+        )
+    return cluster.triangle_counts(pairs)
+
+
 PROBES = {
     "semantic_dedup": semantic_dedup_probe,
     "pagerank": pagerank_probe,
@@ -167,6 +196,7 @@ PROBES = {
     "holt": holt_probe,
     "mad": mad_probe,
     "rfm": rfm_probe,
+    "triangles": triangles_probe,
 }
 
 
