@@ -203,3 +203,52 @@ def test_ab_lift_empty_arm_reports_null(spark):
     assert out[empty] is None
     assert out[full] == 1.0
     assert out["z_score"] is None
+
+
+def test_assoc_rules_matches_naive_model(spark):
+    """Support/confidence/lift match a hand-built basket model; the
+    min-support gate cuts singleton coincidences; lift > 1 for planted
+    co-occurrence and < 1 for planted avoidance."""
+    from pyspark.sql import functions as F
+
+    from trend_o_meter_spark.operators.analytics import assoc_rules
+
+    rows = []
+    # users 0..9: "view"+"cart" together every window (coupled)
+    for u in range(10):
+        for w in range(4):
+            t = w * 1800
+            rows.append((u, t + 10, "view"))
+            rows.append((u, t + 20, "cart"))
+    # users 20..29: "view" only; users 30..39: "promo" only (avoidance:
+    # promo never co-occurs with view)
+    for u in range(20, 30):
+        rows.append((u, 100, "view"))
+    for u in range(30, 40):
+        rows.append((u, 100, "promo"))
+    # one singleton coincidence, cut by min_pair_count=2
+    rows.append((50, 100, "view"))
+    rows.append((50, 110, "rare"))
+    df = spark.createDataFrame(
+        [(float(1_700_000_000 + t), u, i) for u, t, i in rows],
+        "epoch double, user_id long, event_type string",
+    ).select(F.timestamp_seconds("epoch").alias("ts"), "user_id", "event_type")
+    got = {
+        (r["antecedent"], r["consequent"]): r for r in assoc_rules(df).collect()
+    }
+    # model: baskets = distinct (user, window, item)
+    # view baskets: 40 (coupled) + 10 (view-only) + 1 (user 50) = 51
+    # cart baskets: 40; pair view&cart: 40; N = 40 + 10 + 10 + 1 = 61
+    vc = got[("view", "cart")]
+    assert (vc["n_pair"], vc["n_antecedent"], vc["n_consequent"]) == (40, 51, 40)
+    assert vc["support"] == round(40 / 61 * 1e9) / 1e9
+    assert vc["confidence"] == round(40 / 51 * 1e9) / 1e9
+    lift = (40 / 51) / (40 / 61)
+    assert abs(vc["lift"] - lift) < 1e-9
+    assert vc["lift"] > 1.0
+    cv = got[("cart", "view")]
+    assert cv["confidence"] == 1.0  # every cart basket has view
+    # avoidance never co-occurs -> no rule row at all
+    assert ("view", "promo") not in got and ("promo", "view") not in got
+    # singleton coincidence cut by the min-support gate
+    assert ("view", "rare") not in got and ("rare", "view") not in got

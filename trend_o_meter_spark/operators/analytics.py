@@ -679,3 +679,134 @@ SELECT n_a, n_b, conv_a, conv_b,
        {_Q9_SQL.format(x=z)} AS z_score
 FROM agg
 """
+
+
+def assoc_rules(
+    df: DataFrame,
+    *,
+    ts: str = "ts",
+    user: str = "user_id",
+    item: str = "event_type",
+    window_seconds: int = 1800,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Association rules over event baskets (Agrawal & Srikant 1994's
+    support/confidence plus lift): which events co-occur in the same
+    user-window more than their popularity predicts — the "users who
+    did A also did B" surface, and the feature-coupling diagnostic for
+    an event stream.
+
+    A basket is all DISTINCT items a user emits inside a fixed
+    ``window_seconds`` window (fixed windows, not gap sessions, so the
+    construction is one declarative expression in both engines —
+    gap-session baskets compose via ``sessionize`` upstream if needed).
+    For every ordered pair (a -> b):
+
+        support    = n_pair / N          (baskets with both)
+        confidence = n_pair / n_a        (of baskets with a, have b)
+        lift       = confidence / (n_b / N)
+
+    Rules with ``n_pair < min_pair_count`` are cut (the standard
+    min-support gate; 1-basket coincidences are noise).  Exact integer
+    counts; the three ratios are pinned double expressions through the
+    shared 1e-9 quantization.
+
+    Output: ``antecedent, consequent, n_pair, n_antecedent,
+    n_consequent, support, confidence, lift``.  Scale: one distinct
+    shuffle to baskets, one basket-keyed self-join whose blowup is
+    sum(basket_size^2) — bounded by items-per-user-window, not the
+    stream (a degenerate user emitting every event type every window
+    is capped by the item-type cardinality squared); counts are
+    map-side combinable.
+    """
+    bid_cols = [F.col(user), (F.floor(F.unix_seconds(F.col(ts)) / window_seconds)).cast("long").alias("__w")]
+    baskets = (
+        df.filter(F.col(item).isNotNull() & F.col(user).isNotNull())
+        .select(*bid_cols, F.col(item).alias("__i"))
+        .distinct()
+    )
+    totals = baskets.groupBy().agg(
+        F.count_distinct(F.col(user), F.col("__w")).cast("long").alias("__N")
+    )
+    item_counts = baskets.groupBy("__i").agg(
+        F.count(F.lit(1)).cast("long").alias("__ni")
+    )
+    l = baskets.select(user, "__w", F.col("__i").alias("antecedent"))
+    r = baskets.select(user, "__w", F.col("__i").alias("consequent"))
+    pairs = (
+        l.join(r, [user, "__w"])
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= int(min_pair_count))
+    )
+    ja = item_counts.select(
+        F.col("__i").alias("antecedent"), F.col("__ni").alias("n_antecedent")
+    )
+    jc = item_counts.select(
+        F.col("__i").alias("consequent"), F.col("__ni").alias("n_consequent")
+    )
+    g = (
+        pairs.join(F.broadcast(ja), "antecedent")
+        .join(F.broadcast(jc), "consequent")
+        .crossJoin(F.broadcast(totals))
+    )
+    N = F.col("__N").cast("double")
+    supp = F.col("n_pair").cast("double") / N
+    conf = F.col("n_pair").cast("double") / F.col("n_antecedent").cast("double")
+    lift = conf / (F.col("n_consequent").cast("double") / N)
+    return g.select(
+        "antecedent",
+        "consequent",
+        "n_pair",
+        "n_antecedent",
+        "n_consequent",
+        _q9(supp).alias("support"),
+        _q9(conf).alias("confidence"),
+        _q9(lift).alias("lift"),
+    )
+
+
+def assoc_rules_sql(
+    table: str,
+    *,
+    ts: str = "ts",
+    user: str = "user_id",
+    item: str = "event_type",
+    window_seconds: int = 1800,
+    min_pair_count: int = 2,
+) -> str:
+    n = "CAST(__N AS DOUBLE)"
+    supp = f"CAST(n_pair AS DOUBLE) / {n}"
+    conf = "CAST(n_pair AS DOUBLE) / CAST(n_antecedent AS DOUBLE)"
+    lift = f"({conf}) / (CAST(n_consequent AS DOUBLE) / {n})"
+    return f"""
+WITH baskets AS (
+  SELECT DISTINCT {user} AS u,
+         CAST(floor(epoch({ts}) / {window_seconds}) AS BIGINT) AS w,
+         {item} AS i
+  FROM {table} WHERE {item} IS NOT NULL AND {user} IS NOT NULL
+),
+totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS __N
+  FROM (SELECT DISTINCT u, w FROM baskets)
+),
+item_counts AS (
+  SELECT i, CAST(count(*) AS BIGINT) AS ni FROM baskets GROUP BY 1
+),
+pairs AS (
+  SELECT l.i AS antecedent, r.i AS consequent, CAST(count(*) AS BIGINT) AS n_pair
+  FROM baskets l JOIN baskets r ON l.u = r.u AND l.w = r.w AND l.i <> r.i
+  GROUP BY 1, 2
+  HAVING count(*) >= {int(min_pair_count)}
+)
+SELECT p.antecedent, p.consequent, p.n_pair,
+       a.ni AS n_antecedent, c.ni AS n_consequent,
+       {_Q9_SQL.format(x=supp)} AS support,
+       {_Q9_SQL.format(x=conf)} AS confidence,
+       {_Q9_SQL.format(x=lift)} AS lift
+FROM pairs p
+JOIN item_counts a ON a.i = p.antecedent
+JOIN item_counts c ON c.i = p.consequent
+CROSS JOIN totals
+"""

@@ -130,6 +130,7 @@ _SCORE_FIRST = (
     "triangle_counts",
     "metric_correlation",
     "label_balance",
+    "assoc_rules",
     # --- stalest oracle-backed driver verdicts, oldest first (r02 then
     # r03, declaration order), so the cross-round union keeps aging
     # uniformly.  The no_oracle rows-only entries (approx_sketches,
@@ -159,10 +160,10 @@ _SCORE_FIRST = (
     "pivot_events",
     "dedup_exact",
     "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
     # (simhash_fingerprints, dedup_clusters_star, curation_funnel,
-    # split_drift_ks, verified_near_dups, cross_corpus_lsh, dup_span_stats
-    # rotated out to stay at exactly 50 — stale verdicts re-queue)
+    # split_drift_ks, verified_near_dups, cross_corpus_lsh, dup_span_stats,
+    # ngram_jaccard_pairs rotated out to stay at exactly 50 — stale
+    # verdicts re-queue)
 )
 
 
@@ -2657,6 +2658,22 @@ def logreg_hashed_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def logreg_hashed_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return classifier.logreg_hashed_train_and_score(d, n_features=64, iters=2)
+
+
+@_q(
+    "assoc_rules",
+    analytics.assoc_rules_sql("events"),
+    doc="Association rules over 30-min user-window event baskets "
+    "(Agrawal & Srikant 1994): support/confidence/lift per ordered "
+    "event-type pair, min-support gate — 'users who did A also did B' "
+    "plus the event-coupling diagnostic. One distinct shuffle to "
+    "baskets, a basket-keyed self-join bounded by items-per-window "
+    "squared (never the stream), exact integer counts, 1e-9-quantized "
+    "ratios.",
+)
+def assoc_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir).select("ts", "user_id", "event_type")
+    return analytics.assoc_rules(ev)
 
 
 @_q(
