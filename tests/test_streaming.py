@@ -1804,3 +1804,78 @@ def test_stream_psi_tracks_drift_and_is_replay_safe(spark, tmp_path):
     per_batch2 = stream_psi(**kw2)
     per_batch2(_df([]), 2)
     assert set(results2[2].values()) == {results[1][0]["psi_total"]}
+
+
+def test_stream_trend_slope_and_correlation_equal_batch(spark, tmp_path):
+    """Both additive-sums twins must be BIT-identical to their batch
+    operators over the union (decimal/integer partial addition is
+    associative), replay- and restart-safe."""
+    import math
+
+    from trend_o_meter_spark.operators.trend import metric_correlation, trend_slope
+    from trend_o_meter_spark.streaming.pipeline import (
+        stream_metric_correlation,
+        stream_trend_slope,
+    )
+
+    base = 1_700_000_000
+    rows = []
+    for i in range(240):
+        t = float(base + i * 600)
+        rows.append(("a", t, round(10.0 + 0.02 * i + 0.5 * math.sin(i / 3.0), 4)))
+        rows.append(("b", t, round(50.0 - 0.01 * i + 0.3 * math.cos(i / 5.0), 4)))
+    schema = "k string, epoch double, value double"
+
+    def _df(rs):
+        return spark.createDataFrame(rs, schema).select(
+            "k", F.timestamp_seconds("epoch").alias("ts"), "value"
+        )
+
+    b1, b2 = rows[:300], rows[300:]
+
+    slopes = {}
+    per_s = stream_trend_slope(
+        state_path=str(tmp_path / "slope"),
+        keys=("k",),
+        bucket_seconds=86400,
+        on_result=lambda bid, df: slopes.update({bid: sorted(map(tuple, df.collect()))}),
+    )
+    per_s(_df(b1), 0)
+    per_s(_df(b2), 1)
+    per_s(_df(b2), 1)  # replay
+    want_s = sorted(
+        map(tuple, trend_slope(_df(rows), keys=("k",), bucket_seconds=86400).collect())
+    )
+    assert slopes[1] == want_s
+
+    corrs = {}
+    per_c = stream_metric_correlation(
+        state_path=str(tmp_path / "corr"),
+        metric_col="k",
+        on_result=lambda bid, df: corrs.update({bid: sorted(map(tuple, df.collect()))}),
+    )
+    per_c(_df(b1), 0)
+    per_c(_df(b2), 1)
+    per_c(_df(b2), 1)  # replay
+    want_c = sorted(
+        map(tuple, metric_correlation(_df(rows), metric_col="k").collect())
+    )
+    assert corrs[1] == want_c
+    assert corrs[0] != want_c  # mid-stream snapshot is a genuine prefix
+
+    # restart both on the same paths
+    per_s2 = stream_trend_slope(
+        state_path=str(tmp_path / "slope"),
+        keys=("k",),
+        bucket_seconds=86400,
+        on_result=lambda bid, df: slopes.update({bid: sorted(map(tuple, df.collect()))}),
+    )
+    per_s2(_df([]), 2)
+    assert slopes[2] == want_s
+    per_c2 = stream_metric_correlation(
+        state_path=str(tmp_path / "corr"),
+        metric_col="k",
+        on_result=lambda bid, df: corrs.update({bid: sorted(map(tuple, df.collect()))}),
+    )
+    per_c2(_df([]), 2)
+    assert corrs[2] == want_c

@@ -65,6 +65,16 @@ def trend_slope(
         F.sum(x * y).alias("sxy"),
         F.sum(x * x).alias("sxx"),
     )
+    return trend_slope_from_sums(g, keys=keys)
+
+
+def trend_slope_from_sums(g: DataFrame, *, keys: Sequence[str] = ("metric",)) -> DataFrame:
+    """The closed-form tail of :func:`trend_slope`, taking the exact
+    decimal sums table ``*keys, __b, n_samples, sx, sy, sxy, sxx``
+    directly — shared with the streaming twin
+    (``streaming.pipeline.stream_trend_slope``), whose mergeable
+    decimal partials reproduce identical sums (decimal addition is
+    associative), so stream == batch bit-for-bit."""
     # sums stay exact (decimal, order-insensitive); the closed form itself
     # runs in double with IDENTICAL operation order in the SQL twin, so
     # both engines produce the same bits (decimal mul/div would hit each
@@ -1614,6 +1624,15 @@ def metric_correlation(
         .groupBy(F.col(metric_col).alias("__m"), b.alias("__b"))
         .agg(F.sum(yq).cast("long").alias("__t"))
     )
+    return metric_correlation_from_totals(tot)
+
+
+def metric_correlation_from_totals(tot: DataFrame) -> DataFrame:
+    """The pairing + Pearson tail of :func:`metric_correlation`, taking
+    the exact BIGINT totals table ``__m, __b, __t`` directly — shared
+    with the streaming twin (``streaming.pipeline
+    .stream_metric_correlation``), whose mergeable integer partials
+    reproduce identical totals, so stream == batch bit-for-bit."""
     l = tot.select(
         F.col("__m").alias("metric_a"), "__b", F.col("__t").alias("__xa")
     )

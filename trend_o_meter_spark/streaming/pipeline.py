@@ -997,3 +997,126 @@ def stream_psi(
             on_result(batch_id, out)
 
     return per_batch
+
+
+def stream_trend_slope(
+    *,
+    state_path: str,
+    ts: str = "ts",
+    value: str = "value",
+    keys: tuple[str, ...] = ("metric",),
+    bucket_seconds: int = 86400,
+    compact_every: int = 25,
+    on_result: "object" = None,
+):
+    """Live least-squares trend: the streaming twin of
+    ``operators.trend.trend_slope`` — each micro-batch appends its
+    PARTIAL per-(key, bucket) closed-form sums (count, sum x, sum y,
+    sum xy, sum x^2; exact decimals, so partial addition is associative
+    and the merged sums EQUAL the batch sums bit-for-bit), and the
+    snapshot runs the identical closed-form tail
+    (``trend_slope_from_sums``).  State is O(keys x span/bucket) rows
+    of five decimals on the replay-idempotent
+    :class:`.statestore.PartialStateTable` discipline; the sample
+    stream contributes one partial-aggregating groupBy per batch.
+    ``on_result(batch_id, DataFrame)`` receives the batch operator's
+    exact output columns.  Returns the ``foreachBatch`` callable.
+    """
+    from ..operators.trend import trend_slope_from_sums
+    from .statestore import PartialStateTable
+
+    st = PartialStateTable(state_path)
+    bucket = (
+        F.floor(F.unix_seconds(F.col(ts)) / bucket_seconds) * bucket_seconds
+    ).alias("__b")
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.groupBy(*keys, "__b").agg(
+            F.sum("n_samples").cast("long").alias("n_samples"),
+            F.sum("sx").alias("sx"),
+            F.sum("sy").alias("sy"),
+            F.sum("sxy").alias("sxy"),
+            F.sum("sxx").alias("sxx"),
+        )
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            st.compact(spark, transform=merge)
+        if not batch_df.isEmpty():
+            x = (
+                F.unix_micros(F.col(ts)) - F.col("__b") * F.lit(1_000_000)
+            ).cast("decimal(19,0)")
+            y = F.col(value).cast("decimal(18,6)")
+            partial = (
+                batch_df.withColumn("__b", bucket)
+                .groupBy(*keys, "__b")
+                .agg(
+                    F.count(F.lit(1)).alias("n_samples"),
+                    F.sum(x).alias("sx"),
+                    F.sum(y).alias("sy"),
+                    F.sum(x * y).alias("sxy"),
+                    F.sum(x * x).alias("sxx"),
+                )
+            )
+            st.append(partial, batch_id)
+        state = st.read(spark)
+        if state is None:
+            return
+        if on_result is not None:
+            on_result(batch_id, trend_slope_from_sums(merge(state), keys=keys))
+
+    return per_batch
+
+
+def stream_metric_correlation(
+    *,
+    state_path: str,
+    ts: str = "ts",
+    value: str = "value",
+    metric_col: str = "metric",
+    bucket_seconds: int = 3600,
+    compact_every: int = 25,
+    on_result: "object" = None,
+):
+    """Live cross-metric Pearson correlation: the streaming twin of
+    ``operators.trend.metric_correlation`` — per-(metric, bucket)
+    BIGINT micro-unit totals are the perfectly additive state; the
+    snapshot runs the identical pairing + exact-decimal Pearson tail
+    (``metric_correlation_from_totals``), so the live correlation
+    matrix EQUALS the batch answer over the union bit-for-bit at every
+    micro-batch.  State is O(metrics x span/bucket) longs on the
+    :class:`.statestore.PartialStateTable` discipline.
+    ``on_result(batch_id, DataFrame)`` receives ``metric_a, metric_b,
+    n_buckets, corr``.  Returns the ``foreachBatch`` callable.
+    """
+    from ..operators.trend import metric_correlation_from_totals
+    from .statestore import PartialStateTable
+
+    st = PartialStateTable(state_path)
+    b = (
+        F.floor(F.unix_seconds(F.col(ts)) / bucket_seconds) * bucket_seconds
+    ).cast("long")
+    yq = (F.col(value).cast("decimal(18,6)") * F.lit(1000000)).cast("long")
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.groupBy("__m", "__b").agg(F.sum("__t").cast("long").alias("__t"))
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            st.compact(spark, transform=merge)
+        if not batch_df.isEmpty():
+            partial = (
+                batch_df.filter(F.col(value).isNotNull())
+                .groupBy(F.col(metric_col).alias("__m"), b.alias("__b"))
+                .agg(F.sum(yq).cast("long").alias("__t"))
+            )
+            st.append(partial, batch_id)
+        state = st.read(spark)
+        if state is None:
+            return
+        if on_result is not None:
+            on_result(batch_id, metric_correlation_from_totals(merge(state)))
+
+    return per_batch
