@@ -172,3 +172,30 @@ def test_winnow_near_dup_max_df_drops_boilerplate(spark):
     capped = winnow_near_dup_pairs(df, min_shared=1, max_df=3).count()
     assert full == 15  # all C(6,2) pairs share the boilerplate run
     assert capped < full
+
+
+def test_typo_pairs_finds_all_edit1_kinds_and_no_false_positives(spark):
+    """Deletion-neighborhood blocking + exact verification: finds
+    substitution, insertion, and deletion variants; excludes
+    transpositions (distance 2) that share a deletion variant; the
+    count asymmetry surfaces the rare spelling as the typo."""
+    from trend_o_meter_spark.llm.text import typo_pairs
+
+    docs = (
+        [("receive data now",)] * 50
+        + [("recieve data now",)] * 2      # transposition: distance 2, OUT
+        + [("receives data now",)] * 3     # insertion: distance 1, IN
+        + [("deceive data now",)] * 4      # substitution+? receive/deceive: r->d = 1, IN
+        + [("eceive data now",)] * 1       # deletion: distance 1, IN
+    )
+    df = spark.createDataFrame(
+        [(i, t) for i, (t,) in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {(r["w1"], r["w2"]): (r["n1"], r["n2"]) for r in typo_pairs(df).collect()}
+    assert ("receive", "receives") in got
+    assert ("deceive", "receive") in got
+    assert ("eceive", "receive") in got
+    # transposition shares deletion variants but is distance 2: cut
+    assert ("receive", "recieve") not in got
+    # counts carried for merge direction
+    assert got[("eceive", "receive")] == (1, 50)

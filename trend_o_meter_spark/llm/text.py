@@ -2852,3 +2852,109 @@ SELECT label, n, share, below_min_share,
        1.0 - CAST(__s2 AS DOUBLE) / 1e9 AS gini
 FROM staged CROSS JOIN sums
 """
+
+
+def typo_pairs(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    min_len: int = 4,
+    max_len: int = 20,
+    min_count: int = 1,
+) -> DataFrame:
+    """Vocabulary typo/variant pairs within edit distance 1, found by
+    the FastSS deletion-neighborhood join (Bocek et al. 2007, "Fast
+    Similarity Search in Large Dictionaries") — the vocab-hygiene QA
+    that surfaces OCR damage and tokenizer-splitting typos ("recieve"
+    next to "receive") which exact dedup can never see.
+
+    Blocking: each vocabulary word emits its deletion-1 neighborhood
+    (itself + every single-character deletion, ``len+1`` variants);
+    two words within edit distance 1 ALWAYS share a variant, so the
+    variant-keyed equi-join generates every true pair plus a few
+    near-miss candidates (e.g. transpositions share variants at
+    distance 2) which the exact ``levenshtein(w1, w2) <= 1`` check —
+    built-in and integer-identical in both engines — then cuts.  The
+    join replaces the O(V^2) all-pairs edit-distance scan with
+    O(V * len) variant rows; a variant shared by many words (short
+    high-frequency stems) is bounded by ``min_len`` (words shorter
+    than 4 chars are mostly real distinct words, not typos).
+
+    Output: ``w1, w2, n1, n2`` with ``w1 < w2`` — the count asymmetry
+    is the merge signal (the rare spelling is the typo).  Scale: one
+    vocab count shuffle, one variant explode (x len), one variant-keyed
+    join; counts broadcast back.
+    """
+    vocab = (
+        df.filter(F.col(text).isNotNull())
+        .select(F.explode(_tokens(F.col(text))).alias("w"))
+        .filter((F.length("w") >= min_len) & (F.length("w") <= max_len))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= int(min_count))
+    )
+    variants = vocab.select(
+        "w",
+        F.explode(
+            F.array_union(
+                F.array(F.col("w")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.concat(
+                        F.substring(F.col("w"), F.lit(1), i - 1),
+                        F.substr(F.col("w"), i + 1),
+                    ),
+                ),
+            )
+        ).alias("v"),
+    )
+    l = variants.select(F.col("w").alias("w1"), "v")
+    r = variants.select(F.col("w").alias("w2"), "v")
+    pairs = (
+        l.join(r, "v")
+        .filter(F.col("w1") < F.col("w2"))
+        .select("w1", "w2")
+        .distinct()
+        .filter(F.levenshtein(F.col("w1"), F.col("w2")) <= 1)
+    )
+    c1 = vocab.select(F.col("w").alias("w1"), F.col("n").alias("n1"))
+    c2 = vocab.select(F.col("w").alias("w2"), F.col("n").alias("n2"))
+    return pairs.join(c1, "w1").join(c2, "w2").select("w1", "w2", "n1", "n2")
+
+
+def typo_pairs_sql(
+    table: str,
+    *,
+    text: str = "text",
+    min_len: int = 4,
+    max_len: int = 20,
+    min_count: int = 1,
+) -> str:
+    norm = NORM_SQL.format(c=text)
+    return f"""
+WITH vocab AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT unnest(str_split({norm}, ' ')) AS w
+    FROM {table} WHERE {text} IS NOT NULL
+  )
+  WHERE len(w) BETWEEN {int(min_len)} AND {int(max_len)}
+  GROUP BY 1
+  HAVING count(*) >= {int(min_count)}
+),
+variants AS (
+  SELECT w, unnest(list_distinct(list_append(
+           [substr(w, 1, i - 1) || substr(w, i + 1) FOR i IN range(1, len(w) + 1)],
+           w))) AS v
+  FROM vocab
+),
+pairs AS (
+  SELECT DISTINCT l.w AS w1, r.w AS w2
+  FROM variants l JOIN variants r ON l.v = r.v AND l.w < r.w
+)
+SELECT p.w1, p.w2, a.n AS n1, b.n AS n2
+FROM pairs p
+JOIN vocab a ON a.w = p.w1
+JOIN vocab b ON b.w = p.w2
+WHERE levenshtein(p.w1, p.w2) <= 1
+"""

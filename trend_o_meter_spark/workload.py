@@ -131,6 +131,7 @@ _SCORE_FIRST = (
     "metric_correlation",
     "label_balance",
     "assoc_rules",
+    "typo_pairs",
     # --- stalest oracle-backed driver verdicts, oldest first (r02 then
     # r03, declaration order), so the cross-round union keeps aging
     # uniformly.  The no_oracle rows-only entries (approx_sketches,
@@ -159,11 +160,10 @@ _SCORE_FIRST = (
     "distinct_agg",
     "pivot_events",
     "dedup_exact",
-    "minhash_lsh_pairs",
     # (simhash_fingerprints, dedup_clusters_star, curation_funnel,
     # split_drift_ks, verified_near_dups, cross_corpus_lsh, dup_span_stats,
-    # ngram_jaccard_pairs rotated out to stay at exactly 50 — stale
-    # verdicts re-queue)
+    # ngram_jaccard_pairs, minhash_lsh_pairs rotated out to stay at
+    # exactly 50 — stale verdicts re-queue)
 )
 
 
@@ -2658,6 +2658,24 @@ def logreg_hashed_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def logreg_hashed_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return classifier.logreg_hashed_train_and_score(d, n_features=64, iters=2)
+
+
+@_q(
+    "typo_pairs",
+    text.typo_pairs_sql("documents", text="source"),
+    doc="FastSS deletion-neighborhood fuzzy join (Bocek 2007): "
+    "vocabulary pairs within edit distance 1 — the vocab-hygiene QA "
+    "(OCR damage, near-variant keys) exact dedup can't see. Variant "
+    "explode (x len) replaces the O(V^2) all-pairs levenshtein scan; "
+    "candidates verified by the built-in integer levenshtein "
+    "(engine-identical). Run over the source-label column, whose "
+    "src0..src19 values exercise the substitution, insertion, AND "
+    "deletion match paths non-degenerately (the template-word text "
+    "column has zero true distance-1 pairs).",
+)
+def typo_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return text.typo_pairs(d, text="source")
 
 
 @_q(
