@@ -1879,3 +1879,42 @@ def test_stream_trend_slope_and_correlation_equal_batch(spark, tmp_path):
     )
     per_c2(_df([]), 2)
     assert corrs[2] == want_c
+
+
+def test_stream_label_balance_equals_batch_and_replay_safe(spark, tmp_path):
+    """The live class-balance report must be BIT-identical to the batch
+    report over the union at every snapshot, replay- and restart-safe;
+    a collapsing minority class flips below_min_share live."""
+    from trend_o_meter_spark.llm.text import label_balance
+    from trend_o_meter_spark.streaming.pipeline import stream_label_balance
+
+    b1 = [("en",)] * 60 + [("fr",)] * 40
+    b2 = [("en",)] * 5000 + [("de",)] * 30  # en floods; fr collapses
+    results = {}
+    kw = dict(
+        state_path=str(tmp_path / "lb"),
+        label="lang",
+        on_result=lambda bid, df: results.update(
+            {bid: sorted(map(tuple, df.collect()))}
+        ),
+    )
+
+    def _df(rs):
+        return spark.createDataFrame(rs, "lang string")
+
+    per_batch = stream_label_balance(**kw)
+    per_batch(_df(b1), 0)
+    per_batch(_df(b2), 1)
+    per_batch(_df(b2), 1)  # at-least-once replay
+
+    want0 = sorted(map(tuple, label_balance(_df(b1), label="lang").collect()))
+    want1 = sorted(map(tuple, label_balance(_df(b1 + b2), label="lang").collect()))
+    assert results[0] == want0
+    assert results[1] == want1
+    flags0 = {r[0]: r[3] for r in results[0]}
+    flags1 = {r[0]: r[3] for r in results[1]}
+    assert not flags0["fr"] and flags1["fr"]  # collapse caught live
+
+    per_batch2 = stream_label_balance(**kw)
+    per_batch2(_df([]), 2)
+    assert results[2] == want1

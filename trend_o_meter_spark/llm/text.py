@@ -2779,6 +2779,17 @@ def label_balance(
         .groupBy(F.col(label).alias("label"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    return label_balance_from_counts(counts, min_share_alert=min_share_alert)
+
+
+def label_balance_from_counts(
+    counts: DataFrame, *, min_share_alert: float = 0.01
+) -> DataFrame:
+    """The report tail of :func:`label_balance`, taking the per-class
+    counts table ``label, n`` directly — shared with the streaming twin
+    (``streaming.pipeline.stream_label_balance``), whose additive count
+    partials reproduce identical counts, so stream == batch
+    bit-for-bit."""
     tot = counts.agg(
         F.sum("n").cast("long").alias("__N"),
         F.count(F.lit(1)).cast("long").alias("__k"),

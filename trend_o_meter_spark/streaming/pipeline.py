@@ -1120,3 +1120,56 @@ def stream_metric_correlation(
             on_result(batch_id, metric_correlation_from_totals(merge(state)))
 
     return per_batch
+
+
+def stream_label_balance(
+    *,
+    state_path: str,
+    label: str = "lang",
+    min_share_alert: float = 0.01,
+    compact_every: int = 25,
+    on_result: "object" = None,
+):
+    """Live class-balance monitor: the streaming twin of
+    ``llm.text.label_balance`` — per-class counts are the perfectly
+    additive state, and every micro-batch re-emits the full report
+    (shares, below-min-share flags, entropy, normalized entropy, Gini)
+    over everything ingested so far via the shared batch tail
+    (``label_balance_from_counts``) — bit-equal to the batch report
+    over the union.  The live form of the training-mix QA: a crawl
+    whose language mix starts collapsing alarms within a micro-batch,
+    not at the next offline audit.  State is O(classes) counts on the
+    replay-idempotent :class:`.statestore.PartialStateTable`
+    discipline.  Returns the ``foreachBatch`` callable.
+    """
+    from ..llm.text import label_balance_from_counts
+    from .statestore import PartialStateTable
+
+    st = PartialStateTable(state_path)
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.groupBy("label").agg(F.sum("n").cast("long").alias("n"))
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            st.compact(spark, transform=merge)
+        if not batch_df.isEmpty():
+            partial = (
+                batch_df.filter(F.col(label).isNotNull())
+                .groupBy(F.col(label).alias("label"))
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            )
+            st.append(partial, batch_id)
+        state = st.read(spark)
+        if state is None:
+            return
+        if on_result is not None:
+            on_result(
+                batch_id,
+                label_balance_from_counts(
+                    merge(state), min_share_alert=min_share_alert
+                ),
+            )
+
+    return per_batch
