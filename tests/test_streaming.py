@@ -1918,3 +1918,64 @@ def test_stream_label_balance_equals_batch_and_replay_safe(spark, tmp_path):
     per_batch2 = stream_label_balance(**kw)
     per_batch2(_df([]), 2)
     assert results[2] == want1
+
+
+def test_stream_ks_equals_batch_comparison_and_replay_safe(spark, tmp_path):
+    """The live KS against a frozen reference equals a naive exact ECDF
+    comparison over the accumulated stream at every snapshot; replay
+    does not double counts; a drifted batch moves ks_stat and at_value
+    points into the gap."""
+    from fractions import Fraction
+
+    from trend_o_meter_spark.streaming.pipeline import stream_ks
+
+    ref = {i: 10 for i in range(10)}  # uniform on 0..9
+    b1 = [i % 10 for i in range(100)]          # matches ref -> KS 0
+    b2 = [20 + (i % 5) for i in range(200)]    # new mass far right
+    results = {}
+    kw = dict(
+        state_path=str(tmp_path / "ks"),
+        ref_counts=ref,
+        on_result=lambda bid, df: results.update({bid: df.collect()[0]}),
+    )
+
+    def _df(vals):
+        return spark.createDataFrame([(float(v),) for v in vals], "value double")
+
+    per_batch = stream_ks(**kw)
+    per_batch(_df(b1), 0)
+    per_batch(_df(b2), 1)
+    per_batch(_df(b2), 1)  # at-least-once replay
+
+    def model(live_vals):
+        live: dict[int, int] = {}
+        for v in live_vals:
+            live[int(v)] = live.get(int(v), 0) + 1
+        na, nb = sum(live.values()), sum(ref.values())
+        vals = sorted(set(live) | set(ref))
+        best, at = -1, None
+        ca = cb = 0
+        for v in vals:
+            ca += live.get(v, 0)
+            cb += ref.get(v, 0)
+            d = abs(ca * nb - cb * na)
+            if d > best:
+                best, at = d, v
+        return na, nb, Fraction(best, na * nb), at
+
+    for bid, vals in ((0, b1), (1, b1 + b2)):
+        na, nb, ks, at = model(vals)
+        r = results[bid]
+        assert (r["n_a"], r["n_b"]) == (na, nb)
+        assert Fraction(r["ks_stat"]).limit_denominator(10**9) == ks or abs(
+            r["ks_stat"] - float(ks)
+        ) < 1e-12
+        assert r["at_value"] == at
+    assert results[0]["ks_stat"] == 0.0
+    assert results[1]["ks_stat"] > 0.3
+
+    # restart resumes exactly
+    results2 = {}
+    per_batch2 = stream_ks(**dict(kw, on_result=lambda bid, df: results2.update({bid: df.collect()[0]})))
+    per_batch2(_df([]), 2)
+    assert tuple(results2[2]) == tuple(results[1])

@@ -398,7 +398,19 @@ def split_drift_ks(
     counts = feat.groupBy("v").agg(
         F.sum(F.when(F.col("split") == split_a, 1).otherwise(0)).cast("long").alias("ca"),
         F.sum(F.when(F.col("split") == split_b, 1).otherwise(0)).cast("long").alias("cb"),
-    ).withColumn("__b", F.floor(F.col("v") / bucket_width).cast("long"))
+    )
+    return ks_from_counts(counts, bucket_width=bucket_width)
+
+
+def ks_from_counts(counts: DataFrame, *, bucket_width: int = 64) -> DataFrame:
+    """The exact integer ECDF-comparison tail of :func:`split_drift_ks`,
+    taking the two-sided per-value counts table ``v, ca, cb`` directly —
+    shared with the streaming twin (``streaming.pipeline.stream_ks``),
+    whose additive count partials reproduce identical counts, so the
+    live statistic equals the batch statistic over the union exactly."""
+    from pyspark.sql import Window
+
+    counts = counts.withColumn("__b", F.floor(F.col("v") / bucket_width).cast("long"))
     wb = Window.partitionBy("__b").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     local = counts.select(
         "v", "__b",

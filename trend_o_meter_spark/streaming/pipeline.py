@@ -1173,3 +1173,71 @@ def stream_label_balance(
             )
 
     return per_batch
+
+
+def stream_ks(
+    *,
+    state_path: str,
+    ref_counts: dict[int, int],
+    value: str = "value",
+    bucket_width: int = 64,
+    compact_every: int = 25,
+    on_result: "object" = None,
+):
+    """Live two-sample Kolmogorov-Smirnov drift: the streaming sibling
+    of :func:`stream_psi` sharing its frozen-reference contract — the
+    accumulating live distribution (per-value counts, perfectly
+    additive state) against a frozen reference, through the EXACT
+    integer ECDF comparison of ``llm.text.split_drift_ks``
+    (``ks_from_counts``): where PSI charges every reshaped bin, KS
+    reports the single worst gap and its location (``at_value``) — the
+    two alarms catch different drift shapes, so a live gate runs both
+    off the same state discipline.
+
+    ``ref_counts`` is ``{value: n}`` from the reference corpus.  State
+    is O(distinct values) counts on the replay-idempotent
+    :class:`.statestore.PartialStateTable` discipline.
+    ``on_result(batch_id, DataFrame)`` receives the batch operator's
+    one-row ``n_a (live), n_b (ref), ks_stat, at_value``.  Returns the
+    ``foreachBatch`` callable.
+    """
+    from ..llm.text import ks_from_counts
+    from .statestore import PartialStateTable
+
+    st = PartialStateTable(state_path)
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.groupBy("v").agg(F.sum("__c").cast("long").alias("__c"))
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            st.compact(spark, transform=merge)
+        if not batch_df.isEmpty():
+            partial = (
+                batch_df.filter(F.col(value).isNotNull())
+                .groupBy(F.col(value).cast("long").alias("v"))
+                .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+            )
+            st.append(partial, batch_id)
+        state = st.read(spark)
+        if state is None:
+            return
+        live = merge(state)
+        ref = spark.createDataFrame(
+            [(int(k), int(v)) for k, v in ref_counts.items()] or [(0, 0)],
+            "v long, cb long",
+        )
+        counts = (
+            live.select("v", F.col("__c").alias("ca"))
+            .join(F.broadcast(ref), "v", "full_outer")
+            .select(
+                "v",
+                F.coalesce(F.col("ca"), F.lit(0)).cast("long").alias("ca"),
+                F.coalesce(F.col("cb"), F.lit(0)).cast("long").alias("cb"),
+            )
+        )
+        if on_result is not None:
+            on_result(batch_id, ks_from_counts(counts, bucket_width=bucket_width))
+
+    return per_batch
