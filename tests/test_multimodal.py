@@ -521,3 +521,43 @@ def test_png_rejects_bad_crc_interlace_and_16bit():
         codecs.decode_png(_png_pack((2, 2, 8, 2, 0, 0, 1), lines))
     with pytest.raises(NotImplementedError, match="bit depth"):
         codecs.decode_png(_png_pack((2, 2, 16, 2, 0, 0, 0), lines))
+
+
+def test_image_features_text_with_image_magic_prefix_takes_tiled_path(spark):
+    """A text payload that merely STARTS with 'BM'/'P6' must take the
+    tiled-PNG path (matching the char-code oracle), not be misrouted
+    into the BMP/PPM decoder by a 2-byte prefix match — while a payload
+    that IS a structurally valid BMP still decodes directly."""
+    import numpy as np
+
+    from trend_o_meter_spark.llm import codecs
+    from trend_o_meter_spark.llm.multimodal import image_features, media_table
+
+    docs = spark.createDataFrame(
+        [
+            (0, "BMW is a car maker based in Munich, Germany and elsewhere"),
+            (3, "P6 engines were common in the nineties across many marques"),
+            (6, "plain text payload with no magic prefix at all, for control"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["media_id"]: r for r in image_features(media_table(docs)).collect()}
+    assert set(out) == {0, 3, 6}
+    for mid, txt in (
+        (0, "BMW is a car maker based in Munich, Germany and elsewhere"),
+        (3, "P6 engines were common in the nineties across many marques"),
+        (6, "plain text payload with no magic prefix at all, for control"),
+    ):
+        raw = txt.encode()
+        n = len(raw)
+        w, h = (n % 24) + 8, (n % 16) + 8
+        need = w * h * 3
+        tiled = (raw * (need // n + 1))[:need]
+        codes = np.frombuffer(tiled, dtype=np.uint8).astype(np.int64)
+        r = out[mid]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["mean_px"] == float(codes.sum()) / codes.size
+
+    # a structurally valid BMP payload still decodes directly
+    arr = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    assert codecs.sniff_strict(codecs.encode_bmp(arr)) == "bmp"

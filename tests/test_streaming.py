@@ -1931,7 +1931,9 @@ def test_stream_ks_equals_batch_comparison_and_replay_safe(spark, tmp_path):
 
     ref = {i: 10 for i in range(10)}  # uniform on 0..9
     b1 = [i % 10 for i in range(100)]          # matches ref -> KS 0
-    b2 = [20 + (i % 5) for i in range(200)]    # new mass far right
+    # fractional + negative values: -0.7 must floor to -1, not merge
+    # into bin 0 (a cast would truncate toward zero)
+    b2 = [20 + (i % 5) for i in range(200)] + [-0.7, -0.7, 0.7]
     results = {}
     kw = dict(
         state_path=str(tmp_path / "ks"),
@@ -1948,9 +1950,11 @@ def test_stream_ks_equals_batch_comparison_and_replay_safe(spark, tmp_path):
     per_batch(_df(b2), 1)  # at-least-once replay
 
     def model(live_vals):
+        import math
+
         live: dict[int, int] = {}
         for v in live_vals:
-            live[int(v)] = live.get(int(v), 0) + 1
+            live[math.floor(v)] = live.get(math.floor(v), 0) + 1
         na, nb = sum(live.values()), sum(ref.values())
         vals = sorted(set(live) | set(ref))
         best, at = -1, None

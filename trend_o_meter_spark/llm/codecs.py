@@ -546,3 +546,71 @@ def resize_nearest(arr: np.ndarray, *, width: int, height: int) -> np.ndarray:
     ys = np.minimum(((np.arange(height) + 0.5) * sh / height).astype(np.int64), sh - 1)
     xs = np.minimum(((np.arange(width) + 0.5) * sw / width).astype(np.int64), sw - 1)
     return arr[ys][:, xs]
+
+
+def _valid_bmp(data: bytes) -> bool:
+    """Header-only structural check: True iff :func:`decode_bmp` would
+    succeed (24-bit BI_RGB, pixel array inside the payload)."""
+    try:
+        _, fsize, _, _, offset = _BMP_HDR.unpack_from(data, 0)
+        hdr_size = struct.unpack_from("<I", data, _BMP_HDR.size)[0]
+        if hdr_size < _BMP_INFO.size:
+            return False
+        _, w, h_signed, planes, bpp, compression, *_ = _BMP_INFO.unpack_from(
+            data, _BMP_HDR.size
+        )
+    except struct.error:
+        return False
+    if bpp != 24 or compression != 0 or w <= 0 or h_signed == 0:
+        return False
+    h = abs(h_signed)
+    stride = w * 3 + ((-(w * 3)) % 4)
+    return offset <= len(data) and offset + h * stride <= len(data)
+
+
+def _valid_ppm(data: bytes) -> bool:
+    """Header-only structural check: True iff :func:`decode_ppm` would
+    succeed (P6, maxval 255, full pixel payload present)."""
+    pos = 2
+    tokens: list[int] = []
+    try:
+        while len(tokens) < 3:
+            while pos < len(data) and data[pos : pos + 1].isspace():
+                pos += 1
+            if pos < len(data) and data[pos : pos + 1] == b"#":
+                while pos < len(data) and data[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(data) and not data[pos : pos + 1].isspace():
+                pos += 1
+            if start == pos:
+                return False
+            tokens.append(int(data[start:pos]))
+    except ValueError:
+        return False
+    if data[pos : pos + 2] == b"\r\n":
+        return False
+    pos += 1
+    w, h, maxval = tokens
+    return maxval == 255 and w > 0 and h > 0 and pos + h * w * 3 <= len(data)
+
+
+def sniff_strict(data: bytes) -> str | None:
+    """Like :func:`sniff`, but a format is reported only when the header
+    STRUCTURALLY validates (size fields consistent with the payload).
+
+    The 2-byte 'BM'/'P6' magics collide with ordinary text ("BMW…",
+    "P6 's output…"); routing a text payload into :func:`decode_bmp`
+    on a prefix match crashes (or worse, silently decodes garbage).
+    The structural checks make a false positive require a fully
+    consistent embedded header — at which point decoding it is the
+    right answer.  PNG/WAV/AVI magics (8-12 bytes, non-ASCII content)
+    need no strengthening.
+    """
+    fmt = sniff(data)
+    if fmt == "bmp" and not _valid_bmp(data):
+        return None
+    if fmt == "ppm" and not _valid_ppm(data):
+        return None
+    return fmt

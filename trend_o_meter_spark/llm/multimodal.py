@@ -717,7 +717,7 @@ def image_features(media: DataFrame) -> DataFrame:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 raw = bytes(content)
-                if codecs.sniff(raw) in ("png", "bmp", "ppm"):
+                if codecs.sniff_strict(raw) in ("png", "bmp", "ppm"):
                     img = codecs.decode_image(raw)
                 else:
                     n = len(raw)

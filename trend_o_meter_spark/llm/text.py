@@ -546,6 +546,15 @@ def split_drift_psi(
         F.sum(F.when(F.col("split") == split_a, 1).otherwise(0)).cast("long").alias("n_a"),
         F.sum(F.when(F.col("split") == split_b, 1).otherwise(0)).cast("long").alias("n_b"),
     )
+    return psi_from_counts(bins, eps=eps)
+
+
+def psi_from_counts(bins: DataFrame, *, eps: float = 1e-4) -> DataFrame:
+    """The PSI arithmetic tail of :func:`split_drift_psi`, taking the
+    per-bin two-sided counts table ``bin_lo, n_a, n_b`` directly —
+    shared with the streaming twin (``streaming.pipeline.stream_psi``)
+    so the live gate's clamp/quantization can never desynchronize from
+    the batch gate's."""
     tot = bins.agg(
         F.sum("n_a").cast("long").alias("__ta"), F.sum("n_b").cast("long").alias("__tb")
     )

@@ -721,7 +721,12 @@ def assoc_rules(
     """
     bid_cols = [F.col(user), (F.floor(F.unix_seconds(F.col(ts)) / window_seconds)).cast("long").alias("__w")]
     baskets = (
-        df.filter(F.col(item).isNotNull() & F.col(user).isNotNull())
+        df.filter(
+            # ts too: a NULL window would survive distinct() but vanish
+            # from COUNT DISTINCT's tuple total while still counting in
+            # the per-item totals — engine-divergent support/lift
+            F.col(item).isNotNull() & F.col(user).isNotNull() & F.col(ts).isNotNull()
+        )
         .select(*bid_cols, F.col(item).alias("__i"))
         .distinct()
     )
@@ -785,7 +790,8 @@ WITH baskets AS (
   SELECT DISTINCT {user} AS u,
          CAST(floor(epoch({ts}) / {window_seconds}) AS BIGINT) AS w,
          {item} AS i
-  FROM {table} WHERE {item} IS NOT NULL AND {user} IS NOT NULL
+  FROM {table}
+  WHERE {item} IS NOT NULL AND {user} IS NOT NULL AND {ts} IS NOT NULL
 ),
 totals AS (
   SELECT CAST(count(*) AS BIGINT) AS __N

@@ -929,10 +929,10 @@ def stream_psi(
     n_live, psi_term, psi_total``.  Returns the ``foreachBatch``
     callable.
     """
+    from ..llm.text import psi_from_counts
     from .statestore import PartialStateTable
 
     st = PartialStateTable(state_path)
-    n_ref_total = sum(int(v) for v in ref_counts.values())
 
     def merge(df: DataFrame) -> DataFrame:
         return df.groupBy("bin_lo").agg(F.sum("__c").cast("long").alias("__c"))
@@ -958,40 +958,26 @@ def stream_psi(
         live = merge(state)
         ref = spark.createDataFrame(
             [(int(k), int(v)) for k, v in ref_counts.items()] or [(0, 0)],
-            "bin_lo long, n_ref long",
+            "bin_lo long, n_a long",
         )
-        j = live.select("bin_lo", F.col("__c").alias("n_live")).join(
-            F.broadcast(ref), "bin_lo", "full_outer"
-        ).select(
+        # the shared batch tail (llm.text.psi_from_counts) does the
+        # clamp/ln/quantization — the live gate can never desynchronize
+        # from the batch gate's arithmetic
+        bins = (
+            live.select("bin_lo", F.col("__c").alias("n_b"))
+            .join(F.broadcast(ref), "bin_lo", "full_outer")
+            .select(
+                "bin_lo",
+                F.coalesce(F.col("n_a"), F.lit(0)).cast("long").alias("n_a"),
+                F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
+            )
+        )
+        out = psi_from_counts(bins, eps=eps).select(
             "bin_lo",
-            F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
-            F.coalesce(F.col("n_live"), F.lit(0)).alias("n_live"),
-        )
-        tot = j.agg(F.sum("n_live").cast("long").alias("__tl"))
-        e = F.lit(float(eps))
-        p = F.greatest(
-            F.col("n_ref").cast("double") / F.lit(float(n_ref_total)), e
-        )
-        q = F.greatest(F.col("n_live").cast("double") / F.col("__tl").cast("double"), e)
-        term = (p - q) * F.log(p / q)
-        tq = (
-            F.when(term >= 0, F.floor(term * F.lit(1e6) + F.lit(0.5)))
-            .otherwise(-F.floor(-term * F.lit(1e6) + F.lit(0.5)))
-            .cast("long")
-        )
-        staged = j.crossJoin(F.broadcast(tot)).select(
-            "bin_lo",
-            "n_ref",
-            "n_live",
-            F.when((F.lit(n_ref_total) > 0) & (F.col("__tl") > 0), tq).alias("__tq"),
-        )
-        total = staged.agg(F.sum("__tq").cast("long").alias("__e"))
-        out = staged.crossJoin(F.broadcast(total)).select(
-            "bin_lo",
-            "n_ref",
-            "n_live",
-            (F.col("__tq").cast("double") / F.lit(1e6)).alias("psi_term"),
-            (F.col("__e").cast("double") / F.lit(1e6)).alias("psi_total"),
+            F.col("n_a").alias("n_ref"),
+            F.col("n_b").alias("n_live"),
+            "psi_term",
+            "psi_total",
         )
         if on_result is not None:
             on_result(batch_id, out)
@@ -1216,7 +1202,10 @@ def stream_ks(
         if not batch_df.isEmpty():
             partial = (
                 batch_df.filter(F.col(value).isNotNull())
-                .groupBy(F.col(value).cast("long").alias("v"))
+                # floor, not cast: cast truncates toward zero, merging
+                # negative and positive fractional mass into bin 0 and
+                # corrupting the ECDF support for continuous streams
+                .groupBy(F.floor(F.col(value)).cast("long").alias("v"))
                 .agg(F.count(F.lit(1)).cast("long").alias("__c"))
             )
             st.append(partial, batch_id)

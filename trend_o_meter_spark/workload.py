@@ -560,19 +560,15 @@ def zscore_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend.zscore_anomalies(ev, keys=("event_type",), bucket_seconds=86400, z_threshold=2.0)
 
 
+# the ONE shared away-from-zero 1e-9 quantization (operators/analytics
+# owns the canonical pair) — never re-type the expression: textual
+# identity across engines IS the cross-engine hash contract
+from .operators.analytics import _Q9_SQL as _Q9_SQL_TMPL  # noqa: E402
+from .operators.analytics import _q9 as _q9_col  # noqa: E402
+
+
 def _q9_sql(x: str) -> str:
-    return (
-        f"CASE WHEN ({x}) >= 0 THEN floor(({x}) * 1e9 + 0.5) "
-        f"ELSE -floor(-({x}) * 1e9 + 0.5) END / 1e9"
-    )
-
-
-def _q9_col(x: Column) -> Column:
-    return (
-        F.when(x >= 0, F.floor(x * F.lit(1e9) + F.lit(0.5)))
-        .otherwise(-F.floor(-x * F.lit(1e9) + F.lit(0.5)))
-        / F.lit(1e9)
-    )
+    return _Q9_SQL_TMPL.format(x=x)
 
 
 @_q(
