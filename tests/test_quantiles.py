@@ -103,3 +103,38 @@ def test_requires_keys_and_qs(spark):
 )
 def test_property_matches_percentile(spark, rows, buckets):
     _check(spark, [(k, float(v)) for k, v in rows], qs=[0.25, 0.5, 0.75], buckets=buckets)
+
+
+def test_interarrival_quantiles_planted_gaps(spark, tmp_path):
+    """Gaps of a planted irregular series: quantiles computed over the
+    n-1 consecutive differences, interpolated per quantile_cont."""
+    from trend_o_meter_spark.workload import registry
+
+    # key 'a': gaps 1, 1, 1, 10 (seconds); key 'b': constant gap 5
+    offs_a = [0, 1, 2, 3, 13]
+    offs_b = [0, 5, 10, 15]
+    rows = [(i, float(1_700_000_000 + o), "a") for i, o in enumerate(offs_a)]
+    rows += [(100 + i, float(1_700_000_000 + o), "b") for i, o in enumerate(offs_b)]
+    df = spark.createDataFrame(rows, "event_id long, epoch double, event_type string")
+    import pyspark.sql.functions as F
+
+    pq = tmp_path / "events.parquet"
+    df.select(
+        "event_id", F.timestamp_seconds("epoch").alias("ts"), "event_type",
+        F.lit(1.0).alias("value"), F.lit(0).cast("long").alias("user_id"),
+    ).write.parquet(str(pq))
+    spec = {s.name: s for s in registry()}["interarrival_quantiles"]
+    got = {r["event_type"]: r for r in spec.spark(spark, str(tmp_path)).collect()}
+
+    def qc(vals, q):
+        vals = sorted(vals)
+        h = (len(vals) - 1) * q
+        lo = int(h)
+        hi = min(lo + 1, len(vals) - 1)
+        return vals[lo] + (h - lo) * (vals[hi] - vals[lo])
+
+    gaps_a = [1.0, 1.0, 1.0, 10.0]
+    for nm, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        want = round(qc(gaps_a, q) * 1e9) / 1e9
+        assert got["a"][nm] == want, (nm, got["a"][nm], want)
+    assert (got["b"]["p50"], got["b"]["p99"]) == (5.0, 5.0)

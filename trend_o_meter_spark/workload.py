@@ -132,6 +132,7 @@ _SCORE_FIRST = (
     "label_balance",
     "assoc_rules",
     "typo_pairs",
+    "interarrival_quantiles",
     # --- stalest oracle-backed driver verdicts, oldest first (r02 then
     # r03, declaration order), so the cross-round union keeps aging
     # uniformly.  The no_oracle rows-only entries (approx_sketches,
@@ -159,11 +160,10 @@ _SCORE_FIRST = (
     "set_ops_nations",
     "distinct_agg",
     "pivot_events",
-    "dedup_exact",
     # (simhash_fingerprints, dedup_clusters_star, curation_funnel,
     # split_drift_ks, verified_near_dups, cross_corpus_lsh, dup_span_stats,
-    # ngram_jaccard_pairs, minhash_lsh_pairs rotated out to stay at
-    # exactly 50 — stale verdicts re-queue)
+    # ngram_jaccard_pairs, minhash_lsh_pairs, dedup_exact rotated out to
+    # stay at exactly 50 — stale verdicts re-queue)
 )
 
 
@@ -597,6 +597,54 @@ def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir)
     q = quantiles.exact_quantiles(
         ev, value="value", keys=("event_type",), qs=[0.5, 0.9, 0.99]
+    )
+    return q.groupBy("event_type").agg(
+        *[
+            _q9_col(F.max(F.when(F.col("__qi") == i, F.col("quantile")))).alias(nm)
+            for i, nm in enumerate(("p50", "p90", "p99"))
+        ]
+    )
+
+
+@_q(
+    "interarrival_quantiles",
+    "WITH gaps AS (\n"
+    "  SELECT event_type,\n"
+    "         CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER "
+    "(PARTITION BY event_type ORDER BY ts, event_id) AS DOUBLE) / 1e6 AS gap\n"
+    "  FROM events\n"
+    "), src AS (SELECT event_type, gap FROM gaps WHERE gap IS NOT NULL),\n"
+    + quantiles.exact_quantiles_sql_ctes(
+        "src", value="gap", keys=("event_type",), qs=[0.5, 0.9, 0.99],
+        prefix="__qg",
+    )
+    + "\nSELECT event_type,\n"
+    + ",\n".join(
+        f"  {_q9_sql(f'max(CASE WHEN __qi = {i} THEN quantile END)')} AS {nm}"
+        for i, nm in enumerate(("p50", "p90", "p99"))
+    )
+    + "\nFROM __qg GROUP BY event_type",
+    doc="Inter-arrival gap quantiles per metric (p50/p90/p99 seconds "
+    "between consecutive samples, (ts, event_id)-ordered) — the "
+    "heartbeat-health query ('p99 gap between samples') behind every "
+    "liveness SLO; pairs with active_channels' inactivity cutoff by "
+    "MEASURING the gap distribution that cutoff should be set from. "
+    "Gaps via one per-key incremental lag window (partitioned, never "
+    "single-partition); quantiles via the exact-rank construction — "
+    "no value-multiset buffer on the few-fat-keys shape.",
+)
+def interarrival_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, "events", sf_dir).select("event_id", "ts", "event_type")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = ev.select(
+        "event_type",
+        ((us - F.lag(us).over(w)).cast("double") / F.lit(1e6)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    q = quantiles.exact_quantiles(
+        gaps, value="gap", keys=("event_type",), qs=[0.5, 0.9, 0.99]
     )
     return q.groupBy("event_type").agg(
         *[
