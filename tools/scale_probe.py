@@ -188,6 +188,26 @@ def triangles_probe(spark, reps):
     return cluster.triangle_counts(pairs)
 
 
+def assoc_probe(spark, reps):
+    """Replicated events with SHIFTED user ids: baskets grow reps x
+    while the item-type cardinality stays fixed — the pair self-join's
+    claimed bound (sum(basket_size^2), never the stream) predicts
+    linear wall in reps."""
+    from trend_o_meter_spark.operators import analytics
+
+    ev = table(spark, "events", SF_DIR).select("ts", "user_id", "event_type")
+    if reps > 1:
+        span = (ev.agg(F.max("user_id")).head()[0] or 0) + 1
+        ev = ev.select(
+            F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("__r"), "*"
+        ).select(
+            "ts",
+            (F.col("user_id") + F.col("__r") * F.lit(span)).alias("user_id"),
+            "event_type",
+        )
+    return analytics.assoc_rules(ev)
+
+
 PROBES = {
     "semantic_dedup": semantic_dedup_probe,
     "pagerank": pagerank_probe,
@@ -197,6 +217,7 @@ PROBES = {
     "mad": mad_probe,
     "rfm": rfm_probe,
     "triangles": triangles_probe,
+    "assoc": assoc_probe,
 }
 
 
