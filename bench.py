@@ -272,7 +272,16 @@ def main() -> None:
     with open(result_path, "w") as fh:
         json.dump(out, fh)
         fh.write("\n")
-    line = {k: v for k, v in out.items() if k != "samples"}
+    # Keep the stdout line well under the driver's 2,000-char tail window:
+    # r07's line was 2,728 chars once the 60-entry `queries` dict and the
+    # `host_load` stamps were included (BENCH_r06/r07 `parsed: null`).  Those
+    # fields persist in BENCH_LAST.json; the headline line carries only the
+    # contract fields.
+    line = {
+        k: v
+        for k, v in out.items()
+        if k not in ("samples", "queries", "host_load", "aggregation")
+    }
     line["samples_file"] = result_path
     sys.stdout.flush()
     print(json.dumps(line))
