@@ -92,78 +92,76 @@ def _q(name: str, oracle: str | None, doc: str = ""):
 # verdict across rounds even under a query-count/time cap; remaining
 # entries keep declaration order (stable sort).
 _SCORE_FIRST = (
-    # --- round 6 rotation (VERDICT r5 tasks 2 + 7). Slots 1-13: the 13
-    # round-5 monitoring/product-analytics queries that have NEVER
-    # appeared in a CORRECTNESS file (judge-selfchecked hash-exact in
-    # r5; this converts that into driver verdicts). Three of them
-    # (mad_anomalies, seasonal_adjusted_anomalies, rfm_segments) were
-    # ALSO rewritten this round onto the exact-rank quantile operator,
-    # so their verdicts vouch for the new shape. ----------------------
-    "mrl_recall",
-    "seasonal_hourly",
-    "mad_anomalies",
-    "winnow_near_dup",
-    "theil_sen_daily",
-    "funnel_views",
-    "cohort_retention",
-    "event_transitions",
-    "rfm_segments",
-    "dau_mau",
-    "attribution_last_touch",
-    "ab_lift",
-    "seasonal_adjusted_anomalies",
-    # --- queries whose implementation changed this round (re-verdict so
-    # every green row postdates the code it vouches for): value_quantiles
-    # moved onto exact_quantiles + q9; the bloom twins moved to the
-    # duplicate-safe min-based membership test. -----------------------
-    "value_quantiles",
-    "bloom_membership",
-    "bloom_contamination",
-    # --- round-6 additions: the sketch backing stream_mad; the real
-    # PNG codec round-trip; CUSUM changepoints (new operator) ----------
-    "hist_median_mad",
-    "image_features",
-    "cusum_shifts",
-    "split_drift_psi",
-    "calibration_ece",
-    "holt_winters_hourly",
-    "triangle_counts",
-    "metric_correlation",
-    "label_balance",
-    "assoc_rules",
-    "typo_pairs",
+    # --- round 8 rotation (VERDICT r07 task 5). Slots 1-24: every
+    # oracle-backed query whose newest DRIVER verdict is still r03 —
+    # the r06/r07 judges re-verified 12 of these locally, but a judge
+    # selfcheck is not a driver row; fronting them retires the whole
+    # r03 cohort at once.  Declaration order within the cohort. -------
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "dup_span_stats",
+    "cross_corpus_lsh",
+    "verified_near_dups",
+    "split_drift_ks",
+    "curation_funnel",
+    "dedup_clusters_star",
+    "simhash_fingerprints",
+    "simhash_near_dup",
+    "text_stats",
+    "quality_filter",
+    "dataset_split",
+    "token_histogram",
+    "cooc_pmi_topk",
+    "lang_id",
+    "token_count",
+    "quantize_embeddings",
+    "kmeans_centroids",
+    "pq_codes",
+    "pq_adc_topk",
+    "pq_recall_at_k",
+    "resize_image_meta",
+    # --- queries whose implementation changed THIS round (re-verdict so
+    # every green row postdates the code it vouches for): the
+    # exact_quantiles family sits on the new localCheckpointed counts;
+    # interarrival_quantiles moved to (key, hour-bucket) lag windows
+    # with boundary patching; holt_winters_hourly's oracle gained the
+    # NULL-phase skip gate. -------------------------------------------
     "interarrival_quantiles",
-    # --- stalest oracle-backed driver verdicts, oldest first (r02 then
-    # r03, declaration order), so the cross-round union keeps aging
-    # uniformly.  The no_oracle rows-only entries (approx_sketches,
-    # bpe_merges, bpe_encode_fixed) are NOT fronted: re-sampling them
-    # cannot produce a stronger verdict than they already carry. ------
-    "contamination_check",
-    "asof_join_orders",
-    "window_rank",
-    "unpivot_lineitem_charges",
-    "metric_format_join",
-    "scalar_funcs",
-    "datetime_funcs",
-    "json_extract_props",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "semi_join_urgent_customers",
-    "anti_join_orderless_customers",
-    "rollup_returns",
-    "sql_orders_by_year",
-    "cube_order_priority",
-    "window_distribution",
-    "set_ops_nations",
-    "distinct_agg",
-    "pivot_events",
-    # (simhash_fingerprints, dedup_clusters_star, curation_funnel,
-    # split_drift_ks, verified_near_dups, cross_corpus_lsh, dup_span_stats,
-    # ngram_jaccard_pairs, minhash_lsh_pairs, dedup_exact rotated out to
-    # stay at exactly 50 — stale verdicts re-queue)
+    "value_quantiles",
+    "mad_anomalies",
+    "cusum_shifts",
+    "seasonal_adjusted_anomalies",
+    "rfm_segments",
+    "holt_winters_hourly",
+    # --- remaining slots: the r04-dated cohort, oldest-first in
+    # declaration order, so the cross-round union keeps aging
+    # uniformly.  The rows-only-by-design entries (approx_sketches,
+    # bpe_merges, bpe_encode_fixed, flagship_day_bins_compat) are NOT
+    # fronted: re-sampling them cannot produce a stronger verdict than
+    # they already carry. ---------------------------------------------
+    "flagship_day_bins",
+    "downsample_60s",
+    "rolling_current_avg",
+    "tumbling_mean_60s",
+    "sliding_rates_10s",
+    "active_channels",
+    "sessionize_30m",
+    "events_in_sessions",
+    "retention_7d",
+    "topk_recent",
+    "trend_slope_daily",
+    "resample_1h_locf",
+    "resample_1h_lerp",
+    "trending_daily",
+    "ewma_02",
+    "zscore_anomalies",
+    "cms_heavy_hitters",
+    "cross_doc_ngram_dup",
+    "dedup_clusters",
+    # (the r06-rotation names — mrl_recall .. typo_pairs and the
+    # relational r02/r03 block — all carry r06/r07 driver verdicts and
+    # re-queue behind the r04/r05 cohorts)
 )
 
 
@@ -629,20 +627,58 @@ def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "heartbeat-health query ('p99 gap between samples') behind every "
     "liveness SLO; pairs with active_channels' inactivity cutoff by "
     "MEASURING the gap distribution that cutoff should be set from. "
-    "Gaps via one per-key incremental lag window (partitioned, never "
-    "single-partition); quantiles via the exact-rank construction — "
-    "no value-multiset buffer on the few-fat-keys shape.",
+    "event_type has a handful of values, so a per-key lag window would "
+    "sort each metric's ENTIRE history in one task; instead gaps are "
+    "computed inside (event_type, hour-bucket) windows — parallelism = "
+    "keys x hours — and each bucket's first row is patched with the "
+    "previous non-empty bucket's last timestamp via a broadcast-joined "
+    "per-bucket bounds table (the split_drift_ks/epoch_shuffle bucket "
+    "discipline). The only per-key-whole-range window runs over that "
+    "bounds table (one row per key x hour, bounded by wall time, not "
+    "data rate). Quantiles via the exact-rank construction — no "
+    "value-multiset buffer on the few-fat-keys shape.",
 )
 def interarrival_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = table(spark, "events", sf_dir).select("event_id", "ts", "event_type")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
-    gaps = ev.select(
+    # Hour buckets on event time: rows with equal ts always share a bucket,
+    # so (ts, event_id) order within a bucket is the global order restricted
+    # to it, and every cross-bucket predecessor is exactly the previous
+    # non-empty bucket's (ts, event_id)-max row — whose ts is max(ts) since
+    # ts leads the sort key.
+    bucket_us = 3_600_000_000
+    rows = ev.select(
         "event_type",
-        ((us - F.lag(us).over(w)).cast("double") / F.lit(1e6)).alias("gap"),
-    ).filter(F.col("gap").isNotNull())
+        "event_id",
+        us.alias("__us"),
+        (us - (us % F.lit(bucket_us))).alias("__bucket"),
+    )
+    wb = Window.partitionBy("event_type", "__bucket").orderBy("__us", "event_id")
+    in_bucket = rows.withColumn("__prev_us", F.lag("__us").over(wb))
+    # Bounds: one row per (key, non-empty hour). The per-key window here is
+    # over O(hours) rows — bounded by wall-clock span, not event volume.
+    wk = Window.partitionBy("event_type").orderBy("__bucket")
+    bounds = (
+        rows.groupBy("event_type", "__bucket")
+        .agg(F.max("__us").alias("__last_us"))
+        .withColumn("__carry_us", F.lag("__last_us").over(wk))
+        .select("event_type", "__bucket", "__carry_us")
+    )
+    gaps = (
+        in_bucket.join(F.broadcast(bounds), ["event_type", "__bucket"])
+        .select(
+            "event_type",
+            (
+                (F.col("__us") - F.coalesce("__prev_us", "__carry_us")).cast(
+                    "double"
+                )
+                / F.lit(1e6)
+            ).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
     q = quantiles.exact_quantiles(
         gaps, value="gap", keys=("event_type",), qs=[0.5, 0.9, 0.99]
     )
