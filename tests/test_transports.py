@@ -418,3 +418,77 @@ def test_firehose_bridge_exactly_once_across_reader_restart(spark, mock_redis, t
     # at-most-once by design (its own docstring), which the bridge fixes
     raw = _PubSubReader({"host": "127.0.0.1", "port": str(mock_redis.port)})
     assert list(raw.readBetweenOffsets({"seq": 0}, {"seq": 5})) == []
+
+
+def test_firehose_drain_desync_guard_reconnects_after_mid_frame_stall(tmp_path):
+    """A push frame that stalls MID-TRANSMISSION used to poison the bridge:
+    read_reply had already consumed the `*4` header + early bulk elements
+    when the 1 s frame timeout fired, the old `break` kept the connection,
+    and the NEXT drain parsed from the middle of the half-sent frame —
+    RespError crash or silently dropped frames in the component whose whole
+    purpose is durability.  Now `_drain` compares the connection's framing
+    counter around the failed read: bytes consumed => the stream can only
+    resync by reconnecting, so it drops the connection and the next drain
+    PSUBSCRIBEs afresh on a frame-aligned socket.  Also pinned: the 1 s
+    per-frame drain bound no longer clobbers the constructor's 10 s
+    timeout after the drain returns."""
+    from trend_o_meter_spark.transports.firehose_bridge import DurableFirehoseBridge
+
+    pat = b"sensor:*"
+    connections: list[int] = []
+
+    def _pmsg(payload: bytes) -> bytes:
+        return (
+            b"*4\r\n$8\r\npmessage\r\n"
+            + b"$%d\r\n%s\r\n" % (len(pat), pat)
+            + b"$8\r\nsensor:m\r\n"
+            + b"$%d\r\n%s\r\n" % (len(payload), payload)
+        )
+
+    class _StallHandler(socketserver.StreamRequestHandler):
+        def handle(self):
+            conn_no = len(connections)
+            connections.append(conn_no)
+            line = self.rfile.readline()  # *N of the PSUBSCRIBE command
+            for _ in range(int(line[1:])):
+                hdr = self.rfile.readline()
+                self.rfile.read(int(hdr[1:]) + 2)
+            self.wfile.write(
+                b"*3\r\n$10\r\npsubscribe\r\n$%d\r\n%s\r\n:1\r\n" % (len(pat), pat)
+            )
+            if conn_no == 0:
+                # one whole frame, then a frame that stops after its header
+                # + type marker — the reader stalls mid-frame with the
+                # header already consumed
+                self.wfile.write(_pmsg(b"whole-0") + b"*4\r\n$8\r\npmessage\r\n")
+                self.wfile.flush()
+                time.sleep(8)  # outlive the 1 s frame timeout, never finish
+            else:
+                self.wfile.write(_pmsg(b"clean-1") + _pmsg(b"clean-2"))
+                self.wfile.flush()
+                time.sleep(3)  # keep the connection open past the drain
+
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), _StallHandler)
+    srv.daemon_threads = True
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        with DurableFirehoseBridge(
+            "127.0.0.1",
+            srv.server_address[1],
+            pattern="sensor:*",
+            log_dir=str(tmp_path / "fhlog"),
+        ) as br:
+            # drain 1: the whole frame lands; the mid-frame stall is
+            # detected as a desync and the connection is dropped
+            assert br.drain_segment(poll_seconds=2.5) == 1
+            assert br._conn is None
+            # drain 2: fresh subscription, frames parse cleanly from byte 0
+            # (pre-fix this parsed the stale half-frame -> RespError/garbage)
+            assert br.drain_segment(poll_seconds=2.5) == 2
+            assert br._conn is not None
+            # the drain's 1 s frame bound must not leak: constructor timeout
+            assert br._conn.sock.gettimeout() == 10.0
+        assert connections == [0, 1]  # exactly one reconnect
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -86,23 +86,49 @@ class DurableFirehoseBridge:
         c = self._ensure_conn()
         out: list[tuple[str, str, float]] = []
         deadline = time.time() + window
-        while len(out) < budget:
-            wait = deadline - time.time()
-            if wait <= 0:
-                break
-            if not c._buf:
-                r, _, _ = select.select([c.sock], [], [], wait)
-                if not r:
+        base_timeout = c.sock.gettimeout()
+        c.sock.settimeout(1.0)  # per-frame stall bound inside read_reply
+        try:
+            while len(out) < budget:
+                wait = deadline - time.time()
+                if wait <= 0:
                     break
-            c.sock.settimeout(1.0)
-            try:
-                frame = c.read_reply()
-            except (TimeoutError, OSError):
-                break
-            if isinstance(frame, list) and len(frame) == 4 and frame[0] == b"pmessage":
-                out.append(
-                    (frame[2].decode(), frame[3].decode(errors="replace"), time.time())
-                )
+                if not c._buf:
+                    r, _, _ = select.select([c.sock], [], [], wait)
+                    if not r:
+                        break
+                mark = c._consumed
+                try:
+                    frame = c.read_reply()
+                except (TimeoutError, OSError):
+                    if c._consumed != mark:
+                        # read_reply already split the `*4` header / early
+                        # bulk elements off the stream before stalling: the
+                        # bytes that remain start MID-FRAME, so reusing this
+                        # connection would parse garbage (RespError crash or
+                        # silently dropped frames).  Drop it; the next drain
+                        # resubscribes on a fresh frame-aligned connection.
+                        # (The resubscribe gap is the same publisher-side
+                        # window as bridge downtime, documented above.)
+                        self.close()
+                    break
+                if (
+                    isinstance(frame, list)
+                    and len(frame) == 4
+                    and frame[0] == b"pmessage"
+                ):
+                    out.append(
+                        (
+                            frame[2].decode(),
+                            frame[3].decode(errors="replace"),
+                            time.time(),
+                        )
+                    )
+        finally:
+            if self._conn is not None:
+                # restore the constructor's timeout — the 1 s drain bound
+                # must not leak into _ensure_conn's subscribe handshake
+                self._conn.sock.settimeout(base_timeout)
         return out
 
     # -- segments ----------------------------------------------------------

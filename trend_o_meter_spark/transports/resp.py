@@ -43,6 +43,13 @@ class RespConnection:
     def __init__(self, host: str, port: int, timeout: float = 10.0):
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self._buf = b""
+        # Monotonic count of framing units (lines / bulk payloads) split off
+        # the stream.  A caller whose read_reply() raised mid-frame compares
+        # this against a pre-call snapshot: unchanged => every received byte
+        # is still in _buf and the stream is frame-aligned; changed => the
+        # frame header / early elements are gone and the connection can only
+        # resync by reconnecting (firehose_bridge._drain's desync guard).
+        self._consumed = 0
 
     # -- framing ---------------------------------------------------------
 
@@ -53,6 +60,7 @@ class RespConnection:
                 raise ConnectionError("connection closed mid-frame")
             self._buf += chunk
         line, self._buf = self._buf.split(CRLF, 1)
+        self._consumed += 1
         return line
 
     def _read_exact(self, n: int) -> bytes:
@@ -62,6 +70,7 @@ class RespConnection:
                 raise ConnectionError("connection closed mid-bulk")
             self._buf += chunk
         data, self._buf = self._buf[:n], self._buf[n + 2 :]
+        self._consumed += 1
         return data
 
     def read_reply(self):
