@@ -534,3 +534,66 @@ def test_metric_correlation_matches_numpy_and_contracts(spark):
     # constant metric: zero variance -> NULL, never NaN/crash
     assert got[("a", "c")]["corr"] is None
     assert got[("b", "c")]["corr"] is None
+
+
+def test_holt_winters_null_ts_row_engine_equivalence(spark):
+    """A NULL-ts row (no phase slot) must behave exactly like a NULL
+    value — emit null level/trend/seasonal and NOT advance the carried
+    state — and the DuckDB recursive-CTE oracle must agree row-for-row.
+    Pre-fix the two engines DIVERGED on this input: the pandas scan
+    raised int(NaN) while the oracle's acc_s[NULL] silently
+    NULL-poisoned every later row's level/trend (VERDICT r07 #4)."""
+    import duckdb
+
+    from trend_o_meter_spark.operators.trend import holt_winters, holt_winters_sql
+
+    rows = [(0.0, 5.0), (3600.0, 6.0), (None, 7.0), (7200.0, 8.0)]
+    df = spark.createDataFrame(
+        [(float(BASE) + off if off is not None else None, "m", v) for off, v in rows],
+        "epoch double, metric string, value double",
+    ).select("metric", F.timestamp_seconds("epoch").alias("ts"), "value")
+    got = {
+        r["value"]: (r["level"], r["trend"], r["seasonal"])
+        for r in holt_winters(
+            df, keys=("metric",), period_seconds=4 * 3600, bucket_seconds=3600
+        ).collect()
+    }
+    # the NULL-ts row emits nulls
+    assert got[7.0] == (None, None, None)
+    # ...and did NOT advance state: the 8.0 row continues from the 6.0 row
+    alpha, beta, gamma = 0.2, 0.1, 0.3
+    lv, tr, s = 5.0, 0.0, [0.0] * 4
+    for y, ph in ((6.0, 1), (8.0, 2)):
+        new_lv = alpha * (y - s[ph]) + (1 - alpha) * (lv + tr)
+        tr = beta * (new_lv - lv) + (1 - beta) * tr
+        s[ph] = gamma * (y - new_lv) + (1 - gamma) * s[ph]
+        lv = new_lv
+    assert got[8.0] == (lv, tr, s[2])
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        "('m', TIMESTAMP '2023-11-14 22:00:00', CAST(5.0 AS DOUBLE)),"
+        "('m', TIMESTAMP '2023-11-14 23:00:00', CAST(6.0 AS DOUBLE)),"
+        "('m', CAST(NULL AS TIMESTAMP), CAST(7.0 AS DOUBLE)),"
+        "('m', TIMESTAMP '2023-11-15 00:00:00', CAST(8.0 AS DOUBLE))"
+        ") AS v(metric, ts, value)"
+    )
+    oracle = {
+        v: (l, tr_, se)
+        for _m, _t, v, l, tr_, se in con.execute(
+            holt_winters_sql("t", period_seconds=4 * 3600, bucket_seconds=3600)
+        ).fetchall()
+    }
+    # row-for-row engine agreement, NULL-ts row included — phases differ
+    # from the Spark fixture (different wall-clock), so compare oracle
+    # against its own hand recursion with the oracle's phases
+    assert oracle[7.0] == (None, None, None)
+    lv, tr, s = 5.0, 0.0, [0.0] * 4
+    for y, ph in ((6.0, 3), (8.0, 0)):  # 22:00→ph2 seed, 23:00→ph3, 00:00→ph0
+        new_lv = alpha * (y - s[ph]) + (1 - alpha) * (lv + tr)
+        tr = beta * (new_lv - lv) + (1 - beta) * tr
+        s[ph] = gamma * (y - new_lv) + (1 - gamma) * s[ph]
+        lv = new_lv
+    assert oracle[8.0] == (lv, tr, s[0])
+    assert oracle[5.0] == (5.0, 0.0, 0.0)

@@ -1462,8 +1462,12 @@ def holt_winters(
         lv: float | None = None
         tr = 0.0
         s = [0.0] * m
+        # A NULL ts has no phase: treat it exactly like a NULL value —
+        # emit null, don't advance state (pre-fix this raised int(NaN)
+        # here while the DuckDB twin NULL-poisoned its carried state via
+        # acc_s[NULL]; both engines now agree on the same input).
         for y, p in zip(pdf[value].astype("float64"), pdf["__ph"]):
-            if pd.isna(y):
+            if pd.isna(y) or pd.isna(p):
                 levels.append(None)
                 trends.append(None)
                 seas.append(None)
@@ -1535,6 +1539,12 @@ def holt_winters_sql(
         f"[CASE WHEN x = CAST(o.__ph + 1 AS INT) THEN {new_s} "
         f"ELSE r.acc_s[x] END FOR x IN range(1, {m} + 1)]"
     )
+    # A NULL ts has no phase slot: skip it exactly like a NULL value
+    # (emit null, carry state unchanged) — mirrors the pandas scan's
+    # isna(__ph) gate; pre-fix `acc_s[NULL]` NULL-poisoned the carried
+    # level/trend here while the pandas side raised.
+    skip0 = f"({value} IS NULL OR __ph IS NULL)"
+    skip = f"(o.{value} IS NULL OR o.__ph IS NULL)"
     return f"""
 WITH RECURSIVE ordered AS MATERIALIZED (
   SELECT {sel},
@@ -1544,33 +1554,35 @@ WITH RECURSIVE ordered AS MATERIALIZED (
 ),
 rec AS (
   SELECT {sel}, __ph, rn,
-         CAST({value} AS DOUBLE) AS acc_l,
-         CASE WHEN {value} IS NULL THEN CAST(NULL AS DOUBLE)
+         CASE WHEN {skip0} THEN CAST(NULL AS DOUBLE)
+              ELSE CAST({value} AS DOUBLE) END AS acc_l,
+         CASE WHEN {skip0} THEN CAST(NULL AS DOUBLE)
               ELSE CAST(0.0 AS DOUBLE) END AS acc_b,
          {zeros} AS acc_s,
-         CAST({value} AS DOUBLE) AS level,
-         CASE WHEN {value} IS NULL THEN CAST(NULL AS DOUBLE)
+         CASE WHEN {skip0} THEN CAST(NULL AS DOUBLE)
+              ELSE CAST({value} AS DOUBLE) END AS level,
+         CASE WHEN {skip0} THEN CAST(NULL AS DOUBLE)
               ELSE CAST(0.0 AS DOUBLE) END AS trend,
-         CASE WHEN {value} IS NULL THEN CAST(NULL AS DOUBLE)
+         CASE WHEN {skip0} THEN CAST(NULL AS DOUBLE)
               ELSE CAST(0.0 AS DOUBLE) END AS seasonal
   FROM ordered WHERE rn = 1
   UNION ALL
   SELECT {o_sel}, o.__ph, o.rn,
-         CASE WHEN o.{value} IS NULL THEN r.acc_l
+         CASE WHEN {skip} THEN r.acc_l
               WHEN r.acc_l IS NULL THEN CAST(o.{value} AS DOUBLE)
               ELSE {new_l} END,
-         CASE WHEN o.{value} IS NULL THEN r.acc_b
+         CASE WHEN {skip} THEN r.acc_b
               WHEN r.acc_l IS NULL THEN CAST(0.0 AS DOUBLE)
               ELSE {new_b} END,
-         CASE WHEN o.{value} IS NULL OR r.acc_l IS NULL THEN r.acc_s
+         CASE WHEN {skip} OR r.acc_l IS NULL THEN r.acc_s
               ELSE {new_list} END,
-         CASE WHEN o.{value} IS NULL THEN CAST(NULL AS DOUBLE)
+         CASE WHEN {skip} THEN CAST(NULL AS DOUBLE)
               WHEN r.acc_l IS NULL THEN CAST(o.{value} AS DOUBLE)
               ELSE {new_l} END,
-         CASE WHEN o.{value} IS NULL THEN CAST(NULL AS DOUBLE)
+         CASE WHEN {skip} THEN CAST(NULL AS DOUBLE)
               WHEN r.acc_l IS NULL THEN CAST(0.0 AS DOUBLE)
               ELSE {new_b} END,
-         CASE WHEN o.{value} IS NULL THEN CAST(NULL AS DOUBLE)
+         CASE WHEN {skip} THEN CAST(NULL AS DOUBLE)
               WHEN r.acc_l IS NULL THEN {slot}
               ELSE {new_s} END
   FROM ordered o JOIN rec r ON {join_on} AND o.rn = r.rn + 1
