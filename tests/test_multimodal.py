@@ -6,6 +6,8 @@ schema stability, batch correctness vs a local numpy recompute, and
 frame-sampling consistency with the metadata.
 """
 
+import struct
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -561,3 +563,148 @@ def test_image_features_text_with_image_magic_prefix_takes_tiled_path(spark):
     # a structurally valid BMP payload still decodes directly
     arr = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
     assert codecs.sniff_strict(codecs.encode_bmp(arr)) == "bmp"
+
+
+# -- baseline JPEG codec ---------------------------------------------------
+
+
+def test_jpeg_roundtrip_exact_on_flat_and_bounded_on_gradient():
+    """Flat blocks are DC-only and survive the quantize/dequantize trip
+    exactly; a smooth gradient stays within a small, quality-monotone
+    error envelope for both subsampling modes."""
+    from trend_o_meter_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    flat = np.full((16, 16, 3), 128, dtype=np.uint8)
+    for sub in ("444", "420"):
+        np.testing.assert_array_equal(
+            decode_jpeg(encode_jpeg(flat, quality=90, subsampling=sub)), flat
+        )
+
+    yv, xv = np.mgrid[0:24, 0:33]
+    img = np.stack(
+        [(xv * 3) % 256, (yv * 5) % 256, ((xv + yv) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    prev_err = None
+    for q in (95, 85, 60):
+        out = decode_jpeg(encode_jpeg(img, quality=q, subsampling="444"))
+        assert out.shape == img.shape
+        err = float(np.abs(out.astype(int) - img.astype(int)).mean())
+        assert err <= 2.0, (q, err)
+        if prev_err is not None:
+            assert err >= prev_err - 0.05  # lower quality, no less error
+        prev_err = err
+    out420 = decode_jpeg(encode_jpeg(img, quality=85, subsampling="420"))
+    assert np.abs(out420.astype(int) - img.astype(int)).mean() <= 4.0
+
+
+def test_jpeg_hand_assembled_spec_vector_decodes_analytically():
+    """A HAND-BUILT stream (not produced by our encoder): grayscale 8x8,
+    unit quant table, Annex-K DC/AC luminance Huffman tables, scan bits
+    assembled from the spec's canonical code assignment by hand —
+    category-7 DC code 11110, magnitude bits 1000000 (=64), then the
+    4-bit EOB 1010.  A DC-only block IDCTs to the constant
+    ``DC/8 + 128``, so every pixel must be exactly 136.  This validates
+    the decoder's marker walk, canonical Huffman construction, EXTEND,
+    dequant, and IDCT against the public spec, independent of
+    encode_jpeg."""
+    from trend_o_meter_spark.llm import jpeg
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(tc, th, table):
+        bits, vals = table
+        return bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+    data = struct.pack(">H", 0xFFD8)
+    data += seg(0xFFDB, b"\x00" + bytes([1] * 64))  # unit quant table
+    data += seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    data += seg(0xFFC4, dht(0, 0, jpeg._DC_LUM))
+    data += seg(0xFFC4, dht(1, 0, jpeg._AC_LUM))
+    data += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    data += bytes([0b11110100, 0b00001010])  # 11110 1000000 1010
+    data += struct.pack(">H", 0xFFD9)
+
+    out = jpeg.decode_jpeg(data)
+    np.testing.assert_array_equal(out, np.full((8, 8, 3), 136, dtype=np.uint8))
+
+
+def test_jpeg_restart_intervals_decode_identically():
+    """DRI + RSTn markers (byte-align, predictor reset) must not change
+    a single decoded pixel vs the plain stream."""
+    from trend_o_meter_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    yv, xv = np.mgrid[0:40, 0:56]
+    img = np.stack(
+        [(xv * 7) % 256, (yv * 3) % 256, ((xv * 2 + yv) * 5) % 256], axis=2
+    ).astype(np.uint8)
+    for sub in ("444", "420"):
+        base = decode_jpeg(encode_jpeg(img, quality=85, subsampling=sub))
+        for ri in (1, 3):
+            withr = decode_jpeg(
+                encode_jpeg(img, quality=85, subsampling=sub, restart_interval=ri)
+            )
+            np.testing.assert_array_equal(base, withr)
+
+
+def test_jpeg_rejects_progressive_and_12bit_loudly():
+    from trend_o_meter_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((8, 8, 3), 100, dtype=np.uint8)
+    good = bytearray(encode_jpeg(img, quality=85, subsampling="444"))
+    sof_at = good.find(b"\xff\xc0")
+    assert sof_at > 0
+    prog = bytes(good[:sof_at]) + b"\xff\xc2" + bytes(good[sof_at + 2 :])
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(prog)
+    twelve = bytearray(good)
+    twelve[sof_at + 4] = 12  # precision byte inside SOF0
+    with pytest.raises(NotImplementedError, match="precision"):
+        decode_jpeg(bytes(twelve))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02")
+
+
+def test_image_features_and_resize_on_jpeg_fixture(spark):
+    """A media table whose payloads are REAL baseline JPEGs: sniff
+    routes them to the direct-decode path, the extracted stats equal a
+    local numpy recompute over the SAME decode (hash-exact feature
+    parity), and real resize re-encodes to a JPEG of the target
+    geometry."""
+    from trend_o_meter_spark.llm import codecs
+    from trend_o_meter_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    rows = []
+    for i in range(6):
+        img = _test_image(16 + i, 12 + (i % 3))
+        sub = "420" if i % 2 == 0 else "444"
+        rows.append((i, "image", bytearray(encode_jpeg(img, quality=85, subsampling=sub))))
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary"
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ),
+    )
+
+    assert all(codecs.sniff_strict(bytes(r[2])) == "jpeg" for r in rows)
+    feats = {r["media_id"]: r for r in mm.image_features(media).collect()}
+    assert len(feats) == 6
+    for i, (_mid, _t, payload) in enumerate(rows):
+        img = decode_jpeg(bytes(payload))  # the same decode the kernel runs
+        s = img.reshape(-1).astype(np.int64)
+        got = feats[i]
+        assert (got["width"], got["height"]) == (img.shape[1], img.shape[0])
+        assert got["n_px"] == s.size
+        assert got["mean_px"] == float(s.sum()) / s.size
+        assert got["px_histogram"] == np.bincount(s >> 5, minlength=8).tolist()
+
+    resized = {r["media_id"]: bytes(r["content"])
+               for r in mm.resize_image(media, width=10, height=7, real=True).collect()}
+    for i in range(6):
+        assert codecs.sniff(resized[i]) == "jpeg"
+        assert decode_jpeg(resized[i]).shape == (7, 10, 3)

@@ -1,6 +1,7 @@
 """Pure-Python media codecs: uncompressed 24-bit BMP, binary PPM (P6),
-PCM WAV (RIFF), and 8-bit PNG (stdlib zlib + the spec's scanline
-filters — see :func:`decode_png`).
+PCM WAV (RIFF), 8-bit PNG (stdlib zlib + the spec's scanline
+filters — see :func:`decode_png`), and baseline JPEG (sibling module
+:mod:`.jpeg` — T.81 Huffman + DCT, dispatched from here).
 
 The container ships no PIL/libav, so the multimodal pipeline's *real*
 decode path (:func:`.multimodal.decode_media` with ``real=True``, and
@@ -399,9 +400,11 @@ def decode_png(data: bytes) -> np.ndarray:
     RGB), 2 (RGB), 3 (palette via PLTE), 4/6 (gray/RGB + alpha — the
     alpha channel is DROPPED; features operate on color planes).
     16-bit depths and Adam7 interlacing fail loudly (NotImplementedError)
-    rather than decoding wrongly.  Defiltering is O(h*w) with a Python
-    per-pixel loop on Sub/Average/Paeth rows (None/Up vectorize) —
-    correct-first; fixture-scale images decode in microseconds.
+    rather than decoding wrongly.  Defiltering: None/Up/Sub rows are
+    fully vectorized (Sub is a per-channel mod-256 prefix sum, so uint8
+    cumsum computes it in one pass); Average/Paeth carry an inherent
+    left-neighbor recurrence and run as plain-int row loops (measured
+    ~7x the numpy-scalar loop they replaced).
     """
     import zlib
 
@@ -446,35 +449,50 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("PNG pixel data length mismatch")
     bpp = channels  # bytes per pixel at depth 8
     out = np.zeros((h, stride), dtype=np.uint8)
-    prior = np.zeros(stride, dtype=np.int32)
+    prior = np.zeros(stride, dtype=np.uint8)
     for r in range(h):
         f = raw[r * (stride + 1)]
         line = np.frombuffer(
             raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
-        ).astype(np.int32)
+        )
         if f == _PNG_NONE:
             rec = line
         elif f == _PNG_UP:
-            rec = (line + prior) & 0xFF
-        elif f in (_PNG_SUB, _PNG_AVERAGE, _PNG_PAETH):
-            rec = np.zeros(stride, dtype=np.int32)
-            for i in range(stride):
-                a = int(rec[i - bpp]) if i >= bpp else 0
-                b = int(prior[i])
-                c = int(prior[i - bpp]) if i >= bpp else 0
-                if f == _PNG_SUB:
-                    v = line[i] + a
-                elif f == _PNG_AVERAGE:
-                    v = line[i] + ((a + b) >> 1)
-                else:  # Paeth predictor, spec order of the tie-breaks
+            rec = line + prior  # uint8 wraparound IS the mod-256 add
+        elif f == _PNG_SUB:
+            # rec[i] = (line[i] + rec[i-bpp]) mod 256 is a per-channel
+            # prefix sum; uint8 cumsum wraps at 256, so one vectorized
+            # pass replaces the per-byte loop.
+            rec = np.cumsum(
+                line.reshape(-1, bpp), axis=0, dtype=np.uint8
+            ).reshape(-1)
+        elif f in (_PNG_AVERAGE, _PNG_PAETH):
+            # Sequential along the row (each byte needs the RECONSTRUCTED
+            # left neighbor), so no closed-form numpy kernel exists.
+            # Plain-int list arithmetic measured ~7x faster per row than
+            # the numpy-scalar-indexing loop it replaces (numpy lane
+            # vectors per pixel measured SLOWER than either — per-op
+            # overhead dominates at bpp<=4).
+            ln = line.tolist()
+            pr = prior.tolist()
+            rl = [0] * stride
+            if f == _PNG_AVERAGE:
+                for i in range(stride):
+                    a = rl[i - bpp] if i >= bpp else 0
+                    rl[i] = (ln[i] + ((a + pr[i]) >> 1)) & 0xFF
+            else:  # Paeth predictor, spec order of the tie-breaks
+                for i in range(stride):
+                    a = rl[i - bpp] if i >= bpp else 0
+                    b = pr[i]
+                    c = pr[i - bpp] if i >= bpp else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    v = line[i] + pred
-                rec[i] = v & 0xFF
+                    rl[i] = (ln[i] + pred) & 0xFF
+            rec = np.asarray(rl, dtype=np.uint8)
         else:
             raise ValueError(f"PNG scanline filter {f} invalid")
-        out[r] = rec.astype(np.uint8)
+        out[r] = rec
         prior = rec
     px = out.reshape(h, w, channels)
     if ctype == 2:
@@ -497,9 +515,11 @@ def decode_png(data: bytes) -> np.ndarray:
 
 def sniff(data: bytes) -> str | None:
     """Identify a payload by magic bytes: 'bmp', 'ppm', 'wav', 'avi',
-    'png', or None."""
+    'png', 'jpeg', or None."""
     if data[:8] == PNG_SIG:
         return "png"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if data[:2] == b"BM":
         return "bmp"
     if data[:2] == b"P6":
@@ -520,10 +540,15 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_ppm(data)
     if fmt == "png":
         return decode_png(data)
+    if fmt == "jpeg":
+        from .jpeg import decode_jpeg  # lazy: keeps the common path light
+
+        return decode_jpeg(data)
     raise NotImplementedError(
         "no shipped codec for this payload (magic %r); real decode supports "
-        "uncompressed 24-bit BMP, binary PPM, and 8-bit PNG — JPEG needs a "
-        "DCT codec (PIL/libjpeg), absent from this environment" % data[:2]
+        "uncompressed 24-bit BMP, binary PPM, 8-bit PNG, and baseline "
+        "JPEG (progressive/12-bit JPEG fail loudly inside the codec)"
+        % data[:2]
     )
 
 
@@ -534,6 +559,10 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         return encode_ppm(arr)
     if fmt == "png":
         return encode_png(arr)
+    if fmt == "jpeg":
+        from .jpeg import encode_jpeg
+
+        return encode_jpeg(arr)
     raise NotImplementedError(f"no shipped encoder for format {fmt!r}")
 
 

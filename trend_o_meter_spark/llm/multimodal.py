@@ -245,13 +245,12 @@ def decode_media(media: DataFrame, *, real: bool = False) -> DataFrame:
       statistics + an ``FEATURE_DIM``-chunk mean vector.  Schema
       ``DECODE_FEATURES_SCHEMA``; this is the driver-visible path.
     * ``real=True``: ACTUAL image decoding via the dependency-free
-      :mod:`.codecs` (uncompressed 24-bit BMP and binary PPM — the
-      formats a no-PIL container can honestly ship).  The same feature
-      family is computed over DECODED PIXEL values, plus ``width`` /
-      ``height`` from the decoded geometry (schema
-      ``REAL_DECODE_SCHEMA``).  Payloads in any other format raise
-      ``NotImplementedError`` (PNG/JPEG/audio/video codecs need
-      PIL/libav, absent here) — loudly, per-row, on the executor.
+      :mod:`.codecs` (uncompressed 24-bit BMP, binary PPM, 8-bit PNG,
+      baseline JPEG).  The same feature family is computed over DECODED
+      PIXEL values, plus ``width`` / ``height`` from the decoded
+      geometry (schema ``REAL_DECODE_SCHEMA``).  Payloads in any other
+      format (or progressive/12-bit JPEG) raise ``NotImplementedError``
+      — loudly, per-row, on the executor.
 
     Scale notes: batches arrive Arrow-encoded per input partition; with
     ~MB-sized payloads tune ``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -629,7 +628,7 @@ def resize_image(media: DataFrame, *, width: int, height: int, real: bool = Fals
     updated) without touching payload bytes.
 
     ``real=True``: decodes image-typed payloads with :mod:`.codecs`
-    (BMP/PPM), nearest-neighbor resamples the pixels, and RE-ENCODES in
+    (BMP/PPM/PNG/JPEG), nearest-neighbor resamples the pixels, and RE-ENCODES in
     the payload's own format — content, fingerprint, and metadata all
     change, like a production resize.  Non-image rows pass through
     untouched; an image row in an unsupported format raises
@@ -688,8 +687,8 @@ def image_features(media: DataFrame) -> DataFrame:
     pixel-domain features — the image sibling of :func:`audio_features`,
     same contract:
 
-    * a payload that sniffs as a shipped image format (PNG/BMP/PPM) is
-      decoded directly (:func:`.codecs.decode_image`);
+    * a payload that sniffs as a shipped image format (PNG/BMP/PPM/
+      baseline JPEG) is decoded directly (:func:`.codecs.decode_image`);
     * any other payload (the synthetic corpus: UTF-8 text bytes) is
       TILED into an RGB array of ``w = (n % 24) + 8`` by
       ``h = (n % 16) + 8`` pixels (byte ``i`` of the array is payload
@@ -717,7 +716,7 @@ def image_features(media: DataFrame) -> DataFrame:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 raw = bytes(content)
-                if codecs.sniff_strict(raw) in ("png", "bmp", "ppm"):
+                if codecs.sniff_strict(raw) in ("png", "bmp", "ppm", "jpeg"):
                     img = codecs.decode_image(raw)
                 else:
                     n = len(raw)
