@@ -1983,3 +1983,197 @@ def test_stream_ks_equals_batch_comparison_and_replay_safe(spark, tmp_path):
     per_batch2 = stream_ks(**dict(kw, on_result=lambda bid, df: results2.update({bid: df.collect()[0]})))
     per_batch2(_df([]), 2)
     assert tuple(results2[2]) == tuple(results[1])
+
+
+def test_stream_funnel_matches_batch_with_replay_and_restart(spark, tmp_path):
+    """The live funnel (per-(step, user) frontier min-ts state, MIN
+    merge) must equal operators.analytics.funnel_steps over everything
+    ingested so far at every batch, survive an at-least-once replay
+    unchanged, and resume exactly from its state table on restart.
+    Fixture includes: a user converting across batches, a user
+    converting fully INSIDE one batch, a never-converting user, and a
+    user whose step-2 event precedes their step-1 event (must not
+    count — first-touch strictly-after semantics)."""
+    from trend_o_meter_spark.operators.analytics import funnel_steps
+    from trend_o_meter_spark.streaming.pipeline import stream_funnel
+
+    steps = ("view", "click", "purchase")
+    rows = [
+        # (epoch, user, event_type)
+        (100, "a", "view"), (110, "b", "view"), (120, "c", "view"),
+        (130, "d", "click"),            # d: click BEFORE any view
+        (150, "a", "click"), (155, "c", "click"), (160, "d", "view"),
+        (210, "a", "purchase"),         # a converts fully
+        (220, "b", "click"),
+        (230, "e", "view"), (235, "e", "click"), (240, "e", "purchase"),  # in one batch
+        (250, "d", "click"),            # d's click after their view: counts now
+    ]
+    batches = [rows[:7], rows[7:9], rows[9:]]
+
+    def mkdf(rs):
+        return spark.createDataFrame(
+            [(float(e), u, t) for e, u, t in rs], "epoch double, user_id string, event_type string"
+        ).select(F.timestamp_seconds("epoch").alias("ts"), "user_id", "event_type")
+
+    results = {}
+    per_batch = stream_funnel(
+        state_path=str(tmp_path / "funnel"),
+        steps=steps,
+        on_result=lambda bid, df: results.update({bid: sorted(map(tuple, df.collect()))}),
+    )
+    seen = []
+    for i, chunk in enumerate(batches[:2]):
+        seen += chunk
+        per_batch(mkdf(chunk), i)
+        want = sorted(map(tuple, funnel_steps(mkdf(seen), steps).collect()))
+        assert results[i] == want, (i, results[i], want)
+
+    per_batch(mkdf(batches[1]), 1)  # at-least-once replay of batch 1
+    assert results[1] == want
+
+    # restart: a NEW foreachBatch closure over the same state path
+    results2 = {}
+    per_batch2 = stream_funnel(
+        state_path=str(tmp_path / "funnel"),
+        steps=steps,
+        on_result=lambda bid, df: results2.update({bid: sorted(map(tuple, df.collect()))}),
+    )
+    seen += batches[2]
+    per_batch2(mkdf(batches[2]), 2)
+    want = sorted(map(tuple, funnel_steps(mkdf(seen), steps).collect()))
+    assert results2[2] == want
+    # spot-check semantics: e converted (in-batch chain), d converted
+    # through step 2 only after the in-order click, b stopped at click
+    report = {r[1]: (r[2]) for r in results2[2]}  # step_name -> n_users
+    assert report["view"] == 5       # a b c d e
+    # every user clicked after their view — d's pre-view click at 130
+    # did NOT count, their in-order click at 250 did
+    assert report["click"] == 5
+    assert report["purchase"] == 2   # a (210 > 150) and e (in-batch chain)
+
+
+def test_stream_dau_mau_matches_batch_replay_and_restart(spark, tmp_path):
+    """The live DAU/MAU twin's (user, day) dedup state is
+    order-insensitive and replay-idempotent: equal to the batch report
+    at every micro-batch (even with out-of-order delivery), unchanged
+    under replay, resumed exactly on restart."""
+    from trend_o_meter_spark.operators.analytics import dau_mau
+    from trend_o_meter_spark.streaming.pipeline import stream_dau_mau
+
+    day = 86400
+    rows = [
+        (0.5 * day, "a"), (0.6 * day, "b"), (1.2 * day, "a"),
+        (2.1 * day, "c"), (0.9 * day, "a"),       # duplicate (a, day0)
+        (1.8 * day, "b"), (40.0 * day, "a"),      # far later day
+        (2.5 * day, "b"), (0.2 * day, "c"),       # OUT OF ORDER: still exact
+    ]
+    batches = [rows[:4], rows[4:7], rows[7:]]
+
+    def mkdf(rs):
+        return spark.createDataFrame(
+            [(float(e), u) for e, u in rs], "epoch double, user_id string"
+        ).select(F.timestamp_seconds("epoch").alias("ts"), "user_id")
+
+    results = {}
+    per_batch = stream_dau_mau(
+        state_path=str(tmp_path / "daumau"),
+        window_days=7,
+        on_result=lambda bid, df: results.update({bid: sorted(map(tuple, df.collect()))}),
+    )
+    seen = []
+    for i, chunk in enumerate(batches[:2]):
+        seen += chunk
+        per_batch(mkdf(chunk), i)
+        want = sorted(map(tuple, dau_mau(mkdf(seen), window_days=7).collect()))
+        assert results[i] == want, i
+
+    per_batch(mkdf(batches[1]), 1)  # replay
+    assert results[1] == want
+
+    results2 = {}
+    per_batch2 = stream_dau_mau(
+        state_path=str(tmp_path / "daumau"),
+        window_days=7,
+        on_result=lambda bid, df: results2.update({bid: sorted(map(tuple, df.collect()))}),
+    )
+    seen += batches[2]
+    per_batch2(mkdf(batches[2]), 2)
+    want = sorted(map(tuple, dau_mau(mkdf(seen), window_days=7).collect()))
+    assert results2[2] == want
+
+
+def test_stream_interarrival_within_bin_width_replay_restart_compaction(spark, tmp_path):
+    """The live inter-arrival twin: per-metric gap quantile estimates
+    from additive histogram partials + per-batch edge rows (boundary
+    gaps derived at read time) must land within bin_width of the exact
+    rank-based gap quantile over everything ingested — including the
+    gaps that SPAN micro-batch boundaries — and be unchanged by replay,
+    restart, and compaction folding."""
+    from trend_o_meter_spark.streaming.pipeline import stream_interarrival
+
+    # metric m: regular 2 s heartbeat with a RECURRENT 30 s outage
+    # (~8% of gaps — enough mass that the p99 rank genuinely lands on
+    # it); metric n: 5 s cadence.  Batch splits put several gaps ACROSS
+    # the boundary.
+    rows = []
+    t = 0.0
+    for i in range(60):
+        t += 30.0 if i % 12 == 5 else 2.0
+        rows.append((t, "m"))
+    u = 0.25
+    for i in range(24):
+        u += 5.0
+        rows.append((u, "n"))
+    rows.sort()
+    batches = [rows[:30], rows[30:31], rows[31:60], rows[60:]]  # incl. 1-row batch
+
+    def mkdf(rs):
+        return spark.createDataFrame(
+            [(float(e), m) for e, m in rs], "epoch double, metric string"
+        ).select(F.timestamp_seconds("epoch").alias("ts"), "metric")
+
+    def exact_quantile_by_rank(vals, q):
+        s = sorted(vals)
+        return s[int(q * (len(s) - 1))]
+
+    results = {}
+    per_batch = stream_interarrival(
+        state_path=str(tmp_path / "inter"),
+        bin_width=1.0,
+        compact_every=2,  # exercise the edge-folding transform mid-run
+        on_result=lambda bid, df: results.update(
+            {bid: {(r["metric"], r["q"]): r["quantile_est"] for r in df.collect()}}
+        ),
+    )
+    for i, chunk in enumerate(batches[:3]):
+        per_batch(mkdf(chunk), i)
+    last = results[2]
+    per_batch(mkdf(batches[2]), 2)  # replay
+    assert results[2] == last
+
+    results2 = {}
+    per_batch2 = stream_interarrival(
+        state_path=str(tmp_path / "inter"),
+        bin_width=1.0,
+        on_result=lambda bid, df: results2.update(
+            {bid: {(r["metric"], r["q"]): r["quantile_est"] for r in df.collect()}}
+        ),
+    )
+    per_batch2(mkdf(batches[3]), 3)  # restart + final batch
+
+    gaps = {"m": [], "n": []}
+    lastts = {}
+    for e, m in rows:
+        if m in lastts:
+            gaps[m].append(e - lastts[m])
+        lastts[m] = e
+    # gap count must be exact: every boundary-spanning gap accounted for
+    est = results2[3]
+    for metric in ("m", "n"):
+        for q in (0.5, 0.9, 0.99):
+            want = exact_quantile_by_rank(gaps[metric], q)
+            got = est[(metric, q)]
+            assert abs(got - want) <= 1.0, (metric, q, got, want)
+    # the outage gap must be visible in p99 of m (30 s >> p50 of 2 s)
+    assert est[("m", 0.99)] >= 25.0
+    assert abs(est[("m", 0.5)] - 2.0) <= 1.0

@@ -86,13 +86,22 @@ def funnel_steps(
     out = counts[0]
     for c in counts[1:]:
         out = out.unionByName(c)
+    return funnel_report_from_counts(out)
+
+
+def funnel_report_from_counts(counts: DataFrame) -> DataFrame:
+    """Shared batch tail: ``(step_index, step_name, n_users)`` rows ->
+    the funnel report with per-step conversion vs the previous step.
+    Used by :func:`funnel_steps` and the live twin
+    (``streaming.pipeline.stream_funnel``) so both emit the identical
+    closed form."""
     # conversion vs the previous step via a self-join on step_index - 1
-    prev = out.select(
+    prev = counts.select(
         (F.col("step_index") + 1).alias("step_index"),
         F.col("n_users").alias("__prev_n"),
     )
     return (
-        out.join(prev, "step_index", "left")
+        counts.join(prev, "step_index", "left")
         .select(
             "step_index",
             "step_name",
@@ -438,6 +447,15 @@ def dau_mau(
     """
     day = F.floor(F.unix_seconds(F.col(ts)) / 86400).cast("long")
     ud = df.select(F.col(user).alias("__u"), day.alias("__d")).distinct()
+    return dau_mau_from_user_days(ud, window_days=window_days)
+
+
+def dau_mau_from_user_days(ud: DataFrame, *, window_days: int = 30) -> DataFrame:
+    """Shared batch tail: deduped ``(__u, __d)`` user-day pairs -> the
+    DAU/MAU report.  Used by :func:`dau_mau` and the live twin
+    (``streaming.pipeline.stream_dau_mau``) — the (user, day) dedup IS
+    the twin's additive state, so both paths emit the identical closed
+    form over it."""
     dau = ud.groupBy(F.col("__d").alias("day")).agg(F.count(F.lit(1)).alias("dau"))
     contrib = ud.select(
         "__u",

@@ -145,6 +145,53 @@ WHERE cum >= r AND cum - cnt < r
 """
 
 
+def histogram_quantiles_keyed(
+    sketch: DataFrame,
+    *,
+    keys: Sequence[str],
+    qs: Sequence[float] = DEFAULT_QS,
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """Per-key quantile estimates from a keyed sketch: ``*keys, q,
+    quantile_est`` — the keyed form of :func:`histogram_quantiles`,
+    with the SAME integer rank arithmetic and within-bin interpolation
+    (estimates land within ``bin_width`` of the exact quantile, the
+    sketch's hard guarantee).
+
+    The cumulative runs as a window over the per-key bins table —
+    <= range/bin_width rows per key by construction, so the window
+    partition is sketch-bounded, never data-bounded."""
+    from pyspark.sql import Window
+
+    w = float(bin_width)
+    spark = sketch.sparkSession
+    kcols = list(keys)
+    cum_w = (
+        Window.partitionBy(*kcols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = sketch.withColumn("cum", F.sum("cnt").over(cum_w).cast("long"))
+    totals = sketch.groupBy(*kcols).agg(F.sum("cnt").cast("long").alias("n"))
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    targets = totals.crossJoin(F.broadcast(qdf)).select(
+        *kcols, "q", (F.floor(F.col("q") * (F.col("n") - 1)) + 1).cast("long").alias("r")
+    )
+    return (
+        cum.join(targets, kcols)
+        .filter((F.col("cum") >= F.col("r")) & (F.col("cum") - F.col("cnt") < F.col("r")))
+        .select(
+            *kcols,
+            "q",
+            F.round(
+                F.col("bin") * F.lit(w)
+                + F.lit(w) * (F.col("r") - (F.col("cum") - F.col("cnt")) - 1) / F.col("cnt"),
+                9,
+            ).alias("quantile_est"),
+        )
+    )
+
+
 def histogram_sketch_keyed(
     df: DataFrame,
     *,

@@ -1230,3 +1230,310 @@ def stream_ks(
             on_result(batch_id, ks_from_counts(counts, bucket_width=bucket_width))
 
     return per_batch
+
+
+def stream_funnel(
+    *,
+    state_path: str,
+    steps: tuple[str, ...],
+    ts: str = "ts",
+    user: str = "user_id",
+    event_type: str = "event_type",
+    compact_every: int = 25,
+    on_result: "object" = None,
+):
+    """Live conversion funnel: the streaming twin of
+    ``operators.analytics.funnel_steps`` — state is the per-(step, user)
+    frontier min-timestamp, merged by MIN (the frontier only ever
+    tightens), and every micro-batch re-emits the full report through
+    the shared batch tail (``funnel_report_from_counts``), equal to the
+    batch funnel over everything ingested so far.
+
+    Each batch advances the frontiers IN STEP ORDER: step i candidates
+    are the batch's step-i events strictly after the user's CURRENT
+    step-(i-1) frontier (old state merged with this batch's own step-
+    (i-1) update, so a user who completes several steps inside one
+    micro-batch converts immediately).  Under in-timestamp-order
+    delivery this reproduces the batch first-touch semantics exactly
+    (test-pinned, replay + restart included); an out-of-order step-i
+    event arriving AFTER a later step's frontier was already evaluated
+    cannot retroactively create conversions — the same bounded-lateness
+    posture as every watermarked pipeline here (module doc), and the
+    divergence is conservative (never over-counts).
+
+    State is O(steps x users) rows on the replay-idempotent
+    :class:`.statestore.PartialStateTable` discipline (a replayed batch
+    recomputes the same deterministic partial and overwrites its own
+    partition).  Returns the ``foreachBatch`` callable.
+    """
+    from ..operators.analytics import funnel_report_from_counts
+    from .statestore import PartialStateTable
+
+    st = PartialStateTable(state_path)
+    step_list = list(steps)
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.groupBy("__step", "__u").agg(F.min("__ft").alias("__ft"))
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            st.compact(spark, transform=merge)
+        prior = st.read(spark)
+        if not batch_df.isEmpty():
+            partials = []
+            prev_f: DataFrame | None = None
+            for i, step in enumerate(step_list):
+                old_i = (
+                    merge(prior.filter(F.col("__step") == i)).select("__u", "__ft")
+                    if prior is not None
+                    else None
+                )
+                ev = batch_df.filter(F.col(event_type) == step).select(
+                    F.col(user).alias("__u"), F.col(ts).alias("__t")
+                )
+                if i == 0:
+                    cand = ev.groupBy("__u").agg(F.min("__t").alias("__ft"))
+                else:
+                    cand = (
+                        ev.join(prev_f.select("__u", F.col("__ft").alias("__prev")), "__u")
+                        .filter(F.col("__t") > F.col("__prev"))
+                        .groupBy("__u")
+                        .agg(F.min("__t").alias("__ft"))
+                    )
+                new_f = (
+                    cand
+                    if old_i is None
+                    else cand.unionByName(old_i)
+                    .groupBy("__u")
+                    .agg(F.min("__ft").alias("__ft"))
+                )
+                partials.append(cand.select(F.lit(i).alias("__step"), "__u", "__ft"))
+                prev_f = new_f
+            partial = partials[0]
+            for p in partials[1:]:
+                partial = partial.unionByName(p)
+            st.append(partial, batch_id)
+        state = st.read(spark)
+        if state is None:
+            return
+        frontiers = merge(state)
+        spine = batch_df.sparkSession.createDataFrame(
+            [(i + 1, s) for i, s in enumerate(step_list)],
+            "step_index int, step_name string",
+        )
+        counts = (
+            frontiers.groupBy((F.col("__step") + 1).alias("step_index"))
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .join(F.broadcast(spine), "step_index", "right")
+            .select(
+                "step_index",
+                "step_name",
+                F.coalesce("n_users", F.lit(0)).cast("long").alias("n_users"),
+            )
+        )
+        if on_result is not None:
+            on_result(batch_id, funnel_report_from_counts(counts))
+
+    return per_batch
+
+
+def stream_dau_mau(
+    *,
+    state_path: str,
+    ts: str = "ts",
+    user: str = "user_id",
+    window_days: int = 30,
+    compact_every: int = 25,
+    on_result: "object" = None,
+):
+    """Live stickiness (DAU/MAU): the streaming twin of
+    ``operators.analytics.dau_mau`` — state is the deduped (user,
+    epoch-day) pair set, merged by DISTINCT (idempotent under replay AND
+    insensitive to arrival order, so this twin equals the batch report
+    over the union unconditionally — no in-order caveat).  Every
+    micro-batch re-emits the full report via the shared batch tail
+    (``dau_mau_from_user_days``).
+
+    State is O(active users x observed days) rows — the same bound the
+    batch operator's first dedup produces — on the replay-idempotent
+    :class:`.statestore.PartialStateTable` discipline.  Returns the
+    ``foreachBatch`` callable.
+    """
+    from ..operators.analytics import dau_mau_from_user_days
+    from .statestore import PartialStateTable
+
+    st = PartialStateTable(state_path)
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.distinct()
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            st.compact(spark, transform=merge)
+        if not batch_df.isEmpty():
+            day = F.floor(F.unix_seconds(F.col(ts)) / 86400).cast("long")
+            st.append(
+                batch_df.select(F.col(user).alias("__u"), day.alias("__d")).distinct(),
+                batch_id,
+            )
+        state = st.read(spark)
+        if state is None:
+            return
+        if on_result is not None:
+            on_result(
+                batch_id,
+                dau_mau_from_user_days(merge(state), window_days=window_days),
+            )
+
+    return per_batch
+
+
+def stream_interarrival(
+    *,
+    state_path: str,
+    ts: str = "ts",
+    keys: tuple[str, ...] = ("metric",),
+    tiebreak: tuple[str, ...] = (),
+    bin_width: float = 1.0,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    compact_every: int = 25,
+    on_result: "object" = None,
+):
+    """Live inter-arrival gap quantiles: the streaming twin of the
+    ``interarrival_quantiles`` heartbeat-SLO query — the gap
+    distribution ``active_channels``' inactivity cutoff should be SET
+    from, measured continuously (the reference's liveness loop,
+    trend-o-meter:470-479).
+
+    State per batch, all deterministic functions of the batch alone
+    (so replay overwrites reproduce themselves bit-for-bit):
+
+    * ``kind='b'`` rows — the batch's WITHIN-batch gap histogram
+      (``operators.histogram`` sketch, per-key);
+    * one ``kind='e'`` row per key — the batch's first/last event
+      micro-timestamps, tagged with the batch sequence.
+
+    The cross-batch boundary gaps are derived AT READ TIME from
+    consecutive edge rows (a per-key lag over O(batches) edge rows —
+    never over events), so no partial ever depends on prior state.
+    Compaction folds resolved boundary gaps into the histogram and
+    keeps only each key's newest edge.  Quantile estimates come from
+    the keyed integer-rank estimator
+    (``histogram_quantiles_keyed``) and sit within ``bin_width`` of the
+    exact batch quantile (the sketch's hard guarantee, test-pinned with
+    replay + restart).  Assumes in-timestamp-order delivery across
+    batches (the module-doc watermark posture); within a batch, order
+    is (ts, *tiebreak) like the batch query.  Returns the
+    ``foreachBatch`` callable.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.histogram import histogram_quantiles_keyed
+    from .statestore import PartialStateTable
+
+    st = PartialStateTable(state_path)
+    kcols = list(keys)
+    wname = float(bin_width)
+
+    def _fold(df: DataFrame, *, keep_edges: bool) -> DataFrame:
+        hist = (
+            df.filter(F.col("__kind") == "b")
+            .groupBy(*kcols, "__bin")
+            .agg(F.sum("__cnt").cast("long").alias("__cnt"))
+            .select(*kcols, F.lit("b").alias("__kind"), "__bin", "__cnt",
+                    F.lit(None).cast("long").alias("__seq"),
+                    F.lit(None).cast("long").alias("__first_us"),
+                    F.lit(None).cast("long").alias("__last_us"))
+        )
+        edges = df.filter(F.col("__kind") == "e")
+        lag_w = Window.partitionBy(*kcols).orderBy("__seq")
+        boundary = (
+            edges.withColumn("__prev_last", F.lag("__last_us").over(lag_w))
+            .filter(F.col("__prev_last").isNotNull())
+            .select(
+                *kcols,
+                F.lit("b").alias("__kind"),
+                F.floor(
+                    ((F.col("__first_us") - F.col("__prev_last")).cast("double") / F.lit(1e6))
+                    / F.lit(wname)
+                ).cast("long").alias("__bin"),
+                F.lit(1).cast("long").alias("__cnt"),
+                F.lit(None).cast("long").alias("__seq"),
+                F.lit(None).cast("long").alias("__first_us"),
+                F.lit(None).cast("long").alias("__last_us"),
+            )
+        )
+        folded = (
+            hist.unionByName(boundary)
+            .groupBy(*kcols, "__kind", "__bin")
+            .agg(F.sum("__cnt").cast("long").alias("__cnt"))
+            .select(*kcols, "__kind", "__bin", "__cnt",
+                    F.lit(None).cast("long").alias("__seq"),
+                    F.lit(None).cast("long").alias("__first_us"),
+                    F.lit(None).cast("long").alias("__last_us"))
+        )
+        if not keep_edges:
+            return folded
+        keep_w = Window.partitionBy(*kcols).orderBy(F.col("__seq").desc())
+        newest = (
+            edges.withColumn("__rn", F.row_number().over(keep_w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        return folded.unionByName(newest)
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            st.compact(spark, transform=lambda df: _fold(df, keep_edges=True))
+        if not batch_df.isEmpty():
+            us = F.unix_micros(F.col(ts))
+            rows = batch_df.select(*kcols, us.alias("__us"), *tiebreak)
+            in_w = Window.partitionBy(*kcols).orderBy("__us", *tiebreak)
+            gaps = rows.select(
+                *kcols,
+                ((F.col("__us") - F.lag("__us").over(in_w)).cast("double") / F.lit(1e6)).alias(
+                    "__gap"
+                ),
+            ).filter(F.col("__gap").isNotNull())
+            hist = (
+                gaps.groupBy(
+                    *kcols,
+                    F.floor(F.col("__gap") / F.lit(wname)).cast("long").alias("__bin"),
+                )
+                .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+                .select(*kcols, F.lit("b").alias("__kind"), "__bin", "__cnt",
+                        F.lit(None).cast("long").alias("__seq"),
+                        F.lit(None).cast("long").alias("__first_us"),
+                        F.lit(None).cast("long").alias("__last_us"))
+            )
+            edges = rows.groupBy(*kcols).agg(
+                F.min("__us").alias("__first_us"), F.max("__us").alias("__last_us")
+            ).select(
+                *kcols,
+                F.lit("e").alias("__kind"),
+                F.lit(None).cast("long").alias("__bin"),
+                F.lit(None).cast("long").alias("__cnt"),
+                F.lit(int(batch_id)).alias("__seq"),
+                "__first_us",
+                "__last_us",
+            )
+            st.append(hist.unionByName(edges), batch_id)
+        state = st.read(spark)
+        if state is None:
+            return
+        sketch = (
+            _fold(state, keep_edges=False)
+            .select(*kcols, F.col("__bin").alias("bin"), F.col("__cnt").alias("cnt"))
+        )
+        if on_result is not None:
+            on_result(
+                batch_id,
+                histogram_quantiles_keyed(
+                    sketch, keys=kcols, qs=list(qs), bin_width=wname
+                ),
+            )
+
+    return per_batch
