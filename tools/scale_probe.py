@@ -208,6 +208,38 @@ def assoc_probe(spark, reps):
     return analytics.assoc_rules(ev)
 
 
+def interarrival_probe(spark, reps):
+    """Replicated events with ts SHIFTED by a full corpus span per
+    replica: the stream's wall-clock span (and so each key's series)
+    grows reps x while the key count stays fixed at 5 — exactly the
+    shape where the pre-r8 per-event_type lag window put one task on
+    each metric's ENTIRE history.  The (event_type, hour-bucket)
+    decomposition must hold wall roughly linear with parallelism
+    ~ keys x hours; the per-task sort stays one bucket, never a whole
+    series (plan-checked by tests/test_plans.py)."""
+    from trend_o_meter_spark.workload import interarrival_quantiles_from_events
+
+    ev = table(spark, "events", SF_DIR).select("event_id", "ts", "event_type")
+    if reps > 1:
+        span_us = (
+            ev.agg(
+                (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias("s")
+            ).head()[0]
+            or 0
+        ) + 1_000_000
+        idspan = (ev.agg(F.max("event_id")).head()[0] or 0) + 1
+        ev = ev.select(
+            F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("__r"), "*"
+        ).select(
+            (F.col("event_id") + F.col("__r") * F.lit(idspan)).alias("event_id"),
+            F.timestamp_micros(
+                F.unix_micros("ts") + F.col("__r").cast("long") * F.lit(span_us)
+            ).alias("ts"),
+            "event_type",
+        )
+    return interarrival_quantiles_from_events(ev)
+
+
 PROBES = {
     "semantic_dedup": semantic_dedup_probe,
     "pagerank": pagerank_probe,
@@ -218,6 +250,7 @@ PROBES = {
     "rfm": rfm_probe,
     "triangles": triangles_probe,
     "assoc": assoc_probe,
+    "interarrival": interarrival_probe,
 }
 
 

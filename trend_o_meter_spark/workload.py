@@ -639,9 +639,17 @@ def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value-multiset buffer on the few-fat-keys shape.",
 )
 def interarrival_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir).select("event_id", "ts", "event_type")
+    return interarrival_quantiles_from_events(ev)
+
+
+def interarrival_quantiles_from_events(ev: DataFrame) -> DataFrame:
+    """Body of ``interarrival_quantiles`` over an arbitrary events
+    DataFrame (``event_id, ts, event_type``) — split out so the scale
+    probe (tools/scale_probe.py) can drive the identical plan over a
+    replicated corpus."""
     from pyspark.sql import Window
 
-    ev = table(spark, "events", sf_dir).select("event_id", "ts", "event_type")
     us = F.unix_micros(F.col("ts"))
     # Hour buckets on event time: rows with equal ts always share a bucket,
     # so (ts, event_id) order within a bucket is the global order restricted
