@@ -708,3 +708,34 @@ def test_image_features_and_resize_on_jpeg_fixture(spark):
     for i in range(6):
         assert codecs.sniff(resized[i]) == "jpeg"
         assert decode_jpeg(resized[i]).shape == (7, 10, 3)
+
+
+def test_jpeg_rejects_cmyk_and_multiscan_accepts_fill_bytes():
+    """Review-found gaps, pinned: a 4-component (Adobe CMYK-shaped)
+    frame and a non-interleaved scan that covers only one of three
+    components used to decode SILENTLY WRONG (K dropped / chroma planes
+    left zero) — both must fail loudly; and spec-legal 0xFF fill bytes
+    before a marker (T.81 B.1.1.2) must not desync the segment walk."""
+    from trend_o_meter_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((8, 8, 3), 90, dtype=np.uint8)
+    good = bytearray(encode_jpeg(img, quality=85, subsampling="444"))
+    sof_at = good.find(b"\xff\xc0")
+
+    cmyk = bytearray(good)
+    # SOF0 body: len(2) prec(1) h(2) w(2) ncomp(1) — bump ncomp to 4
+    cmyk[sof_at + 9] = 4
+    with pytest.raises(NotImplementedError, match="component count"):
+        decode_jpeg(bytes(cmyk))
+
+    partial = bytearray(good)
+    sos_at = partial.find(b"\xff\xda")
+    # SOS body: len(2) ns(1) ... — claim the scan covers one component
+    partial[sos_at + 4] = 1
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg(bytes(partial))
+
+    # 0xFF fill bytes before the DQT marker: must decode identically
+    dqt_at = good.find(b"\xff\xdb")
+    filled = bytes(good[:dqt_at]) + b"\xff\xff\xff" + bytes(good[dqt_at:])
+    np.testing.assert_array_equal(decode_jpeg(filled), decode_jpeg(bytes(good)))

@@ -526,6 +526,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        # any marker may be preceded by any number of 0xFF fill bytes
+        # (T.81 B.1.1.2) — skip them or the walk reads a fill byte as
+        # the marker code and desyncs
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -546,9 +551,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 else:
                     tab = np.frombuffer(body[i : i + 128], dtype=">u2").astype(np.int64)
                     i += 128
-                dq = np.zeros(64, dtype=np.int64)
-                dq[ZIGZAG] = tab  # stored in zig-zag order
-                qtabs[tq] = dq[ZIGZAG]  # qtab indexed in SCAN order
+                # DQT bodies arrive in zig-zag (scan) order, which is
+                # exactly the order _decode_block multiplies against zz
+                qtabs[tq] = tab
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -565,6 +570,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             h = _read_u16(body, 1)
             w = _read_u16(body, 3)
             ncomp = body[5]
+            if ncomp not in (1, 3):
+                # 4-component (Adobe CMYK/YCCK) would convert as if
+                # YCbCr and silently drop K — fail loudly instead
+                raise NotImplementedError(
+                    f"JPEG component count {ncomp} unsupported (1 or 3 only)"
+                )
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]
@@ -587,6 +598,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = body[0]
+            if ns != len(frame["comps"]):
+                # T.81 baseline permits per-component (non-interleaved)
+                # scans; decoding only the first would leave the other
+                # planes zero — fail loudly rather than emit garbage
+                raise NotImplementedError(
+                    "JPEG multi-scan (non-interleaved) stream unsupported — "
+                    f"scan covers {ns} of {len(frame['comps'])} components"
+                )
             scan = []
             for si in range(ns):
                 cs, tdta = body[1 + si * 2], body[2 + si * 2]
