@@ -2177,3 +2177,57 @@ def test_stream_interarrival_within_bin_width_replay_restart_compaction(spark, t
     # the outage gap must be visible in p99 of m (30 s >> p50 of 2 s)
     assert est[("m", 0.99)] >= 25.0
     assert abs(est[("m", 0.5)] - 2.0) <= 1.0
+
+
+def test_stream_cohort_retention_matches_batch_replay_restart_recohort(spark, tmp_path):
+    """The live retention twin's (user, day) dedup state is sufficient
+    for the whole triangle (cohort = MIN over the same set): equal to
+    the batch report at every batch, unchanged under replay, resumed on
+    restart — and a LATE event back-dating a user's first-seen day must
+    re-cohort them exactly as batch recompute would."""
+    from trend_o_meter_spark.operators.analytics import cohort_retention
+    from trend_o_meter_spark.streaming.pipeline import stream_cohort_retention
+
+    day = 86400
+    rows = [
+        (0.1 * day, "a"), (0.2 * day, "b"), (1.3 * day, "a"),
+        (1.4 * day, "c"), (2.5 * day, "b"), (2.6 * day, "c"),
+        (3.1 * day, "a"),
+        (0.7 * day, "c"),   # LATE: c's true cohort is day 0, not day 1
+    ]
+    batches = [rows[:4], rows[4:7], rows[7:]]
+
+    def mkdf(rs):
+        return spark.createDataFrame(
+            [(float(e), u) for e, u in rs], "epoch double, user_id string"
+        ).select(F.timestamp_seconds("epoch").alias("ts"), "user_id")
+
+    results = {}
+    per_batch = stream_cohort_retention(
+        state_path=str(tmp_path / "cohort"),
+        max_offset_days=7,
+        on_result=lambda bid, df: results.update({bid: sorted(map(tuple, df.collect()))}),
+    )
+    seen = []
+    for i, chunk in enumerate(batches[:2]):
+        seen += chunk
+        per_batch(mkdf(chunk), i)
+        want = sorted(map(tuple, cohort_retention(mkdf(seen), max_offset_days=7).collect()))
+        assert results[i] == want, i
+
+    per_batch(mkdf(batches[1]), 1)  # replay
+    assert results[1] == want
+
+    results2 = {}
+    per_batch2 = stream_cohort_retention(
+        state_path=str(tmp_path / "cohort"),
+        max_offset_days=7,
+        on_result=lambda bid, df: results2.update({bid: sorted(map(tuple, df.collect()))}),
+    )
+    seen += batches[2]
+    per_batch2(mkdf(batches[2]), 2)  # the late, re-cohorting event
+    want = sorted(map(tuple, cohort_retention(mkdf(seen), max_offset_days=7).collect()))
+    assert results2[2] == want
+    # c re-cohorted to day 0: day-0 cohort now has 3 users
+    sizes = {(r[0], r[1]): r[3] for r in results2[2]}  # (cohort, off) -> size
+    assert sizes[(0, 0)] == 3

@@ -180,12 +180,20 @@ def cohort_retention(
     output like every span-bounded contract here.
     """
     day = F.floor(F.unix_seconds(F.col(ts)) / 86400).cast("long")
-    firsts = (
-        df.select(F.col(user).alias("__u"), day.alias("__d"))
-        .groupBy("__u")
-        .agg(F.min("__d").alias("__cohort"))
-    )
-    active = df.select(F.col(user).alias("__u"), day.alias("__d")).distinct()
+    ud = df.select(F.col(user).alias("__u"), day.alias("__d")).distinct()
+    return cohort_retention_from_user_days(ud, max_offset_days=max_offset_days)
+
+
+def cohort_retention_from_user_days(
+    ud: DataFrame, *, max_offset_days: int = 30
+) -> DataFrame:
+    """Shared batch tail: deduped ``(__u, __d)`` user-day pairs -> the
+    retention triangle.  Cohorts (per-user first day) are a MIN over the
+    SAME dedup set the actives come from, so the (user, day) pair set is
+    the one sufficient state — used by :func:`cohort_retention` and the
+    live twin (``streaming.pipeline.stream_cohort_retention``)."""
+    firsts = ud.groupBy("__u").agg(F.min("__d").alias("__cohort"))
+    active = ud
     joined = (
         active.join(firsts, "__u")
         .select(

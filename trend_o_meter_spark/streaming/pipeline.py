@@ -1537,3 +1537,57 @@ def stream_interarrival(
             )
 
     return per_batch
+
+
+def stream_cohort_retention(
+    *,
+    state_path: str,
+    ts: str = "ts",
+    user: str = "user_id",
+    max_offset_days: int = 30,
+    compact_every: int = 25,
+    on_result: "object" = None,
+):
+    """Live retention triangle: the streaming twin of
+    ``operators.analytics.cohort_retention`` — the deduped (user,
+    epoch-day) pair set is the ONE sufficient state (cohorts are a MIN
+    over the same set the actives come from), merged by DISTINCT, so
+    like :func:`stream_dau_mau` this twin is order-insensitive AND
+    replay-idempotent: equal to the batch triangle over the union
+    unconditionally, re-emitted every micro-batch via the shared batch
+    tail (``cohort_retention_from_user_days``).  A late event that
+    back-dates a user's first-seen day RE-COHORTS them exactly as the
+    batch operator would.  State is O(active users x observed days) on
+    the :class:`.statestore.PartialStateTable` discipline.  Returns the
+    ``foreachBatch`` callable.
+    """
+    from ..operators.analytics import cohort_retention_from_user_days
+    from .statestore import PartialStateTable
+
+    st = PartialStateTable(state_path)
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.distinct()
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            st.compact(spark, transform=merge)
+        if not batch_df.isEmpty():
+            day = F.floor(F.unix_seconds(F.col(ts)) / 86400).cast("long")
+            st.append(
+                batch_df.select(F.col(user).alias("__u"), day.alias("__d")).distinct(),
+                batch_id,
+            )
+        state = st.read(spark)
+        if state is None:
+            return
+        if on_result is not None:
+            on_result(
+                batch_id,
+                cohort_retention_from_user_days(
+                    merge(state), max_offset_days=max_offset_days
+                ),
+            )
+
+    return per_batch
