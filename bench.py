@@ -106,6 +106,9 @@ HEADLINE = (
     "holt_winters_hourly",
     "split_drift_psi",
     "calibration_ece",
+    # round-8: the bucketed-window interarrival rewrite, tracked
+    # round-over-round (first quiet entry 2.93 s median, BASELINE.md)
+    "interarrival_quantiles",
 )
 
 
