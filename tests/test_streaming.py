@@ -2231,3 +2231,114 @@ def test_stream_cohort_retention_matches_batch_replay_restart_recohort(spark, tm
     # c re-cohorted to day 0: day-0 cohort now has 3 users
     sizes = {(r[0], r[1]): r[3] for r in results2[2]}  # (cohort, off) -> size
     assert sizes[(0, 0)] == 3
+
+
+def test_stream_event_transitions_exact_boundary_pairs_replay_restart(spark, tmp_path):
+    """The live transition-matrix twin must be EXACT vs the batch
+    operator at every micro-batch — including the consecutive pairs
+    that SPAN batch boundaries (edge-row derivation) — and survive
+    replay, restart, and mid-run compaction unchanged."""
+    from trend_o_meter_spark.operators.analytics import event_transitions
+    from trend_o_meter_spark.streaming.pipeline import stream_event_transitions
+
+    rows = [
+        # (epoch, user, type) — u1's view->click and click->purchase
+        # pairs span batch boundaries; u2 interleaves
+        (10, "u1", "view"), (20, "u2", "view"), (30, "u2", "click"),
+        (40, "u1", "click"), (50, "u2", "view"),
+        (60, "u1", "purchase"), (70, "u2", "click"), (80, "u1", "view"),
+    ]
+    batches = [rows[:3], rows[3:5], rows[5:]]
+
+    def mkdf(rs):
+        return spark.createDataFrame(
+            [(float(e), u, t) for e, u, t in rs],
+            "epoch double, user_id string, event_type string",
+        ).select(
+            F.timestamp_seconds("epoch").alias("ts"), "user_id", "event_type",
+            F.col("epoch").cast("long").alias("event_id"),
+        )
+
+    results = {}
+    per_batch = stream_event_transitions(
+        state_path=str(tmp_path / "trans"),
+        tiebreak=("event_id",),
+        compact_every=2,  # exercise the edge-folding transform mid-run
+        on_result=lambda bid, df: results.update({bid: sorted(map(tuple, df.collect()))}),
+    )
+    seen = []
+    for i, chunk in enumerate(batches[:2]):
+        seen += chunk
+        per_batch(mkdf(chunk), i)
+        want = sorted(map(tuple, event_transitions(
+            mkdf(seen), tiebreak=("event_id",)).collect()))
+        assert results[i] == want, (i, results[i], want)
+
+    per_batch(mkdf(batches[1]), 1)  # replay
+    assert results[1] == want
+
+    results2 = {}
+    per_batch2 = stream_event_transitions(
+        state_path=str(tmp_path / "trans"),
+        tiebreak=("event_id",),
+        on_result=lambda bid, df: results2.update({bid: sorted(map(tuple, df.collect()))}),
+    )
+    seen += batches[2]
+    per_batch2(mkdf(batches[2]), 2)
+    want = sorted(map(tuple, event_transitions(
+        mkdf(seen), tiebreak=("event_id",)).collect()))
+    assert results2[2] == want
+    # u1: view->click->purchase->view, u2: view->click->view->click
+    got = {(f, t): n for f, t, n in results2[2]}
+    assert got[("view", "click")] == 3
+    assert got[("click", "purchase")] == 1
+    assert got[("purchase", "view")] == 1
+    assert got[("click", "view")] == 1
+
+
+def test_stream_ab_lift_matches_batch_replay_restart(spark, tmp_path):
+    """The live A/B readout's two DISTINCT user sets are
+    order-insensitive, replay-idempotent state: equal to the batch
+    readout at every micro-batch, unchanged under replay, resumed on
+    restart; arm assignment is the salted-hash pure function so a
+    user's arm never changes across batches."""
+    from trend_o_meter_spark.operators.analytics import ab_lift
+    from trend_o_meter_spark.streaming.pipeline import stream_ab_lift
+
+    rows = [
+        (10, "a", "view"), (20, "b", "view"), (30, "c", "purchase"),
+        (40, "d", "view"), (50, "a", "purchase"), (60, "e", "view"),
+        (70, "f", "purchase"), (80, "b", "view"), (15, "g", "view"),  # out of order
+    ]
+    batches = [rows[:4], rows[4:7], rows[7:]]
+
+    def mkdf(rs):
+        return spark.createDataFrame(
+            [(float(e), u, t) for e, u, t in rs],
+            "epoch double, user_id string, event_type string",
+        ).select(F.timestamp_seconds("epoch").alias("ts"), "user_id", "event_type")
+
+    results = {}
+    per_batch = stream_ab_lift(
+        state_path=str(tmp_path / "ab"),
+        on_result=lambda bid, df: results.update({bid: sorted(map(tuple, df.collect()))}),
+    )
+    seen = []
+    for i, chunk in enumerate(batches[:2]):
+        seen += chunk
+        per_batch(mkdf(chunk), i)
+        want = sorted(map(tuple, ab_lift(mkdf(seen)).collect()))
+        assert results[i] == want, i
+
+    per_batch(mkdf(batches[1]), 1)  # replay
+    assert results[1] == want
+
+    results2 = {}
+    per_batch2 = stream_ab_lift(
+        state_path=str(tmp_path / "ab"),
+        on_result=lambda bid, df: results2.update({bid: sorted(map(tuple, df.collect()))}),
+    )
+    seen += batches[2]
+    per_batch2(mkdf(batches[2]), 2)
+    want = sorted(map(tuple, ab_lift(mkdf(seen)).collect()))
+    assert results2[2] == want

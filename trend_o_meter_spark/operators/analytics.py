@@ -621,16 +621,28 @@ def ab_lift(
     operand order.  Scale: one distinct per side, one user-keyed join,
     one global 1-row aggregate.
     """
-    from ..llm.hashing import md5_int
-
-    arm = (md5_int(F.concat(F.lit(salt + ":"), F.col("__u").cast("string"))) % 2).alias("__arm")
-    users = df.select(F.col(user).alias("__u")).distinct().select("__u", arm)
+    users = df.select(F.col(user).alias("__u")).distinct()
     conv = (
         df.filter(F.col(event_type) == conversion_type)
         .select(F.col(user).alias("__u"))
         .distinct()
-        .withColumn("__c", F.lit(1))
     )
+    return ab_lift_from_user_sets(users, conv, salt=salt)
+
+
+def ab_lift_from_user_sets(
+    users: DataFrame, conv: DataFrame, *, salt: str = "exp-v1"
+) -> DataFrame:
+    """Shared batch tail: deduped user set + deduped converted-user set
+    (both single ``__u`` columns) -> the A/B readout.  The two DISTINCT
+    sets are the twin's additive state
+    (``streaming.pipeline.stream_ab_lift``) — arm assignment is a pure
+    function of the salted user id, so it needs no storage."""
+    from ..llm.hashing import md5_int
+
+    arm = (md5_int(F.concat(F.lit(salt + ":"), F.col("__u").cast("string"))) % 2).alias("__arm")
+    users = users.select("__u", arm)
+    conv = conv.withColumn("__c", F.lit(1))
     j = users.join(conv, "__u", "left")
     agg = j.agg(
         F.sum(F.when(F.col("__arm") == 0, 1).otherwise(0)).alias("n_a"),

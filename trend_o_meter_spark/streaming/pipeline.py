@@ -1591,3 +1591,203 @@ def stream_cohort_retention(
             )
 
     return per_batch
+
+
+def stream_ab_lift(
+    *,
+    state_path: str,
+    user: str = "user_id",
+    event_type: str = "event_type",
+    conversion_type: str = "purchase",
+    salt: str = "exp-v1",
+    compact_every: int = 25,
+    on_result: "object" = None,
+):
+    """Live A/B readout: the streaming twin of
+    ``operators.analytics.ab_lift`` — state is two DISTINCT user sets
+    (everyone seen / everyone converted), tagged rows merged by
+    DISTINCT, so like :func:`stream_dau_mau` the twin is
+    order-insensitive AND replay-idempotent: equal to the batch readout
+    over the union unconditionally.  Arm assignment is a pure function
+    of the salted user id (never ``rand()``), so it costs no state.
+    Every micro-batch re-emits the full report via the shared batch
+    tail (``ab_lift_from_user_sets``) — the live form of the
+    experiment dashboard.  State is O(users) rows on the
+    :class:`.statestore.PartialStateTable` discipline.  Returns the
+    ``foreachBatch`` callable.
+    """
+    from ..operators.analytics import ab_lift_from_user_sets
+    from .statestore import PartialStateTable
+
+    st = PartialStateTable(state_path)
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.distinct()
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            st.compact(spark, transform=merge)
+        if not batch_df.isEmpty():
+            seen = batch_df.select(
+                F.col(user).alias("__u"), F.lit("u").alias("__kind")
+            ).distinct()
+            conv = (
+                batch_df.filter(F.col(event_type) == conversion_type)
+                .select(F.col(user).alias("__u"), F.lit("c").alias("__kind"))
+                .distinct()
+            )
+            st.append(seen.unionByName(conv), batch_id)
+        state = st.read(spark)
+        if state is None:
+            return
+        live = merge(state)
+        if on_result is not None:
+            on_result(
+                batch_id,
+                ab_lift_from_user_sets(
+                    live.filter(F.col("__kind") == "u").select("__u"),
+                    live.filter(F.col("__kind") == "c").select("__u"),
+                    salt=salt,
+                ),
+            )
+
+    return per_batch
+
+
+def stream_event_transitions(
+    *,
+    state_path: str,
+    ts: str = "ts",
+    user: str = "user_id",
+    event_type: str = "event_type",
+    tiebreak: tuple[str, ...] = (),
+    compact_every: int = 25,
+    on_result: "object" = None,
+):
+    """Live first-order Markov transition counts: the streaming twin of
+    ``operators.analytics.event_transitions``, EXACT (not an estimate)
+    under in-timestamp-order delivery — the same edge-row discipline as
+    :func:`stream_interarrival` applied to event-type bigrams:
+
+    * additive (from_type, to_type) counts of each batch's WITHIN-batch
+      consecutive pairs per user ((ts, *tiebreak)-ordered);
+    * one edge row per (user, batch) carrying the user's first and last
+      event type in the batch, tagged with the batch sequence.
+
+    The boundary pair a user's batch-spanning consecutive events form
+    (last of batch k, first of their next-seen batch) is derived AT
+    READ TIME from consecutive edge rows — a per-user lag over
+    O(batches) edge rows — so every partial is a deterministic function
+    of its batch alone (replay overwrites reproduce themselves).
+    Compaction folds resolved boundary pairs into the counts and keeps
+    only each user's newest edge.  State is O(types^2 + users) between
+    compactions.  Returns the ``foreachBatch`` callable.
+    """
+    from pyspark.sql import Window
+
+    from .statestore import PartialStateTable
+
+    st = PartialStateTable(state_path)
+
+    def _fold(df: DataFrame, *, keep_edges: bool) -> DataFrame:
+        counts = (
+            df.filter(F.col("__kind") == "n")
+            .groupBy("from_type", "to_type")
+            .agg(F.sum("__n").cast("long").alias("__n"))
+        )
+        edges = df.filter(F.col("__kind") == "e")
+        lag_w = Window.partitionBy("__u").orderBy("__seq")
+        boundary = (
+            edges.withColumn("__prev_last", F.lag("__last_t").over(lag_w))
+            .filter(F.col("__prev_last").isNotNull())
+            .groupBy(
+                F.col("__prev_last").alias("from_type"),
+                F.col("__first_t").alias("to_type"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        )
+        folded = (
+            counts.unionByName(boundary)
+            .groupBy("from_type", "to_type")
+            .agg(F.sum("__n").cast("long").alias("__n"))
+            .select(
+                F.lit("n").alias("__kind"),
+                "from_type",
+                "to_type",
+                "__n",
+                F.lit(None).cast("string").alias("__u"),
+                F.lit(None).cast("long").alias("__seq"),
+                F.lit(None).cast("string").alias("__first_t"),
+                F.lit(None).cast("string").alias("__last_t"),
+            )
+        )
+        if not keep_edges:
+            return folded
+        keep_w = Window.partitionBy("__u").orderBy(F.col("__seq").desc())
+        newest = (
+            edges.withColumn("__rn", F.row_number().over(keep_w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        return folded.unionByName(newest)
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            st.compact(spark, transform=lambda df: _fold(df, keep_edges=True))
+        if not batch_df.isEmpty():
+            w = Window.partitionBy(user).orderBy(ts, *tiebreak)
+            rows = batch_df.select(
+                F.col(user).alias("__u"),
+                F.col(event_type).alias("__t"),
+                F.lag(event_type).over(w).alias("__from"),
+                F.struct(ts, *tiebreak).alias("__ord"),
+            )
+            counts = (
+                rows.filter(F.col("__from").isNotNull())
+                .groupBy(
+                    F.col("__from").alias("from_type"), F.col("__t").alias("to_type")
+                )
+                .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+                .select(
+                    F.lit("n").alias("__kind"),
+                    "from_type",
+                    "to_type",
+                    "__n",
+                    F.lit(None).cast("string").alias("__u"),
+                    F.lit(None).cast("long").alias("__seq"),
+                    F.lit(None).cast("string").alias("__first_t"),
+                    F.lit(None).cast("string").alias("__last_t"),
+                )
+            )
+            edges = (
+                rows.groupBy("__u")
+                .agg(
+                    F.min_by("__t", "__ord").alias("__first_t"),
+                    F.max_by("__t", "__ord").alias("__last_t"),
+                )
+                .select(
+                    F.lit("e").alias("__kind"),
+                    F.lit(None).cast("string").alias("from_type"),
+                    F.lit(None).cast("string").alias("to_type"),
+                    F.lit(None).cast("long").alias("__n"),
+                    "__u",
+                    F.lit(int(batch_id)).alias("__seq"),
+                    "__first_t",
+                    "__last_t",
+                )
+            )
+            st.append(counts.unionByName(edges), batch_id)
+        state = st.read(spark)
+        if state is None:
+            return
+        if on_result is not None:
+            on_result(
+                batch_id,
+                _fold(state, keep_edges=False).select(
+                    "from_type", "to_type", F.col("__n").alias("n")
+                ),
+            )
+
+    return per_batch
