@@ -2281,6 +2281,7 @@ def test_stream_event_transitions_exact_boundary_pairs_replay_restart(spark, tmp
     per_batch2 = stream_event_transitions(
         state_path=str(tmp_path / "trans"),
         tiebreak=("event_id",),
+        compact_every=2,  # batch 2 fires the guard: fold runs mid-run
         on_result=lambda bid, df: results2.update({bid: sorted(map(tuple, df.collect()))}),
     )
     seen += batches[2]

@@ -1390,6 +1390,38 @@ def stream_dau_mau(
     return per_batch
 
 
+def _edge_boundaries(edges: DataFrame, *, keys, last_col: str, out_prev: str) -> DataFrame:
+    """Consecutive-edge derivation shared by the edge-row twins
+    (:func:`stream_interarrival`, :func:`stream_event_transitions`):
+    per-key lag of the previous edge's ``last_col`` over the batch
+    sequence (``__seq``); rows without a predecessor drop out.  The
+    replay/watermark argument for the pattern lives HERE once: edge
+    rows are deterministic functions of their own batch, so the lag
+    over (key, __seq) reconstructs every cross-batch adjacency
+    regardless of replays — a replayed batch overwrites its own
+    partition and re-derives the identical row."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy("__seq")
+    return edges.withColumn(out_prev, F.lag(last_col).over(w)).filter(
+        F.col(out_prev).isNotNull()
+    )
+
+
+def _newest_edges(edges: DataFrame, *, keys) -> DataFrame:
+    """Compaction half of the edge-row discipline: keep only each key's
+    highest-``__seq`` edge (every older adjacency has been folded into
+    the additive state by the caller)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col("__seq").desc())
+    return (
+        edges.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def stream_interarrival(
     *,
     state_path: str,
@@ -1448,10 +1480,8 @@ def stream_interarrival(
                     F.lit(None).cast("long").alias("__last_us"))
         )
         edges = df.filter(F.col("__kind") == "e")
-        lag_w = Window.partitionBy(*kcols).orderBy("__seq")
         boundary = (
-            edges.withColumn("__prev_last", F.lag("__last_us").over(lag_w))
-            .filter(F.col("__prev_last").isNotNull())
+            _edge_boundaries(edges, keys=kcols, last_col="__last_us", out_prev="__prev_last")
             .select(
                 *kcols,
                 F.lit("b").alias("__kind"),
@@ -1476,13 +1506,7 @@ def stream_interarrival(
         )
         if not keep_edges:
             return folded
-        keep_w = Window.partitionBy(*kcols).orderBy(F.col("__seq").desc())
-        newest = (
-            edges.withColumn("__rn", F.row_number().over(keep_w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        return folded.unionByName(newest)
+        return folded.unionByName(_newest_edges(edges, keys=kcols))
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -1697,10 +1721,8 @@ def stream_event_transitions(
             .agg(F.sum("__n").cast("long").alias("__n"))
         )
         edges = df.filter(F.col("__kind") == "e")
-        lag_w = Window.partitionBy("__u").orderBy("__seq")
         boundary = (
-            edges.withColumn("__prev_last", F.lag("__last_t").over(lag_w))
-            .filter(F.col("__prev_last").isNotNull())
+            _edge_boundaries(edges, keys=["__u"], last_col="__last_t", out_prev="__prev_last")
             .groupBy(
                 F.col("__prev_last").alias("from_type"),
                 F.col("__first_t").alias("to_type"),
@@ -1724,13 +1746,7 @@ def stream_event_transitions(
         )
         if not keep_edges:
             return folded
-        keep_w = Window.partitionBy("__u").orderBy(F.col("__seq").desc())
-        newest = (
-            edges.withColumn("__rn", F.row_number().over(keep_w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        return folded.unionByName(newest)
+        return folded.unionByName(_newest_edges(edges, keys=["__u"]))
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
