@@ -2343,3 +2343,57 @@ def test_stream_ab_lift_matches_batch_replay_restart(spark, tmp_path):
     per_batch2(mkdf(batches[2]), 2)
     want = sorted(map(tuple, ab_lift(mkdf(seen)).collect()))
     assert results2[2] == want
+
+
+def test_stream_rfm_matches_batch_replay_and_restart(spark, tmp_path):
+    """The live RFM twin's per-user (max epoch, count, decimal sum)
+    partials merge losslessly, so the segment report equals the batch
+    operator at every micro-batch — breakpoints re-derived over the
+    merged population each time — and survives replay and restart."""
+    from trend_o_meter_spark.operators.analytics import rfm_segments
+    from trend_o_meter_spark.streaming.pipeline import stream_rfm
+
+    rng_rows = []
+    # 12 purchasing users with spread recency/frequency/monetary, plus
+    # noise events the filter must drop
+    for i in range(12):
+        for k in range(1 + (i % 4)):
+            rng_rows.append((1000.0 * (i + 1) + 100.0 * k, f"u{i}", "purchase", 10.0 + 7.0 * i + k))
+        rng_rows.append((500.0 * i, f"u{i}", "view", 1.0))
+    rng_rows.sort()
+    batches = [rng_rows[:12], rng_rows[12:25], rng_rows[25:]]
+
+    def mkdf(rs):
+        return spark.createDataFrame(
+            [(float(e), u, t, float(v)) for e, u, t, v in rs],
+            "epoch double, user_id string, event_type string, value double",
+        ).select(
+            F.timestamp_seconds("epoch").alias("ts"), "user_id", "event_type", "value"
+        )
+
+    results = {}
+    per_batch = stream_rfm(
+        state_path=str(tmp_path / "rfm"),
+        compact_every=2,
+        on_result=lambda bid, df: results.update({bid: sorted(map(tuple, df.collect()))}),
+    )
+    seen = []
+    for i, chunk in enumerate(batches[:2]):
+        seen += chunk
+        per_batch(mkdf(chunk), i)
+        want = sorted(map(tuple, rfm_segments(mkdf(seen)).collect()))
+        assert results[i] == want, i
+
+    per_batch(mkdf(batches[1]), 1)  # replay
+    assert results[1] == want
+
+    results2 = {}
+    per_batch2 = stream_rfm(
+        state_path=str(tmp_path / "rfm"),
+        compact_every=2,  # batch 2 fires the guard: fold runs mid-run
+        on_result=lambda bid, df: results2.update({bid: sorted(map(tuple, df.collect()))}),
+    )
+    seen += batches[2]
+    per_batch2(mkdf(batches[2]), 2)
+    want = sorted(map(tuple, rfm_segments(mkdf(seen)).collect()))
+    assert results2[2] == want

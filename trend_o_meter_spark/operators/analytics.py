@@ -333,14 +333,33 @@ def rfm_segments(
     Boundary semantics: score = 1 + #(breakpoints strictly below the
     metric), identical doubles both engines.
     """
-    from .quantiles import exact_quantiles
-
     p = df.filter(F.col(event_type) == purchase_type)
     per_user = p.groupBy(F.col(user).alias("__u")).agg(
-        F.max(F.unix_seconds(F.col(ts))).alias("__r"),
-        F.count(F.lit(1)).cast("double").alias("__f"),
-        (F.sum(F.col(value).cast("decimal(28,8)")).cast("double")).alias("__m"),
-    ).withColumn("__r", F.col("__r").cast("double"))
+        F.max(F.unix_seconds(F.col(ts))).alias("__r_s"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col(value).cast("decimal(28,8)")).alias("__md"),
+    )
+    return rfm_from_per_user(per_user)
+
+
+def rfm_from_per_user(per_user: DataFrame) -> DataFrame:
+    """Shared batch tail: per-user purchase aggregates ``(__u, __r_s
+    max-last-purchase-epoch LONG, __n purchase-count LONG, __md
+    exact-decimal monetary DECIMAL(28,8))`` -> the RFM report.  The
+    three aggregates are max/sum/decimal-sum — order-insensitive,
+    losslessly mergeable (``__md`` arrives as the natural
+    DECIMAL(38,8) sum type, which re-summing preserves) — so they are
+    the live twin's state (``streaming.pipeline.stream_rfm``); the
+    double conversions happen HERE, once, identically for both
+    paths."""
+    from .quantiles import exact_quantiles
+
+    per_user = per_user.select(
+        "__u",
+        F.col("__r_s").cast("double").alias("__r"),
+        F.col("__n").cast("double").alias("__f"),
+        F.col("__md").cast("double").alias("__m"),
+    )
     # per_user feeds both the breakpoint derivation and the scoring pass
     per_user = per_user.localCheckpoint(eager=False)
     qs = [0.2, 0.4, 0.6, 0.8]

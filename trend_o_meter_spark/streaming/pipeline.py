@@ -1807,3 +1807,68 @@ def stream_event_transitions(
             )
 
     return per_batch
+
+
+def stream_rfm(
+    *,
+    state_path: str,
+    ts: str = "ts",
+    user: str = "user_id",
+    value: str = "value",
+    event_type: str = "event_type",
+    purchase_type: str = "purchase",
+    compact_every: int = 25,
+    on_result: "object" = None,
+):
+    """Live RFM segmentation: the streaming twin of
+    ``operators.analytics.rfm_segments`` — per-user (last-purchase
+    epoch MAX, purchase-count SUM, exact-decimal monetary SUM) partials
+    merge losslessly and order-insensitively, so the twin equals the
+    batch report over the union unconditionally; every micro-batch
+    re-scores the population against freshly derived quintile
+    breakpoints through the shared batch tail (``rfm_from_per_user`` —
+    exact-rank quantiles, broadcast breakpoints, never ntile).
+
+    'Recency' here is the reference point the batch operator uses —
+    the population's own purchase epochs scored against each other —
+    so the twin needs no wall clock and stays deterministic.  State is
+    O(purchasing users) rows on the replay-idempotent
+    :class:`.statestore.PartialStateTable` discipline.  Returns the
+    ``foreachBatch`` callable.
+    """
+    from ..operators.analytics import rfm_from_per_user
+    from .statestore import PartialStateTable
+
+    st = PartialStateTable(state_path)
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.groupBy("__u").agg(
+            F.max("__r_s").alias("__r_s"),
+            F.sum("__n").cast("long").alias("__n"),
+            F.sum("__md").cast("decimal(38,8)").alias("__md"),
+        )
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            st.compact(spark, transform=merge)
+        if not batch_df.isEmpty():
+            partial = (
+                batch_df.filter(F.col(event_type) == purchase_type)
+                .groupBy(F.col(user).alias("__u"))
+                .agg(
+                    F.max(F.unix_seconds(F.col(ts))).alias("__r_s"),
+                    F.count(F.lit(1)).cast("long").alias("__n"),
+                    F.sum(F.col(value).cast("decimal(28,8)"))
+                    .cast("decimal(38,8)")
+                    .alias("__md"),
+                )
+            )
+            st.append(partial, batch_id)
+        state = st.read(spark)
+        if state is None:
+            return
+        if on_result is not None:
+            on_result(batch_id, rfm_from_per_user(merge(state)))
+
+    return per_batch
