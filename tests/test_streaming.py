@@ -2036,6 +2036,7 @@ def test_stream_funnel_matches_batch_with_replay_and_restart(spark, tmp_path):
     per_batch2 = stream_funnel(
         state_path=str(tmp_path / "funnel"),
         steps=steps,
+        compact_every=2,  # batch 2 fires the guard: MIN-merge fold runs
         on_result=lambda bid, df: results2.update({bid: sorted(map(tuple, df.collect()))}),
     )
     seen += batches[2]
@@ -2094,6 +2095,7 @@ def test_stream_dau_mau_matches_batch_replay_and_restart(spark, tmp_path):
     per_batch2 = stream_dau_mau(
         state_path=str(tmp_path / "daumau"),
         window_days=7,
+        compact_every=2,  # batch 2 fires the guard: DISTINCT fold runs
         on_result=lambda bid, df: results2.update({bid: sorted(map(tuple, df.collect()))}),
     )
     seen += batches[2]
@@ -2222,6 +2224,7 @@ def test_stream_cohort_retention_matches_batch_replay_restart_recohort(spark, tm
     per_batch2 = stream_cohort_retention(
         state_path=str(tmp_path / "cohort"),
         max_offset_days=7,
+        compact_every=2,  # batch 2 fires the guard: DISTINCT fold runs
         on_result=lambda bid, df: results2.update({bid: sorted(map(tuple, df.collect()))}),
     )
     seen += batches[2]
@@ -2337,6 +2340,7 @@ def test_stream_ab_lift_matches_batch_replay_restart(spark, tmp_path):
     results2 = {}
     per_batch2 = stream_ab_lift(
         state_path=str(tmp_path / "ab"),
+        compact_every=2,  # batch 2 fires the guard: DISTINCT fold runs
         on_result=lambda bid, df: results2.update({bid: sorted(map(tuple, df.collect()))}),
     )
     seen += batches[2]
