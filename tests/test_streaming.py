@@ -2401,3 +2401,66 @@ def test_stream_rfm_matches_batch_replay_and_restart(spark, tmp_path):
     per_batch2(mkdf(batches[2]), 2)
     want = sorted(map(tuple, rfm_segments(mkdf(seen)).collect()))
     assert results2[2] == want
+
+
+def test_stream_attribution_matches_batch_replay_restart_compaction(spark, tmp_path):
+    """The live last-touch twin must equal the batch as-of attribution
+    at every micro-batch — conversions credited across batch boundaries
+    through the carried best-touch state, same-ts ties resolved by
+    greatest event id, touchless conversions 'unattributed' — and
+    survive replay, restart, and mid-run compaction unchanged."""
+    from trend_o_meter_spark.operators.analytics import attribution_last_touch
+    from trend_o_meter_spark.streaming.pipeline import stream_attribution
+
+    rows = [
+        # (epoch, user, type, value, event_id)
+        (10, "a", "view", 0.0, 1), (20, "b", "click", 0.0, 2),
+        (30, "a", "purchase", 50.0, 3),          # in-batch: view@10
+        (40, "c", "purchase", 25.0, 4),          # no touch ever: unattributed
+        (50, "b", "view", 0.0, 5),
+        (60, "b", "purchase", 75.0, 6),          # cross-batch vs in-batch: view@50 wins
+        (70, "a", "purchase", 10.0, 7),          # carried view@10 across two batches
+        (80, "d", "view", 0.0, 8), (80, "d", "click", 0.0, 9),
+        (80, "d", "purchase", 5.0, 10),          # same-ts tie: click (id 9) wins
+    ]
+    batches = [rows[:4], rows[4:6], rows[6:]]
+
+    def mkdf(rs):
+        return spark.createDataFrame(
+            [(float(e), u, t, float(v), int(i)) for e, u, t, v, i in rs],
+            "epoch double, user_id string, event_type string, value double, event_id long",
+        ).select(
+            F.timestamp_seconds("epoch").alias("ts"),
+            "user_id", "event_type", "value", "event_id",
+        )
+
+    results = {}
+    per_batch = stream_attribution(
+        state_path=str(tmp_path / "attr"),
+        compact_every=2,
+        on_result=lambda bid, df: results.update({bid: sorted(map(tuple, df.collect()))}),
+    )
+    seen = []
+    for i, chunk in enumerate(batches[:2]):
+        seen += chunk
+        per_batch(mkdf(chunk), i)
+        want = sorted(map(tuple, attribution_last_touch(mkdf(seen)).collect()))
+        assert results[i] == want, (i, results[i], want)
+
+    per_batch(mkdf(batches[1]), 1)  # at-least-once replay
+    assert results[1] == want
+
+    results2 = {}
+    per_batch2 = stream_attribution(
+        state_path=str(tmp_path / "attr"),
+        compact_every=2,  # batch 2 fires the guard: fold runs mid-run
+        on_result=lambda bid, df: results2.update({bid: sorted(map(tuple, df.collect()))}),
+    )
+    seen += batches[2]
+    per_batch2(mkdf(batches[2]), 2)
+    want = sorted(map(tuple, attribution_last_touch(mkdf(seen)).collect()))
+    assert results2[2] == want
+    got = {t: (n, r) for t, n, r in results2[2]}
+    assert got["view"] == (3, 135.0)        # a@30 (50), b@60 (75), a@70 (10)
+    assert got["click"] == (1, 5.0)         # d's same-ts tie by greater id
+    assert got["unattributed"] == (1, 25.0)

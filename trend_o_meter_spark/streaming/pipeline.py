@@ -1872,3 +1872,182 @@ def stream_rfm(
             on_result(batch_id, rfm_from_per_user(merge(state)))
 
     return per_batch
+
+
+def stream_attribution(
+    *,
+    state_path: str,
+    ts: str = "ts",
+    user: str = "user_id",
+    event_type: str = "event_type",
+    value: str = "value",
+    event_id: str = "event_id",
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    compact_every: int = 25,
+    on_result: "object" = None,
+):
+    """Live last-touch attribution: the streaming twin of
+    ``operators.analytics.attribution_last_touch``, completing the
+    analytics family's live coverage — the one member whose batch form
+    is the as-of join gets its streaming form from the classic
+    stream-to-state decomposition:
+
+    * carried state, one row per user: the BEST touch so far
+      ((ts, event_id)-max struct — the same tiebreak the batch as-of
+      uses), merged by per-user max;
+    * each micro-batch as-of joins its conversions against the UNION of
+      its own touches and the carried best-touch rows (the batch
+      :mod:`..operators.asof` operator itself, backward direction), so
+      a conversion matches the latest touch at or before it whether
+      that touch arrived in this batch or any earlier one;
+    * attributed (touch_type, count, exact-decimal revenue) partials
+      are ADDITIVE — the report is their keyed sum, emitted through the
+      batch aggregate's exact expressions (decimal -> double once).
+
+    Replay-idempotent: the carried rows are always a subset of the
+    union's (ts, id)-maximal candidates at or before each conversion,
+    so re-running a batch against state that already contains its own
+    write derives the identical partial (and overwrites its own
+    partition regardless).  EXACT vs the batch operator under
+    in-timestamp-order delivery (a conversion's touches never arrive
+    after it — the watermark posture documented in the module);
+    out-of-order touches divergently but conservatively land as
+    'unattributed'.  State is O(users + touch_types) rows on the
+    :class:`.statestore.PartialStateTable` discipline.  Returns the
+    ``foreachBatch`` callable.
+    """
+    from ..operators import asof
+    from .statestore import PartialStateTable
+
+    st = PartialStateTable(state_path)
+
+    def _fold(df: DataFrame) -> DataFrame:
+        attr = (
+            df.filter(F.col("__kind") == "a")
+            .groupBy("touch_type")
+            .agg(
+                F.sum("__n").cast("long").alias("__n"),
+                F.sum("__rev").cast("decimal(38,8)").alias("__rev"),
+            )
+            .select(
+                F.lit("a").alias("__kind"),
+                "touch_type",
+                "__n",
+                "__rev",
+                F.lit(None).cast("string").alias("__u"),
+                F.lit(None).cast("timestamp").alias("__tts"),
+                F.lit(None).cast("long").alias("__tid"),
+            )
+        )
+        best = (
+            df.filter(F.col("__kind") == "t")
+            .groupBy("__u")
+            .agg(
+                F.max(
+                    F.struct(F.col("__tts"), F.col("__tid"), F.col("touch_type"))
+                ).alias("__b")
+            )
+            .select(
+                F.lit("t").alias("__kind"),
+                F.col("__b.touch_type").alias("touch_type"),
+                F.lit(None).cast("long").alias("__n"),
+                F.lit(None).cast("decimal(38,8)").alias("__rev"),
+                "__u",
+                F.col("__b.__tts").alias("__tts"),
+                F.col("__b.__tid").alias("__tid"),
+            )
+        )
+        return attr.unionByName(best)
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            st.compact(spark, transform=_fold)
+        prior = st.read(spark)
+        if not batch_df.isEmpty():
+            conv = batch_df.filter(F.col(event_type) == conversion_type).select(
+                F.col(user).alias("__u"), ts, value, event_id
+            )
+            touches = batch_df.filter(F.col(event_type).isin(*touch_types)).select(
+                F.col(user).alias("__u"),
+                F.col(ts).alias("__tts"),
+                F.col(event_type).alias("touch_type"),
+                F.col(event_id).cast("long").alias("__tid"),
+            )
+            if prior is not None:
+                carried = (
+                    _fold(prior)
+                    .filter(F.col("__kind") == "t")
+                    .select("__u", "__tts", "touch_type", "__tid")
+                )
+                candidates = touches.unionByName(carried)
+            else:
+                candidates = touches
+            j = asof.asof_join(
+                conv,
+                candidates,
+                left_on=ts,
+                right_on="__tts",
+                by_left="__u",
+                by_right="__u",
+                right_cols=("touch_type",),
+                tiebreak="__tid",
+                direction="backward",
+            )
+            attributed = (
+                j.groupBy(
+                    F.coalesce(F.col("touch_type"), F.lit("unattributed")).alias(
+                        "touch_type"
+                    )
+                )
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("__n"),
+                    F.sum(F.col(value).cast("decimal(28,8)"))
+                    .cast("decimal(38,8)")
+                    .alias("__rev"),
+                )
+                .select(
+                    F.lit("a").alias("__kind"),
+                    "touch_type",
+                    "__n",
+                    "__rev",
+                    F.lit(None).cast("string").alias("__u"),
+                    F.lit(None).cast("timestamp").alias("__tts"),
+                    F.lit(None).cast("long").alias("__tid"),
+                )
+            )
+            best_in_batch = (
+                touches.groupBy("__u")
+                .agg(
+                    F.max(
+                        F.struct(F.col("__tts"), F.col("__tid"), F.col("touch_type"))
+                    ).alias("__b")
+                )
+                .select(
+                    F.lit("t").alias("__kind"),
+                    F.col("__b.touch_type").alias("touch_type"),
+                    F.lit(None).cast("long").alias("__n"),
+                    F.lit(None).cast("decimal(38,8)").alias("__rev"),
+                    "__u",
+                    F.col("__b.__tts").alias("__tts"),
+                    F.col("__b.__tid").alias("__tid"),
+                )
+            )
+            st.append(attributed.unionByName(best_in_batch), batch_id)
+        state = st.read(spark)
+        if state is None:
+            return
+        if on_result is not None:
+            on_result(
+                batch_id,
+                _fold(state)
+                .filter(F.col("__kind") == "a")
+                .select(
+                    "touch_type",
+                    F.col("__n").alias("n_conversions"),
+                    F.col("__rev").cast("double").alias("revenue"),
+                ),
+            )
+
+    return per_batch
