@@ -1173,6 +1173,36 @@ def test_statestore_compact_transform_spares_the_seed(spark, tmp_path):
     assert got == {"old_seed", "new_seed", "new_live"}  # live culled, seed intact
 
 
+def test_statestore_exclude_batch_on_read_and_compact(spark, tmp_path):
+    """Pipelines whose partial depends on carried state read the prior
+    with exclude_batch=batch_id so an at-least-once replay sees exactly
+    what the first attempt saw — and a compaction firing ON the replayed
+    batch must hold that partition out of the fold (once in the base no
+    read-side filter could remove it), copying it through above the
+    watermark so the re-append still overwrites it."""
+    from trend_o_meter_spark.streaming.statestore import PartialStateTable
+
+    st = PartialStateTable(str(tmp_path / "state"))
+    st.append(spark.createDataFrame([("carried", 0)], "k string, b int"), 0)
+    st.append(spark.createDataFrame([("own_write", 1)], "k string, b int"), 1)
+
+    # prior-read for a replay of batch 1: its own write is invisible
+    got = {r["k"] for r in st.read(spark, exclude_batch=1).collect()}
+    assert got == {"carried"}
+    # plain read (the post-append report path) still sees everything
+    assert {r["k"] for r in st.read(spark).collect()} == {"carried", "own_write"}
+
+    # compaction on the replayed batch: partition 1 held out of the fold
+    st.compact(spark, exclude_batch=1)
+    assert st._watermark() == 0  # capped below the held partition
+    got = {r["k"] for r in st.read(spark, exclude_batch=1).collect()}
+    assert got == {"carried"}  # base holds only the fold of batch 0
+    # held partition still live and still overwritable by the re-append
+    assert {r["k"] for r in st.read(spark).collect()} == {"carried", "own_write"}
+    st.append(spark.createDataFrame([("replayed", 1)], "k string, b int"), 1)
+    assert {r["k"] for r in st.read(spark).collect()} == {"carried", "replayed"}
+
+
 def test_stream_day_bins_with_non_default_column_names(spark, tmp_path):
     """stream_day_bins with metric='sensor', ts='t', value='v' must run
     end-to-end: the downsample canonicalizes its output columns, and
@@ -2464,3 +2494,50 @@ def test_stream_attribution_matches_batch_replay_restart_compaction(spark, tmp_p
     assert got["view"] == (3, 135.0)        # a@30 (50), b@60 (75), a@70 (10)
     assert got["click"] == (1, 5.0)         # d's same-ts tie by greater id
     assert got["unattributed"] == (1, 25.0)
+
+
+def test_stream_attribution_replay_carried_touch_before_same_batch_touch(
+    spark, tmp_path
+):
+    """ADVICE r08 repro: a conversion whose matching touch is CARRIED
+    from an earlier batch while a LATER touch for the same user sits in
+    the same micro-batch.  Without exclude_batch, a replay reads state
+    already holding the batch's own best-touch write; the per-user max
+    then displaces the carried view@10 with the batch's own click@70 and
+    the conversion re-derives as 'unattributed'.  The prior read — and
+    the compaction firing ON the replayed batch (compact_every=2 makes
+    batch 2's replay hit both paths) — must exclude the batch's own
+    partition so the replay derives the first attempt's exact partial."""
+    from trend_o_meter_spark.streaming.pipeline import stream_attribution
+
+    def mkdf(rs):
+        return spark.createDataFrame(
+            [(float(e), u, t, float(v), int(i)) for e, u, t, v, i in rs],
+            "epoch double, user_id string, event_type string, value double, event_id long",
+        ).select(
+            F.timestamp_seconds("epoch").alias("ts"),
+            "user_id", "event_type", "value", "event_id",
+        )
+
+    batches = [
+        [(10, "a", "view", 0.0, 1)],
+        [(20, "b", "view", 0.0, 2)],
+        [(60, "a", "purchase", 50.0, 3), (70, "a", "click", 0.0, 4)],
+    ]
+    results = {}
+    per_batch = stream_attribution(
+        state_path=str(tmp_path / "attr"),
+        compact_every=2,  # compaction fires on batch 2 — and on its replay
+        on_result=lambda bid, df: results.update(
+            {bid: sorted(map(tuple, df.collect()))}
+        ),
+    )
+    for i, chunk in enumerate(batches):
+        per_batch(mkdf(chunk), i)
+    first = results[2]
+    got = {t: (n, r) for t, n, r in first}
+    assert got.get("view") == (1, 50.0)  # carried view@10, not same-batch click@70
+    assert "unattributed" not in got
+
+    per_batch(mkdf(batches[2]), 2)  # at-least-once replay
+    assert results[2] == first

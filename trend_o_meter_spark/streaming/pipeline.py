@@ -1278,9 +1278,17 @@ def stream_funnel(
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-            st.compact(spark, transform=merge)
-        prior = st.read(spark)
+            # hold a replayed batch's own partition out of the fold so the
+            # prior read below can exclude it (MIN-merge would absorb it
+            # anyway, but identical-prior replay is the stronger contract)
+            st.compact(spark, transform=merge, exclude_batch=batch_id)
+        prior = st.read(spark, exclude_batch=batch_id)
         if not batch_df.isEmpty():
+            if prior is not None:
+                # materialize: the per-step partial derived from prior is
+                # written back (dynamic overwrite) to the path prior
+                # scans; also read once instead of once per funnel step
+                prior = prior.localCheckpoint()
             partials = []
             prev_f: DataFrame | None = None
             for i, step in enumerate(step_list):
@@ -1905,11 +1913,15 @@ def stream_attribution(
       are ADDITIVE — the report is their keyed sum, emitted through the
       batch aggregate's exact expressions (decimal -> double once).
 
-    Replay-idempotent: the carried rows are always a subset of the
-    union's (ts, id)-maximal candidates at or before each conversion,
-    so re-running a batch against state that already contains its own
-    write derives the identical partial (and overwrites its own
-    partition regardless).  EXACT vs the batch operator under
+    Replay-idempotent: the prior is read with ``exclude_batch=batch_id``
+    (and a compaction firing on the replayed batch holds that partition
+    out of the fold), so a replay sees exactly the carried state the
+    first attempt saw — WITHOUT the exclusion, state already containing
+    the batch's own best-touch write would let a later same-batch touch
+    displace an older carried touch in the per-user max, and a
+    conversion preceding that touch would re-derive as 'unattributed'
+    (test-pinned).  The re-derived identical partial then overwrites
+    its own partition.  EXACT vs the batch operator under
     in-timestamp-order delivery (a conversion's touches never arrive
     after it — the watermark posture documented in the module);
     out-of-order touches divergently but conservatively land as
@@ -1963,8 +1975,11 @@ def stream_attribution(
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-            st.compact(spark, transform=_fold)
-        prior = st.read(spark)
+            # hold this batch's own prior-attempt partition (if a replay)
+            # out of the fold — once in the base, no read-side exclusion
+            # could remove it and the replay would see a different prior
+            st.compact(spark, transform=_fold, exclude_batch=batch_id)
+        prior = st.read(spark, exclude_batch=batch_id)
         if not batch_df.isEmpty():
             conv = batch_df.filter(F.col(event_type) == conversion_type).select(
                 F.col(user).alias("__u"), ts, value, event_id
@@ -1976,10 +1991,14 @@ def stream_attribution(
                 F.col(event_id).cast("long").alias("__tid"),
             )
             if prior is not None:
+                # materialize: the partial derived from prior is written
+                # back (dynamic overwrite) to the very path prior scans —
+                # break the lineage so the write plan never reads it
                 carried = (
                     _fold(prior)
                     .filter(F.col("__kind") == "t")
                     .select("__u", "__tts", "touch_type", "__tid")
+                    .localCheckpoint()
                 )
                 candidates = touches.unionByName(carried)
             else:

@@ -142,10 +142,25 @@ class PartialStateTable:
 
     # -- reads ---------------------------------------------------------
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
+    def read(
+        self, spark: SparkSession, *, exclude_batch: int | None = None
+    ) -> DataFrame | None:
         """Current live state: seed + base + partitions above the
         compaction watermark (superseded replay partitions excluded).
-        ``None`` until the first write creates the table."""
+        ``None`` until the first write creates the table.
+
+        ``exclude_batch`` additionally filters out that one partition.
+        Pipelines whose batch partial DEPENDS on carried state (funnel
+        frontiers, attribution best-touch) must read the prior with
+        ``exclude_batch=batch_id``: on an at-least-once replay the table
+        already holds the batch's own previous attempt, and a non-
+        idempotent fold (e.g. a per-user max that can displace an older
+        carried touch with the batch's own later one) would derive a
+        DIFFERENT partial than the first attempt saw.  Excluding the
+        batch's own partition makes the replay read exactly the prior
+        the first attempt read.  (Pair with ``compact(...,
+        exclude_batch=...)`` so a compaction firing on the replayed
+        batch cannot fold that partition into the base first.)"""
         self._recover()
         try:
             raw = spark.read.parquet(self.path)
@@ -153,21 +168,32 @@ class PartialStateTable:
             return None
         wm = self._watermark()
         bid = F.col("__batch_id").cast("long")
-        return raw.filter(
-            (bid == BASE_PARTITION) | (bid == SEED_PARTITION) | (bid > wm)
-        ).drop("__batch_id")
+        keep = (bid == BASE_PARTITION) | (bid == SEED_PARTITION) | (bid > wm)
+        if exclude_batch is not None:
+            keep = keep & (bid != int(exclude_batch))
+        return raw.filter(keep).drop("__batch_id")
 
     # -- compaction ----------------------------------------------------
 
-    def compact(self, spark: SparkSession, *, transform=None) -> bool:
+    def compact(
+        self, spark: SparkSession, *, transform=None, exclude_batch: int | None = None
+    ) -> bool:
         """Fold all live micro-batch partitions into the base; advance
         the watermark to the highest batch id folded in.  ``transform``
         (DataFrame -> DataFrame, e.g. a retention cull) is applied to
         the merged base only — the seed partition rides through
         untouched (it stays out of the fold so re-seeding keeps
         working, and an anchor-relative cull over the seed alone would
-        anchor wrong; see the module doc).  Crash-safe swap via
-        ``_recover``; returns False if the table doesn't exist yet."""
+        anchor wrong; see the module doc).
+
+        ``exclude_batch`` holds that one partition OUT of the fold —
+        copied through unchanged, watermark capped below it — for
+        pipelines that compact at the top of the batch whose partial
+        depends on carried state: a replay landing exactly on a
+        compaction boundary must not fold the batch's own previous
+        attempt into the base, where no ``read(exclude_batch=...)``
+        filter could remove it.  Crash-safe swap via ``_recover``;
+        returns False if the table doesn't exist yet."""
         import shutil
 
         self._recover()
@@ -178,9 +204,17 @@ class PartialStateTable:
         wm = self._watermark()
         bid = F.col("__batch_id").cast("long")
         live = raw.filter((bid == BASE_PARTITION) | (bid > wm))
+        held = None
+        if exclude_batch is not None:
+            held = live.filter(bid == int(exclude_batch))
+            live = live.filter(bid != int(exclude_batch))
         seed = raw.filter(bid == SEED_PARTITION).drop("__batch_id")
         new_wm = live.agg(F.max(bid).alias("m")).collect()[0]["m"]
         new_wm = max(int(new_wm if new_wm is not None else BASE_PARTITION), wm)
+        if exclude_batch is not None:
+            # the held partition must stay ABOVE the watermark or both it
+            # and the batch's re-append would be invisible to readers
+            new_wm = min(new_wm, int(exclude_batch) - 1)
         merged = live.drop("__batch_id")
         if transform is not None:
             merged = transform(merged)
@@ -198,6 +232,10 @@ class PartialStateTable:
         out = merged.withColumn("__batch_id", F.lit(BASE_PARTITION)).unionByName(
             seed.withColumn("__batch_id", F.lit(SEED_PARTITION))
         )
+        if held is not None:
+            out = out.unionByName(
+                held.withColumn("__batch_id", F.lit(int(exclude_batch)))
+            )
         (
             out.repartition(n_files)
             .write.mode("overwrite")
