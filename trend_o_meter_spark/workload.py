@@ -92,76 +92,70 @@ def _q(name: str, oracle: str | None, doc: str = ""):
 # verdict across rounds even under a query-count/time cap; remaining
 # entries keep declaration order (stable sort).
 _SCORE_FIRST = (
-    # --- round 8 rotation (VERDICT r07 task 5). Slots 1-24: every
-    # oracle-backed query whose newest DRIVER verdict is still r03 —
-    # the r06/r07 judges re-verified 12 of these locally, but a judge
-    # selfcheck is not a driver row; fronting them retires the whole
-    # r03 cohort at once.  Declaration order within the cohort. -------
-    "dedup_exact",
-    "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
-    "dup_span_stats",
-    "cross_corpus_lsh",
-    "verified_near_dups",
-    "split_drift_ks",
-    "curation_funnel",
-    "dedup_clusters_star",
-    "simhash_fingerprints",
-    "simhash_near_dup",
-    "text_stats",
-    "quality_filter",
-    "dataset_split",
-    "token_histogram",
-    "cooc_pmi_topk",
-    "lang_id",
-    "token_count",
-    "quantize_embeddings",
-    "kmeans_centroids",
-    "pq_codes",
-    "pq_adc_topk",
-    "pq_recall_at_k",
-    "resize_image_meta",
-    # --- queries whose implementation changed THIS round (re-verdict so
-    # every green row postdates the code it vouches for): the
-    # exact_quantiles family sits on the new localCheckpointed counts;
-    # interarrival_quantiles moved to (key, hour-bucket) lag windows
-    # with boundary patching; holt_winters_hourly's oracle gained the
-    # NULL-phase skip gate. -------------------------------------------
-    "interarrival_quantiles",
-    "value_quantiles",
-    "mad_anomalies",
-    "cusum_shifts",
-    "seasonal_adjusted_anomalies",
-    "rfm_segments",
-    "holt_winters_hourly",
-    # --- remaining slots: the r04-dated cohort, oldest-first in
-    # declaration order, so the cross-round union keeps aging
-    # uniformly.  The rows-only-by-design entries (approx_sketches,
-    # bpe_merges, bpe_encode_fixed, flagship_day_bins_compat) are NOT
-    # fronted: re-sampling them cannot produce a stronger verdict than
-    # they already carry. ---------------------------------------------
-    "flagship_day_bins",
-    "downsample_60s",
-    "rolling_current_avg",
-    "tumbling_mean_60s",
-    "sliding_rates_10s",
-    "active_channels",
-    "sessionize_30m",
-    "events_in_sessions",
-    "retention_7d",
-    "topk_recent",
-    "trend_slope_daily",
-    "resample_1h_locf",
-    "resample_1h_lerp",
-    "trending_daily",
-    "ewma_02",
-    "zscore_anomalies",
-    "cms_heavy_hitters",
-    "cross_doc_ngram_dup",
-    "dedup_clusters",
-    # (the r06-rotation names — mrl_recall .. typo_pairs and the
-    # relational r02/r03 block — all carry r06/r07 driver verdicts and
-    # re-queue behind the r04/r05 cohorts)
+    # --- round 9 rotation (VERDICT r08 task 2). Slots 1-28: every
+    # remaining oracle-backed query whose newest DRIVER verdict is
+    # still r04 (the r08 rotation retired 19 of the 47-strong r04
+    # cohort; these are the rest).  Declaration order within the
+    # cohort. ----------------------------------------------------------
+    "canonical_docs",
+    "tfidf_cosine_pairs",
+    "hash_sample_10pct",
+    "chunk_documents",
+    "balanced_sample",
+    "epoch_shuffle",
+    "bm25_search",
+    "mixture_sample",
+    "vocab_topk",
+    "curation_report",
+    "distinctive_terms",
+    "token_budget_sample",
+    "curation_decisions",
+    "lm_score",
+    "doc_fingerprint",
+    "cosine_topk",
+    "cosine_topk_ivf",
+    "ivf_recall_at_k",
+    "ivf_assign",
+    "embedding_outliers",
+    "embedding_near_dup",
+    "multimodal_meta",
+    "frame_sample",
+    "decode_features",
+    "label_centroids",
+    "pii_scrub",
+    "repetition_stats",
+    "pack_sequences",
+    # --- slots 29-50: the OLDEST 22 of the 48-strong r05 cohort, in
+    # declaration order (as-of/sketch operators then the TPC-H block);
+    # the remaining 26 r05 entries queue for round 10.  The
+    # rows-only-by-design entries (approx_sketches, bpe_merges,
+    # bpe_encode_fixed, flagship_day_bins_compat) are NOT fronted:
+    # re-sampling them cannot produce a stronger verdict than they
+    # already carry. ---------------------------------------------------
+    "asof_forward_orders",
+    "asof_nearest_orders",
+    "sketch_rollup",
+    "histogram_quantiles",
+    "kmv_distinct_users",
+    "kmv_user_overlap",
+    "moments_by_type",
+    "variant_extract_props",
+    "q4_priority_returns",
+    "q6_forecast_revenue",
+    "q19_discounted_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q12_late_lines_by_class",
+    # (round-10 rotation queue: q15_top_supplier .. holt_linear_02 —
+    # the remaining 26 r05 entries — then the r06 cohort)
 )
 
 
