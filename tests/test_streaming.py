@@ -2541,3 +2541,70 @@ def test_stream_attribution_replay_carried_touch_before_same_batch_touch(
 
     per_batch(mkdf(batches[2]), 2)  # at-least-once replay
     assert results[2] == first
+
+
+def test_stream_attribution_out_of_order_touch_is_observable(spark, tmp_path):
+    """VERDICT r08 task 8: the in-order delivery contract's violation
+    must be visible, not silent — a touch arriving BELOW the user's
+    carried high-water event ts increments a state-backed counter and
+    the report gains a '__late_rows' row; clean runs emit no such row
+    (keeping the report batch-equal), and a replay of the late batch
+    re-derives the same count instead of double-counting."""
+    from trend_o_meter_spark.streaming.pipeline import stream_attribution
+
+    def mkdf(rs):
+        return spark.createDataFrame(
+            [(float(e), u, t, float(v), int(i)) for e, u, t, v, i in rs],
+            "epoch double, user_id string, event_type string, value double, event_id long",
+        ).select(
+            F.timestamp_seconds("epoch").alias("ts"),
+            "user_id", "event_type", "value", "event_id",
+        )
+
+    results = {}
+    per_batch = stream_attribution(
+        state_path=str(tmp_path / "attr"),
+        on_result=lambda bid, df: results.update(
+            {bid: sorted(map(tuple, df.collect()))}
+        ),
+    )
+    per_batch(mkdf([(100, "a", "view", 0.0, 1), (150, "a", "purchase", 10.0, 2)]), 0)
+    assert results[0] == [("view", 1, 10.0)]  # clean run: no sentinel row
+
+    per_batch(mkdf([(120, "a", "click", 0.0, 3)]), 1)  # 120 < high-water 150
+    assert ("__late_rows", 1, None) in results[1]
+    assert ("view", 1, 10.0) in results[1]
+
+    per_batch(mkdf([(120, "a", "click", 0.0, 3)]), 1)  # replay: still 1
+    assert ("__late_rows", 1, None) in results[1]
+
+
+def test_stream_funnel_out_of_order_event_is_observable(spark, tmp_path):
+    """VERDICT r08 task 8 (funnel side): an event arriving below the
+    user's carried high-water ts surfaces as a (step_index=-1,
+    '__late_rows', count) report row instead of silently diverging;
+    clean runs emit no sentinel and a replay re-derives the same count."""
+    from trend_o_meter_spark.streaming.pipeline import stream_funnel
+
+    def mkdf(rs):
+        return spark.createDataFrame(
+            [(float(e), u, t) for e, u, t in rs],
+            "epoch double, user_id string, event_type string",
+        ).select(F.timestamp_seconds("epoch").alias("ts"), "user_id", "event_type")
+
+    results = {}
+    per_batch = stream_funnel(
+        state_path=str(tmp_path / "funnel"),
+        steps=("signup", "activate"),
+        on_result=lambda bid, df: results.update(
+            {bid: sorted(map(tuple, df.collect()))}
+        ),
+    )
+    per_batch(mkdf([(100, "u1", "signup"), (200, "u1", "activate")]), 0)
+    assert all(r[1] != "__late_rows" for r in results[0])  # clean run
+
+    per_batch(mkdf([(50, "u1", "signup")]), 1)  # 50 < high-water 200
+    assert (-1, "__late_rows", 1, None) in results[1]
+
+    per_batch(mkdf([(50, "u1", "signup")]), 1)  # replay: still 1
+    assert (-1, "__late_rows", 1, None) in results[1]

@@ -1259,7 +1259,13 @@ def stream_funnel(
     event arriving AFTER a later step's frontier was already evaluated
     cannot retroactively create conversions — the same bounded-lateness
     posture as every watermarked pipeline here (module doc), and the
-    divergence is conservative (never over-counts).
+    divergence is conservative (never over-counts) and OBSERVABLE, not
+    silent: state carries a per-user high-water event ts (sentinel
+    ``__step = -1`` rows, max-merge) and an additive counter of rows
+    that arrived below it (``__step = -2``); when positive, the report
+    gains a ``(step_index=-1, step_name='__late_rows', n_users=count)``
+    row — a clean in-order run emits no such row, keeping the report
+    exactly batch-equal.
 
     State is O(steps x users) rows on the replay-idempotent
     :class:`.statestore.PartialStateTable` discipline (a replayed batch
@@ -1273,7 +1279,24 @@ def stream_funnel(
     step_list = list(steps)
 
     def merge(df: DataFrame) -> DataFrame:
-        return df.groupBy("__step", "__u").agg(F.min("__ft").alias("__ft"))
+        # frontiers (step >= 0) tighten by MIN; the per-user high-water
+        # sentinel (-1) advances by MAX; the late counter (-2) sums
+        return (
+            df.groupBy("__step", "__u")
+            .agg(
+                F.min("__ft").alias("__mn"),
+                F.max("__ft").alias("__mx"),
+                F.sum("__n").cast("long").alias("__n"),
+            )
+            .select(
+                "__step",
+                "__u",
+                F.when(F.col("__step") == -1, F.col("__mx"))
+                .otherwise(F.col("__mn"))
+                .alias("__ft"),
+                "__n",
+            )
+        )
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -1316,8 +1339,47 @@ def stream_funnel(
                     .groupBy("__u")
                     .agg(F.min("__ft").alias("__ft"))
                 )
-                partials.append(cand.select(F.lit(i).alias("__step"), "__u", "__ft"))
+                partials.append(
+                    cand.select(
+                        F.lit(i).alias("__step"),
+                        "__u",
+                        "__ft",
+                        F.lit(None).cast("long").alias("__n"),
+                    )
+                )
                 prev_f = new_f
+            # in-order contract observability: per-user high-water event
+            # ts (sentinel step -1, max-merge) and a counter of rows that
+            # arrived below the carried mark (sentinel step -2, sum-merge)
+            consumed = batch_df.filter(F.col(event_type).isin(*step_list)).select(
+                F.col(user).alias("__u"), F.col(ts).alias("__t")
+            )
+            partials.append(
+                consumed.groupBy("__u")
+                .agg(F.max("__t").alias("__ft"))
+                .select(
+                    F.lit(-1).alias("__step"),
+                    "__u",
+                    "__ft",
+                    F.lit(None).cast("long").alias("__n"),
+                )
+            )
+            if prior is not None:
+                prior_max = merge(prior.filter(F.col("__step") == -1)).select(
+                    "__u", F.col("__ft").alias("__pmax")
+                )
+                partials.append(
+                    consumed.join(prior_max, "__u")
+                    .filter(F.col("__t") < F.col("__pmax"))
+                    .groupBy(F.lit(-2).alias("__step"))
+                    .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+                    .select(
+                        "__step",
+                        F.lit(None).cast("string").alias("__u"),
+                        F.lit(None).cast("timestamp").alias("__ft"),
+                        "__n",
+                    )
+                )
             partial = partials[0]
             for p in partials[1:]:
                 partial = partial.unionByName(p)
@@ -1325,7 +1387,8 @@ def stream_funnel(
         state = st.read(spark)
         if state is None:
             return
-        frontiers = merge(state)
+        folded = merge(state)
+        frontiers = folded.filter(F.col("__step") >= 0)
         spine = batch_df.sparkSession.createDataFrame(
             [(i + 1, s) for i, s in enumerate(step_list)],
             "step_index int, step_name string",
@@ -1341,7 +1404,18 @@ def stream_funnel(
             )
         )
         if on_result is not None:
-            on_result(batch_id, funnel_report_from_counts(counts))
+            report = funnel_report_from_counts(counts)
+            # appended AFTER the shared tail so the conversion self-join
+            # never sees the sentinel; absent entirely on in-order runs
+            late_report = folded.filter(
+                (F.col("__step") == -2) & (F.col("__n") > 0)
+            ).select(
+                F.lit(-1).alias("step_index"),
+                F.lit("__late_rows").alias("step_name"),
+                F.col("__n").cast("long").alias("n_users"),
+                F.lit(None).cast("double").alias("conversion"),
+            )
+            on_result(batch_id, report.unionByName(late_report))
 
     return per_batch
 
@@ -1925,7 +1999,13 @@ def stream_attribution(
     in-timestamp-order delivery (a conversion's touches never arrive
     after it — the watermark posture documented in the module);
     out-of-order touches divergently but conservatively land as
-    'unattributed'.  State is O(users + touch_types) rows on the
+    'unattributed', and the divergence is OBSERVABLE, not silent: the
+    state carries a per-user high-water event ts ('m' rows, max-merge)
+    and an additive counter ('l') of rows that arrived below it; when
+    positive, the report gains a '__late_rows' row (n_conversions =
+    cumulative late rows, revenue NULL) — a clean in-order run emits no
+    such row, keeping the report exactly batch-equal.
+    State is O(users + touch_types) rows on the
     :class:`.statestore.PartialStateTable` discipline.  Returns the
     ``foreachBatch`` callable.
     """
@@ -1970,7 +2050,37 @@ def stream_attribution(
                 F.col("__b.__tid").alias("__tid"),
             )
         )
-        return attr.unionByName(best)
+        # 'm': per-user high-water event ts (max-merge) — the in-order
+        # contract's reference point; 'l': additive late-row counter
+        maxts = (
+            df.filter(F.col("__kind") == "m")
+            .groupBy("__u")
+            .agg(F.max("__tts").alias("__tts"))
+            .select(
+                F.lit("m").alias("__kind"),
+                F.lit(None).cast("string").alias("touch_type"),
+                F.lit(None).cast("long").alias("__n"),
+                F.lit(None).cast("decimal(38,8)").alias("__rev"),
+                "__u",
+                "__tts",
+                F.lit(None).cast("long").alias("__tid"),
+            )
+        )
+        late = (
+            df.filter(F.col("__kind") == "l")
+            .groupBy("__kind")
+            .agg(F.sum("__n").cast("long").alias("__n"))
+            .select(
+                "__kind",
+                F.lit(None).cast("string").alias("touch_type"),
+                "__n",
+                F.lit(None).cast("decimal(38,8)").alias("__rev"),
+                F.lit(None).cast("string").alias("__u"),
+                F.lit(None).cast("timestamp").alias("__tts"),
+                F.lit(None).cast("long").alias("__tid"),
+            )
+        )
+        return attr.unionByName(best).unionByName(maxts).unionByName(late)
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -1990,19 +2100,42 @@ def stream_attribution(
                 F.col(event_type).alias("touch_type"),
                 F.col(event_id).cast("long").alias("__tid"),
             )
+            consumed = touches.select("__u", F.col("__tts").alias("__t")).unionByName(
+                conv.select("__u", F.col(ts).alias("__t"))
+            )
             if prior is not None:
-                # materialize: the partial derived from prior is written
+                # materialize: the partials derived from prior are written
                 # back (dynamic overwrite) to the very path prior scans —
                 # break the lineage so the write plan never reads it
-                carried = (
-                    _fold(prior)
-                    .filter(F.col("__kind") == "t")
-                    .select("__u", "__tts", "touch_type", "__tid")
-                    .localCheckpoint()
+                folded_prior = _fold(prior).localCheckpoint()
+                carried = folded_prior.filter(F.col("__kind") == "t").select(
+                    "__u", "__tts", "touch_type", "__tid"
                 )
                 candidates = touches.unionByName(carried)
+                # in-order contract violation detector: rows older than
+                # the user's carried high-water mark may have silently
+                # diverged from the batch operator — count them
+                prior_max = folded_prior.filter(F.col("__kind") == "m").select(
+                    "__u", F.col("__tts").alias("__pmax")
+                )
+                late_partial = (
+                    consumed.join(prior_max, "__u")
+                    .filter(F.col("__t") < F.col("__pmax"))
+                    .groupBy(F.lit("l").alias("__kind"))
+                    .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+                    .select(
+                        "__kind",
+                        F.lit(None).cast("string").alias("touch_type"),
+                        "__n",
+                        F.lit(None).cast("decimal(38,8)").alias("__rev"),
+                        F.lit(None).cast("string").alias("__u"),
+                        F.lit(None).cast("timestamp").alias("__tts"),
+                        F.lit(None).cast("long").alias("__tid"),
+                    )
+                )
             else:
                 candidates = touches
+                late_partial = None
             j = asof.asof_join(
                 conv,
                 candidates,
@@ -2053,20 +2186,43 @@ def stream_attribution(
                     F.col("__b.__tid").alias("__tid"),
                 )
             )
-            st.append(attributed.unionByName(best_in_batch), batch_id)
+            maxts_in_batch = (
+                consumed.groupBy("__u")
+                .agg(F.max("__t").alias("__tts"))
+                .select(
+                    F.lit("m").alias("__kind"),
+                    F.lit(None).cast("string").alias("touch_type"),
+                    F.lit(None).cast("long").alias("__n"),
+                    F.lit(None).cast("decimal(38,8)").alias("__rev"),
+                    "__u",
+                    "__tts",
+                    F.lit(None).cast("long").alias("__tid"),
+                )
+            )
+            partial = attributed.unionByName(best_in_batch).unionByName(maxts_in_batch)
+            if late_partial is not None:
+                partial = partial.unionByName(late_partial)
+            st.append(partial, batch_id)
         state = st.read(spark)
         if state is None:
             return
         if on_result is not None:
-            on_result(
-                batch_id,
-                _fold(state)
-                .filter(F.col("__kind") == "a")
-                .select(
-                    "touch_type",
-                    F.col("__n").alias("n_conversions"),
-                    F.col("__rev").cast("double").alias("revenue"),
-                ),
+            folded = _fold(state)
+            report = folded.filter(F.col("__kind") == "a").select(
+                "touch_type",
+                F.col("__n").alias("n_conversions"),
+                F.col("__rev").cast("double").alias("revenue"),
             )
+            # divergence made observable: any rows that violated the
+            # in-order delivery contract surface as a '__late_rows' row
+            # (absent on a clean run, so the report stays batch-equal)
+            late_report = folded.filter(
+                (F.col("__kind") == "l") & (F.col("__n") > 0)
+            ).select(
+                F.lit("__late_rows").alias("touch_type"),
+                F.col("__n").alias("n_conversions"),
+                F.lit(None).cast("double").alias("revenue"),
+            )
+            on_result(batch_id, report.unionByName(late_report))
 
     return per_batch
