@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import lineage
+
 from .dedup import verified_near_dups, verified_near_dups_sql
 
 
@@ -58,7 +60,7 @@ def _truncate(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
             sc.setCheckpointDir(checkpoint_dir)
             sc._tom_checkpoint_dir = checkpoint_dir
         return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+    return lineage.cut(df, eager=True)
 
 
 def _multiset_sig(df: DataFrame, c1: str, c2: str) -> tuple:
@@ -712,10 +714,12 @@ def triangle_counts(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> 
         edges.filter(F.col(src) != F.col(dst))
         .select(a.alias("__a"), b.alias("__b"))
         .distinct()
-        # two consumers (degrees + the edge-degree join) would otherwise
-        # re-derive the whole upstream edge pipeline — the exact_substr
-        # materialize-once discipline
-        .localCheckpoint(eager=False)
+        .transform(
+            # two consumers (degrees + the edge-degree join) would
+            # otherwise re-derive the whole upstream edge pipeline — the
+            # exact_substr materialize-once discipline
+            lineage.cut
+        )
     )
     deg = (
         e.select(F.col("__a").alias("__n"))
@@ -734,7 +738,7 @@ def triangle_counts(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> 
         F.when(lo_is_a, F.col("__b")).otherwise(F.col("__a")).alias("__hi"),
         F.when(lo_is_a, F.col("__db")).otherwise(F.col("__da")).alias("__dhi"),
         # three consumers (both wedge legs + the closure probe)
-    ).localCheckpoint(eager=False)
+    ).transform(lineage.cut)
     e1 = oriented.select(
         "__lo", F.col("__hi").alias("__v"), F.col("__dhi").alias("__dv")
     )

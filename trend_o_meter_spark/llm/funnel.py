@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import lineage
+
 from . import cluster, dedup, similarity, text
 
 
@@ -161,7 +163,7 @@ def curation_funnel_v2(
         )
 
     def _cut(frame: DataFrame) -> DataFrame:
-        return frame.localCheckpoint(eager=False)
+        return lineage.cut(frame)
 
     qf = text.quality_filter(df, text=text_col, id_col=id_col)
     s1 = _cut(df.join(qf.filter("keep").select(id_col), id_col))
@@ -307,7 +309,7 @@ def curation_funnel_v3(
         )
 
     def _cut(frame: DataFrame) -> DataFrame:
-        return frame.localCheckpoint(eager=False)
+        return lineage.cut(frame)
 
     qf = text.quality_filter(df, text=text_col, id_col=id_col)
     s1 = _cut(df.join(qf.filter("keep").select(id_col), id_col))

@@ -22,6 +22,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..lineage import cut
+
 
 def _q9(x: Column) -> Column:
     return (
@@ -361,7 +363,7 @@ def rfm_from_per_user(per_user: DataFrame) -> DataFrame:
         F.col("__md").cast("double").alias("__m"),
     )
     # per_user feeds both the breakpoint derivation and the scoring pass
-    per_user = per_user.localCheckpoint(eager=False)
+    per_user = cut(per_user)
     qs = [0.2, 0.4, 0.6, 0.8]
     melt = per_user.select(
         F.explode(

@@ -48,6 +48,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..lineage import cut
+
 __all__ = ["exact_quantiles", "exact_quantiles_sql_ctes"]
 
 
@@ -78,15 +80,14 @@ def exact_quantiles(
     vals = df.select(*kcols, F.col(value).alias("__v")).filter(
         F.col("__v").isNotNull()
     )
-    counts = (
-        vals.groupBy(*kcols, "__v")
-        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
-        # Every downstream branch (stats, cb, and through them sizes /
-        # local / targets) would otherwise re-derive the source scan +
-        # groupBy per consumer — callers like mad_anomalies showed 36+
-        # scans of the same table.  Materialize once (lazily, on first
-        # action) per the triangle_counts / exact_substr discipline.
-        .localCheckpoint(eager=False)
+    # Every downstream branch (stats, cb, and through them sizes /
+    # local / targets) would otherwise re-derive the source scan +
+    # groupBy per consumer — callers like mad_anomalies showed 36+
+    # scans of the same table.  Materialize once (lazily, on first
+    # action) per the triangle_counts / exact_substr discipline;
+    # lineage.cut so the plan audit can still see the true lineage.
+    counts = cut(
+        vals.groupBy(*kcols, "__v").agg(F.count(F.lit(1)).cast("long").alias("__c"))
     )
     stats = counts.groupBy(*kcols).agg(
         F.sum("__c").cast("long").alias("__n"),
