@@ -203,6 +203,107 @@ def stream_lsh_probe(spark, sf_dir: str, n_batches: int = 20) -> dict:
     return out
 
 
+def stream_rfm_probe(spark, sf_dir: str, n_batches: int = 20) -> dict:
+    """Third streaming probe (VERDICT r08 task 5): rows/sec through the
+    ``stream_rfm`` foreachBatch twin — the analytics-twin family member
+    most likely to creep round-over-round, because every micro-batch
+    re-derives quintile breakpoints over the full merged O(users) state.
+    The events table replays as ``n_batches`` one-file micro-batches
+    through a real foreachBatch writeStream; the per-batch report is
+    consumed with count() so nothing stays lazy.  Reports whole-run and
+    marginal (batches 2..n) rows/sec like the LSH probe."""
+    import tempfile
+
+    from trend_o_meter_spark.catalog import table as cat_table
+    from trend_o_meter_spark.streaming.pipeline import stream_rfm
+
+    batch = cat_table(spark, "events", sf_dir).select(
+        "ts", "user_id", "event_type", "value"
+    )
+    n_rows = batch.count()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with tempfile.TemporaryDirectory() as tmp:
+            src_dir = os.path.join(tmp, "src")
+            batch.repartition(n_batches).write.mode("overwrite").parquet(src_dir)
+            sink = {"segments": 0}
+            per_batch = stream_rfm(
+                state_path=os.path.join(tmp, "state"),
+                on_result=lambda bid, df: sink.update(segments=df.count()),
+            )
+            stream = (
+                spark.readStream.schema(batch.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src_dir)
+            )
+            t0 = time.time()
+            q = (
+                stream.writeStream.foreachBatch(per_batch)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            sec = round(time.time() - t0, 3)
+            progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = {"operator": "stream_rfm", "rows": n_rows, "sec": sec,
+           "rows_per_sec": round(n_rows / sec), "batches": len(progress),
+           "segments": sink["segments"]}
+    if len(progress) > 1:
+        tail = progress[1:]
+        tail_rows = sum(p["numInputRows"] for p in tail)
+        tail_sec = sum(p["durationMs"]["triggerExecution"] for p in tail) / 1000.0
+        if tail_sec > 0:
+            out["marginal_rows_per_sec"] = round(tail_rows / tail_sec)
+    return out
+
+
+def stream_cusum_probe(spark, sf_dir: str) -> dict:
+    """Fourth streaming probe: rows/sec through ``stream_cusum`` (the
+    applyInPandasWithState monitoring twin) over the whole events table
+    replayed as a file stream, frozen per-metric (median, MAD)
+    calibration computed batch-side first — the production shape."""
+    import tempfile
+
+    from trend_o_meter_spark.catalog import table as cat_table
+    from trend_o_meter_spark.streaming.stateful import stream_cusum
+
+    batch = cat_table(spark, "events", sf_dir).select(
+        "ts", F.col("event_type").alias("metric"), "value"
+    )
+    n_rows = batch.count()
+    med = batch.groupBy("metric").agg(F.expr("percentile(value, 0.5)").alias("__med"))
+    params = {
+        r["metric"]: (float(r["__med"]), float(r["__mad"]))
+        for r in batch.join(med, "metric")
+        .groupBy("metric")
+        .agg(
+            F.expr("percentile(abs(value - __med), 0.5)").alias("__mad"),
+            F.first("__med").alias("__med"),
+        )
+        .collect()
+    }
+    with tempfile.TemporaryDirectory() as tmp:
+        src_dir = os.path.join(tmp, "src")
+        batch.write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+        alarms = stream_cusum(stream, params=params)
+        t0 = time.time()
+        q = (
+            alarms.writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sec = round(time.time() - t0, 3)
+    return {"operator": "stream_cusum", "rows": n_rows, "sec": sec,
+            "rows_per_sec": round(n_rows / sec)}
+
+
 def _host_load() -> dict:
     """Co-tenant-load stamp: BASELINE.md documents that streaming
     throughput tracks ambient host load; recording loadavg/uptime at
@@ -251,6 +352,10 @@ def main() -> None:
     streaming = stream_probe(spark, sf_dir)
     load["streaming_lsh_start"] = _host_load()
     streaming_lsh = stream_lsh_probe(spark, sf_dir)
+    load["streaming_rfm_start"] = _host_load()
+    streaming_rfm = stream_rfm_probe(spark, sf_dir)
+    load["streaming_cusum_start"] = _host_load()
+    streaming_cusum = stream_cusum_probe(spark, sf_dir)
     load["end"] = _host_load()
 
     out = {
@@ -264,6 +369,8 @@ def main() -> None:
         "sf": sf,
         "streaming": streaming,
         "streaming_lsh": streaming_lsh,
+        "streaming_rfm": streaming_rfm,
+        "streaming_cusum": streaming_cusum,
         "host_load": load,
     }
     # Full result (with per-run samples) goes to its own file: the driver

@@ -1,0 +1,125 @@
+"""Streaming-twin longevity probe (VERDICT r08 task 4, BASELINE.md protocol).
+
+Drives an analytics live twin through hundreds of micro-batches with
+compaction firing on its normal cadence and records whether the two
+things that could creep actually stay flat:
+
+* state table size (row count + on-disk parquet file count) — must
+  plateau at the twin's documented bound (O(users),
+  O(types^2 + users), ...), with file count sawtoothing under
+  ``compact_every``, never growing O(batches);
+* per-batch wall time — the full foreachBatch body INCLUDING the
+  report emission (``stream_rfm`` re-scores the merged O(users) state
+  every batch, which is exactly the member most likely to creep), with
+  the report consumed via count() so nothing is lazily skipped.
+
+Deterministic synthetic stream: a bounded population of users emits
+in-timestamp-order events; batch b touches users (b*17 + i) % POP, so
+state coverage saturates early and late batches measure steady state.
+
+    python tools/twin_longevity.py rfm 500
+    python tools/twin_longevity.py attribution 500
+    python tools/twin_longevity.py transitions 500
+
+Prints mean per-batch wall over the first/last 50 batches, state rows,
+and file count at checkpoints.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from trend_o_meter_spark.session import get_spark
+from trend_o_meter_spark.streaming.statestore import PartialStateTable
+
+POP = 2000  # bounded user population: state must plateau at O(POP)
+ROWS_PER_BATCH = 200
+BASE = 1_700_000_000
+
+
+def _batch_rows(b: int) -> list[tuple[float, str, str, float, int]]:
+    """Deterministic, in-timestamp-order rows for batch ``b``:
+    (epoch, user_id, event_type, value, event_id)."""
+    rows = []
+    for i in range(ROWS_PER_BATCH):
+        u = (b * 17 + i) % POP
+        seq = b * ROWS_PER_BATCH + i
+        kind = ("view", "click", "purchase", "signup")[seq % 4]
+        rows.append(
+            (float(BASE + seq), f"u{u:05d}", kind, float((seq % 97) + 1), seq)
+        )
+    return rows
+
+
+def _mkdf(spark, b: int):
+    return spark.createDataFrame(
+        _batch_rows(b),
+        "epoch double, user_id string, event_type string, value double, event_id long",
+    ).select(
+        F.timestamp_seconds("epoch").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "event_id",
+    )
+
+
+def main() -> int:
+    import tempfile
+
+    name = sys.argv[1]
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+    from trend_o_meter_spark.streaming import pipeline as pl
+
+    tmp = tempfile.mkdtemp(prefix=f"twin_longevity_{name}_")
+    state_path = f"{tmp}/state"
+    sink = {"n": 0}
+
+    def on_result(bid, df):
+        sink["n"] = df.count()  # consume the report — nothing stays lazy
+
+    if name == "rfm":
+        per_batch = pl.stream_rfm(state_path=state_path, on_result=on_result)
+    elif name == "attribution":
+        per_batch = pl.stream_attribution(state_path=state_path, on_result=on_result)
+    elif name == "transitions":
+        per_batch = pl.stream_event_transitions(
+            state_path=state_path, on_result=on_result
+        )
+    else:
+        raise SystemExit(f"unknown twin: {name}")
+
+    spark = get_spark(f"twin-longevity-{name}", master="local[8]")
+    st = PartialStateTable(state_path)
+    walls: list[float] = []
+    for b in range(n_batches):
+        df = _mkdf(spark, b)
+        t0 = time.time()
+        per_batch(df, b)
+        walls.append(time.time() - t0)
+        if b in (49, 99, 249) or b == n_batches - 1:
+            state = st.read(spark)
+            rows = state.count() if state is not None else 0
+            window = walls[max(0, b - 49) : b + 1]
+            print(
+                f"batch {b:4d}: wall(mean last 50)={sum(window)/len(window):.2f}s "
+                f"state_rows={rows} files={st.file_count()} report_rows={sink['n']}",
+                flush=True,
+            )
+    head = sum(walls[:50]) / 50
+    tail = sum(walls[-50:]) / 50
+    print(
+        f"{name}: {n_batches} batches, per-batch wall first50={head:.2f}s "
+        f"last50={tail:.2f}s ratio={tail / head:.2f}x",
+        flush=True,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
