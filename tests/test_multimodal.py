@@ -647,7 +647,11 @@ def test_jpeg_restart_intervals_decode_identically():
             np.testing.assert_array_equal(base, withr)
 
 
-def test_jpeg_rejects_progressive_and_12bit_loudly():
+def test_jpeg_rejects_inconsistent_and_12bit_loudly():
+    """Progressive (SOF2) is now SUPPORTED — but a baseline stream whose
+    SOF marker is flipped to SOF2 without progressive scan headers is
+    INCONSISTENT (a progressive DC scan must have Se=0) and must fail
+    loudly, as must 12-bit precision and arithmetic coding."""
     from trend_o_meter_spark.llm.jpeg import decode_jpeg, encode_jpeg
 
     img = np.full((8, 8, 3), 100, dtype=np.uint8)
@@ -655,8 +659,11 @@ def test_jpeg_rejects_progressive_and_12bit_loudly():
     sof_at = good.find(b"\xff\xc0")
     assert sof_at > 0
     prog = bytes(good[:sof_at]) + b"\xff\xc2" + bytes(good[sof_at + 2 :])
-    with pytest.raises(NotImplementedError, match="SOF"):
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(prog)
+    arith = bytes(good[:sof_at]) + b"\xff\xc9" + bytes(good[sof_at + 2 :])
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(arith)
     twelve = bytearray(good)
     twelve[sof_at + 4] = 12  # precision byte inside SOF0
     with pytest.raises(NotImplementedError, match="precision"):
@@ -665,20 +672,122 @@ def test_jpeg_rejects_progressive_and_12bit_loudly():
         decode_jpeg(b"\x00\x01\x02")
 
 
+def test_jpeg_progressive_roundtrip_equals_baseline_pixels():
+    """The progressive encoder shares the baseline's color transform,
+    DCT, and quantization — only the entropy process differs — so both
+    streams carry the SAME quantized coefficients losslessly and the
+    decoder must produce IDENTICAL pixels.  Sweeps odd geometries
+    (including 4:2:0 shapes where the non-interleaved AC block grid is
+    smaller than the MCU-padded DC grid), noise (ZRL + correction-bit
+    heavy), and saturated flats (EOB heavy)."""
+    from trend_o_meter_spark.llm.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(7)
+    yv, xv = np.mgrid[0:20, 0:20]
+    images = [
+        np.stack([(xv * 3) % 256, (yv * 5) % 256, ((xv + yv) * 2) % 256], axis=2)
+        .astype(np.uint8),
+        rng.randint(0, 256, (17, 9, 3)).astype(np.uint8),
+        np.full((7, 100, 3), 255, np.uint8),
+        np.zeros((1, 1, 3), np.uint8),
+        rng.randint(0, 256, (33, 24, 3)).astype(np.uint8),
+    ]
+    for img in images:
+        for sub in ("444", "420"):
+            for q in (95, 50):
+                base = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+                prog = decode_jpeg(
+                    encode_jpeg_progressive(img, quality=q, subsampling=sub)
+                )
+                np.testing.assert_array_equal(base, prog, err_msg=f"{img.shape} {sub} {q}")
+
+
+def test_jpeg_progressive_hand_assembled_spec_vector():
+    """A HAND-BUILT progressive stream (not produced by our encoder):
+    grayscale 8x24 (three data units), unit quant table, four scans —
+    DC first at Al=1, AC first at Al=1 with an EOB2 run spanning two
+    blocks (a path the capped encoder never emits), a raw-bit DC
+    refinement, and an AC refinement whose EOBn carries both an
+    appended run bit and a post-EOB correction bit.  Expected final
+    coefficients: block0 DC=65 + AC[zigzag 1]=3, block1 DC=73, block2
+    DC=64; with the unit table, DC-only blocks IDCT to DC/8 + 128
+    analytically."""
+    from trend_o_meter_spark.llm import jpeg
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(tc, th, table):
+        bits, vals = table
+        return bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+    def pack_bits(s):  # '0'/'1' string -> 1-padded bytes (F.1.2.3)
+        s = s + "1" * (-len(s) % 8)
+        return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+    # custom 2-symbol AC table: 0x01 -> '00', 0x10 (EOBn r=1) -> '01'
+    ac_tab = ([0, 2] + [0] * 14, [0x01, 0x10])
+
+    data = struct.pack(">H", 0xFFD8)
+    data += seg(0xFFDB, b"\x00" + bytes([1] * 64))
+    data += seg(0xFFC2, struct.pack(">BHHB", 8, 8, 24, 1) + bytes([1, 0x11, 0]))
+    data += seg(0xFFC4, dht(0, 0, jpeg._DC_LUM))
+    data += seg(0xFFC4, dht(1, 1, ac_tab))
+    # scan 1 — DC first, Al=1: shifted DCs 32, 36, 32 -> diffs 32, 4, -4
+    # (Annex-K DC codes: cat6='1110', cat3='100'; magnitudes per F.1.4.1)
+    data += seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+    data += pack_bits("1110" + "100000" + "100" + "100" + "100" + "011")
+    # scan 2 — AC first 1..63, Al=1: block0 coded +1 at k=1 ('00' + '1'),
+    # then EOBn r=1 ('01') + appended bit '1' -> eobrun covers blocks 1,2
+    data += seg(0xFFDA, bytes([1, 1, 0x01, 1, 63, 0x01]))
+    data += pack_bits("00" + "1" + "01" + "1")
+    # scan 3 — DC refinement (raw bits): 65&1, 73&1, 64&1 = 1, 1, 0
+    data += seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+    data += pack_bits("110")
+    # scan 4 — AC refinement 1..63, Ah=1 Al=0: EOBn r=1 ('01') + appended
+    # bit '1' -> eobrun=3 (this block's tail + two skipped blocks), then
+    # the tail correction bit '1' strengthens block0's AC from 2 to 3
+    data += seg(0xFFDA, bytes([1, 1, 0x01, 1, 63, 0x10]))
+    data += pack_bits("01" + "1" + "1")
+    data += struct.pack(">H", 0xFFD9)
+
+    out = jpeg.decode_jpeg(data)
+    assert out.shape == (8, 24, 3)
+    # DC-only blocks: analytically constant DC/8 + 128
+    np.testing.assert_array_equal(out[:, 8:16], np.full((8, 8, 3), 137, np.uint8))
+    np.testing.assert_array_equal(out[:, 16:24], np.full((8, 8, 3), 136, np.uint8))
+    # block0: DC=65, AC natural position (0,1) = 3 — same orthonormal
+    # IDCT the decoder uses; independent of the encoder entirely
+    coef = np.zeros((8, 8))
+    coef[0, 0], coef[0, 1] = 65.0, 3.0
+    want = np.clip(np.rint(jpeg._DCT_M.T @ coef @ jpeg._DCT_M + 128.0), 0, 255)
+    np.testing.assert_array_equal(out[:, :8], np.repeat(want.astype(np.uint8)[:, :, None], 3, axis=2))
+
+
 def test_image_features_and_resize_on_jpeg_fixture(spark):
-    """A media table whose payloads are REAL baseline JPEGs: sniff
-    routes them to the direct-decode path, the extracted stats equal a
-    local numpy recompute over the SAME decode (hash-exact feature
-    parity), and real resize re-encodes to a JPEG of the target
-    geometry."""
+    """A media table whose payloads are REAL JPEGs — baseline AND
+    progressive (SOF2) interleaved in the same fixture: sniff routes
+    both to the direct-decode path, the extracted stats equal a local
+    numpy recompute over the SAME decode (hash-exact feature parity),
+    and real resize re-encodes to a JPEG of the target geometry."""
     from trend_o_meter_spark.llm import codecs
-    from trend_o_meter_spark.llm.jpeg import decode_jpeg, encode_jpeg
+    from trend_o_meter_spark.llm.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
 
     rows = []
     for i in range(6):
         img = _test_image(16 + i, 12 + (i % 3))
         sub = "420" if i % 2 == 0 else "444"
-        rows.append((i, "image", bytearray(encode_jpeg(img, quality=85, subsampling=sub))))
+        enc = encode_jpeg_progressive if i % 3 == 0 else encode_jpeg
+        rows.append((i, "image", bytearray(enc(img, quality=85, subsampling=sub))))
+    assert any(b"\xff\xc2" in bytes(r[2]) for r in rows)  # SOF2 present
     media = spark.createDataFrame(
         rows, "media_id long, media_type string, content binary"
     ).withColumn(
@@ -730,9 +839,13 @@ def test_jpeg_rejects_cmyk_and_multiscan_accepts_fill_bytes():
 
     partial = bytearray(good)
     sos_at = partial.find(b"\xff\xda")
-    # SOS body: len(2) ns(1) ... — claim the scan covers one component
+    # SOS body: len(2) ns(1) ... — claim the scan covers one component.
+    # Baseline per-component scans are SUPPORTED now (the progressive
+    # coefficient architecture), but this hacked header is INCONSISTENT:
+    # shrinking ns shifts the Ss/Se/Ah/Al fields onto other bytes, which
+    # no longer read (0, 63, 0, 0) — still a loud failure, never garbage
     partial[sos_at + 4] = 1
-    with pytest.raises(NotImplementedError, match="multi-scan"):
+    with pytest.raises(ValueError, match="progressive parameters"):
         decode_jpeg(bytes(partial))
 
     # 0xFF fill bytes before the DQT marker: must decode identically

@@ -547,7 +547,7 @@ def decode_image(data: bytes) -> np.ndarray:
     raise NotImplementedError(
         "no shipped codec for this payload (magic %r); real decode supports "
         "uncompressed 24-bit BMP, binary PPM, 8-bit PNG, and baseline "
-        "JPEG (progressive/12-bit JPEG fail loudly inside the codec)"
+        "JPEG incl. progressive (arithmetic/12-bit JPEG fail loudly inside the codec)"
         % data[:2]
     )
 

@@ -10,15 +10,30 @@ Everything here is the public specification:
   recovery (F.2.2.1), byte stuffing (F.1.2.3), restart intervals
   (F.2.2.5), and the Annex-K example quantization + Huffman tables
   (K.1/K.3) that every mainstream encoder ships.
+* **T.81 Annex G** — the progressive DCT process (SOF2): spectral
+  selection, successive approximation (point transforms, refinement
+  correction bits), EOB runs, and non-interleaved per-component scan
+  geometry (§A.2.2).  A scrape-derived corpus is typically 10-30%
+  progressive, so this is decode-critical, not optional.
 * **JFIF 1.02** (ITU-T T.871) — the APP0 wrapper, YCbCr <-> RGB
   matrices (BT.601 full-range), and centered chroma subsampling.
 
-Scope (mirrors the repo's codec discipline — do the baseline for real,
-fail LOUDLY on the rest): baseline sequential (SOF0; SOF1 decodes the
-same way), 8-bit samples, 1- or 3-component scans, sampling factors 1-2
-per axis (4:4:4 / 4:2:2 / 4:2:0), restart markers.  Progressive (SOF2),
-arithmetic coding, hierarchical, and 12-bit precision raise
+Scope (mirrors the repo's codec discipline — do the real formats for
+real, fail LOUDLY on the rest): baseline sequential (SOF0; SOF1 decodes
+the same way; interleaved or per-component multi-scan) and progressive
+(SOF2), 8-bit samples, 1 or 3 components, sampling factors 1-2 per axis
+(4:4:4 / 4:2:2 / 4:2:0), restart markers.  Arithmetic coding,
+hierarchical, lossless, and 12-bit precision raise
 ``NotImplementedError`` rather than decode wrongly.
+
+Every scan accumulates quantized coefficients; dequantization and the
+inverse DCT run once after all scans, so the baseline path's output is
+bit-identical to the single-pass decoder this architecture replaced.
+The progressive encoder (:func:`encode_jpeg_progressive`) shares the
+baseline's DCT/quantization front half and the libjpeg standard scan
+script shape, which makes ``decode(progressive) == decode(baseline)``
+an EXACT pixel equality (both entropy processes are lossless over the
+same coefficients) — the round-trip test contract.
 
 The 2-D DCT-II/III pair is computed as exact orthonormal matrix
 products (``M @ B @ M.T``) in float64 — deterministic on a given
@@ -42,7 +57,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_jpeg", "decode_jpeg"]
+__all__ = ["encode_jpeg", "encode_jpeg_progressive", "decode_jpeg"]
 
 # ---------------------------------------------------------------- tables --
 
@@ -404,6 +419,295 @@ def encode_jpeg(
     return bytes(out)
 
 
+# -------------------------------------------------- progressive encoder --
+
+
+def _blockify(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """Forward DCT + quantize an edge-padded plane into an
+    (nby, nbx, 64) array of zig-zag-ordered quantized coefficients —
+    the shared front half of both entropy processes."""
+    nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
+    out = np.zeros((nby, nbx, 64), dtype=np.int64)
+    for by in range(nby):
+        for bx in range(nbx):
+            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = _DCT_M @ (blk - 128.0) @ _DCT_M.T
+            out[by, bx] = np.rint(coef.reshape(64) / qtab).astype(np.int64)[ZIGZAG]
+    return out
+
+
+def _enc_dc_scan(
+    bw: _BitWriter,
+    scan_comps: list[dict],
+    mcus_y: int,
+    mcus_x: int,
+    ah: int,
+    al: int,
+    dc_codes: dict[int, dict[int, tuple[int, int]]],
+) -> None:
+    """Progressive DC scan (G.1.2.1): first pass Huffman-codes diffs of
+    the arithmetic-shifted DC; a refinement pass emits one raw bit (bit
+    Al of the two's-complement DC) per block.  Interleaved when the
+    scan has several components (MCU order over the padded grid);
+    single-component scans walk the component's own block grid."""
+    preds = {c["id"]: 0 for c in scan_comps}
+
+    def one(c: dict, by: int, bx: int) -> None:
+        dc = int(c["coef"][by, bx, 0])
+        if ah == 0:
+            t = dc >> al  # arithmetic shift: floor, matches G.1.2.1
+            diff = t - preds[c["id"]]
+            preds[c["id"]] = t
+            ssss, bits = _magnitude(diff)
+            code, ln = dc_codes[c["id"]][ssss]
+            bw.write(code, ln)
+            if ssss:
+                bw.write(bits, ssss)
+        else:
+            bw.write((dc >> al) & 1, 1)
+
+    if len(scan_comps) == 1:
+        c = scan_comps[0]
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                one(c, by, bx)
+    else:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for c in scan_comps:
+                    for dy in range(c["v"]):
+                        for dx in range(c["h"]):
+                            one(c, my * c["v"] + dy, mx * c["h"] + dx)
+
+
+def _enc_ac_first_scan(
+    bw: _BitWriter,
+    c: dict,
+    ss: int,
+    se: int,
+    al: int,
+    ac_codes: dict[int, tuple[int, int]],
+) -> None:
+    """Progressive AC first scan (G.1.2.2) over one component's band,
+    point transform = magnitude shift toward zero.  EOB runs are capped
+    at one block (symbol 0x00) so the Annex-K tables — which lack the
+    EOBn composites — suffice; the decoder's longer-run path is pinned
+    by a hand-assembled vector with a custom table instead."""
+    for by in range(c["bh"]):
+        for bx in range(c["bw"]):
+            band = c["coef"][by, bx, ss : se + 1]
+            run = 0
+            for v in band:
+                a = int(abs(v)) >> al
+                if a == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                v2 = a if v > 0 else -a
+                ssss, bits = _magnitude(v2)
+                code, ln = ac_codes[(run << 4) | ssss]
+                bw.write(code, ln)
+                bw.write(bits, ssss)
+                run = 0
+            if run > 0:
+                code, ln = ac_codes[0x00]  # EOB (run of exactly 1 block)
+                bw.write(code, ln)
+
+
+def _enc_ac_refine_scan(
+    bw: _BitWriter,
+    c: dict,
+    ss: int,
+    se: int,
+    al: int,
+    ac_codes: dict[int, tuple[int, int]],
+) -> None:
+    """Progressive AC refinement (G.1.2.3) over one component's band.
+    Correction bits for already-nonzero coefficients are BUFFERED and
+    flushed after the next emitted symbol, exactly mirroring where the
+    decoder's advance loop consumes them; the ZRL check runs at EVERY
+    nonzero coefficient (not just newly significant ones) — folding it
+    into the significant-only path desyncs the correction-bit order.
+    EOB runs capped at one block, as in the first pass."""
+    for by in range(c["bh"]):
+        for bx in range(c["bw"]):
+            band = c["coef"][by, bx, ss : se + 1]
+            absvals = [int(abs(v)) >> al for v in band]
+            eob = 0  # index AFTER the last newly-significant coefficient
+            for i, a in enumerate(absvals):
+                if a == 1:
+                    eob = i + 1
+            run = 0
+            pending: list[int] = []
+            for i in range(eob):
+                a = absvals[i]
+                if a == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                    for bit in pending:
+                        bw.write(bit, 1)
+                    pending = []
+                if a > 1:  # history coefficient: buffer its correction bit
+                    pending.append(a & 1)
+                    continue
+                code, ln = ac_codes[(run << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1 if band[i] > 0 else 0, 1)
+                for bit in pending:
+                    bw.write(bit, 1)
+                pending = []
+                run = 0
+            if eob < len(band):
+                for i in range(eob, len(band)):
+                    if absvals[i]:
+                        pending.append(absvals[i] & 1)
+                code, ln = ac_codes[0x00]  # EOB: decoder reads the tail bits
+                bw.write(code, ln)
+                for bit in pending:
+                    bw.write(bit, 1)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, *, quality: int = 85, subsampling: str = "420"
+) -> bytes:
+    """RGB (h, w, 3) uint8 -> PROGRESSIVE (SOF2) JFIF bytes.
+
+    Identical color transform, subsampling, DCT, and quantization as
+    :func:`encode_jpeg` — only the entropy process differs — so
+    ``decode_jpeg(encode_jpeg_progressive(img))`` must equal
+    ``decode_jpeg(encode_jpeg(img))`` EXACTLY (both streams carry the
+    same quantized coefficients losslessly; test-pinned).  The scan
+    script is the libjpeg standard shape: shifted DC, Y band splits,
+    full-band chroma, then one-bit successive-approximation refinements
+    (DC raw-bit scan included), exercising every progressive decode
+    path except multi-block EOB runs (hand-vector-pinned separately).
+    """
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got shape {arr.shape}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling {subsampling!r} unsupported ('444'/'420')")
+    h, w, _ = arr.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+
+    rgb = arr.astype(np.float64)
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    yy = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+
+    sub = 2 if subsampling == "420" else 1
+    qy = _scaled_qtable(_Q_LUM, quality)
+    qc = _scaled_qtable(_Q_CHROM, quality)
+    if sub == 2:
+        cb_e = _pad_edge(cb, 2, 2)
+        cr_e = _pad_edge(cr, 2, 2)
+        cbs = (cb_e[0::2, 0::2] + cb_e[0::2, 1::2] + cb_e[1::2, 0::2] + cb_e[1::2, 1::2]) / 4.0
+        crs = (cr_e[0::2, 0::2] + cr_e[0::2, 1::2] + cr_e[1::2, 0::2] + cr_e[1::2, 1::2]) / 4.0
+        ypl = _pad_edge(yy, 16, 16)
+        cbs = _pad_edge(cbs, 8, 8)
+        crs = _pad_edge(crs, 8, 8)
+    else:
+        ypl = _pad_edge(yy, 8, 8)
+        cbs = _pad_edge(cb, 8, 8)
+        crs = _pad_edge(cr, 8, 8)
+
+    mcus_y = ypl.shape[0] // (8 * sub)
+    mcus_x = ypl.shape[1] // (8 * sub)
+    # per-component data-unit grids for non-interleaved scans (A.2.2)
+    comps = [
+        {
+            "id": 1, "h": sub, "v": sub, "tq": 0, "coef": _blockify(ypl, qy),
+            "bh": -(-h // 8), "bw": -(-w // 8),
+        },
+        {
+            "id": 2, "h": 1, "v": 1, "tq": 1, "coef": _blockify(cbs, qc),
+            "bh": -(-(-(-h // sub)) // 8), "bw": -(-(-(-w // sub)) // 8),
+        },
+        {
+            "id": 3, "h": 1, "v": 1, "tq": 1, "coef": _blockify(crs, qc),
+            "bh": -(-(-(-h // sub)) // 8), "bw": -(-(-(-w // sub)) // 8),
+        },
+    ]
+    dc_codes = {
+        1: _build_huffman_codes(*_DC_LUM),
+        2: _build_huffman_codes(*_DC_CHROM),
+        3: _build_huffman_codes(*_DC_CHROM),
+    }
+    ac_codes = {
+        1: _build_huffman_codes(*_AC_LUM),
+        2: _build_huffman_codes(*_AC_CHROM),
+        3: _build_huffman_codes(*_AC_CHROM),
+    }
+    dc_tno = {1: 0, 2: 1, 3: 1}
+    ac_tno = {1: 0, 2: 1, 3: 1}
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(tc: int, th: int, table: tuple[list[int], list[int]]) -> bytes:
+        bits, vals = table
+        return bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+    out = bytearray()
+    out += struct.pack(">H", 0xFFD8)
+    out += seg(0xFFE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(qy[ZIGZAG].tolist()))
+    out += seg(0xFFDB, b"\x01" + bytes(qc[ZIGZAG].tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, (sub << 4) | sub, 0])
+    sof += bytes([2, 0x11, 1])
+    sof += bytes([3, 0x11, 1])
+    out += seg(0xFFC2, sof)  # SOF2: progressive
+    out += seg(0xFFC4, dht(0, 0, _DC_LUM))
+    out += seg(0xFFC4, dht(1, 0, _AC_LUM))
+    out += seg(0xFFC4, dht(0, 1, _DC_CHROM))
+    out += seg(0xFFC4, dht(1, 1, _AC_CHROM))
+
+    # libjpeg's standard script shape: (comp ids, Ss, Se, Ah, Al)
+    script = [
+        ((1, 2, 3), 0, 0, 0, 1),   # DC, one bit held back
+        ((1,), 1, 5, 0, 2),        # Y low band
+        ((3,), 1, 63, 0, 1),       # Cr full band
+        ((2,), 1, 63, 0, 1),       # Cb full band
+        ((1,), 6, 63, 0, 2),       # Y high band
+        ((1,), 1, 63, 2, 1),       # Y refine bit 1
+        ((1, 2, 3), 0, 0, 1, 0),   # DC refine (raw bits)
+        ((3,), 1, 63, 1, 0),       # Cr refine bit 0
+        ((2,), 1, 63, 1, 0),       # Cb refine bit 0
+        ((1,), 1, 63, 1, 0),       # Y refine bit 0
+    ]
+    by_id = {c["id"]: c for c in comps}
+    for ids, ss, se, ah, al in script:
+        scan_comps = [by_id[i] for i in ids]
+        sos = bytes([len(ids)])
+        for i in ids:
+            td = dc_tno[i] if ss == 0 and ah == 0 else 0
+            ta = ac_tno[i] if ss > 0 else 0
+            sos += bytes([i, (td << 4) | ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xFFDA, sos)
+        bw = _BitWriter()
+        if ss == 0:
+            _enc_dc_scan(bw, scan_comps, mcus_y, mcus_x, ah, al, dc_codes)
+        elif ah == 0:
+            _enc_ac_first_scan(bw, scan_comps[0], ss, se, al, ac_codes[ids[0]])
+        else:
+            _enc_ac_refine_scan(bw, scan_comps[0], ss, se, al, ac_codes[ids[0]])
+        bw.pad_to_byte()
+        out += bw.out
+    out += struct.pack(">H", 0xFFD9)
+    return bytes(out)
+
+
 # --------------------------------------------------------------- decoder --
 
 
@@ -470,20 +774,19 @@ def _decode_huffman(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("invalid JPEG Huffman code")
 
 
-def _decode_block(
+def _decode_block_coefs(
     br: _BitReader,
     dc_tab: dict[tuple[int, int], int],
     ac_tab: dict[tuple[int, int], int],
-    qtab: np.ndarray,
+    blk: np.ndarray,
     pred: int,
-) -> tuple[np.ndarray, int]:
-    """One 8x8 block: entropy-decode, dequantize, inverse DCT.  Returns
-    (spatial block float64, new DC predictor)."""
-    zz = np.zeros(64, dtype=np.int64)
+) -> int:
+    """One baseline 8x8 block into ``blk`` (len-64 zig-zag quantized
+    coefficients); returns the new DC predictor."""
     t = _decode_huffman(br, dc_tab)
     diff = _extend(br.read_bits(t), t) if t else 0
     pred += diff
-    zz[0] = pred
+    blk[0] = pred
     k = 1
     while k < 64:
         rs = _decode_huffman(br, ac_tab)
@@ -496,33 +799,148 @@ def _decode_block(
         k += r
         if k > 63:
             raise ValueError("JPEG AC run overflows the block")
-        zz[k] = _extend(br.read_bits(s), s)
+        blk[k] = _extend(br.read_bits(s), s)
         k += 1
-    coef = np.zeros(64, dtype=np.float64)
-    coef[ZIGZAG] = zz * qtab
-    blk = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M + 128.0
-    return blk, pred
+    return pred
 
+
+def _decode_dc_prog(
+    br: _BitReader,
+    dc_tab: dict[tuple[int, int], int],
+    blk: np.ndarray,
+    pred: int,
+    ah: int,
+    al: int,
+) -> int:
+    """Progressive DC data unit (T.81 G.2): first scan (Ah=0) decodes a
+    point-transformed diff and stores it shifted; a refinement scan
+    (Ah>0) reads one raw bit and ORs it into bit Al (two's-complement OR
+    recovers negative magnitudes exactly — e.g. -4 | 1 == -3)."""
+    if ah == 0:
+        t = _decode_huffman(br, dc_tab)
+        diff = _extend(br.read_bits(t), t) if t else 0
+        pred += diff
+        blk[0] = pred << al
+    elif br.read_bit():
+        blk[0] |= 1 << al
+    return pred
+
+def _decode_ac_first(
+    br: _BitReader,
+    ac_tab: dict[tuple[int, int], int],
+    blk: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    state: dict,
+) -> None:
+    """Progressive AC first scan for one block's band (T.81 G.1.2.2):
+    run/size coding with EOBRUN block skipping; new coefficients land
+    shifted left by the point transform Al."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_huffman(br, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: 16 zero coefficients
+                k += 16
+                continue
+            # EOBn: this block's band is done plus 2^r - 1 + bits more
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += br.read_bits(r)
+            return
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run overflows the spectral band")
+        blk[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+
+def _decode_ac_refine(
+    br: _BitReader,
+    ac_tab: dict[tuple[int, int], int],
+    blk: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    state: dict,
+) -> None:
+    """Progressive AC refinement for one block's band (T.81 G.1.2.3):
+    newly significant coefficients arrive as ±2^Al; every already-
+    nonzero coefficient passed over (including the post-EOB tail)
+    consumes one correction bit that may strengthen its magnitude by
+    2^Al.  The bit-Al test (``blk[k] & p1``) is two's-complement-exact
+    for negatives because history magnitudes entering this pass are
+    multiples of 2^(Al+1)."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _decode_huffman(br, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:  # EOBn: tail handled below, then run blocks
+                    state["eobrun"] = (1 << r)
+                    if r:
+                        state["eobrun"] += br.read_bits(r)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("JPEG refinement magnitude must be 1")
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if br.read_bit() and (int(blk[k]) & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        # post-EOB tail of THIS block (and entire bands of the blocks
+        # the run subsequently skips): correction bits only
+        while k <= se:
+            if blk[k] != 0 and br.read_bit() and (int(blk[k]) & p1) == 0:
+                blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        state["eobrun"] -= 1
 
 def _read_u16(data: bytes, pos: int) -> int:
     return struct.unpack_from(">H", data, pos)[0]
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> RGB (h, w, 3) uint8.
+    """JFIF bytes -> RGB (h, w, 3) uint8.
 
-    Accepts SOF0 (and SOF1 — identical decoding), 8-bit, 1 or 3
-    components, per-axis sampling factors 1-2, restart intervals.
-    Chroma upsampling is sample replication (nearest), the deterministic
-    dependency-free kernel used across this codec family.  Progressive
-    / arithmetic / hierarchical / 12-bit streams fail loudly."""
+    Accepts baseline sequential (SOF0; SOF1 decodes the same way) —
+    interleaved or per-component multi-scan — and PROGRESSIVE (SOF2)
+    with spectral selection, successive approximation, and EOB runs
+    (T.81 Annex G).  8-bit, 1 or 3 components, per-axis sampling
+    factors 1-2, restart intervals.  Every scan accumulates quantized
+    coefficients; dequantization + inverse DCT run once at the end, so
+    baseline output is bit-identical to the single-pass decoder this
+    replaced.  Chroma upsampling is sample replication (nearest), the
+    deterministic dependency-free kernel used across this codec family.
+    Arithmetic coding / hierarchical / lossless / 12-bit fail loudly."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame: dict | None = None
+    coefs: dict[int, np.ndarray] = {}
     restart_interval = 0
+    n_scans = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -552,7 +970,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     tab = np.frombuffer(body[i : i + 128], dtype=">u2").astype(np.int64)
                     i += 128
                 # DQT bodies arrive in zig-zag (scan) order, which is
-                # exactly the order _decode_block multiplies against zz
+                # exactly the order _finalize multiplies against zz
                 qtabs[tq] = tab
         elif marker == 0xC4:  # DHT
             i = 0
@@ -563,7 +981,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[i + 17 : i + 17 + n])
                 htabs[(tc, th)] = _build_huffman_decoder(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
+            if frame is not None:
+                raise ValueError("JPEG second SOF")
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} unsupported (8 only)")
@@ -585,12 +1005,33 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         f"JPEG sampling factor {ch}x{cv} unsupported (1-2 only)"
                     )
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {
+                "h": h,
+                "w": w,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            frame["mcus_x"], frame["mcus_y"] = mcus_x, mcus_y
+            for c in comps:
+                # interleaved addressing is MCU-padded; non-interleaved
+                # scans cover only the component's true data units
+                # (T.81 A.2.2): ceil(ceil(dim * sampling / max) / 8)
+                c["bw_full"] = mcus_x * c["h"]
+                c["bh_full"] = mcus_y * c["v"]
+                c["bw"] = -(-(-(-w * c["h"] // hmax)) // 8)
+                c["bh"] = -(-(-(-h * c["v"] // vmax)) // 8)
+                coefs[c["id"]] = np.zeros(
+                    (c["bh_full"], c["bw_full"], 64), dtype=np.int32
+                )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF marker 0xFF{marker:02X} unsupported (baseline "
-                "sequential SOF0/SOF1 only — progressive/arithmetic/"
-                "hierarchical fail loudly)"
+                "sequential and progressive Huffman only — arithmetic/"
+                "hierarchical/lossless fail loudly)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = _read_u16(body, 0)
@@ -598,75 +1039,137 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = body[0]
-            if ns != len(frame["comps"]):
-                # T.81 baseline permits per-component (non-interleaved)
-                # scans; decoding only the first would leave the other
-                # planes zero — fail loudly rather than emit garbage
-                raise NotImplementedError(
-                    "JPEG multi-scan (non-interleaved) stream unsupported — "
-                    f"scan covers {ns} of {len(frame['comps'])} components"
-                )
             scan = []
             for si in range(ns):
                 cs, tdta = body[1 + si * 2], body[2 + si * 2]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 0x0F))
-            return _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval)
+            ss, se = body[1 + ns * 2], body[2 + ns * 2]
+            a = body[3 + ns * 2]
+            ah, al = a >> 4, a & 0x0F
+            if not frame["progressive"] and (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError(
+                    f"baseline JPEG scan with progressive parameters "
+                    f"Ss={ss} Se={se} Ah={ah} Al={al}"
+                )
+            pos = _decode_scan_into(
+                data, pos, frame, scan, coefs, htabs, restart_interval,
+                ss, se, ah, al,
+            )
+            n_scans += 1
         # APPn / COM / anything else: skipped
-    raise ValueError("JPEG missing SOS scan")
+    if frame is None or n_scans == 0:
+        raise ValueError("JPEG missing SOS scan")
+    return _finalize(frame, coefs, qtabs)
 
 
-def _decode_scan(
+def _decode_scan_into(
     data: bytes,
     pos: int,
     frame: dict,
     scan: list[tuple[dict, int, int]],
-    qtabs: dict[int, np.ndarray],
+    coefs: dict[int, np.ndarray],
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]],
     restart_interval: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> int:
+    """Entropy-decode one scan, accumulating quantized coefficients into
+    ``coefs``; returns the byte position after the scan's data.  Handles
+    interleaved (ns > 1, MCU order over the full frame grid) and
+    non-interleaved (ns == 1, raster order over the component's own
+    data units — T.81 A.2.2) geometry, restart intervals (predictors
+    and EOB run reset), and the four progressive scan kinds."""
+    progressive = frame["progressive"]
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and len(scan) != 1:
+            raise ValueError("progressive AC scan must cover one component")
+        if ss > 0 and ah > 0 and ah != al + 1:
+            raise ValueError("successive approximation must refine one bit")
+    br = _BitReader(data, pos)
+    preds = {comp["id"]: 0 for comp, _, _ in scan}
+    state = {"eobrun": 0}
+    unit_count = 0
+
+    def maybe_restart() -> None:
+        nonlocal unit_count
+        if restart_interval and unit_count and unit_count % restart_interval == 0:
+            br.align_restart()
+            for cid in preds:
+                preds[cid] = 0
+            state["eobrun"] = 0
+
+    def decode_unit(comp: dict, td: int, ta: int, by: int, bx: int) -> None:
+        cid = comp["id"]
+        blk = coefs[cid][by, bx]
+        if not progressive:
+            preds[cid] = _decode_block_coefs(
+                br, htabs[(0, td)], htabs[(1, ta)], blk, preds[cid]
+            )
+        elif ss == 0:
+            # refinement (Ah>0) reads raw bits only — no DC table needed
+            preds[cid] = _decode_dc_prog(
+                br, htabs[(0, td)] if ah == 0 else None, blk, preds[cid], ah, al
+            )
+        elif ah == 0:
+            _decode_ac_first(br, htabs[(1, ta)], blk, ss, se, al, state)
+        else:
+            _decode_ac_refine(br, htabs[(1, ta)], blk, ss, se, al, state)
+
+    if len(scan) == 1:
+        # non-interleaved: one data unit per MCU, the component's own
+        # (unpadded) block grid in raster order
+        comp, td, ta = scan[0]
+        for by in range(comp["bh"]):
+            for bx in range(comp["bw"]):
+                maybe_restart()
+                decode_unit(comp, td, ta, by, bx)
+                unit_count += 1
+    else:
+        for my in range(frame["mcus_y"]):
+            for mx in range(frame["mcus_x"]):
+                maybe_restart()
+                for comp, td, ta in scan:
+                    for dy in range(comp["v"]):
+                        for dx in range(comp["h"]):
+                            decode_unit(
+                                comp, td, ta, my * comp["v"] + dy, mx * comp["h"] + dx
+                            )
+                unit_count += 1
+    return br.pos
+
+
+def _finalize(
+    frame: dict, coefs: dict[int, np.ndarray], qtabs: dict[int, np.ndarray]
 ) -> np.ndarray:
+    """Dequantize + inverse DCT every block, upsample, color-convert —
+    one pass after all scans have accumulated their coefficients."""
     h, w, comps = frame["h"], frame["w"], frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = -(-w // mcu_w)
-    mcus_y = -(-h // mcu_h)
-    planes = {
-        c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
-        for c in comps
-    }
-    preds = {c["id"]: 0 for c in comps}
-    br = _BitReader(data, pos)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.align_restart()
-                for cid in preds:
-                    preds[cid] = 0
-            for comp, td, ta in scan:
-                cid = comp["id"]
-                qt = qtabs[comp["tq"]]
-                for dy in range(comp["v"]):
-                    for dx in range(comp["h"]):
-                        blk, preds[cid] = _decode_block(
-                            br, htabs[(0, td)], htabs[(1, ta)], qt, preds[cid]
-                        )
-                        y0 = (my * comp["v"] + dy) * 8
-                        x0 = (mx * comp["h"] + dx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blk
-            mcu_count += 1
-
-    # Upsample each component to full resolution by replication, crop.
     full = []
     for c in comps:
-        p = planes[c["id"]]
+        qt = qtabs[c["tq"]]
+        nby, nbx = c["bh_full"], c["bw_full"]
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+        zz_all = coefs[c["id"]]
+        for by in range(nby):
+            for bx in range(nbx):
+                coef = np.zeros(64, dtype=np.float64)
+                coef[ZIGZAG] = zz_all[by, bx] * qt
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M + 128.0
+                )
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1:
-            p = np.repeat(p, ry, axis=0)
+            plane = np.repeat(plane, ry, axis=0)
         if rx > 1:
-            p = np.repeat(p, rx, axis=1)
-        full.append(p[:h, :w])
+            plane = np.repeat(plane, rx, axis=1)
+        full.append(plane[:h, :w])
 
     if len(full) == 1:
         gray = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)

@@ -249,7 +249,7 @@ def decode_media(media: DataFrame, *, real: bool = False) -> DataFrame:
       baseline JPEG).  The same feature family is computed over DECODED
       PIXEL values, plus ``width`` / ``height`` from the decoded
       geometry (schema ``REAL_DECODE_SCHEMA``).  Payloads in any other
-      format (or progressive/12-bit JPEG) raise ``NotImplementedError``
+      format (or arithmetic-coded/12-bit JPEG) raise ``NotImplementedError``
       — loudly, per-row, on the executor.
 
     Scale notes: batches arrive Arrow-encoded per input partition; with
