@@ -2134,6 +2134,74 @@ def test_stream_dau_mau_matches_batch_replay_and_restart(spark, tmp_path):
     assert results2[2] == want
 
 
+def test_stream_assoc_rules_matches_batch_replay_restart_compaction(spark, tmp_path):
+    """The live association-rules twin's (user, window, item) triple-set
+    state is order-insensitive and replay-idempotent: equal to the batch
+    support/confidence/lift report at every micro-batch — INCLUDING a
+    basket whose items arrive split across two micro-batches (the case
+    that rules out additive per-pair partials) — unchanged under replay,
+    resumed exactly on restart with compaction firing."""
+    from trend_o_meter_spark.operators.analytics import assoc_rules
+    from trend_o_meter_spark.streaming.pipeline import stream_assoc_rules
+
+    w = 1800
+    rows = [
+        # (epoch, user, item): users a,b in window 0; a again in window 2
+        (10, "a", "view"), (20, "a", "click"),
+        (30, "b", "view"),
+        # basket (b, w0) SPLIT across batches: purchase arrives later
+        (1700, "b", "purchase"),
+        (40, "b", "click"),              # out of order within basket: exact
+        (2 * w + 10.0, "a", "view"), (2 * w + 20.0, "a", "purchase"),
+        (2 * w + 30.0, "c", "view"), (2 * w + 40.0, "c", "click"),
+        (25, "a", "view"),               # duplicate triple (a, w0, view)
+    ]
+    batches = [rows[:3], rows[3:7], rows[7:]]
+
+    def mkdf(rs):
+        return spark.createDataFrame(
+            [(float(e), u, i) for e, u, i in rs],
+            "epoch double, user_id string, event_type string",
+        ).select(F.timestamp_seconds("epoch").alias("ts"), "user_id", "event_type")
+
+    results = {}
+    per_batch = stream_assoc_rules(
+        state_path=str(tmp_path / "assoc"),
+        window_seconds=w,
+        min_pair_count=1,
+        on_result=lambda bid, df: results.update({bid: sorted(map(tuple, df.collect()))}),
+    )
+    seen = []
+    for i, chunk in enumerate(batches[:2]):
+        seen += chunk
+        per_batch(mkdf(chunk), i)
+        want = sorted(map(tuple, assoc_rules(
+            mkdf(seen), window_seconds=w, min_pair_count=1
+        ).collect()))
+        assert results[i] == want, i
+
+    per_batch(mkdf(batches[1]), 1)  # at-least-once replay
+    assert results[1] == want
+
+    results2 = {}
+    per_batch2 = stream_assoc_rules(
+        state_path=str(tmp_path / "assoc"),
+        window_seconds=w,
+        min_pair_count=1,
+        compact_every=2,  # batch 2 fires the guard: DISTINCT fold runs
+        on_result=lambda bid, df: results2.update({bid: sorted(map(tuple, df.collect()))}),
+    )
+    seen += batches[2]
+    per_batch2(mkdf(batches[2]), 2)
+    want = sorted(map(tuple, assoc_rules(
+        mkdf(seen), window_seconds=w, min_pair_count=1
+    ).collect()))
+    assert results2[2] == want
+    # the split basket credited: (view -> purchase) counts basket (b, w0)
+    got = {(a, c): n for a, c, n, *_ in results2[2]}
+    assert got[("view", "purchase")] == 2  # (b, w0) split + (a, w2) in-batch
+
+
 def test_stream_interarrival_within_bin_width_replay_restart_compaction(spark, tmp_path):
     """The live inter-arrival twin: per-metric gap quantile estimates
     from additive histogram partials + per-batch edge rows (boundary

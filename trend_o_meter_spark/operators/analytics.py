@@ -778,27 +778,57 @@ def assoc_rules(
     is capped by the item-type cardinality squared); counts are
     map-side combinable.
     """
-    bid_cols = [F.col(user), (F.floor(F.unix_seconds(F.col(ts)) / window_seconds)).cast("long").alias("__w")]
-    baskets = (
+    baskets = assoc_baskets(
+        df, ts=ts, user=user, item=item, window_seconds=window_seconds
+    )
+    return assoc_rules_from_baskets(baskets, min_pair_count=min_pair_count)
+
+
+def assoc_baskets(
+    df: DataFrame,
+    *,
+    ts: str = "ts",
+    user: str = "user_id",
+    item: str = "event_type",
+    window_seconds: int = 1800,
+) -> DataFrame:
+    """The deduped basket-triple set ``(__u, __w, __i)`` — shared front
+    half of :func:`assoc_rules` and the live twin's state construction
+    (``streaming.pipeline.stream_assoc_rules``)."""
+    return (
         df.filter(
             # ts too: a NULL window would survive distinct() but vanish
             # from COUNT DISTINCT's tuple total while still counting in
             # the per-item totals — engine-divergent support/lift
             F.col(item).isNotNull() & F.col(user).isNotNull() & F.col(ts).isNotNull()
         )
-        .select(*bid_cols, F.col(item).alias("__i"))
+        .select(
+            F.col(user).alias("__u"),
+            (F.floor(F.unix_seconds(F.col(ts)) / window_seconds))
+            .cast("long")
+            .alias("__w"),
+            F.col(item).alias("__i"),
+        )
         .distinct()
     )
+
+
+def assoc_rules_from_baskets(
+    baskets: DataFrame, *, min_pair_count: int = 2
+) -> DataFrame:
+    """Shared batch tail: deduped ``(__u, __w, __i)`` basket triples ->
+    the support/confidence/lift report.  Used by :func:`assoc_rules`
+    and the live twin so both emit the identical closed form."""
     totals = baskets.groupBy().agg(
-        F.count_distinct(F.col(user), F.col("__w")).cast("long").alias("__N")
+        F.count_distinct(F.col("__u"), F.col("__w")).cast("long").alias("__N")
     )
     item_counts = baskets.groupBy("__i").agg(
         F.count(F.lit(1)).cast("long").alias("__ni")
     )
-    l = baskets.select(user, "__w", F.col("__i").alias("antecedent"))
-    r = baskets.select(user, "__w", F.col("__i").alias("consequent"))
+    l = baskets.select("__u", "__w", F.col("__i").alias("antecedent"))
+    r = baskets.select("__u", "__w", F.col("__i").alias("consequent"))
     pairs = (
-        l.join(r, [user, "__w"])
+        l.join(r, ["__u", "__w"])
         .filter(F.col("antecedent") != F.col("consequent"))
         .groupBy("antecedent", "consequent")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))

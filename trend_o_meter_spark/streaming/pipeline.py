@@ -1472,6 +1472,74 @@ def stream_dau_mau(
     return per_batch
 
 
+def stream_assoc_rules(
+    *,
+    state_path: str,
+    ts: str = "ts",
+    user: str = "user_id",
+    item: str = "event_type",
+    window_seconds: int = 1800,
+    min_pair_count: int = 2,
+    compact_every: int = 25,
+    on_result: "object" = None,
+):
+    """Live association rules: the streaming twin of
+    ``operators.analytics.assoc_rules`` — the last registry family
+    without a live form (VERDICT r08 task 9).
+
+    State is the deduped ``(user, window, item)`` basket-triple set,
+    merged by DISTINCT — the :func:`stream_dau_mau` recipe — which is
+    the CORRECT decomposition here rather than additive per-pair
+    counts: a basket (fixed ``window_seconds`` window of one user) can
+    receive items across several micro-batches, so pair counts are not
+    finalizable per batch, but the triple set is order-insensitive and
+    replay-idempotent, making the twin equal the batch report over the
+    union UNCONDITIONALLY (no in-order caveat).  Every micro-batch
+    re-emits the full report via the shared batch tail
+    (``assoc_rules_from_baskets``): support/confidence/lift with the
+    same exact-integer counts and pinned double expressions.
+
+    State is O(distinct (user, window, item)) rows — span-bounded, the
+    same working set the batch operator's first dedup produces; the
+    per-batch snapshot re-runs the basket-keyed pair self-join over the
+    merged state (sum(basket_size^2), capped by the item-type
+    cardinality squared per basket — the stream itself is never
+    re-shuffled).  Returns the ``foreachBatch`` callable.
+    """
+    from ..operators.analytics import assoc_baskets, assoc_rules_from_baskets
+    from .statestore import PartialStateTable
+
+    st = PartialStateTable(state_path)
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.distinct()
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            st.compact(spark, transform=merge)
+        if not batch_df.isEmpty():
+            st.append(
+                assoc_baskets(
+                    batch_df, ts=ts, user=user, item=item,
+                    window_seconds=window_seconds,
+                ),
+                batch_id,
+            )
+        state = st.read(spark)
+        if state is None:
+            return
+        if on_result is not None:
+            on_result(
+                batch_id,
+                assoc_rules_from_baskets(
+                    merge(state), min_pair_count=min_pair_count
+                ),
+            )
+
+    return per_batch
+
+
 def _edge_boundaries(edges: DataFrame, *, keys, last_col: str, out_prev: str) -> DataFrame:
     """Consecutive-edge derivation shared by the edge-row twins
     (:func:`stream_interarrival`, :func:`stream_event_transitions`):
