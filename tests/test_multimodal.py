@@ -706,6 +706,42 @@ def test_jpeg_progressive_roundtrip_equals_baseline_pixels():
                 np.testing.assert_array_equal(base, prog, err_msg=f"{img.shape} {sub} {q}")
 
 
+def test_jpeg_422_and_progressive_restart_intervals():
+    """4:2:2 (asymmetric 2x1 sampling) and restart intervals in BOTH
+    entropy processes: RSTn markers inside progressive scans count DATA
+    UNITS (blocks for non-interleaved AC scans, MCUs for the
+    interleaved DC scan) and reset predictors/EOB runs — every variant
+    must decode to the exact pixels of the plain baseline stream."""
+    from trend_o_meter_spark.llm.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(3)
+    for h, w in [(17, 9), (16, 31)]:
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        for sub in ("444", "422", "420"):
+            base = decode_jpeg(encode_jpeg(img, quality=85, subsampling=sub))
+            for ri in (1, 3):
+                np.testing.assert_array_equal(
+                    base,
+                    decode_jpeg(
+                        encode_jpeg(img, quality=85, subsampling=sub, restart_interval=ri)
+                    ),
+                    err_msg=f"baseline {sub} ri={ri}",
+                )
+                np.testing.assert_array_equal(
+                    base,
+                    decode_jpeg(
+                        encode_jpeg_progressive(
+                            img, quality=85, subsampling=sub, restart_interval=ri
+                        )
+                    ),
+                    err_msg=f"progressive {sub} ri={ri}",
+                )
+
+
 def test_jpeg_progressive_hand_assembled_spec_vector():
     """A HAND-BUILT progressive stream (not produced by our encoder):
     grayscale 8x24 (three data units), unit quant table, four scans —

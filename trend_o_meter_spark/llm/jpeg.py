@@ -314,6 +314,26 @@ def _pad_edge(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     return plane
 
 
+_SUBSAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def _subsample_planes(
+    yy: np.ndarray, cb: np.ndarray, cr: np.ndarray, subh: int, subv: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Box-average chroma by (subh, subv), MCU-pad all three planes —
+    shared front half of both entropy processes."""
+
+    def box(p: np.ndarray) -> np.ndarray:
+        p = _pad_edge(p, subv, subh)
+        if subh == 2 and subv == 2:
+            p = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+        elif subh == 2:
+            p = (p[:, 0::2] + p[:, 1::2]) / 2.0
+        return _pad_edge(p, 8, 8)
+
+    return _pad_edge(yy, 8 * subv, 8 * subh), box(cb), box(cr)
+
+
 def encode_jpeg(
     arr: np.ndarray,
     *,
@@ -325,17 +345,15 @@ def encode_jpeg(
 
     Deterministic: Annex-K tables at the given IJG quality scaling,
     fixed Huffman tables, one interleaved scan, no optional markers
-    beyond APP0.  ``subsampling``: ``'444'`` (no chroma subsampling) or
-    ``'420'`` (2x2 box-averaged chroma, the ubiquitous choice).
-    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
-    that many MCUs (T.81 F.2.2.5) — the decode path a chunked/parallel
-    producer exercises.
+    beyond APP0.  ``subsampling``: ``'444'`` (no chroma subsampling),
+    ``'422'`` (2x1 horizontally box-averaged chroma), or ``'420'``
+    (2x2, the ubiquitous choice).  ``restart_interval`` > 0 emits a DRI
+    segment and RSTn markers every that many MCUs (T.81 F.2.2.5) — the
+    decode path a chunked/parallel producer exercises.
     """
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError(f"expected (h, w, 3) RGB array, got shape {arr.shape}")
-    if subsampling not in ("444", "420"):
-        raise ValueError(f"subsampling {subsampling!r} unsupported ('444'/'420')")
     h, w, _ = arr.shape
     if h == 0 or w == 0:
         raise ValueError("empty image")
@@ -347,22 +365,15 @@ def encode_jpeg(
     cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
     cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
 
-    sub = 2 if subsampling == "420" else 1
+    subh, subv = _SUBSAMPLING[subsampling] if subsampling in _SUBSAMPLING else (0, 0)
+    if not subh:
+        raise ValueError(
+            f"subsampling {subsampling!r} unsupported ('444'/'422'/'420')"
+        )
     qy = _scaled_qtable(_Q_LUM, quality)
     qc = _scaled_qtable(_Q_CHROM, quality)
 
-    if sub == 2:
-        cb_e = _pad_edge(cb, 2, 2)  # chroma box averages need even dims
-        cr_e = _pad_edge(cr, 2, 2)
-        cbs = (cb_e[0::2, 0::2] + cb_e[0::2, 1::2] + cb_e[1::2, 0::2] + cb_e[1::2, 1::2]) / 4.0
-        crs = (cr_e[0::2, 0::2] + cr_e[0::2, 1::2] + cr_e[1::2, 0::2] + cr_e[1::2, 1::2]) / 4.0
-        ypl = _pad_edge(yy, 16, 16)
-        cbs = _pad_edge(cbs, 8, 8)
-        crs = _pad_edge(crs, 8, 8)
-    else:
-        ypl = _pad_edge(yy, 8, 8)
-        cbs = _pad_edge(cb, 8, 8)
-        crs = _pad_edge(cr, 8, 8)
+    ypl, cbs, crs = _subsample_planes(yy, cb, cr, subh, subv)
 
     dc_l = _build_huffman_codes(*_DC_LUM)
     ac_l = _build_huffman_codes(*_AC_LUM)
@@ -371,8 +382,8 @@ def encode_jpeg(
 
     bw = _BitWriter()
     pred_y = pred_cb = pred_cr = 0
-    mcus_y = ypl.shape[0] // (8 * sub)
-    mcus_x = ypl.shape[1] // (8 * sub)
+    mcus_y = ypl.shape[0] // (8 * subv)
+    mcus_x = ypl.shape[1] // (8 * subh)
     mcu_count = 0
     rst = 0
     for my in range(mcus_y):
@@ -384,9 +395,9 @@ def encode_jpeg(
                 pred_y = pred_cb = pred_cr = 0
             mcu_count += 1
             yblocks = [
-                _plane_blocks(ypl, my * sub + dy, mx * sub + dx)
-                for dy in range(sub)
-                for dx in range(sub)
+                _plane_blocks(ypl, my * subv + dy, mx * subh + dx)
+                for dy in range(subv)
+                for dx in range(subh)
             ]
             pred_y = _encode_blocks(bw, np.stack(yblocks), qy, dc_l, ac_l, pred_y)
             pred_cb = _encode_blocks(
@@ -410,7 +421,7 @@ def encode_jpeg(
     out += seg(0xFFDB, b"\x00" + bytes(qy[ZIGZAG].tolist()))
     out += seg(0xFFDB, b"\x01" + bytes(qc[ZIGZAG].tolist()))
     sof = struct.pack(">BHHB", 8, h, w, 3)
-    sof += bytes([1, (sub << 4) | sub, 0])  # Y
+    sof += bytes([1, (subh << 4) | subv, 0])  # Y
     sof += bytes([2, 0x11, 1])  # Cb
     sof += bytes([3, 0x11, 1])  # Cr
     out += seg(0xFFC0, sof)
@@ -444,6 +455,27 @@ def _blockify(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
     return out
 
 
+class _RestartEmitter:
+    """Per-scan RSTn cadence (F.2.2.5): pad to the byte boundary and
+    emit the cycling restart marker every ``ri`` data units; the caller
+    resets its predictors when ``tick`` returns True."""
+
+    def __init__(self, bw: _BitWriter, ri: int) -> None:
+        self.bw = bw
+        self.ri = ri
+        self.count = 0
+        self.rst = 0
+
+    def tick(self) -> bool:
+        fire = bool(self.ri) and self.count > 0 and self.count % self.ri == 0
+        if fire:
+            self.bw.pad_to_byte()
+            self.bw.out += struct.pack(">H", 0xFFD0 + self.rst)
+            self.rst = (self.rst + 1) % 8
+        self.count += 1
+        return fire
+
+
 def _enc_dc_scan(
     bw: _BitWriter,
     scan_comps: list[dict],
@@ -452,6 +484,7 @@ def _enc_dc_scan(
     ah: int,
     al: int,
     dc_codes: dict[int, dict[int, tuple[int, int]]],
+    restart_interval: int = 0,
 ) -> None:
     """Progressive DC scan (G.1.2.1): first pass Huffman-codes diffs of
     the arithmetic-shifted DC; a refinement pass emits one raw bit (bit
@@ -459,6 +492,7 @@ def _enc_dc_scan(
     scan has several components (MCU order over the padded grid);
     single-component scans walk the component's own block grid."""
     preds = {c["id"]: 0 for c in scan_comps}
+    rst = _RestartEmitter(bw, restart_interval)
 
     def one(c: dict, by: int, bx: int) -> None:
         dc = int(c["coef"][by, bx, 0])
@@ -474,14 +508,21 @@ def _enc_dc_scan(
         else:
             bw.write((dc >> al) & 1, 1)
 
+    def unit_start() -> None:
+        if rst.tick():
+            for cid in preds:
+                preds[cid] = 0
+
     if len(scan_comps) == 1:
         c = scan_comps[0]
         for by in range(c["bh"]):
             for bx in range(c["bw"]):
+                unit_start()
                 one(c, by, bx)
     else:
         for my in range(mcus_y):
             for mx in range(mcus_x):
+                unit_start()
                 for c in scan_comps:
                     for dy in range(c["v"]):
                         for dx in range(c["h"]):
@@ -495,14 +536,17 @@ def _enc_ac_first_scan(
     se: int,
     al: int,
     ac_codes: dict[int, tuple[int, int]],
+    restart_interval: int = 0,
 ) -> None:
     """Progressive AC first scan (G.1.2.2) over one component's band,
     point transform = magnitude shift toward zero.  EOB runs are capped
     at one block (symbol 0x00) so the Annex-K tables — which lack the
     EOBn composites — suffice; the decoder's longer-run path is pinned
     by a hand-assembled vector with a custom table instead."""
+    rst = _RestartEmitter(bw, restart_interval)
     for by in range(c["bh"]):
         for bx in range(c["bw"]):
+            rst.tick()
             band = c["coef"][by, bx, ss : se + 1]
             run = 0
             for v in band:
@@ -532,6 +576,7 @@ def _enc_ac_refine_scan(
     se: int,
     al: int,
     ac_codes: dict[int, tuple[int, int]],
+    restart_interval: int = 0,
 ) -> None:
     """Progressive AC refinement (G.1.2.3) over one component's band.
     Correction bits for already-nonzero coefficients are BUFFERED and
@@ -540,8 +585,10 @@ def _enc_ac_refine_scan(
     nonzero coefficient (not just newly significant ones) — folding it
     into the significant-only path desyncs the correction-bit order.
     EOB runs capped at one block, as in the first pass."""
+    rst = _RestartEmitter(bw, restart_interval)
     for by in range(c["bh"]):
         for bx in range(c["bw"]):
+            rst.tick()
             band = c["coef"][by, bx, ss : se + 1]
             absvals = [int(abs(v)) >> al for v in band]
             eob = 0  # index AFTER the last newly-significant coefficient
@@ -583,7 +630,11 @@ def _enc_ac_refine_scan(
 
 
 def encode_jpeg_progressive(
-    arr: np.ndarray, *, quality: int = 85, subsampling: str = "420"
+    arr: np.ndarray,
+    *,
+    quality: int = 85,
+    subsampling: str = "420",
+    restart_interval: int = 0,
 ) -> bytes:
     """RGB (h, w, 3) uint8 -> PROGRESSIVE (SOF2) JFIF bytes.
 
@@ -596,12 +647,13 @@ def encode_jpeg_progressive(
     full-band chroma, then one-bit successive-approximation refinements
     (DC raw-bit scan included), exercising every progressive decode
     path except multi-block EOB runs (hand-vector-pinned separately).
+    ``subsampling``: '444'/'422'/'420'; ``restart_interval`` > 0 emits
+    DRI + per-scan RSTn markers every that many data units (blocks for
+    non-interleaved scans, MCUs for the interleaved DC scan).
     """
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError(f"expected (h, w, 3) RGB array, got shape {arr.shape}")
-    if subsampling not in ("444", "420"):
-        raise ValueError(f"subsampling {subsampling!r} unsupported ('444'/'420')")
     h, w, _ = arr.shape
     if h == 0 or w == 0:
         raise ValueError("empty image")
@@ -612,37 +664,30 @@ def encode_jpeg_progressive(
     cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
     cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
 
-    sub = 2 if subsampling == "420" else 1
+    subh, subv = _SUBSAMPLING[subsampling] if subsampling in _SUBSAMPLING else (0, 0)
+    if not subh:
+        raise ValueError(
+            f"subsampling {subsampling!r} unsupported ('444'/'422'/'420')"
+        )
     qy = _scaled_qtable(_Q_LUM, quality)
     qc = _scaled_qtable(_Q_CHROM, quality)
-    if sub == 2:
-        cb_e = _pad_edge(cb, 2, 2)
-        cr_e = _pad_edge(cr, 2, 2)
-        cbs = (cb_e[0::2, 0::2] + cb_e[0::2, 1::2] + cb_e[1::2, 0::2] + cb_e[1::2, 1::2]) / 4.0
-        crs = (cr_e[0::2, 0::2] + cr_e[0::2, 1::2] + cr_e[1::2, 0::2] + cr_e[1::2, 1::2]) / 4.0
-        ypl = _pad_edge(yy, 16, 16)
-        cbs = _pad_edge(cbs, 8, 8)
-        crs = _pad_edge(crs, 8, 8)
-    else:
-        ypl = _pad_edge(yy, 8, 8)
-        cbs = _pad_edge(cb, 8, 8)
-        crs = _pad_edge(cr, 8, 8)
+    ypl, cbs, crs = _subsample_planes(yy, cb, cr, subh, subv)
 
-    mcus_y = ypl.shape[0] // (8 * sub)
-    mcus_x = ypl.shape[1] // (8 * sub)
+    mcus_y = ypl.shape[0] // (8 * subv)
+    mcus_x = ypl.shape[1] // (8 * subh)
     # per-component data-unit grids for non-interleaved scans (A.2.2)
     comps = [
         {
-            "id": 1, "h": sub, "v": sub, "tq": 0, "coef": _blockify(ypl, qy),
+            "id": 1, "h": subh, "v": subv, "tq": 0, "coef": _blockify(ypl, qy),
             "bh": -(-h // 8), "bw": -(-w // 8),
         },
         {
             "id": 2, "h": 1, "v": 1, "tq": 1, "coef": _blockify(cbs, qc),
-            "bh": -(-(-(-h // sub)) // 8), "bw": -(-(-(-w // sub)) // 8),
+            "bh": -(-(-(-h // subv)) // 8), "bw": -(-(-(-w // subh)) // 8),
         },
         {
             "id": 3, "h": 1, "v": 1, "tq": 1, "coef": _blockify(crs, qc),
-            "bh": -(-(-(-h // sub)) // 8), "bw": -(-(-(-w // sub)) // 8),
+            "bh": -(-(-(-h // subv)) // 8), "bw": -(-(-(-w // subh)) // 8),
         },
     ]
     dc_codes = {
@@ -671,7 +716,7 @@ def encode_jpeg_progressive(
     out += seg(0xFFDB, b"\x00" + bytes(qy[ZIGZAG].tolist()))
     out += seg(0xFFDB, b"\x01" + bytes(qc[ZIGZAG].tolist()))
     sof = struct.pack(">BHHB", 8, h, w, 3)
-    sof += bytes([1, (sub << 4) | sub, 0])
+    sof += bytes([1, (subh << 4) | subv, 0])
     sof += bytes([2, 0x11, 1])
     sof += bytes([3, 0x11, 1])
     out += seg(0xFFC2, sof)  # SOF2: progressive
@@ -679,6 +724,8 @@ def encode_jpeg_progressive(
     out += seg(0xFFC4, dht(1, 0, _AC_LUM))
     out += seg(0xFFC4, dht(0, 1, _DC_CHROM))
     out += seg(0xFFC4, dht(1, 1, _AC_CHROM))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
 
     # libjpeg's standard script shape: (comp ids, Ss, Se, Ah, Al)
     script = [
@@ -705,11 +752,20 @@ def encode_jpeg_progressive(
         out += seg(0xFFDA, sos)
         bw = _BitWriter()
         if ss == 0:
-            _enc_dc_scan(bw, scan_comps, mcus_y, mcus_x, ah, al, dc_codes)
+            _enc_dc_scan(
+                bw, scan_comps, mcus_y, mcus_x, ah, al, dc_codes,
+                restart_interval=restart_interval,
+            )
         elif ah == 0:
-            _enc_ac_first_scan(bw, scan_comps[0], ss, se, al, ac_codes[ids[0]])
+            _enc_ac_first_scan(
+                bw, scan_comps[0], ss, se, al, ac_codes[ids[0]],
+                restart_interval=restart_interval,
+            )
         else:
-            _enc_ac_refine_scan(bw, scan_comps[0], ss, se, al, ac_codes[ids[0]])
+            _enc_ac_refine_scan(
+                bw, scan_comps[0], ss, se, al, ac_codes[ids[0]],
+                restart_interval=restart_interval,
+            )
         bw.pad_to_byte()
         out += bw.out
     out += struct.pack(">H", 0xFFD9)
