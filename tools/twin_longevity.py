@@ -91,6 +91,12 @@ def main() -> int:
         per_batch = pl.stream_event_transitions(
             state_path=state_path, on_result=on_result
         )
+    elif name == "assoc":
+        # NOTE: state is span-bounded by design (windows accumulate as
+        # the stream's time span grows) — expect LINEAR state growth
+        # here, not a plateau; the flatness signal is per-batch wall
+        # divided by state rows
+        per_batch = pl.stream_assoc_rules(state_path=state_path, on_result=on_result)
     else:
         raise SystemExit(f"unknown twin: {name}")
 
