@@ -742,6 +742,53 @@ def test_jpeg_422_and_progressive_restart_intervals():
                 )
 
 
+def test_jpeg_baseline_coverage_and_dqt_redefinition_guards():
+    """Two silent-garbage paths opened by the multi-scan coefficient
+    architecture, pinned shut (round-9 review findings): a baseline
+    stream whose per-component scans don't cover every frame component
+    would finalize unscanned planes as neutral-gray zeros; a DQT that
+    redefines a slot AFTER a scan used it would dequantize that scan
+    with the wrong table under deferred dequantization.  Both must fail
+    loudly.  (Re-stating the SAME table is legal and accepted.)"""
+    from trend_o_meter_spark.llm import jpeg
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(tc, th, table):
+        bits, vals = table
+        return bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+    # 8x8, THREE components 4:4:4, but only component 1 ever scanned
+    head = struct.pack(">H", 0xFFD8)
+    head += seg(0xFFDB, b"\x00" + bytes([1] * 64))
+    sof = struct.pack(">BHHB", 8, 8, 8, 3)
+    sof += bytes([1, 0x11, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    head += seg(0xFFC0, sof)
+    head += seg(0xFFC4, dht(0, 0, jpeg._DC_LUM))
+    head += seg(0xFFC4, dht(1, 0, jpeg._AC_LUM))
+    scan1 = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    scan1 += bytes([0b00101011])  # DC cat0 '00' + EOB '1010' + pad '11'
+    incomplete = head + scan1 + struct.pack(">H", 0xFFD9)
+    with pytest.raises(ValueError, match="coverage incomplete"):
+        jpeg.decode_jpeg(incomplete)
+
+    # grayscale frame, scan uses table 0, then DQT REDEFINES table 0
+    ghead = struct.pack(">H", 0xFFD8)
+    ghead += seg(0xFFDB, b"\x00" + bytes([1] * 64))
+    ghead += seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    ghead += seg(0xFFC4, dht(0, 0, jpeg._DC_LUM))
+    ghead += seg(0xFFC4, dht(1, 0, jpeg._AC_LUM))
+    gscan = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0])) + bytes([0b00101011])
+    redef = seg(0xFFDB, b"\x00" + bytes([2] * 64))
+    bad = ghead + gscan + redef + struct.pack(">H", 0xFFD9)
+    with pytest.raises(NotImplementedError, match="redefines"):
+        jpeg.decode_jpeg(bad)
+    # re-stating the identical table is fine
+    ok = ghead + gscan + seg(0xFFDB, b"\x00" + bytes([1] * 64)) + struct.pack(">H", 0xFFD9)
+    assert jpeg.decode_jpeg(ok).shape == (8, 8, 3)
+
+
 def test_jpeg_progressive_hand_assembled_spec_vector():
     """A HAND-BUILT progressive stream (not produced by our encoder):
     grayscale 8x24 (three data units), unit quant table, four scans —

@@ -2647,6 +2647,39 @@ def test_stream_attribution_out_of_order_touch_is_observable(spark, tmp_path):
     assert ("__late_rows", 1, None) in results[1]
 
 
+def test_stream_funnel_resumes_from_pre_counter_state_schema(spark, tmp_path):
+    """Round-9 widened funnel state with the __n counter column; a
+    restart over a round-8 state table (no __n anywhere on disk) must
+    resume exactly, reading the old partitions as null counters —
+    'resumed exactly on restart' is schema-upgrade-proof (review
+    finding; statestore reads with mergeSchema so mixed partitions
+    can't shadow the new column either)."""
+    from trend_o_meter_spark.streaming.pipeline import stream_funnel
+    from trend_o_meter_spark.streaming.statestore import PartialStateTable
+
+    st = PartialStateTable(str(tmp_path / "funnel"))
+    # a round-8-shaped partial: u1 completed step 0 at t=100, no __n
+    old = spark.createDataFrame(
+        [(0, "u1", 100.0)], "__step int, __u string, __epoch double"
+    ).select("__step", "__u", F.timestamp_seconds("__epoch").alias("__ft"))
+    st.append(old, 0)
+
+    results = {}
+    per_batch = stream_funnel(
+        state_path=str(tmp_path / "funnel"),
+        steps=("signup", "activate"),
+        on_result=lambda bid, df: results.update(
+            {bid: sorted(map(tuple, df.collect()))}
+        ),
+    )
+    batch = spark.createDataFrame(
+        [(200.0, "u1", "activate")], "epoch double, user_id string, event_type string"
+    ).select(F.timestamp_seconds("epoch").alias("ts"), "user_id", "event_type")
+    per_batch(batch, 1)
+    by_step = {r[0]: r[2] for r in results[1]}
+    assert by_step[1] == 1 and by_step[2] == 1  # carried signup + new activate
+
+
 def test_stream_funnel_out_of_order_event_is_observable(spark, tmp_path):
     """VERDICT r08 task 8 (funnel side): an event arriving below the
     user's carried high-water ts surfaces as a (step_index=-1,

@@ -117,11 +117,13 @@ def main() -> int:
                 f"state_rows={rows} files={st.file_count()} report_rows={sink['n']}",
                 flush=True,
             )
-    head = sum(walls[:50]) / 50
-    tail = sum(walls[-50:]) / 50
+    hw, tw = walls[:50], walls[-50:]
+    head = sum(hw) / len(hw)
+    tail = sum(tw) / len(tw)
+    note = "" if n_batches >= 100 else " (WINDOWS OVERLAP: run >=100 batches)"
     print(
         f"{name}: {n_batches} batches, per-batch wall first50={head:.2f}s "
-        f"last50={tail:.2f}s ratio={tail / head:.2f}x",
+        f"last50={tail:.2f}s ratio={tail / head:.2f}x{note}",
         flush=True,
     )
     return 0

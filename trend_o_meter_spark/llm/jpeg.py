@@ -192,6 +192,9 @@ def _build_huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[in
     return codes
 
 
+_LUT_MEMO: dict[tuple, tuple[list[int], list[int]]] = {}
+
+
 def _build_huffman_decoder(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
     """Flat 16-bit lookup: ``(lengths, symbols)`` lists of 65,536
     entries — every 16-bit window whose prefix is a code maps to that
@@ -199,6 +202,10 @@ def _build_huffman_decoder(bits: list[int], vals: list[int]) -> tuple[list[int],
     list probe per symbol replaces the old bit-serial walk (plain
     Python lists: scalar indexing beats numpy here, the measured
     codec-family rule)."""
+    key = (tuple(bits), tuple(vals))
+    hit = _LUT_MEMO.get(key)
+    if hit is not None:
+        return hit
     lengths = np.zeros(1 << 16, dtype=np.uint8)
     symbols = np.zeros(1 << 16, dtype=np.uint8)
     for sym, (code, ln) in _build_huffman_codes(bits, vals).items():
@@ -206,7 +213,12 @@ def _build_huffman_decoder(bits: list[int], vals: list[int]) -> tuple[list[int],
         hi = lo + (1 << (16 - ln))
         lengths[lo:hi] = ln
         symbols[lo:hi] = sym
-    return lengths.tolist(), symbols.tolist()
+    lut = (lengths.tolist(), symbols.tolist())
+    # memoized: the fixed Annex-K tables arrive on essentially every
+    # mainstream-encoder file, and corpus decode pays the 2x64K build
+    # per image otherwise (bounded: distinct tables seen per process)
+    _LUT_MEMO[key] = lut
+    return lut
 
 
 def _scaled_qtable(base: np.ndarray, quality: int) -> np.ndarray:
@@ -334,6 +346,67 @@ def _subsample_planes(
     return _pad_edge(yy, 8 * subv, 8 * subh), box(cb), box(cr)
 
 
+def _encode_front(
+    arr: np.ndarray, quality: int, subsampling: str
+) -> tuple[int, int, int, int, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Shared encoder front half: validation, BT.601 full-range color
+    transform, chroma subsampling, quality-scaled Annex-K tables —
+    BOTH entropy processes must take exactly this path or the
+    decode(progressive) == decode(baseline) exactness contract drifts.
+    Returns ``(h, w, subh, subv, qy, qc, ypl, cbs, crs)``."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got shape {arr.shape}")
+    h, w, _ = arr.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(
+            f"subsampling {subsampling!r} unsupported ('444'/'422'/'420')"
+        )
+    subh, subv = _SUBSAMPLING[subsampling]
+    rgb = arr.astype(np.float64)
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    yy = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    qy = _scaled_qtable(_Q_LUM, quality)
+    qc = _scaled_qtable(_Q_CHROM, quality)
+    ypl, cbs, crs = _subsample_planes(yy, cb, cr, subh, subv)
+    return h, w, subh, subv, qy, qc, ypl, cbs, crs
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _dht_body(tc: int, th: int, table: tuple[list[int], list[int]]) -> bytes:
+    bits, vals = table
+    return bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+
+def _header_segments(
+    h: int, w: int, subh: int, subv: int, qy: np.ndarray, qc: np.ndarray, sof_marker: int
+) -> bytearray:
+    """SOI + APP0 + DQTs + SOF + the four Annex-K DHTs — identical
+    for both entropy processes except the SOF marker."""
+    out = bytearray()
+    out += struct.pack(">H", 0xFFD8)  # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, b"\x00" + bytes(qy[ZIGZAG].tolist()))
+    out += _seg(0xFFDB, b"\x01" + bytes(qc[ZIGZAG].tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, (subh << 4) | subv, 0])  # Y
+    sof += bytes([2, 0x11, 1])  # Cb
+    sof += bytes([3, 0x11, 1])  # Cr
+    out += _seg(sof_marker, sof)
+    out += _seg(0xFFC4, _dht_body(0, 0, _DC_LUM))
+    out += _seg(0xFFC4, _dht_body(1, 0, _AC_LUM))
+    out += _seg(0xFFC4, _dht_body(0, 1, _DC_CHROM))
+    out += _seg(0xFFC4, _dht_body(1, 1, _AC_CHROM))
+    return out
+
+
 def encode_jpeg(
     arr: np.ndarray,
     *,
@@ -351,29 +424,9 @@ def encode_jpeg(
     segment and RSTn markers every that many MCUs (T.81 F.2.2.5) — the
     decode path a chunked/parallel producer exercises.
     """
-    arr = np.ascontiguousarray(arr, dtype=np.uint8)
-    if arr.ndim != 3 or arr.shape[2] != 3:
-        raise ValueError(f"expected (h, w, 3) RGB array, got shape {arr.shape}")
-    h, w, _ = arr.shape
-    if h == 0 or w == 0:
-        raise ValueError("empty image")
-
-    # JFIF / BT.601 full-range color transform.
-    rgb = arr.astype(np.float64)
-    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
-    yy = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
-    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
-
-    subh, subv = _SUBSAMPLING[subsampling] if subsampling in _SUBSAMPLING else (0, 0)
-    if not subh:
-        raise ValueError(
-            f"subsampling {subsampling!r} unsupported ('444'/'422'/'420')"
-        )
-    qy = _scaled_qtable(_Q_LUM, quality)
-    qc = _scaled_qtable(_Q_CHROM, quality)
-
-    ypl, cbs, crs = _subsample_planes(yy, cb, cr, subh, subv)
+    h, w, subh, subv, qy, qc, ypl, cbs, crs = _encode_front(
+        arr, quality, subsampling
+    )
 
     dc_l = _build_huffman_codes(*_DC_LUM)
     ac_l = _build_huffman_codes(*_AC_LUM)
@@ -408,31 +461,11 @@ def encode_jpeg(
             )
     bw.pad_to_byte()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    def dht(tc: int, th: int, table: tuple[list[int], list[int]]) -> bytes:
-        bits, vals = table
-        return bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
-
-    out = bytearray()
-    out += struct.pack(">H", 0xFFD8)  # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, b"\x00" + bytes(qy[ZIGZAG].tolist()))
-    out += seg(0xFFDB, b"\x01" + bytes(qc[ZIGZAG].tolist()))
-    sof = struct.pack(">BHHB", 8, h, w, 3)
-    sof += bytes([1, (subh << 4) | subv, 0])  # Y
-    sof += bytes([2, 0x11, 1])  # Cb
-    sof += bytes([3, 0x11, 1])  # Cr
-    out += seg(0xFFC0, sof)
-    out += seg(0xFFC4, dht(0, 0, _DC_LUM))
-    out += seg(0xFFC4, dht(1, 0, _AC_LUM))
-    out += seg(0xFFC4, dht(0, 1, _DC_CHROM))
-    out += seg(0xFFC4, dht(1, 1, _AC_CHROM))
+    out = _header_segments(h, w, subh, subv, qy, qc, 0xFFC0)
     if restart_interval:
-        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
-    out += seg(0xFFDA, sos)
+    out += _seg(0xFFDA, sos)
     out += bw.out
     out += struct.pack(">H", 0xFFD9)  # EOI
     return bytes(out)
@@ -651,28 +684,9 @@ def encode_jpeg_progressive(
     DRI + per-scan RSTn markers every that many data units (blocks for
     non-interleaved scans, MCUs for the interleaved DC scan).
     """
-    arr = np.ascontiguousarray(arr, dtype=np.uint8)
-    if arr.ndim != 3 or arr.shape[2] != 3:
-        raise ValueError(f"expected (h, w, 3) RGB array, got shape {arr.shape}")
-    h, w, _ = arr.shape
-    if h == 0 or w == 0:
-        raise ValueError("empty image")
-
-    rgb = arr.astype(np.float64)
-    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
-    yy = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
-    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
-
-    subh, subv = _SUBSAMPLING[subsampling] if subsampling in _SUBSAMPLING else (0, 0)
-    if not subh:
-        raise ValueError(
-            f"subsampling {subsampling!r} unsupported ('444'/'422'/'420')"
-        )
-    qy = _scaled_qtable(_Q_LUM, quality)
-    qc = _scaled_qtable(_Q_CHROM, quality)
-    ypl, cbs, crs = _subsample_planes(yy, cb, cr, subh, subv)
-
+    h, w, subh, subv, qy, qc, ypl, cbs, crs = _encode_front(
+        arr, quality, subsampling
+    )
     mcus_y = ypl.shape[0] // (8 * subv)
     mcus_x = ypl.shape[1] // (8 * subh)
     # per-component data-unit grids for non-interleaved scans (A.2.2)
@@ -703,29 +717,9 @@ def encode_jpeg_progressive(
     dc_tno = {1: 0, 2: 1, 3: 1}
     ac_tno = {1: 0, 2: 1, 3: 1}
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    def dht(tc: int, th: int, table: tuple[list[int], list[int]]) -> bytes:
-        bits, vals = table
-        return bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
-
-    out = bytearray()
-    out += struct.pack(">H", 0xFFD8)
-    out += seg(0xFFE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, b"\x00" + bytes(qy[ZIGZAG].tolist()))
-    out += seg(0xFFDB, b"\x01" + bytes(qc[ZIGZAG].tolist()))
-    sof = struct.pack(">BHHB", 8, h, w, 3)
-    sof += bytes([1, (subh << 4) | subv, 0])
-    sof += bytes([2, 0x11, 1])
-    sof += bytes([3, 0x11, 1])
-    out += seg(0xFFC2, sof)  # SOF2: progressive
-    out += seg(0xFFC4, dht(0, 0, _DC_LUM))
-    out += seg(0xFFC4, dht(1, 0, _AC_LUM))
-    out += seg(0xFFC4, dht(0, 1, _DC_CHROM))
-    out += seg(0xFFC4, dht(1, 1, _AC_CHROM))
+    out = _header_segments(h, w, subh, subv, qy, qc, 0xFFC2)  # SOF2
     if restart_interval:
-        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
 
     # libjpeg's standard script shape: (comp ids, Ss, Se, Ah, Al)
     script = [
@@ -749,7 +743,7 @@ def encode_jpeg_progressive(
             ta = ac_tno[i] if ss > 0 else 0
             sos += bytes([i, (td << 4) | ta])
         sos += bytes([ss, se, (ah << 4) | al])
-        out += seg(0xFFDA, sos)
+        out += _seg(0xFFDA, sos)
         bw = _BitWriter()
         if ss == 0:
             _enc_dc_scan(
@@ -1050,6 +1044,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     coefs: dict[int, np.ndarray] = {}
     restart_interval = 0
     n_scans = 0
+    used_tq: set[int] = set()
+    scanned: set[int] = set()
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -1079,7 +1075,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     tab = np.frombuffer(body[i : i + 128], dtype=">u2").astype(np.int64)
                     i += 128
                 # DQT bodies arrive in zig-zag (scan) order, which is
-                # exactly the order _finalize multiplies against zz
+                # exactly the order _finalize multiplies against zz.
+                # Dequantization is deferred to _finalize, so a DQT that
+                # REDEFINES a slot already used by a decoded scan would
+                # silently dequantize that scan's coefficients with the
+                # wrong table — fail loudly instead (T.81 permits the
+                # redefinition; this decoder's deferred architecture
+                # does not, and says so)
+                if tq in used_tq and not np.array_equal(qtabs.get(tq), tab):
+                    raise NotImplementedError(
+                        f"JPEG DQT redefines table {tq} after a scan used it "
+                        "(unsupported with deferred dequantization)"
+                    )
                 qtabs[tq] = tab
         elif marker == 0xC4:  # DHT
             i = 0
@@ -1166,9 +1173,24 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 ss, se, ah, al,
             )
             n_scans += 1
+            for comp, _, _ in scan:
+                used_tq.add(comp["tq"])
+                scanned.add(comp["id"])
         # APPn / COM / anything else: skipped
     if frame is None or n_scans == 0:
         raise ValueError("JPEG missing SOS scan")
+    if not frame["progressive"]:
+        missing = [c["id"] for c in frame["comps"] if c["id"] not in scanned]
+        if missing:
+            # a truncated per-component baseline stream would finalize
+            # unscanned planes as all-zero coefficients — neutral-gray
+            # garbage, exactly what the old single-scan guard blocked.
+            # (A partial PROGRESSIVE stream is legitimately renderable
+            # and stays accepted.)
+            raise ValueError(
+                f"baseline JPEG scan coverage incomplete: components "
+                f"{missing} never scanned"
+            )
     return _finalize(frame, coefs, qtabs)
 
 

@@ -1278,11 +1278,20 @@ def stream_funnel(
     st = PartialStateTable(state_path)
     step_list = list(steps)
 
+    def _ensure_n(df: DataFrame) -> DataFrame:
+        # round-8 state tables predate the __n counter column — a
+        # restart over one must resume, not fail analysis (the sentinel
+        # rows it would carry simply don't exist yet)
+        if "__n" not in df.columns:
+            df = df.withColumn("__n", F.lit(None).cast("long"))
+        return df
+
     def merge(df: DataFrame) -> DataFrame:
         # frontiers (step >= 0) tighten by MIN; the per-user high-water
         # sentinel (-1) advances by MAX; the late counter (-2) sums
         return (
-            df.groupBy("__step", "__u")
+            _ensure_n(df)
+            .groupBy("__step", "__u")
             .agg(
                 F.min("__ft").alias("__mn"),
                 F.max("__ft").alias("__mx"),

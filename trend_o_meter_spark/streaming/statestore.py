@@ -163,7 +163,10 @@ class PartialStateTable:
         batch cannot fold that partition into the base first.)"""
         self._recover()
         try:
-            raw = spark.read.parquet(self.path)
+            # mergeSchema: a pipeline upgrade may add state columns; old
+            # partitions must read as nulls in the widened schema, not
+            # shadow the new column out of a first-file-wins schema pick
+            raw = spark.read.option("mergeSchema", "true").parquet(self.path)
         except AnalysisException:
             return None
         wm = self._watermark()
@@ -198,7 +201,7 @@ class PartialStateTable:
 
         self._recover()
         try:
-            raw = spark.read.parquet(self.path)
+            raw = spark.read.option("mergeSchema", "true").parquet(self.path)
         except AnalysisException:
             return False
         wm = self._watermark()
