@@ -2679,6 +2679,24 @@ def test_stream_funnel_resumes_from_pre_counter_state_schema(spark, tmp_path):
     by_step = {r[0]: r[2] for r in results[1]}
     assert by_step[1] == 1 and by_step[2] == 1  # carried signup + new activate
 
+    # COMPACTION BOUNDARY over the mixed-schema table (review finding):
+    # the widening transform's output must union with the old-schema
+    # seed/held slices — strict unionByName used to crash this batch
+    per_batch2 = stream_funnel(
+        state_path=str(tmp_path / "funnel"),
+        steps=("signup", "activate"),
+        compact_every=2,  # batch 2 fires the fold over old+new partitions
+        on_result=lambda bid, df: results.update(
+            {bid: sorted(map(tuple, df.collect()))}
+        ),
+    )
+    batch2 = spark.createDataFrame(
+        [(300.0, "u2", "signup")], "epoch double, user_id string, event_type string"
+    ).select(F.timestamp_seconds("epoch").alias("ts"), "user_id", "event_type")
+    per_batch2(batch2, 2)
+    by_step = {r[0]: r[2] for r in results[2]}
+    assert by_step[1] == 2 and by_step[2] == 1  # u1 intact through the fold
+
 
 def test_stream_funnel_out_of_order_event_is_observable(spark, tmp_path):
     """VERDICT r08 task 8 (funnel side): an event arriving below the

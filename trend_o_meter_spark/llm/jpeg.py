@@ -215,9 +215,13 @@ def _build_huffman_decoder(bits: list[int], vals: list[int]) -> tuple[list[int],
         symbols[lo:hi] = sym
     lut = (lengths.tolist(), symbols.tolist())
     # memoized: the fixed Annex-K tables arrive on essentially every
-    # mainstream-encoder file, and corpus decode pays the 2x64K build
-    # per image otherwise (bounded: distinct tables seen per process)
-    _LUT_MEMO[key] = lut
+    # non-optimize_coding file, and corpus decode pays the 2x64K build
+    # per image otherwise.  CAPPED: optimized-coding encoders (mozjpeg,
+    # jpegtran) emit per-image tables that would grow the memo without
+    # bound in a long-lived decode worker — past the cap, build without
+    # caching (the K-table hot path is always among the first entries)
+    if len(_LUT_MEMO) < 64:
+        _LUT_MEMO[key] = lut
     return lut
 
 
@@ -1082,7 +1086,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 # wrong table — fail loudly instead (T.81 permits the
                 # redefinition; this decoder's deferred architecture
                 # does not, and says so)
-                if tq in used_tq and not np.array_equal(qtabs.get(tq), tab):
+                if (
+                    tq in used_tq
+                    and tq in qtabs
+                    and not np.array_equal(qtabs[tq], tab)
+                ):
                     raise NotImplementedError(
                         f"JPEG DQT redefines table {tq} after a scan used it "
                         "(unsupported with deferred dequantization)"

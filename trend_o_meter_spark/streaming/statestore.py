@@ -232,12 +232,18 @@ class PartialStateTable:
         tmp = src.with_name(src.name + ".__compact__")
         if tmp.exists():
             shutil.rmtree(str(tmp))
+        # allowMissingColumns: a schema-widening transform (e.g. the
+        # funnel twin's merge adding its __n counter on a pre-upgrade
+        # table) must not crash against the seed/held slices still
+        # carrying the old on-disk schema — missing columns fill null
         out = merged.withColumn("__batch_id", F.lit(BASE_PARTITION)).unionByName(
-            seed.withColumn("__batch_id", F.lit(SEED_PARTITION))
+            seed.withColumn("__batch_id", F.lit(SEED_PARTITION)),
+            allowMissingColumns=True,
         )
         if held is not None:
             out = out.unionByName(
-                held.withColumn("__batch_id", F.lit(int(exclude_batch)))
+                held.withColumn("__batch_id", F.lit(int(exclude_batch))),
+                allowMissingColumns=True,
             )
         (
             out.repartition(n_files)
