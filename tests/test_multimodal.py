@@ -10,6 +10,8 @@ import struct
 
 import numpy as np
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from trend_o_meter_spark.catalog import table
@@ -740,6 +742,43 @@ def test_jpeg_422_and_progressive_restart_intervals():
                     ),
                     err_msg=f"progressive {sub} ri={ri}",
                 )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    quality=st.sampled_from([30, 60, 85, 95]),
+    sub=st.sampled_from(["444", "422", "420"]),
+    ri=st.sampled_from([0, 1, 3]),
+)
+def test_jpeg_progressive_equals_baseline_property(h, w, seed, quality, sub, ri):
+    """Property form of the exactness contract (the per-family
+    hypothesis-test discipline): for ANY image content, geometry,
+    quality, subsampling, and restart cadence, the progressive and
+    baseline entropy processes carry the same quantized coefficients
+    losslessly, so decode must be pixel-identical.  Also pins the
+    baseline decode against the pre-rewrite expectation that a decode
+    round-trip of a flat image is exact."""
+    from trend_o_meter_spark.llm.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, 3)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=quality, subsampling=sub, restart_interval=ri))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality=quality, subsampling=sub, restart_interval=ri)
+    )
+    np.testing.assert_array_equal(base, prog)
+    assert base.shape == (h, w, 3)
 
 
 def test_jpeg_baseline_coverage_and_dqt_redefinition_guards():

@@ -1173,6 +1173,62 @@ def test_statestore_compact_transform_spares_the_seed(spark, tmp_path):
     assert got == {"old_seed", "new_seed", "new_live"}  # live culled, seed intact
 
 
+def test_statestore_property_read_matches_model(spark, tmp_path):
+    """Property test over the statestore's op algebra (the per-family
+    hypothesis discipline, driven here by a deterministic op matrix for
+    Spark-session economy): any interleaving of append / last-batch
+    replay / compact / compact-with-exclusion must keep
+
+    * ``read()`` == the union of every batch's latest write, and
+    * ``read(exclude_batch=last)`` == that union minus the last batch —
+      valid until a PLAIN compact folds the last batch into the base
+      (the exact hazard ``compact(exclude_batch=...)`` exists to avoid).
+    """
+    from trend_o_meter_spark.streaming.statestore import PartialStateTable
+
+    op_sequences = [
+        ["append", "append", "compact_excl", "replay", "append"],
+        ["append", "replay", "compact", "append", "compact_excl"],
+        ["append", "compact", "compact", "append", "replay"],
+        ["append", "append", "replay", "compact_excl", "compact_excl"],
+        ["append", "compact_excl", "append", "append", "compact"],
+    ]
+    for si, ops in enumerate(op_sequences):
+        st = PartialStateTable(str(tmp_path / f"state{si}"))
+        model: dict[int, set[str]] = {}
+        next_bid = 0
+        last_bid = -1
+        last_folded = False
+
+        def write(bid: int, tag: str) -> None:
+            rows = {f"b{bid}_{tag}_{i}" for i in range(2)}
+            model[bid] = rows
+            st.append(
+                spark.createDataFrame([(r,) for r in sorted(rows)], "k string"), bid
+            )
+
+        for op in ops:
+            if op == "append":
+                write(next_bid, "v1")
+                last_bid, last_folded = next_bid, False
+                next_bid += 1
+            elif op == "replay" and last_bid >= 0:
+                write(last_bid, "v2")  # overwrite: latest write wins
+            elif op == "compact":
+                st.compact(spark)
+                last_folded = True
+            elif op == "compact_excl" and last_bid >= 0:
+                st.compact(spark, exclude_batch=last_bid)
+            want_all = set().union(*model.values()) if model else set()
+            state = st.read(spark)
+            got = {r["k"] for r in state.collect()} if state is not None else set()
+            assert got == want_all, (si, op)
+            if last_bid >= 0 and not last_folded:
+                prior = st.read(spark, exclude_batch=last_bid)
+                got_prior = {r["k"] for r in prior.collect()} if prior is not None else set()
+                assert got_prior == want_all - model[last_bid], (si, op)
+
+
 def test_statestore_exclude_batch_on_read_and_compact(spark, tmp_path):
     """Pipelines whose partial depends on carried state read the prior
     with exclude_batch=batch_id so an at-least-once replay sees exactly
