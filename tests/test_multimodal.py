@@ -781,6 +781,48 @@ def test_jpeg_progressive_equals_baseline_property(h, w, seed, quality, sub, ri)
     assert base.shape == (h, w, 3)
 
 
+def test_jpeg_fuzz_malformed_streams_fail_cleanly():
+    """Corpus-robustness contract: a malformed JPEG (byte mutations,
+    truncations, header corruption — routine in scraped data) must
+    either decode or raise ValueError/NotImplementedError, NEVER an
+    IndexError/KeyError/StopIteration/struct.error that would surface
+    as a confusing mapInPandas crash at corpus scale.  Deterministic
+    3,000-trial slice of the 60,000-trial sweep that drove the round-9
+    hardening (truncated DHT/SOS/SOF/DRI bodies, undefined
+    Huffman/quant tables, undeclared scan components, out-of-range
+    spectral bands)."""
+    from trend_o_meter_spark.llm.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(99)
+    img = rng.randint(0, 256, (16, 24, 3)).astype(np.uint8)
+    streams = [
+        bytes(encode_jpeg(img, quality=85, restart_interval=2)),
+        bytes(encode_jpeg_progressive(img, quality=85, restart_interval=2)),
+    ]
+    for trial in range(3000):
+        s = bytearray(streams[trial % 2])
+        mode = trial % 4
+        if mode == 0:  # light mutation anywhere
+            for _ in range(rng.randint(1, 4)):
+                s[rng.randint(0, len(s))] = rng.randint(0, 256)
+        elif mode == 1:  # heavy mutation
+            for _ in range(rng.randint(8, 30)):
+                s[rng.randint(0, len(s))] = rng.randint(0, 256)
+        elif mode == 2:  # truncation
+            s = s[: rng.randint(2, len(s))]
+        else:  # header-region bias
+            for _ in range(rng.randint(1, 6)):
+                s[rng.randint(0, min(700, len(s)))] = rng.randint(0, 256)
+        try:
+            decode_jpeg(bytes(s))
+        except (ValueError, NotImplementedError):
+            pass  # the loud-fail contract
+
+
 def test_jpeg_baseline_coverage_and_dqt_redefinition_guards():
     """Two silent-garbage paths opened by the multi-scan coefficient
     architecture, pinned shut (round-9 review findings): a baseline

@@ -1066,6 +1066,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             continue
         ln = _read_u16(data, pos + 2)
         body = data[pos + 4 : pos + 2 + ln]
+        if ln < 2 or len(body) != ln - 2:
+            raise ValueError("JPEG marker segment truncated")
         pos += 2 + ln
         if marker == 0xDB:  # DQT
             i = 0
@@ -1102,12 +1104,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 tc, th = body[i] >> 4, body[i] & 0x0F
                 bits = list(body[i + 1 : i + 17])
                 n = sum(bits)
+                if len(bits) < 16 or i + 17 + n > len(body):
+                    raise ValueError("JPEG DHT segment truncated")
                 vals = list(body[i + 17 : i + 17 + n])
                 htabs[(tc, th)] = _build_huffman_decoder(bits, vals)
                 i += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             if frame is not None:
                 raise ValueError("JPEG second SOF")
+            if len(body) < 6:
+                raise ValueError("JPEG SOF segment truncated")
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} unsupported (8 only)")
@@ -1120,6 +1126,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     f"JPEG component count {ncomp} unsupported (1 or 3 only)"
                 )
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("JPEG SOF segment truncated")
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]
@@ -1158,19 +1166,35 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 "hierarchical/lossless fail loudly)"
             )
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("JPEG DRI segment truncated")
             restart_interval = _read_u16(body, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if not body:
+                raise ValueError("JPEG SOS segment truncated")
             ns = body[0]
+            if len(body) < 4 + 2 * ns:
+                raise ValueError("JPEG SOS segment truncated")
             scan = []
             for si in range(ns):
                 cs, tdta = body[1 + si * 2], body[2 + si * 2]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                comp = next(
+                    (c for c in frame["comps"] if c["id"] == cs), None
+                )
+                if comp is None:
+                    raise ValueError(
+                        f"JPEG scan references undeclared component {cs}"
+                    )
                 scan.append((comp, tdta >> 4, tdta & 0x0F))
             ss, se = body[1 + ns * 2], body[2 + ns * 2]
             a = body[3 + ns * 2]
             ah, al = a >> 4, a & 0x0F
+            if ss > 63 or se > 63 or ss > se:
+                raise ValueError(
+                    f"JPEG scan header has invalid spectral band {ss}..{se}"
+                )
             if not frame["progressive"] and (ss, se, ah, al) != (0, 63, 0, 0):
                 raise ValueError(
                     f"baseline JPEG scan with progressive parameters "
@@ -1229,6 +1253,13 @@ def _decode_scan_into(
             raise ValueError("progressive AC scan must cover one component")
         if ss > 0 and ah > 0 and ah != al + 1:
             raise ValueError("successive approximation must refine one bit")
+    for comp, td, ta in scan:
+        needs_dc = (not progressive) or (ss == 0 and ah == 0)
+        needs_ac = (not progressive) or ss > 0
+        if needs_dc and (0, td) not in htabs:
+            raise ValueError(f"JPEG scan references undefined DC table {td}")
+        if needs_ac and (1, ta) not in htabs:
+            raise ValueError(f"JPEG scan references undefined AC table {ta}")
     br = _BitReader(data, pos)
     preds = {comp["id"]: 0 for comp, _, _ in scan}
     state = {"eobrun": 0}
@@ -1292,7 +1323,11 @@ def _finalize(
     vmax = max(c["v"] for c in comps)
     full = []
     for c in comps:
-        qt = qtabs[c["tq"]]
+        qt = qtabs.get(c["tq"])
+        if qt is None:
+            raise ValueError(
+                f"JPEG quantization table {c['tq']} never defined"
+            )
         nby, nbx = c["bh_full"], c["bw_full"]
         zz_all = coefs[c["id"]].astype(np.int64)
         # batched dequantize + IDCT: one matmul pair over all blocks —
