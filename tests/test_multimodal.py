@@ -823,6 +823,47 @@ def test_jpeg_fuzz_malformed_streams_fail_cleanly():
             pass  # the loud-fail contract
 
 
+def test_all_codecs_fuzz_malformed_streams_fail_cleanly():
+    """The JPEG fuzz contract extended to the whole codec family:
+    PNG/BMP/PPM/WAV/AVI decoders must fail malformed input as
+    ValueError/NotImplementedError only (never struct.error/IndexError
+    inside mapInPandas).  The round-9 sweep (90k trials) fixed BMP/WAV
+    header truncations and AVI LIST-size overruns; this is its
+    deterministic CI slice."""
+    from trend_o_meter_spark.llm import codecs
+
+    rng = np.random.RandomState(42)
+    img = rng.randint(0, 256, (16, 24, 3)).astype(np.uint8)
+    pcm = (rng.randn(2000) * 8000).astype(np.int16)
+    frames = rng.randint(0, 256, (4, 8, 8, 3)).astype(np.uint8)
+    streams = {
+        "png": (bytes(codecs.encode_png(img)), codecs.decode_png),
+        "bmp": (bytes(codecs.encode_bmp(img)), codecs.decode_bmp),
+        "ppm": (bytes(codecs.encode_ppm(img)), codecs.decode_ppm),
+        "wav": (bytes(codecs.encode_wav(pcm, sample_rate=8000)), codecs.decode_wav),
+        "avi": (bytes(codecs.encode_avi(frames)), codecs.decode_avi),
+    }
+    for _name, (base, dec) in streams.items():
+        for trial in range(1000):
+            s = bytearray(base)
+            mode = trial % 4
+            if mode == 0:
+                for _ in range(rng.randint(1, 4)):
+                    s[rng.randint(0, len(s))] = rng.randint(0, 256)
+            elif mode == 1:
+                for _ in range(rng.randint(8, 30)):
+                    s[rng.randint(0, len(s))] = rng.randint(0, 256)
+            elif mode == 2:
+                s = s[: rng.randint(2, len(s))]
+            else:
+                for _ in range(rng.randint(1, 6)):
+                    s[rng.randint(0, min(200, len(s)))] = rng.randint(0, 256)
+            try:
+                dec(bytes(s))
+            except (ValueError, NotImplementedError):
+                pass  # the loud-fail contract
+
+
 def test_jpeg_baseline_coverage_and_dqt_redefinition_guards():
     """Two silent-garbage paths opened by the multi-scan coefficient
     architecture, pinned shut (round-9 review findings): a baseline

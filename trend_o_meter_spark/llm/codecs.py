@@ -124,6 +124,8 @@ def decode_bmp(data: bytes) -> np.ndarray:
     """
     if data[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    if len(data) < _BMP_HDR.size + 4 + _BMP_INFO.size:
+        raise ValueError("BMP header truncated")
     _, _, _, _, offset = _BMP_HDR.unpack_from(data, 0)
     hdr_size = struct.unpack_from("<I", data, _BMP_HDR.size)[0]
     if hdr_size < _BMP_INFO.size:
@@ -190,7 +192,7 @@ def decode_wav(data: bytes) -> "tuple[np.ndarray, int]":
         cid, size = _CHUNK_HDR.unpack_from(data, pos)
         pos += _CHUNK_HDR.size
         if cid == b"fmt ":
-            if size < _FMT_PCM.size:
+            if size < _FMT_PCM.size or pos + _FMT_PCM.size > len(data):
                 raise ValueError(f"truncated fmt chunk (size {size})")
             tag, channels, rate, _, _, bits = _FMT_PCM.unpack_from(data, pos)
             if tag != 1 or bits != 16:
@@ -314,12 +316,15 @@ def decode_avi(data: bytes) -> "tuple[np.ndarray, int]":
 
     def walk(pos: int, end: int) -> None:
         nonlocal w, h, fps, top_down
+        end = min(end, len(data))  # corrupt LIST sizes must not overrun
         while pos + 8 <= end:
             cid, size = _CHUNK_HDR.unpack_from(data, pos)
             pos += 8
             if cid == b"LIST":
                 walk(pos + 4, pos + size)  # skip the 4-byte list type
             elif cid == b"strh":
+                if pos + _STRH.size > len(data):
+                    raise ValueError("AVI strh chunk truncated")
                 st = _STRH.unpack_from(data, pos)
                 if st[0] == b"vids":
                     if st[1] not in (b"DIB ", b"\x00\x00\x00\x00", b"RGB "):
@@ -329,6 +334,8 @@ def decode_avi(data: bytes) -> "tuple[np.ndarray, int]":
                     scale, rate = st[6], st[7]
                     fps = rate // scale if scale else 0
             elif cid == b"strf":
+                if pos + _BMP_INFO.size > len(data):
+                    raise ValueError("AVI strf chunk truncated")
                 _, bw, bh_signed, _, bpp, comp, *_ = _BMP_INFO.unpack_from(data, pos)
                 if bpp != 24 or comp != 0:
                     raise NotImplementedError(
