@@ -823,6 +823,50 @@ def test_jpeg_fuzz_malformed_streams_fail_cleanly():
             pass  # the loud-fail contract
 
 
+def test_on_error_skip_and_decode_errors_quarantine(spark):
+    """Best-effort corpus decode (round 9): on_error='skip' keeps the
+    job alive past corrupt payloads; decode_errors returns exactly the
+    quarantine set, so features(skip) + decode_errors partition the
+    sniffable rows with nothing lost silently.  Default stays 'raise'
+    (the driver-visible contract is unchanged)."""
+    from trend_o_meter_spark.llm import codecs, multimodal
+    from trend_o_meter_spark.llm.jpeg import encode_jpeg
+
+    good0 = bytes(encode_jpeg(_test_image(16, 12), quality=85))
+    good1 = bytes(encode_jpeg(_test_image(17, 13), quality=85))
+    corrupt = bytearray(encode_jpeg(_test_image(18, 14), quality=85))
+    corrupt = bytes(corrupt[:140])  # truncated mid-header: sniffs, won't decode
+    assert codecs.sniff_strict(corrupt) == "jpeg"
+    rows = [(0, "image", good0), (1, "image", corrupt), (2, "image", good1)]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary"
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ),
+    )
+
+    # default: loud per-row failure, unchanged
+    with pytest.raises(Exception):
+        multimodal.image_features(media).collect()
+    # skip: the two good rows survive
+    ok = {r["media_id"] for r in multimodal.image_features(media, on_error="skip").collect()}
+    assert ok == {0, 2}
+    ok2 = {r["media_id"] for r in multimodal.decode_media(media, real=True, on_error="skip").collect()}
+    assert ok2 == {0, 2}
+    # quarantine: exactly the corrupt row, with class + format recorded
+    q = multimodal.decode_errors(media).collect()
+    assert [(r["media_id"], r["format"]) for r in q] == [(1, "jpeg")]
+    assert q[0]["error"] in ("ValueError", "NotImplementedError")
+    # bad mode rejected at build time
+    with pytest.raises(ValueError, match="on_error"):
+        multimodal.image_features(media, on_error="ignore")
+
+
 def test_all_codecs_fuzz_malformed_streams_fail_cleanly():
     """The JPEG fuzz contract extended to the whole codec family:
     PNG/BMP/PPM/WAV/AVI decoders must fail malformed input as

@@ -235,7 +235,9 @@ REAL_DECODE_SCHEMA = StructType(
 )
 
 
-def decode_media(media: DataFrame, *, real: bool = False) -> DataFrame:
+def decode_media(
+    media: DataFrame, *, real: bool = False, on_error: str = "raise"
+) -> DataFrame:
     """Decode payloads and extract a feature vector per media row.
 
     Two kernels over the same Arrow/``mapInPandas`` plumbing:
@@ -260,6 +262,8 @@ def decode_media(media: DataFrame, *, real: bool = False) -> DataFrame:
     import numpy as np  # local import: runs on executors
 
     schema = REAL_DECODE_SCHEMA if real else DECODE_FEATURES_SCHEMA
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from . import codecs  # executor-side import
@@ -271,7 +275,12 @@ def decode_media(media: DataFrame, *, real: bool = False) -> DataFrame:
             ):
                 wh: tuple = ()
                 if real:
-                    img = codecs.decode_image(bytes(content))
+                    try:
+                        img = codecs.decode_image(bytes(content))
+                    except (ValueError, NotImplementedError):
+                        if on_error == "skip":
+                            continue
+                        raise
                     arr = img.reshape(-1)
                     wh = (img.shape[1], img.shape[0])
                 else:
@@ -405,7 +414,7 @@ AUDIO_FEATURES_SCHEMA = StructType(
 _SYNTH_OFFSET = 80
 
 
-def audio_features(media: DataFrame) -> DataFrame:
+def audio_features(media: DataFrame, *, on_error: str = "raise") -> DataFrame:
     """Decode audio payloads through the REAL WAV codec and extract
     sample-domain features (duration, peak, RMS, zero crossings).
 
@@ -430,8 +439,15 @@ def audio_features(media: DataFrame) -> DataFrame:
     Scale shape: Arrow-batched ``mapInPandas`` per input partition;
     output rows carry 7 scalars, not payload bytes, so downstream
     shuffles are metadata-sized.
+
+    ``on_error``: ``'raise'`` (default) or ``'skip'`` — corrupt WAV
+    payloads (routine in a scraped corpus) drop out instead of killing
+    the job; :func:`decode_errors` returns the quarantine set.
     """
     import numpy as np  # local import: runs on executors
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from . import codecs  # executor-side import
@@ -443,7 +459,12 @@ def audio_features(media: DataFrame) -> DataFrame:
             ):
                 raw = bytes(content)
                 if codecs.sniff(raw) == "wav":
-                    samples, rate = codecs.decode_wav(raw)
+                    try:
+                        samples, rate = codecs.decode_wav(raw)
+                    except (ValueError, NotImplementedError):
+                        if on_error == "skip":
+                            continue
+                        raise
                 else:
                     if meta_rate is None or pd.isna(meta_rate):
                         raise ValueError(
@@ -667,6 +688,72 @@ def resize_image(media: DataFrame, *, width: int, height: int, real: bool = Fals
     ).withColumn("meta", new_meta)
 
 
+DECODE_ERRORS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("format", StringType(), False),
+        StructField("error", StringType(), False),
+        StructField("message", StringType(), False),
+    ]
+)
+
+
+def decode_errors(media: DataFrame) -> DataFrame:
+    """Quarantine scan: one row per payload that SNIFFS as a shipped
+    format but fails to decode — the observable complement of the
+    feature extractors' ``on_error='skip'`` mode, so best-effort corpus
+    decode never silently loses rows (run both over the same table:
+    features(skip) ∪ decode_errors partitions it exactly).
+
+    Attempts the full decode for every structurally-sniffed payload
+    (image formats via :func:`.codecs.decode_image`, WAV via
+    ``decode_wav``, AVI via ``decode_avi``); emits
+    ``(media_id, media_type, format, error, message)`` for each codec
+    failure (ValueError / NotImplementedError — anything else is a
+    decoder bug and still crashes).  Payloads that decode fine, or that
+    don't sniff as any shipped format, emit nothing.
+
+    Scale shape: Arrow-batched ``mapInPandas``; output is the (small)
+    quarantine set only — never payloads.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs  # executor-side import
+
+        decoders = {
+            "png": codecs.decode_image,
+            "bmp": codecs.decode_image,
+            "ppm": codecs.decode_image,
+            "jpeg": codecs.decode_image,
+            "wav": codecs.decode_wav,
+            "avi": codecs.decode_avi,
+        }
+        for pdf in it:
+            out = []
+            for mid, mtype, content in zip(
+                pdf["media_id"], pdf["media_type"], pdf["content"]
+            ):
+                raw = bytes(content)
+                fmt = codecs.sniff_strict(raw)
+                dec = decoders.get(fmt)
+                if dec is None:
+                    continue
+                try:
+                    dec(raw)
+                except (ValueError, NotImplementedError) as e:
+                    out.append(
+                        (int(mid), str(mtype), fmt, type(e).__name__, str(e)[:200])
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in DECODE_ERRORS_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "media_type", "content").mapInPandas(
+        batches, schema=DECODE_ERRORS_SCHEMA
+    )
+
+
 # -- images: real PNG codec round-trip ------------------------------------
 
 IMAGE_FEATURES_SCHEMA = StructType(
@@ -682,7 +769,7 @@ IMAGE_FEATURES_SCHEMA = StructType(
 )
 
 
-def image_features(media: DataFrame) -> DataFrame:
+def image_features(media: DataFrame, *, on_error: str = "raise") -> DataFrame:
     """Decode image payloads through the REAL PNG codec and extract
     pixel-domain features — the image sibling of :func:`audio_features`,
     same contract:
@@ -706,8 +793,18 @@ def image_features(media: DataFrame) -> DataFrame:
 
     Scale shape: Arrow-batched ``mapInPandas``; output rows carry 7
     scalars + an 8-long histogram, never payload bytes.
+
+    ``on_error``: ``'raise'`` (default — the loud-fail contract) or
+    ``'skip'`` — at 100 TB corpus scale SOME payloads are corrupt and
+    one bad row must not kill the job; skipped rows are not silent:
+    :func:`decode_errors` scans the same table and returns exactly the
+    quarantine set.  Only codec errors (ValueError /
+    NotImplementedError) are skippable — a decoder BUG still crashes.
     """
     import numpy as np  # local import: runs on executors
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from . import codecs  # executor-side import
@@ -717,7 +814,12 @@ def image_features(media: DataFrame) -> DataFrame:
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 raw = bytes(content)
                 if codecs.sniff_strict(raw) in ("png", "bmp", "ppm", "jpeg"):
-                    img = codecs.decode_image(raw)
+                    try:
+                        img = codecs.decode_image(raw)
+                    except (ValueError, NotImplementedError):
+                        if on_error == "skip":
+                            continue
+                        raise
                 else:
                     n = len(raw)
                     w = (n % 24) + 8
