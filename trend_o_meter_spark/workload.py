@@ -3428,6 +3428,27 @@ def image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "decode_errors",
+    """
+SELECT CAST(NULL AS BIGINT) AS media_id, CAST(NULL AS VARCHAR) AS media_type,
+       CAST(NULL AS VARCHAR) AS format, CAST(NULL AS VARCHAR) AS error,
+       CAST(NULL AS VARCHAR) AS message
+WHERE false
+""",
+    doc="Quarantine scan over the media table — the observable complement "
+    "of on_error='skip' best-effort decode.  On the synthetic corpus the "
+    "oracle is a NEGATIVE invariant: sanitized text payloads must never "
+    "structurally sniff as a media container, so the quarantine is "
+    "provably empty (sniff_strict false-positive = this query fails).  "
+    "The positive path (a corrupt JPEG lands in the quarantine with its "
+    "format and error class) is pinned in tests/test_multimodal.py.",
+)
+def decode_errors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return multimodal.decode_errors(multimodal.media_table(d))
+
+
+@_q(
     "label_centroids",
     """
 SELECT label, pos, CAST(sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS avg_component
