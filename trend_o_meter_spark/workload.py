@@ -92,7 +92,13 @@ def _q(name: str, oracle: str | None, doc: str = ""):
 # verdict across rounds even under a query-count/time cap; remaining
 # entries keep declaration order (stable sort).
 _SCORE_FIRST = (
-    # --- round 9 rotation (VERDICT r08 task 2). Slots 1-28: every
+    # --- never-scored queries added this round go FIRST (the aging
+    # policy's highest priority): the phash image-dedup family and the
+    # decode-errors quarantine invariant. ------------------------------
+    "image_phash",
+    "image_phash_pairs",
+    "decode_errors",
+    # --- round 9 rotation (VERDICT r08 task 2). Slots 4-31: every
     # remaining oracle-backed query whose newest DRIVER verdict is
     # still r04 (the r08 rotation retired 19 of the 47-strong r04
     # cohort; these are the rest).  Declaration order within the
@@ -151,11 +157,10 @@ _SCORE_FIRST = (
     "q22_dormant_customers",
     "q2_min_cost_supplier",
     "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_parts",
-    "q12_late_lines_by_class",
-    # (round-10 rotation queue: q15_top_supplier .. holt_linear_02 —
-    # the remaining 26 r05 entries — then the r06 cohort)
+    # (round-10 rotation queue: q9_product_type_profit,
+    # q11_important_parts, q12_late_lines_by_class — displaced by the
+    # three never-scored round-9 queries — then q15_top_supplier ..
+    # holt_linear_02 and the r06 cohort)
 )
 
 
@@ -3425,6 +3430,43 @@ def image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("px_histogram", lambda x: x.cast("string")), ","
         ).alias("px_histogram_csv"),
     )
+
+
+@_q(
+    "image_phash",
+    multimodal.image_phash_sql("documents"),
+    doc="Perceptual-hash image fingerprints (classic pHash: 32x32 "
+    "nearest resample -> 2-D DCT -> top 8x8 minus DC, median "
+    "threshold) made cross-engine EXACT by an all-integer pipeline: "
+    "the quantized DCT basis is embedded in both engines, sums are "
+    "Python bigints / HUGEINT, the median is an exact order statistic "
+    "— the image-domain sibling of simhash_fingerprints.",
+)
+def image_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return multimodal.image_phash(multimodal.media_table(d))
+
+
+@_q(
+    "image_phash_pairs",
+    multimodal.image_phash_pairs_sql("documents", all_media=True),
+    doc="Image near-dup pairs: hamming(phash) <= 6 via 7 x 9-bit "
+    "pigeonhole banding (complete for k < 7) — keyed (band, slice) "
+    "join, exact bit_count(xor) verify, never a cross product; the "
+    "image-corpus dedup entry point.  The registry variant hashes "
+    "EVERY doc as an image (3x the rows through the full banding "
+    "machinery); the synthetic corpus has no byte-identical texts, so "
+    "this oracle is the NO-FALSE-POSITIVES invariant at sf0.01 (no "
+    "byte-identical texts there; phantom pairs from a banding/hamming "
+    "divergence would fail the hash) and POSITIVE at sf0.1 (26 "
+    "hamming-0 pairs from the corpus's byte-identical docs, verified "
+    "hash-exact); the real-image positive path (re-encoded JPEGs pair "
+    "up) is pinned in tests/test_multimodal.py.",
+)
+def image_phash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    media = multimodal.media_table(d).withColumn("media_type", F.lit("image"))
+    return multimodal.image_phash_pairs(media)
 
 
 @_q(
