@@ -109,6 +109,10 @@ HEADLINE = (
     # round-8: the bucketed-window interarrival rewrite, tracked
     # round-over-round (first quiet entry 2.93 s median, BASELINE.md)
     "interarrival_quantiles",
+    # round-9: the perceptual-hash image-dedup family (decode + integer
+    # DCT inside mapInPandas + the banded pair join), tracked
+    # round-over-round (first quiet entry in BASELINE.md)
+    "image_phash_pairs",
 )
 
 
