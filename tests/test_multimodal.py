@@ -867,6 +867,10 @@ def test_image_phash_properties_and_pairs(spark):
     assert bin(fps[0] ^ fps[1]).count("1") <= 3
     pairs = [(r["id_a"], r["id_b"]) for r in mm.image_phash_pairs(media).collect()]
     assert pairs == [(0, 1)]  # the re-encode pairs up; the noise never does
+    # end-to-end: clusters close the pair transitively, min-id keeps
+    clusters = {r["media_id"]: (r["cluster_id"], r["keep"])
+                for r in mm.image_dedup_clusters(media).collect()}
+    assert clusters == {0: (0, True), 1: (0, False), 2: (2, True)}
 
 
 def test_on_error_skip_and_decode_errors_quarantine(spark):

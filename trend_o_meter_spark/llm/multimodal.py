@@ -831,10 +831,17 @@ def image_phash_pairs(
     exactly on >= 1 slice; candidates come from the (band, slice)
     equi-join (keyed shuffle, never a cross product), then the exact
     ``bit_count(xor)`` filter runs per candidate."""
+    return _phash_pairs_from_fps(
+        image_phash(media), max_hamming=max_hamming, bands=bands
+    )
+
+
+def _phash_pairs_from_fps(
+    fps: DataFrame, *, max_hamming: int = 6, bands: int = 7
+) -> DataFrame:
     assert max_hamming < bands, "pigeonhole completeness requires max_hamming < bands"
     band_bits = 63 // bands
     mask = (1 << band_bits) - 1
-    fps = image_phash(media)
     banded = fps.select(
         "media_id",
         "phash",
@@ -871,6 +878,80 @@ def image_phash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def image_dedup_clusters(
+    media: DataFrame, *, max_hamming: int = 6, bands: int = 7
+) -> DataFrame:
+    """Image-corpus dedup end to end: perceptual-hash fingerprints ->
+    banded near-dup pairs -> transitive closure -> canonical min-id
+    survivor per cluster — the image twin of the text pipeline's
+    ``cluster.dedup_clusters``, on the same min-label-propagation
+    machinery (keyed join+agg per round, lineage cut between rounds,
+    large-star/small-star fallback for pathological chains).
+
+    Output: ``media_id, cluster_id, keep`` — one row per image row.
+    The fingerprint table is materialized once (``lineage.cut``) and
+    serves the node set and both sides of the banded pair join."""
+    from .. import lineage
+    from .cluster import connected_components
+
+    fps = lineage.cut(image_phash(media))
+    pairs = _phash_pairs_from_fps(fps, max_hamming=max_hamming, bands=bands)
+    cc = connected_components(
+        fps.select(F.col("media_id").alias("id")),
+        pairs,
+        id_col="id",
+        src_col="id_a",
+        dst_col="id_b",
+    )
+    return cc.select(
+        F.col("id").alias("media_id"),
+        "cluster_id",
+        (F.col("cluster_id") == F.col("id")).alias("keep"),
+    )
+
+
+def image_dedup_clusters_sql(
+    table: str,
+    *,
+    id_col: str = "doc_id",
+    text: str = "text",
+    max_hamming: int = 6,
+    bands: int = 7,
+    all_media: bool = False,
+) -> str:
+    """DuckDB twin: the phash pair CTE closed transitively via a
+    recursive CTE (min reachable id == the min-label fixpoint)."""
+    band_bits = 63 // bands
+    mask = (1 << band_bits) - 1
+    band_rows = ", ".join(
+        f"({bi}, (phash >> {bi * band_bits}) & {mask})" for bi in range(bands)
+    )
+    return f"""
+WITH RECURSIVE {_phash_cte(table, id_col=id_col, text=text, all_media=all_media)},
+banded AS (
+  SELECT media_id, phash, b.* FROM fps, (VALUES {band_rows}) b(band, slice)
+),
+pairs AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.slice = b.slice AND a.media_id < b.media_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT media_id, media_id FROM fps
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id AS media_id, min(r) AS cluster_id, (min(r) = id) AS keep
+FROM reach GROUP BY id
+"""
 
 
 def _phash_cte(

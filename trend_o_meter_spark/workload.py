@@ -97,6 +97,7 @@ _SCORE_FIRST = (
     # decode-errors quarantine invariant. ------------------------------
     "image_phash",
     "image_phash_pairs",
+    "image_dedup_clusters",
     "decode_errors",
     # --- round 9 rotation (VERDICT r08 task 2). Slots 4-31: every
     # remaining oracle-backed query whose newest DRIVER verdict is
@@ -156,10 +157,9 @@ _SCORE_FIRST = (
     "q21_waiting_suppliers",
     "q22_dormant_customers",
     "q2_min_cost_supplier",
-    "q8_market_share",
-    # (round-10 rotation queue: q9_product_type_profit,
+    # (round-10 rotation queue: q8_market_share, q9_product_type_profit,
     # q11_important_parts, q12_late_lines_by_class — displaced by the
-    # three never-scored round-9 queries — then q15_top_supplier ..
+    # four never-scored round-9 queries — then q15_top_supplier ..
     # holt_linear_02 and the r06 cohort)
 )
 
@@ -3467,6 +3467,21 @@ def image_phash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     media = multimodal.media_table(d).withColumn("media_type", F.lit("image"))
     return multimodal.image_phash_pairs(media)
+
+
+@_q(
+    "image_dedup_clusters",
+    multimodal.image_dedup_clusters_sql("documents", all_media=True),
+    doc="Image-corpus dedup end to end: perceptual-hash fingerprints -> "
+    "banded near-dup pairs -> transitive closure (min-label "
+    "propagation; recursive-CTE oracle) -> canonical min-id survivor "
+    "per cluster — the image twin of dedup_clusters, same registry "
+    "variant as image_phash_pairs (every doc hashed as an image).",
+)
+def image_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    media = multimodal.media_table(d).withColumn("media_type", F.lit("image"))
+    return multimodal.image_dedup_clusters(media)
 
 
 @_q(
