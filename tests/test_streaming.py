@@ -795,6 +795,64 @@ def test_stream_near_dup_lsh_matches_batch(spark, stream_dirs):
     assert any(a == 10 and b == 12 for a, b in got)  # cross-batch pair found
 
 
+def test_stream_image_phash_pairs_matches_batch(spark, stream_dirs):
+    """Incremental image near-dup over two micro-batches finds exactly
+    the batch operator's verified pairs — including a pair whose
+    members arrive in DIFFERENT batches (the bucket state carries
+    member (id, phash) lists and the hamming verify runs in state)."""
+    import base64
+
+    import numpy as np
+
+    from trend_o_meter_spark.llm import multimodal as mm
+    from trend_o_meter_spark.llm.jpeg import encode_jpeg
+    from trend_o_meter_spark.streaming.lsh import stream_image_phash_pairs
+
+    rng = np.random.RandomState(2)
+    yv, xv = np.mgrid[0:48, 0:64].astype(float)
+    img = np.zeros((48, 64, 3))
+    for _ in range(10):
+        cy, cx = rng.uniform(0, 48), rng.uniform(0, 64)
+        s, a = rng.uniform(6, 20), rng.uniform(40, 120)
+        blob = a * np.exp(-(((yv - cy) / s) ** 2 + ((xv - cx) / s) ** 2))
+        for ch in range(3):
+            img[:, :, ch] += blob * rng.uniform(0.5, 1.5)
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    noise = rng.randint(0, 256, (48, 64, 3)).astype(np.uint8)
+    payloads = {
+        10: encode_jpeg(img, quality=95),
+        11: encode_jpeg(img, quality=60),     # near-dup of 10
+        20: encode_jpeg(noise, quality=85),   # unrelated
+        12: encode_jpeg(img, quality=30),     # arrives a batch later
+    }
+    batches = [
+        [{"media_id": i, "b64": base64.b64encode(bytes(payloads[i])).decode()}
+         for i in (10, 11, 20)],
+        [{"media_id": 12, "b64": base64.b64encode(bytes(payloads[12])).decode()}],
+    ]
+    in_dir, ckpt = stream_dirs
+
+    def transform(raw):
+        parsed = raw.select(
+            F.get_json_object("value", "$.media_id").cast("long").alias("media_id"),
+            F.unbase64(F.get_json_object("value", "$.b64")).alias("content"),
+        ).filter(F.col("content").isNotNull()).withColumn(
+            "media_type", F.lit("image")
+        )
+        return stream_image_phash_pairs(parsed)
+
+    out = _run_batches(spark, in_dir, ckpt, transform, batches, "phash_stream_out")
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}  # dedupe across bands
+    media = spark.createDataFrame(
+        [(i, "image", bytearray(p)) for i, p in payloads.items()],
+        "media_id long, media_type string, content binary",
+    )
+    want = {(r["id_a"], r["id_b"]) for r in mm.image_phash_pairs(media).collect()}
+    assert got == want
+    assert (10, 12) in got  # cross-batch near-dup found via carried state
+    assert all(20 not in pair for pair in got)  # noise never pairs
+
+
 def test_stream_near_dup_bucket_cap(spark, stream_dirs):
     """max_bucket stops admitting members: with a cap of 2, the third+
     copy of identical boilerplate emits no new pairs (degenerate-bucket

@@ -257,3 +257,132 @@ def stream_near_dup_lsh(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+# -- incremental image near-dup (perceptual hash) ---------------------------
+
+PHASH_PAIRS_SCHEMA = StructType(
+    [
+        StructField("band", IntegerType(), True),
+        StructField("slice", LongType(), True),
+        StructField("id_a", LongType(), True),
+        StructField("id_b", LongType(), True),
+        StructField("hamming", IntegerType(), True),
+    ]
+)
+
+_PHASH_BUCKET_STATE = StructType(
+    [
+        StructField("ids", ArrayType(LongType()), True),
+        StructField("hashes", ArrayType(LongType()), True),
+    ]
+)
+
+
+def stream_image_phash_pairs(
+    media: DataFrame,
+    *,
+    max_hamming: int = 6,
+    bands: int = 7,
+    max_bucket: int = 64,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Incremental image near-dup pairs over a media stream — the
+    streaming twin of ``llm.multimodal.image_phash_pairs``, built on the
+    :func:`stream_near_dup_lsh` discipline:
+
+    * per-row perceptual hashes (``image_phash`` — Arrow ``mapInPandas``,
+      map-side only, so streaming append mode hosts it);
+    * the SAME 7 x 9-bit pigeonhole banding as batch (complete for
+      hamming < bands), so stream and batch bucket identically by
+      construction;
+    * state keyed by (band, slice): the bucket's member (id, phash)
+      lists, capped at ``max_bucket`` — a new arrival emits one pair row
+      per existing member within ``max_hamming`` (the exact
+      ``bit_count(xor)`` verify runs IN STATE, so only true near-dups
+      leave the operator), then joins the bucket.
+
+    Output (append): ``band, slice, id_a, id_b, hamming`` with
+    ``id_a < id_b``; the same logical pair may surface under several
+    bands (dedupe downstream).  State is O(buckets x max_bucket) pairs
+    of longs; the only shuffle is the groupBy((band, slice)) routing.
+    A flood of near-identical images caps at ``max_bucket`` members
+    (the degenerate-bucket guard, divergence documented as in the text
+    twin).  Stream pair-set == batch pair-set is test-pinned, including
+    cross-micro-batch pairs."""
+    from ..llm.multimodal import image_phash
+
+    assert max_hamming < bands, "pigeonhole completeness requires max_hamming < bands"
+    band_bits = 63 // bands
+    mask = (1 << band_bits) - 1
+
+    def scan(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        band, slc = key
+        if state.exists:
+            ids = list(state.get[0])
+            hashes = list(state.get[1])
+        else:
+            ids, hashes = [], []
+        known = dict(zip(ids, hashes))
+        rows_a: list[int] = []
+        rows_b: list[int] = []
+        rows_h: list[int] = []
+        # drain all Arrow chunks, then admit in sorted order so the
+        # max_bucket member set is replay-stable (the text twin's rule)
+        batch = sorted(
+            {
+                (int(i), int(p))
+                for pdf in pdfs
+                for i, p in zip(pdf["media_id"], pdf["phash"])
+            }
+        )
+        for i, p in batch:
+            if i in known:
+                continue
+            if len(ids) >= max_bucket:
+                break  # degenerate bucket: stop admitting members
+            for j, q in zip(ids, hashes):
+                h = bin(p ^ q).count("1")
+                if h <= max_hamming:
+                    rows_a.append(min(i, j))
+                    rows_b.append(max(i, j))
+                    rows_h.append(h)
+            ids.append(i)
+            hashes.append(p)
+            known[i] = p
+        state.update((ids, hashes))
+        if rows_a:
+            yield pd.DataFrame(
+                {
+                    "band": band,
+                    "slice": slc,
+                    "id_a": rows_a,
+                    "id_b": rows_b,
+                    "hamming": rows_h,
+                }
+            )
+
+    fps = image_phash(media, on_error=on_error)
+    banded = fps.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright("phash", bi * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("slice"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "phash", "b.band", "b.slice")
+    return banded.groupBy("band", "slice").applyInPandasWithState(
+        scan,
+        outputStructType=PHASH_PAIRS_SCHEMA,
+        stateStructType=_PHASH_BUCKET_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
