@@ -873,6 +873,142 @@ def test_image_phash_properties_and_pairs(spark):
     assert clusters == {0: (0, True), 1: (0, False), 2: (2, True)}
 
 
+def _blob_image(seed=1, h=64, w=80):
+    """Naturalistic multi-blob test image (same construction as
+    test_image_phash_properties_and_pairs)."""
+    rng = np.random.RandomState(seed)
+    yv, xv = np.mgrid[0:h, 0:w].astype(float)
+    img = np.zeros((h, w, 3))
+    for _ in range(12):
+        cy, cx = rng.uniform(0, h), rng.uniform(0, w)
+        s, a = rng.uniform(8, 25), rng.uniform(40, 120)
+        blob = a * np.exp(-(((yv - cy) / s) ** 2 + ((xv - cx) / s) ** 2))
+        for ch in range(3):
+            img[:, :, ch] += blob * rng.uniform(0.5, 1.5)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _nn_resize(im, fy, fx):
+    h, w = im.shape[:2]
+    nh, nw = int(round(h * fy)), int(round(w * fx))
+    ys = np.arange(nh) * h // nh
+    xs = np.arange(nw) * w // nw
+    return im[np.ix_(ys, xs)]
+
+
+def test_image_phash_invariance_matrix():
+    """Pinned transform-invariance matrix for the perceptual hash
+    (round-10 widening of the <=3-bit JPEG-requant pin).  Invariances
+    (near-dup MUST land within the default max_hamming=6): JPEG
+    requantization across the whole sane quality range, integer and
+    non-integer nearest-neighbor resizes (up, down, anisotropic), and
+    resize-then-re-encode.  Pinned SENSITIVITIES (transforms pHash is
+    NOT expected to absorb — these must stay far outside the band so
+    the operator's false-positive posture is explicit): border crops
+    and 90/180-degree rotations."""
+    from trend_o_meter_spark.llm import multimodal as mm
+    from trend_o_meter_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    img = _blob_image()
+    h0 = mm._phash64(img)
+
+    def ham(b):
+        return bin(h0 ^ b).count("1")
+
+    # -- invariances -----------------------------------------------------
+    for q in (95, 85, 60, 40):
+        assert ham(mm._phash64(decode_jpeg(encode_jpeg(img, quality=q)))) <= 3, q
+    # deep requant (q25) drifts further but stays within the dedup band
+    assert ham(mm._phash64(decode_jpeg(encode_jpeg(img, quality=25)))) <= 6
+    # integer upscales sample the identical 32x32 grid -> hash-identical
+    for fy, fx in ((2, 2), (3, 3), (2, 1)):
+        assert ham(mm._phash64(_nn_resize(img, fy, fx))) == 0, (fy, fx)
+    # non-integer / down resizes move the grid slightly
+    assert ham(mm._phash64(_nn_resize(img, 1.5, 1.5))) <= 4
+    assert ham(mm._phash64(_nn_resize(img, 0.5, 0.5))) <= 6
+    # composite: resize 2x then re-encode at q60
+    r2 = decode_jpeg(encode_jpeg(_nn_resize(img, 2, 2), quality=60))
+    assert ham(mm._phash64(r2)) <= 4
+    # -- sensitivities (documented non-invariances) -----------------------
+    assert ham(mm._phash64(img[3:61, 4:76])) >= 8  # 5% border crop
+    assert ham(mm._phash64(np.rot90(img).copy())) >= 15
+    assert ham(mm._phash64(np.rot90(img, 2).copy())) >= 15
+
+
+def test_image_phash_pigeonhole_boundary(spark):
+    """Pigeonhole completeness at the boundary: with ``bands`` slices, a
+    pair at hamming exactly ``bands - 1`` can corrupt at most bands-1
+    slices, so >= 1 slice agrees and the banded join MUST surface it —
+    even in the adversarial layout where every flipped bit lands in a
+    distinct band.  Also pins the fail-loud guard: max_hamming >= bands
+    is a ValueError (completeness would silently break), including via
+    the public wrappers."""
+    from trend_o_meter_spark.llm import multimodal as mm
+
+    for bands in (7, 3):
+        band_bits = 63 // bands
+        base = int("0x155555555555555", 16) & ((1 << 63) - 1)
+        flipped = base
+        for bi in range(bands - 1):  # one bit in each of bands-1 slices
+            flipped ^= 1 << (bi * band_bits + 2)
+        assert bin(base ^ flipped).count("1") == bands - 1
+        fps = spark.createDataFrame(
+            [(1, base), (2, flipped)], "media_id long, phash long"
+        )
+        got = mm._phash_pairs_from_fps(
+            fps, max_hamming=bands - 1, bands=bands
+        ).collect()
+        assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [
+            (1, 2, bands - 1)
+        ]
+    with pytest.raises(ValueError, match="pigeonhole"):
+        mm._phash_pairs_from_fps(fps, max_hamming=7, bands=7)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        mm.image_phash_pairs(
+            spark.createDataFrame([], "media_id long, media_type string, content binary"),
+            max_hamming=3,
+            bands=3,
+        )
+
+
+def test_image_phash_pairs_max_bucket_degenerate(spark):
+    """The max_bucket admission cap (round-10, VERDICT r09 #1): a
+    degenerate corpus — many blank images whose identical pHash lands
+    every fingerprint in the same 7 (band, slice) buckets — makes the
+    uncapped candidate join O(n^2); with max_bucket the over-cap
+    buckets drop BEFORE the self-join, so the candidate count is
+    bounded by cap^2 per bucket.  Capped semantics = exact lower bound:
+    genuinely distinct near-dup pairs still meet in their other,
+    non-degenerate slices."""
+    from trend_o_meter_spark.llm import multimodal as mm
+    from trend_o_meter_spark.llm.jpeg import encode_jpeg
+
+    blank = bytes(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), quality=85))
+    img = _blob_image()
+    rows = [
+        (0, "image", bytes(encode_jpeg(img, quality=95))),
+        (1, "image", bytes(encode_jpeg(img, quality=60))),
+    ] + [(i, "image", blank) for i in range(2, 1002)]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary"
+    )
+    # uncapped on a small slice: the blank block alone yields C(30,2) pairs
+    small = media.filter(F.col("media_id") < 32)
+    assert mm.image_phash_pairs(small).count() == 1 + 30 * 29 // 2
+    # capped at 1k degenerate rows: completes, keeps ONLY the real pair
+    capped = mm.image_phash_pairs(media, max_bucket=8).collect()
+    assert [(r["id_a"], r["id_b"]) for r in capped] == [(0, 1)]
+    # threads through the end-to-end cluster operator
+    cl = {
+        r["media_id"]: (r["cluster_id"], r["keep"])
+        for r in mm.image_dedup_clusters(media, max_bucket=8).collect()
+    }
+    assert cl[0] == (0, True) and cl[1] == (0, False)
+    assert len(cl) == 1002
+    # every blank survives as its own singleton under the cap
+    assert all(cl[i] == (i, True) for i in range(2, 1002))
+
+
 def test_on_error_skip_and_decode_errors_quarantine(spark):
     """Best-effort corpus decode (round 9): on_error='skip' keeps the
     job alive past corrupt payloads; decode_errors returns exactly the

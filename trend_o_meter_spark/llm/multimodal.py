@@ -823,23 +823,51 @@ def image_phash(media: DataFrame, *, on_error: str = "raise") -> DataFrame:
 
 
 def image_phash_pairs(
-    media: DataFrame, *, max_hamming: int = 6, bands: int = 7
+    media: DataFrame,
+    *,
+    max_hamming: int = 6,
+    bands: int = 7,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Image near-dup pairs: hamming(phash_a, phash_b) <= k via the same
     pigeonhole banding as the text SimHash operator — the 63-bit hash
     splits into 7 x 9-bit slices, so any pair within hamming < 7 agrees
     exactly on >= 1 slice; candidates come from the (band, slice)
     equi-join (keyed shuffle, never a cross product), then the exact
-    ``bit_count(xor)`` filter runs per candidate."""
+    ``bit_count(xor)`` filter runs per candidate.
+
+    ``max_bucket`` (the SCALE.md degenerate-bucket mitigation, same
+    contract as :func:`..dedup.minhash_lsh_pairs`): a (band, slice)
+    bucket holding b fingerprints contributes O(b^2) candidates, so a
+    degenerate slice — a web corpus full of blank/near-black thumbnails
+    that all share one 9-bit band value — turns the keyed join
+    quadratic.  With ``max_bucket=N`` any bucket larger than N is
+    dropped BEFORE the self-join (one extra keyed agg, no extra pass
+    over pixels).  Capped output is an exact LOWER BOUND of the
+    uncapped pair set: members of an over-cap bucket are near-identical
+    images best handled by exact (hamming-0 / byte-hash) dedup first,
+    and normal pairs still meet in their other band slices.  Off
+    (None) in the oracle-checked registry path."""
     return _phash_pairs_from_fps(
-        image_phash(media), max_hamming=max_hamming, bands=bands
+        image_phash(media),
+        max_hamming=max_hamming,
+        bands=bands,
+        max_bucket=max_bucket,
     )
 
 
 def _phash_pairs_from_fps(
-    fps: DataFrame, *, max_hamming: int = 6, bands: int = 7
+    fps: DataFrame,
+    *,
+    max_hamming: int = 6,
+    bands: int = 7,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    assert max_hamming < bands, "pigeonhole completeness requires max_hamming < bands"
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole completeness requires max_hamming < bands, got "
+            f"max_hamming={max_hamming} bands={bands}"
+        )
     band_bits = 63 // bands
     mask = (1 << band_bits) - 1
     banded = fps.select(
@@ -859,6 +887,13 @@ def _phash_pairs_from_fps(
             )
         ).alias("b"),
     ).select("media_id", "phash", "b.band", "b.slice")
+    if max_bucket is not None:
+        counts = banded.groupBy("band", "slice").agg(F.count(F.lit(1)).alias("__bn"))
+        banded = (
+            banded.join(counts, ["band", "slice"])
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
     return (
@@ -881,7 +916,11 @@ def _phash_pairs_from_fps(
 
 
 def image_dedup_clusters(
-    media: DataFrame, *, max_hamming: int = 6, bands: int = 7
+    media: DataFrame,
+    *,
+    max_hamming: int = 6,
+    bands: int = 7,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Image-corpus dedup end to end: perceptual-hash fingerprints ->
     banded near-dup pairs -> transitive closure -> canonical min-id
@@ -892,12 +931,18 @@ def image_dedup_clusters(
 
     Output: ``media_id, cluster_id, keep`` — one row per image row.
     The fingerprint table is materialized once (``lineage.cut``) and
-    serves the node set and both sides of the banded pair join."""
+    serves the node set and both sides of the banded pair join.
+    ``max_bucket`` threads through to the pair join (see
+    :func:`image_phash_pairs`): with a cap, over-cap buckets drop
+    before the self-join, so clusters are computed over the capped
+    (lower-bound) edge set."""
     from .. import lineage
     from .cluster import connected_components
 
     fps = lineage.cut(image_phash(media))
-    pairs = _phash_pairs_from_fps(fps, max_hamming=max_hamming, bands=bands)
+    pairs = _phash_pairs_from_fps(
+        fps, max_hamming=max_hamming, bands=bands, max_bucket=max_bucket
+    )
     cc = connected_components(
         fps.select(F.col("media_id").alias("id")),
         pairs,
