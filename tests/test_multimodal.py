@@ -424,6 +424,33 @@ def test_video_frame_features_real_decode(spark):
         assert r["std_pixel"] == (var**0.5 if var >= 0 else 0.0)
 
 
+def test_video_features_corpus_synthesis(spark):
+    """Round-10 registry wrapper: text payloads synthesize REAL AVI
+    containers (16x2 frames -> 6-byte DIB rows, so the 4-byte stride
+    padding path genuinely executes) and the decoded stats equal a
+    direct numpy computation on the synthesis formula.  Pins the
+    conventions the DuckDB oracle mirrors: 32 bytes per frame, trailing
+    partial-frame bytes DROP, fps = media_id % 24 + 1, channels
+    (v, v//2, 255-v), every=2 sampling."""
+    text = "".join(chr(32 + (i * 7) % 95) for i in range(32 * 5 + 11))  # 5 frames + tail
+    media = spark.createDataFrame(
+        [(26, "video", bytearray(text.encode())), (3, "image", bytearray(b"x" * 64))],
+        "media_id long, media_type string, content binary",
+    )
+    rows = {r["frame_idx"]: r for r in mm.video_features_corpus(media, every=2).collect()}
+    assert sorted(rows) == [0, 2, 4]  # 5 full frames, tail dropped, non-video ignored
+    raw = np.frombuffer(text.encode()[: 5 * 32], dtype=np.uint8)
+    v = raw.reshape(5, 16, 2)
+    frames = np.stack([v, v // 2, 255 - v], axis=-1)
+    for i, r in rows.items():
+        s = frames[i].astype(np.int64).reshape(-1)
+        mean = float(s.sum()) / s.size
+        var = float((s * s).sum()) / s.size - mean * mean
+        assert (r["media_id"], r["width"], r["height"], r["fps"]) == (26, 2, 16, 3)
+        assert r["mean_pixel"] == mean
+        assert r["std_pixel"] == (var**0.5 if var >= 0 else 0.0)
+
+
 def _png_pack(ihdr_fields, scanlines, extra_chunks=()):
     """Hand-assemble a PNG from already-filtered scanlines (independent
     of encode_png, which only ever emits filter 0)."""

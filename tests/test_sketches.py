@@ -22,10 +22,13 @@ def test_approx_sketches_accuracy(spark):
     }
     for et, ex in exact.items():
         ap = approx[et]
-        # HLL default rsd is 5%; allow 10%
-        assert abs(ap["approx_users"] - ex["users"]) <= 0.10 * ex["users"] + 1
-        # percentile_approx with accuracy 1000 on ~3k rows: near-exact
-        assert abs(ap["approx_p50"] - ex["p50"]) <= abs(ex["p50"]) * 0.05 + 1.0
+        # round 10: the query now EMITS its accuracy check (sketch_rollup
+        # recipe) — exact columns next to within-bound booleans the
+        # oracle asserts TRUE.
+        assert ap["exact_users"] == ex["users"]
+        assert ap["users_within_5pct"] is True
+        assert ap["p50_in_bounds"] is True
+        assert ap["p99_in_bounds"] is True
 
 
 def test_sketch_rollup_mergeable_and_accurate(spark):

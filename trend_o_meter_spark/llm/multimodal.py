@@ -641,6 +641,111 @@ def video_frame_features(media: DataFrame, *, every: int = 1) -> DataFrame:
     )
 
 
+# Synthetic-AVI geometry: one FRAME_BYTES (32-byte) slice of the payload
+# becomes one 16x2 frame — w=2 makes the DIB row 6 bytes, so every row
+# carries 2 padding bytes and the codec's 4-byte stride path genuinely
+# executes per row.  Channels per byte v: (R, G, B) = (v, v // 2, 255 - v)
+# (sanitized ASCII v <= 126, so all three stay in uint8 without wrap).
+_VID_H, _VID_W = 16, 2
+
+
+def video_features_corpus(media: DataFrame, *, every: int = 2) -> DataFrame:
+    """Registry wrapper: the synthetic corpus's video rows -> REAL
+    uncompressed-AVI payloads -> :func:`video_frame_features` — the
+    audio_features recipe (encode through the real codec, decode back,
+    reduce to stats) for the third modality.
+
+    Frame ``f`` of media ``m`` covers payload bytes ``[f*32, (f+1)*32)``
+    reshaped to a 16x2 grayscale grid ``v`` with channels
+    ``(v, v // 2, 255 - v)``; ``fps = (media_id % 24) + 1``; trailing
+    bytes short of a full frame drop (the ``floor(n_bytes / 32)``
+    n_frames convention of :func:`media_table`).  The whole AVI container
+    (RIFF tree, avih/strh/strf headers, bottom-up BGR DIB bodies with
+    stride padding) is built and re-parsed per row, so one corrupted
+    byte anywhere in encode_avi/decode_avi breaks the feature hash
+    against :func:`video_frame_features_sql`, which recomputes the same
+    stats straight from character codes.
+
+    Scale shape: Arrow-batched ``mapInPandas`` to synthesize payloads,
+    then the operator's own mapInPandas decode — output rows are 7
+    scalars, never frame bytes.
+    """
+    import numpy as np  # local import: runs on executors
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs  # executor-side import
+
+        for pdf in it:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content)
+                nf = len(raw) // FRAME_BYTES
+                if nf == 0:
+                    continue
+                v = np.frombuffer(raw[: nf * FRAME_BYTES], dtype=np.uint8)
+                v = v.reshape(nf, _VID_H, _VID_W)
+                frames = np.stack([v, v // 2, 255 - v], axis=-1)
+                out.append(
+                    (int(mid), codecs.encode_avi(frames, fps=int(mid) % 24 + 1))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    avi = (
+        media.filter(
+            (F.col("media_type") == "video")
+            & (F.octet_length("content") >= FRAME_BYTES)
+        )
+        .select("media_id", "content")
+        .mapInPandas(synth, schema="media_id long, content binary")
+    )
+    return video_frame_features(avi, every=every)
+
+
+def video_frame_features_sql(
+    table: str, *, every: int = 2, id_col: str = "doc_id", text: str = "text"
+) -> str:
+    """Oracle twin of :func:`video_features_corpus`: per-sampled-frame
+    mean/std recomputed straight from character codes — the AVI
+    encode/decode round-trip corrupting a single pixel, frame index,
+    header field, or stride byte diverges the hash.  All sums are exact
+    integers; the float tail is the image_features expression (one
+    division each, one correctly-rounded sqrt), identical in both
+    engines."""
+    cte = _media_table_sql_parts(table, id_col=id_col, text=text)
+    npx = _VID_H * _VID_W * 3
+    return f"""
+WITH {cte},
+vids AS (
+  SELECT media_id, atext, CAST(n_bytes // {FRAME_BYTES} AS BIGINT) AS n_frames,
+         (media_id % 24) + 1 AS fps
+  FROM media WHERE media_type = 'video' AND n_bytes >= {FRAME_BYTES}
+),
+frames AS (
+  SELECT media_id, fps, atext, CAST(t.i AS BIGINT) AS frame_idx
+  FROM vids, unnest(range(0, n_frames, {every})) AS t(i)
+),
+codes AS (
+  SELECT media_id, frame_idx, fps,
+         ascii(substring(atext,
+               CAST(frame_idx * {FRAME_BYTES} + u.j + 1 AS INT), 1)) AS c
+  FROM frames, unnest(range(0, {FRAME_BYTES})) AS u(j)
+),
+stats AS (
+  SELECT media_id, frame_idx, any_value(fps) AS fps,
+         CAST(sum(c // 2) + 255 * {FRAME_BYTES} AS DOUBLE) / {npx} AS mean_pixel,
+         CAST(sum(CAST(c AS BIGINT) * c + (c // 2) * (c // 2)
+                  + (255 - c) * (255 - c)) AS DOUBLE) / {npx} AS s2n
+  FROM codes GROUP BY 1, 2
+)
+SELECT media_id, frame_idx,
+  CAST({_VID_W} AS BIGINT) AS width, CAST({_VID_H} AS BIGINT) AS height,
+  CAST(fps AS BIGINT) AS fps, mean_pixel,
+  CASE WHEN s2n - mean_pixel * mean_pixel >= 0
+       THEN sqrt(s2n - mean_pixel * mean_pixel) ELSE 0.0 END AS std_pixel
+FROM stats
+"""
+
+
 def resize_image(media: DataFrame, *, width: int, height: int, real: bool = False) -> DataFrame:
     """Resize to ``width x height``.
 

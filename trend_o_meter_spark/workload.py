@@ -776,19 +776,62 @@ def metric_format_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "approx_sketches",
-    None,  # HLL/KLL sketch internals are engine-specific -> rows-only;
-    # accuracy vs exact is pinned by tests/test_sketches.py
+    # The sketch values themselves are engine-specific, but the
+    # sketch_rollup recipe makes the ACCURACY oracle-checkable inside the
+    # hash-exact protocol: Spark emits booleans comparing its own approx
+    # results against exact statistics it also computes; the oracle
+    # recomputes the exact columns and asserts literal TRUE — the row
+    # hashes match iff the exacts agree AND every estimate really lands
+    # inside its published bound.  Bounds are real failure detectors, not
+    # tautologies: HLL relative error at default lgK is ~2.3% (5% bound),
+    # percentile_approx(accuracy=1000) guarantees rank error <= n/1000
+    # (checked against exact percentiles at q +/- 0.011).
+    """
+SELECT event_type,
+       count(*) AS n_rows,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS users_within_5pct,
+       TRUE AS p50_in_bounds,
+       TRUE AS p99_in_bounds
+FROM events GROUP BY 1
+""",
     doc="Approximate sketches (absent from the reference, SURVEY §2.11; "
     "essential at 100 TB): approx_count_distinct (HLL) + "
-    "percentile_approx (KLL-ish) per metric.",
+    "percentile_approx (KLL-ish) per metric, each driver-verified to "
+    "land inside its accuracy bound next to exact counts.  Lossless "
+    "mergeability stays pinned by tests/test_sketches.py.",
 )
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", 0.5, 1000).alias("approx_p50"),
-        F.percentile_approx("value", 0.99, 1000).alias("approx_p99"),
+    agg = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("exact_users"),
+        # rsd=0.01: the DEFAULT rsd is 0.05 — one standard deviation, not
+        # a bound, so the 5% check would flake (observed live at sf0.1);
+        # at 1% rsd the 5% bound is a 5-sigma detector.
+        F.approx_count_distinct("user_id", 0.01).alias("__approx_users"),
+        F.percentile_approx("value", 0.5, 1000).alias("__p50"),
+        F.percentile_approx("value", 0.99, 1000).alias("__p99"),
+        F.expr("percentile(value, 0.489)").alias("__p50_lo"),
+        F.expr("percentile(value, 0.511)").alias("__p50_hi"),
+        F.expr("percentile(value, 0.979)").alias("__p99_lo"),
+        F.max("value").alias("__vmax"),
+    )
+    return agg.select(
+        "event_type",
+        "n_rows",
+        "exact_users",
+        (
+            F.abs(F.col("__approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("users_within_5pct"),
+        (
+            (F.col("__p50") >= F.col("__p50_lo"))
+            & (F.col("__p50") <= F.col("__p50_hi"))
+        ).alias("p50_in_bounds"),
+        (
+            (F.col("__p99") >= F.col("__p99_lo")) & (F.col("__p99") <= F.col("__vmax"))
+        ).alias("p99_in_bounds"),
     )
 
 
@@ -3371,6 +3414,24 @@ def resize_image_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return multimodal.audio_features(multimodal.media_table(d))
+
+
+@_q(
+    "video_frame_features",
+    multimodal.video_frame_features_sql("documents"),
+    doc="Video decode through the REAL pure-Python AVI codec "
+    "(llm/codecs.py: RIFF tree walk, avih/strh/strf headers, bottom-up "
+    "BGR DIB frames with 4-byte stride padding): synthetic payloads "
+    "tile into 16x2 RGB frames, encode to an uncompressed AVI, decode "
+    "back, and every 2nd frame reduces to geometry + pixel mean/std.  "
+    "The oracle recomputes the same stats straight from character "
+    "codes, so one corrupted pixel, frame index, header field, or "
+    "stride byte in the container round-trip breaks the hash — the "
+    "audio_features recipe, for the third modality.",
+)
+def video_frame_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return multimodal.video_features_corpus(multimodal.media_table(d), every=2)
 
 
 @_q(
