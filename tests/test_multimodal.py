@@ -701,6 +701,39 @@ def test_jpeg_rejects_inconsistent_and_12bit_loudly():
         decode_jpeg(b"\x00\x01\x02")
 
 
+def test_jpeg_lut_memo_cap_and_truncation_diagnostics():
+    """ADVICE r09 items: (a) the Huffman-LUT memo is capped at 8 entries
+    (~1 MB each) but the four Annex-K tables are ALWAYS admitted, so an
+    optimized-coding corpus prefix can't evict the hot path; (b) a scan
+    whose entropy data is exhausted reports 'truncated', not a
+    misleading 'invalid JPEG Huffman code' from the zero-padded window."""
+    from trend_o_meter_spark.llm import jpeg
+
+    saved = dict(jpeg._LUT_MEMO)
+    try:
+        jpeg._LUT_MEMO.clear()
+        for i in range(12):
+            bits = [0] * 16
+            bits[7] = 1
+            jpeg._build_huffman_decoder(bits, [i])
+        assert len(jpeg._LUT_MEMO) == 8  # capped
+        jpeg._build_huffman_decoder(*jpeg._DC_LUM)
+        jpeg._build_huffman_decoder(*jpeg._AC_CHROM)
+        assert (tuple(jpeg._DC_LUM[0]), tuple(jpeg._DC_LUM[1])) in jpeg._LUT_MEMO
+        assert (
+            tuple(jpeg._AC_CHROM[0]), tuple(jpeg._AC_CHROM[1])
+        ) in jpeg._LUT_MEMO
+    finally:
+        jpeg._LUT_MEMO.clear()
+        jpeg._LUT_MEMO.update(saved)
+
+    # truncation diagnostic: an empty-bit reader peeks a zero window
+    br = jpeg._BitReader(b"", 0)
+    tab = jpeg._build_huffman_decoder(*jpeg._DC_LUM)
+    with pytest.raises(ValueError, match="truncated"):
+        jpeg._decode_huffman(br, tab)
+
+
 def test_jpeg_progressive_roundtrip_equals_baseline_pixels():
     """The progressive encoder shares the baseline's color transform,
     DCT, and quantization — only the entropy process differs — so both
@@ -1078,6 +1111,18 @@ def test_on_error_skip_and_decode_errors_quarantine(spark):
     # bad mode rejected at build time
     with pytest.raises(ValueError, match="on_error"):
         multimodal.image_features(media, on_error="ignore")
+
+    # ADVICE r09: decode_media(real, skip) must NOT silently drop a
+    # payload decode_errors would never record — an unsniffable payload
+    # (unknown magic) re-raises even under skip, keeping the
+    # features(skip) ∪ decode_errors partition exact for this kernel too
+    unsniffed = spark.createDataFrame(
+        [(9, "image", b"\x01\x02unknown-magic-payload")],
+        "media_id long, media_type string, content binary",
+    )
+    with pytest.raises(Exception):
+        multimodal.decode_media(unsniffed, real=True, on_error="skip").collect()
+    assert multimodal.decode_errors(unsniffed).count() == 0
 
 
 def test_all_codecs_fuzz_malformed_streams_fail_cleanly():

@@ -1316,6 +1316,18 @@ def test_statestore_exclude_batch_on_read_and_compact(spark, tmp_path):
     st.append(spark.createDataFrame([("replayed", 1)], "k string, b int"), 1)
     assert {r["k"] for r in st.read(spark).collect()} == {"carried", "replayed"}
 
+    # ADVICE r09: exclude_batch at or below the ALREADY-ADVANCED
+    # watermark (the batch was folded into the base by an earlier,
+    # exclusion-free compaction) cannot be held out — capping would
+    # regress the watermark and resurrect superseded partitions.  Must
+    # fail loudly, leaving state intact.
+    st.compact(spark)  # fold everything: watermark -> 1
+    assert st._watermark() == 1
+    with pytest.raises(ValueError, match="regress the watermark"):
+        st.compact(spark, exclude_batch=1)
+    assert st._watermark() == 1  # unchanged
+    assert {r["k"] for r in st.read(spark).collect()} == {"carried", "replayed"}
+
 
 def test_stream_day_bins_with_non_default_column_names(spark, tmp_path):
     """stream_day_bins with metric='sensor', ts='t', value='v' must run
@@ -2613,6 +2625,48 @@ def test_stream_rfm_matches_batch_replay_and_restart(spark, tmp_path):
     per_batch2(mkdf(batches[2]), 2)
     want = sorted(map(tuple, rfm_segments(mkdf(seen)).collect()))
     assert results2[2] == want
+
+
+def test_stream_rfm_score_every_snapshot_cadence(spark, tmp_path):
+    """Round-10 snapshot cadence (VERDICT r09 #5): with score_every=N,
+    non-snapshot batches append state WITHOUT the O(users) re-score (no
+    report emitted), and every N-th batch's report still equals the
+    batch operator over everything ingested so far — cadence trades
+    freshness, never correctness."""
+    from trend_o_meter_spark.operators.analytics import rfm_segments
+    from trend_o_meter_spark.streaming.pipeline import stream_rfm
+
+    rows = []
+    for i in range(10):
+        for k in range(1 + (i % 3)):
+            rows.append((100.0 * (i + 1) + 10.0 * k, f"u{i}", "purchase", 5.0 + 3.0 * i + k))
+    rows.sort()
+    chunks = [rows[i::5] for i in range(5)]  # 5 batches
+
+    def mkdf(rs):
+        return spark.createDataFrame(
+            [(float(e), u, t, float(v)) for e, u, t, v in rs],
+            "epoch double, user_id string, event_type string, value double",
+        ).select(
+            F.timestamp_seconds("epoch").alias("ts"), "user_id", "event_type", "value"
+        )
+
+    results = {}
+    per_batch = stream_rfm(
+        state_path=str(tmp_path / "rfm_cadence"),
+        score_every=2,
+        on_result=lambda bid, df: results.update({bid: sorted(map(tuple, df.collect()))}),
+    )
+    seen = []
+    for i, chunk in enumerate(chunks):
+        seen += chunk
+        per_batch(mkdf(chunk), i)
+    assert sorted(results) == [0, 2, 4]  # snapshots only
+    # each snapshot equals the batch operator over its prefix
+    for bid in (2, 4):
+        prefix = [r for c in chunks[: bid + 1] for r in c]
+        want = sorted(map(tuple, rfm_segments(mkdf(prefix)).collect()))
+        assert results[bid] == want, bid
 
 
 def test_stream_attribution_matches_batch_replay_restart_compaction(spark, tmp_path):

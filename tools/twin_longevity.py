@@ -85,6 +85,12 @@ def main() -> int:
 
     if name == "rfm":
         per_batch = pl.stream_rfm(state_path=state_path, on_result=on_result)
+    elif name == "rfm5":
+        # snapshot cadence (round 10): re-score every 5th batch only —
+        # compare marginal wall vs plain "rfm"
+        per_batch = pl.stream_rfm(
+            state_path=state_path, score_every=5, on_result=on_result
+        )
     elif name == "attribution":
         per_batch = pl.stream_attribution(state_path=state_path, on_result=on_result)
     elif name == "transitions":

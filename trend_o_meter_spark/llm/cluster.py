@@ -568,9 +568,7 @@ def hits(
     def q9(col):
         return F.floor(col * F.lit(1e9) + F.lit(0.5)).cast("long")  # scores >= 0
 
-    hq = nodes.crossJoin(nn).select(
-        "node", q9(F.lit(1.0) / F.col("__n")).alias("q")
-    )
+    hq = None  # round 0 is the uniform vector; see below
     aq = None
     for i in range(int(iters)):
         # _truncate the node-sized raw-sum tables each half-round: both
@@ -579,23 +577,41 @@ def hits(
         # join — without materialization every consumer re-runs the
         # edges x scores join, ~3x-ing the per-iteration cost (measured
         # 21.8 -> ~9 s at sf0.1).  The materialized frame is O(nodes).
-        araw = _truncate(
-            e.join(hq.withColumnRenamed("node", "src"), "src")
-            .groupBy("dst")
-            .agg(F.sum("q").alias("__raw")),
-            checkpoint_dir,
-        )
-        sa = F.broadcast(araw.agg(F.sum("__raw").alias("__s")))
-        aq = (
-            nodes.join(araw.withColumnRenamed("dst", "node"), "node", "left")
-            .crossJoin(sa)
-            .select(
-                "node",
-                q9(
-                    F.coalesce(F.col("__raw"), F.lit(0)).cast("double")
-                    / F.col("__s")
-                ).alias("q"),
+        #
+        # Scores stay SPARSE between rounds (round-10 shave): a node
+        # absent from the raw-sum table has q exactly 0, and a zero-q
+        # row contributes exactly 0 to the next half-round's integer
+        # pull — so the dense zero-fill join against `nodes` (two
+        # node-sized shuffles per iteration) only runs ONCE, at the
+        # final output.  Values are unchanged: the oracle's dense
+        # coalesce(raw, 0) rows quantize to the same 0.
+        if hq is None:
+            # Iteration 0 pulls a CONSTANT score (every node starts at
+            # q0 = q9(1/n)), so the edges x scores join collapses to
+            # indegree(dst) * q0 — one groupBy count, no join; the
+            # integer product equals the oracle's sum of q0 over
+            # in-edges exactly.
+            araw = _truncate(
+                e.groupBy("dst")
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .crossJoin(nn)
+                .select(
+                    "dst",
+                    (F.col("__c") * q9(F.lit(1.0) / F.col("__n"))).alias("__raw"),
+                ),
+                checkpoint_dir,
             )
+        else:
+            araw = _truncate(
+                e.join(hq.withColumnRenamed("node", "src"), "src")
+                .groupBy("dst")
+                .agg(F.sum("q").alias("__raw")),
+                checkpoint_dir,
+            )
+        sa = F.broadcast(araw.agg(F.sum("__raw").alias("__s")))
+        aq = araw.crossJoin(sa).select(
+            F.col("dst").alias("node"),
+            q9(F.col("__raw").cast("double") / F.col("__s")).alias("q"),
         )
         hraw = _truncate(
             e.join(aq.withColumnRenamed("node", "dst"), "dst")
@@ -604,27 +620,17 @@ def hits(
             checkpoint_dir,
         )
         sh = F.broadcast(hraw.agg(F.sum("__raw").alias("__s")))
-        hq = (
-            nodes.join(hraw.withColumnRenamed("src", "node"), "node", "left")
-            .crossJoin(sh)
-            .select(
-                "node",
-                q9(
-                    F.coalesce(F.col("__raw"), F.lit(0)).cast("double")
-                    / F.col("__s")
-                ).alias("q"),
-            )
+        hq = hraw.crossJoin(sh).select(
+            F.col("src").alias("node"),
+            q9(F.col("__raw").cast("double") / F.col("__s")).alias("q"),
         )
-        if (i + 1) % 5 == 0 and (i + 1) < int(iters):
-            hq = _truncate(hq, checkpoint_dir)
-            aq = _truncate(aq, checkpoint_dir)
     return (
-        aq.withColumnRenamed("q", "__aq")
-        .join(hq.withColumnRenamed("q", "__hq"), "node")
+        nodes.join(aq.withColumnRenamed("q", "__aq"), "node", "left")
+        .join(hq.withColumnRenamed("q", "__hq"), "node", "left")
         .select(
             "node",
-            (F.col("__aq") / F.lit(1e9)).alias("authority"),
-            (F.col("__hq") / F.lit(1e9)).alias("hub"),
+            (F.coalesce(F.col("__aq"), F.lit(0)) / F.lit(1e9)).alias("authority"),
+            (F.coalesce(F.col("__hq"), F.lit(0)) / F.lit(1e9)).alias("hub"),
         )
     )
 

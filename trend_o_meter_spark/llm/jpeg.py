@@ -193,6 +193,10 @@ def _build_huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[in
 
 
 _LUT_MEMO: dict[tuple, tuple[list[int], list[int]]] = {}
+# the four Annex-K example tables: always memo-admitted (see below)
+_K_TABLE_KEYS = {
+    (tuple(b), tuple(v)) for b, v in (_DC_LUM, _DC_CHROM, _AC_LUM, _AC_CHROM)
+}
 
 
 def _build_huffman_decoder(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
@@ -216,11 +220,14 @@ def _build_huffman_decoder(bits: list[int], vals: list[int]) -> tuple[list[int],
     lut = (lengths.tolist(), symbols.tolist())
     # memoized: the fixed Annex-K tables arrive on essentially every
     # non-optimize_coding file, and corpus decode pays the 2x64K build
-    # per image otherwise.  CAPPED: optimized-coding encoders (mozjpeg,
-    # jpegtran) emit per-image tables that would grow the memo without
-    # bound in a long-lived decode worker — past the cap, build without
-    # caching (the K-table hot path is always among the first entries)
-    if len(_LUT_MEMO) < 64:
+    # per image otherwise.  CAPPED at 8 (ADVICE r09: each entry is two
+    # 65,536-long Python lists, ~1 MB — the old cap of 64 set a
+    # non-obvious ~64 MB memory floor per executor Python worker on
+    # optimized-coding corpora; ~9 MB is the new worst case): mozjpeg/
+    # jpegtran per-image tables past the cap build uncached, while the
+    # four K tables are ALWAYS admitted so a memo pre-filled by an
+    # optimized-coding prefix can't evict the hot path.
+    if key in _K_TABLE_KEYS or len(_LUT_MEMO) < 8:
         _LUT_MEMO[key] = lut
     return lut
 
@@ -869,6 +876,11 @@ def _decode_huffman(br: _BitReader, table: tuple[list[int], list[int]]) -> int:
     idx = br.peek16()
     ln = table[0][idx]
     if ln == 0:
+        # ADVICE r09: after peek16's fill, fewer than 16 buffered bits
+        # means the scan data is exhausted and the window is zero-padded
+        # — report truncation, not a (misleading) invalid code
+        if br._n < 16:
+            raise ValueError("JPEG entropy data truncated")
         raise ValueError("invalid JPEG Huffman code")
     br.consume(ln)
     return table[1][idx]

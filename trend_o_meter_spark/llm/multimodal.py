@@ -278,7 +278,17 @@ def decode_media(
                     try:
                         img = codecs.decode_image(bytes(content))
                     except (ValueError, NotImplementedError):
-                        if on_error == "skip":
+                        # ADVICE r09: skip ONLY what decode_errors will
+                        # RECORD (the features(skip) ∪ decode_errors
+                        # partition invariant) — a strictly-sniffed image
+                        # payload that fails decode_image fails
+                        # identically in the quarantine scan.  Anything
+                        # else (unknown magic, or an audio/video container
+                        # fed to the image kernel) would vanish silently
+                        # under skip — re-raise instead.
+                        if on_error == "skip" and codecs.sniff_strict(
+                            bytes(content)
+                        ) in ("png", "bmp", "ppm", "jpeg"):
                             continue
                         raise
                     arr = img.reshape(-1)

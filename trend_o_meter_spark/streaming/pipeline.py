@@ -1977,16 +1977,27 @@ def stream_rfm(
     event_type: str = "event_type",
     purchase_type: str = "purchase",
     compact_every: int = 25,
+    score_every: int = 1,
     on_result: "object" = None,
 ):
     """Live RFM segmentation: the streaming twin of
     ``operators.analytics.rfm_segments`` — per-user (last-purchase
     epoch MAX, purchase-count SUM, exact-decimal monetary SUM) partials
     merge losslessly and order-insensitively, so the twin equals the
-    batch report over the union unconditionally; every micro-batch
+    batch report over the union unconditionally; every snapshot batch
     re-scores the population against freshly derived quintile
     breakpoints through the shared batch tail (``rfm_from_per_user`` —
     exact-rank quantiles, broadcast breakpoints, never ntile).
+
+    ``score_every`` (snapshot cadence, default 1 = re-score every
+    micro-batch): appending partials is O(batch), but the re-score is
+    O(purchasing users) — at 10^9 users the per-batch re-derivation of
+    global breakpoints dominates the twin's marginal cost (VERDICT r09
+    watch item).  With ``score_every=N``, batches whose id is not a
+    multiple of N only append state (no state read, no report); every
+    N-th batch emits the full report, which is still EXACTLY the batch
+    operator's answer over everything ingested so far — cadence trades
+    report freshness, never report correctness.
 
     'Recency' here is the reference point the batch operator uses —
     the population's own purchase epochs scored against each other —
@@ -2024,11 +2035,12 @@ def stream_rfm(
                 )
             )
             st.append(partial, batch_id)
+        if on_result is None or (score_every > 1 and batch_id % score_every != 0):
+            return  # non-snapshot batch: append-only, no O(users) re-score
         state = st.read(spark)
         if state is None:
             return
-        if on_result is not None:
-            on_result(batch_id, rfm_from_per_user(merge(state)))
+        on_result(batch_id, rfm_from_per_user(merge(state)))
 
     return per_batch
 

@@ -215,6 +215,18 @@ class PartialStateTable:
         new_wm = live.agg(F.max(bid).alias("m")).collect()[0]["m"]
         new_wm = max(int(new_wm if new_wm is not None else BASE_PARTITION), wm)
         if exclude_batch is not None:
+            if int(exclude_batch) <= wm:
+                # capping below an already-advanced watermark would
+                # REGRESS it, resurrecting previously-superseded
+                # partitions (double-counted state).  A batch at or
+                # below the watermark is already folded into the base —
+                # the hold-out contract is unsatisfiable; fail loudly
+                # instead of corrupting silently.
+                raise ValueError(
+                    f"compact(exclude_batch={exclude_batch}) would regress the "
+                    f"watermark (currently {wm}): that batch is already folded "
+                    "into the base and cannot be held out"
+                )
             # the held partition must stay ABOVE the watermark or both it
             # and the batch's re-append would be invisible to readers
             new_wm = min(new_wm, int(exclude_batch) - 1)

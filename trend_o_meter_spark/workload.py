@@ -92,75 +92,69 @@ def _q(name: str, oracle: str | None, doc: str = ""):
 # verdict across rounds even under a query-count/time cap; remaining
 # entries keep declaration order (stable sort).
 _SCORE_FIRST = (
-    # --- never-scored queries added this round go FIRST (the aging
-    # policy's highest priority): the phash image-dedup family and the
-    # decode-errors quarantine invariant. ------------------------------
-    "image_phash",
-    "image_phash_pairs",
-    "image_dedup_clusters",
-    "decode_errors",
-    # --- round 9 rotation (VERDICT r08 task 2). Slots 4-31: every
-    # remaining oracle-backed query whose newest DRIVER verdict is
-    # still r04 (the r08 rotation retired 19 of the 47-strong r04
-    # cohort; these are the rest).  Declaration order within the
-    # cohort. ----------------------------------------------------------
-    "canonical_docs",
-    "tfidf_cosine_pairs",
-    "hash_sample_10pct",
-    "chunk_documents",
-    "balanced_sample",
-    "epoch_shuffle",
-    "bm25_search",
-    "mixture_sample",
-    "vocab_topk",
-    "curation_report",
-    "distinctive_terms",
-    "token_budget_sample",
-    "curation_decisions",
-    "lm_score",
-    "doc_fingerprint",
-    "cosine_topk",
-    "cosine_topk_ivf",
-    "ivf_recall_at_k",
-    "ivf_assign",
-    "embedding_outliers",
-    "embedding_near_dup",
-    "multimodal_meta",
-    "frame_sample",
-    "decode_features",
-    "label_centroids",
-    "pii_scrub",
-    "repetition_stats",
-    "pack_sequences",
-    # --- slots 29-50: the OLDEST 22 of the 48-strong r05 cohort, in
-    # declaration order (as-of/sketch operators then the TPC-H block);
-    # the remaining 26 r05 entries queue for round 10.  The
-    # rows-only-by-design entries (approx_sketches, bpe_merges,
-    # bpe_encode_fixed, flagship_day_bins_compat) are NOT fronted:
-    # re-sampling them cannot produce a stronger verdict than they
-    # already carry. ---------------------------------------------------
-    "asof_forward_orders",
-    "asof_nearest_orders",
-    "sketch_rollup",
-    "histogram_quantiles",
-    "kmv_distinct_users",
-    "kmv_user_overlap",
-    "moments_by_type",
-    "variant_extract_props",
-    "q4_priority_returns",
-    "q6_forecast_revenue",
-    "q19_discounted_revenue",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    "q2_min_cost_supplier",
-    # (round-10 rotation queue: q8_market_share, q9_product_type_profit,
-    # q11_important_parts, q12_late_lines_by_class — displaced by the
-    # four never-scored round-9 queries — then q15_top_supplier ..
-    # holt_linear_02 and the r06 cohort)
+    # --- round 10 rotation (VERDICT r09 task 2): newest-first aging so
+    # no oracle-backed query's driver verdict is older than 4 rounds.
+    # Slots 1-2: the never-scored query added this round and the query
+    # whose oracle was UPGRADED this round (rows-only -> bound-checked).
+    "video_frame_features",
+    "approx_sketches",
+    # --- slots 3-32: the ENTIRE 30-query r05-stale cohort (every
+    # oracle-backed query whose newest driver verdict is r05), in
+    # declaration order. -----------------------------------------------
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q12_late_lines_by_class",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q20_promotion_candidates",
+    "grouping_sets_revenue",
+    "dup_span_removal",
+    "exact_substr_spans",
+    "curation_funnel_v2",
+    "curation_funnel_v3",
+    "pagerank_docs",
+    "hits_docs",
+    "logreg_lang_weights",
+    "logreg_lang_scores",
+    "logreg_hashed_weights",
+    "logreg_hashed_scores",
+    "dsir_weights",
+    "dsir_resample",
+    "ccnet_buckets",
+    "lm_kn_score",
+    "temperature_mixture",
+    "semantic_dedup",
+    "audio_features",
+    "decontaminate_spans",
+    "gopher_rules",
+    "winnowing_fingerprints",
+    "phrase_search",
+    "holt_linear_02",
+    # --- slots 33-50: the oldest 18 of the 43-strong r07 cohort, in
+    # declaration order; the remaining 25 r07 entries queue for round
+    # 11, then the r08 cohort.  The rows-only-by-design entries
+    # (bpe_merges, bpe_encode_fixed, flagship_day_bins_compat) are NOT
+    # fronted: re-sampling them cannot produce a stronger verdict than
+    # they already carry. ----------------------------------------------
+    "asof_join_orders",
+    "window_rank",
+    "unpivot_lineitem_charges",
+    "metric_format_join",
+    "bloom_membership",
+    "scalar_funcs",
+    "datetime_funcs",
+    "json_extract_props",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "semi_join_urgent_customers",
+    "anti_join_orderless_customers",
+    "rollup_returns",
+    "sql_orders_by_year",
+    "cube_order_priority",
 )
 
 
