@@ -131,22 +131,32 @@ def stream_probe(spark, sf_dir: str) -> dict:
         "ts", F.col("event_type").alias("metric"), "value"
     )
     n_rows = batch.count()
+    secs = []
     with tempfile.TemporaryDirectory() as tmp:
         src_dir = os.path.join(tmp, "src")
         batch.write.mode("overwrite").parquet(src_dir)
-        stream = spark.readStream.schema(batch.schema).parquet(src_dir)
-        kept = stream_anchored_downsample(stream, metric="metric")
-        t0 = time.time()
-        q = (
-            kept.writeStream.format("noop")
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        sec = round(time.time() - t0, 3)
+        # run the stream TWICE (fresh checkpoint each time): pass 1
+        # includes the session's one-time applyInPandasWithState worker
+        # spin-up (~2 s of Arrow/pandas import, measured round 10 —
+        # historically the whole 25k-38k round-over-round swing in this
+        # probe); pass 2 is the steady-state (marginal) throughput a
+        # long-running query actually sustains.
+        for i in range(2):
+            stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+            kept = stream_anchored_downsample(stream, metric="metric")
+            t0 = time.time()
+            q = (
+                kept.writeStream.format("noop")
+                .option("checkpointLocation", os.path.join(tmp, f"ckpt{i}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            secs.append(round(time.time() - t0, 3))
     return {"operator": "stream_anchored_downsample", "rows": n_rows,
-            "sec": sec, "rows_per_sec": round(n_rows / sec)}
+            "sec": secs[0], "rows_per_sec": round(n_rows / secs[0]),
+            "sec_marginal": secs[1],
+            "rows_per_sec_marginal": round(n_rows / secs[1])}
 
 
 def stream_lsh_probe(spark, sf_dir: str, n_batches: int = 20) -> dict:
