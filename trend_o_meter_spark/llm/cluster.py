@@ -444,18 +444,39 @@ def pagerank(
         "node", (F.lit(1.0) / F.col("__n")).alias("rank")
     )
     for i in range(int(iters)):
-        contrib = (
-            ranks.join(e, ranks.node == e.src)
-            .join(outdeg, "src")
-            .select(
-                "dst",
-                F.round(F.col("rank") / F.col("__od") * F.lit(1e9))
-                .cast("long")
-                .alias("__cq"),
+        if i == 0:
+            # Iteration 0 pulls the CONSTANT uniform vector, so the
+            # ranks x edges join collapses to a function of out-degree
+            # alone (same float expression, same operand order — the
+            # 1.0/n division is the exact double the dense vector
+            # carried, so quantized contributions are bit-identical).
+            contrib = (
+                e.join(outdeg, "src")
+                .crossJoin(nn)
+                .select(
+                    "dst",
+                    F.round(
+                        (F.lit(1.0) / F.col("__n")) / F.col("__od") * F.lit(1e9)
+                    )
+                    .cast("long")
+                    .alias("__cq"),
+                )
+                .groupBy("dst")
+                .agg(F.sum("__cq").alias("__sq"))
             )
-            .groupBy("dst")
-            .agg(F.sum("__cq").alias("__sq"))
-        )
+        else:
+            contrib = (
+                ranks.join(e, ranks.node == e.src)
+                .join(outdeg, "src")
+                .select(
+                    "dst",
+                    F.round(F.col("rank") / F.col("__od") * F.lit(1e9))
+                    .cast("long")
+                    .alias("__cq"),
+                )
+                .groupBy("dst")
+                .agg(F.sum("__cq").alias("__sq"))
+            )
         ranks = (
             nodes.crossJoin(nn)
             .join(contrib, nodes.node == contrib.dst, "left")
