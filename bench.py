@@ -113,6 +113,9 @@ HEADLINE = (
     # DCT inside mapInPandas + the banded pair join), tracked
     # round-over-round (first quiet entry in BASELINE.md)
     "image_phash_pairs",
+    # round-10: the third real-codec modality — AVI synthesize + decode
+    # round-trip per video row (first quiet entry in BASELINE.md)
+    "video_frame_features",
 )
 
 
