@@ -896,23 +896,14 @@ def test_image_phash_properties_and_pairs(spark):
     from trend_o_meter_spark.llm import multimodal as mm
     from trend_o_meter_spark.llm.jpeg import decode_jpeg, encode_jpeg
 
-    rng = np.random.RandomState(1)
-    yv, xv = np.mgrid[0:64, 0:80].astype(float)
-    img = np.zeros((64, 80, 3))
-    for _ in range(12):
-        cy, cx = rng.uniform(0, 64), rng.uniform(0, 80)
-        s, a = rng.uniform(8, 25), rng.uniform(40, 120)
-        blob = a * np.exp(-(((yv - cy) / s) ** 2 + ((xv - cx) / s) ** 2))
-        for ch in range(3):
-            img[:, :, ch] += blob * rng.uniform(0.5, 1.5)
-    img = np.clip(img, 0, 255).astype(np.uint8)
+    img = _blob_image()  # shared helper (also feeds the invariance matrix)
 
     h0 = mm._phash64(img)
     assert 0 < h0 < (1 << 63)
     for q in (95, 60):
         h1 = mm._phash64(decode_jpeg(encode_jpeg(img, quality=q)))
         assert bin(h0 ^ h1).count("1") <= 3, q
-    noise = rng.randint(0, 256, (64, 80, 3)).astype(np.uint8)
+    noise = np.random.RandomState(99).randint(0, 256, (64, 80, 3)).astype(np.uint8)
     assert bin(h0 ^ mm._phash64(noise)).count("1") >= 15
 
     payload_a = bytearray(encode_jpeg(img, quality=95))
@@ -934,8 +925,8 @@ def test_image_phash_properties_and_pairs(spark):
 
 
 def _blob_image(seed=1, h=64, w=80):
-    """Naturalistic multi-blob test image (same construction as
-    test_image_phash_properties_and_pairs)."""
+    """Naturalistic multi-blob test image, shared by the phash
+    property/pair tests and the invariance matrix."""
     rng = np.random.RandomState(seed)
     yv, xv = np.mgrid[0:h, 0:w].astype(float)
     img = np.zeros((h, w, 3))

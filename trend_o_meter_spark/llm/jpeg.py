@@ -223,7 +223,7 @@ def _build_huffman_decoder(bits: list[int], vals: list[int]) -> tuple[list[int],
     # per image otherwise.  CAPPED at 8 (ADVICE r09: each entry is two
     # 65,536-long Python lists, ~1 MB — the old cap of 64 set a
     # non-obvious ~64 MB memory floor per executor Python worker on
-    # optimized-coding corpora; ~9 MB is the new worst case): mozjpeg/
+    # optimized-coding corpora; worst case 8 capped + 4 always-admitted K tables = ~12 MB): mozjpeg/
     # jpegtran per-image tables past the cap build uncached, while the
     # four K tables are ALWAYS admitted so a memo pre-filled by an
     # optimized-coding prefix can't evict the hot path.

@@ -963,8 +963,18 @@ def image_phash_pairs(
     images best handled by exact (hamming-0 / byte-hash) dedup first,
     and normal pairs still meet in their other band slices.  Off
     (None) in the oracle-checked registry path."""
+    fps = image_phash(media)
+    if max_bucket is not None:
+        # the bucket-count aggregation is a SECOND consumer of the
+        # fingerprint lineage whose exchange cannot be reused by the
+        # self-join — without materialization the per-image decode would
+        # re-run for the counts branch (review r10); the cut frame is
+        # O(images) scalars
+        from .. import lineage
+
+        fps = lineage.cut(fps)
     return _phash_pairs_from_fps(
-        image_phash(media),
+        fps,
         max_hamming=max_hamming,
         bands=bands,
         max_bucket=max_bucket,

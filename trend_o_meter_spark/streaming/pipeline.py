@@ -2009,6 +2009,8 @@ def stream_rfm(
     from ..operators.analytics import rfm_from_per_user
     from .statestore import PartialStateTable
 
+    if int(score_every) < 1:
+        raise ValueError(f"score_every must be >= 1, got {score_every}")
     st = PartialStateTable(state_path)
 
     def merge(df: DataFrame) -> DataFrame:

@@ -809,7 +809,13 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.489)").alias("__p50_lo"),
         F.expr("percentile(value, 0.511)").alias("__p50_hi"),
         F.expr("percentile(value, 0.979)").alias("__p99_lo"),
-        F.max("value").alias("__vmax"),
+        # upper detector at 0.999, NOT max(value): percentile_approx
+        # returns an element, so "<= max" is a tautology — an estimator
+        # returning too LARGE an element would pass undetected.  The
+        # rank guarantee bounds the estimate's quantile at 0.99 + 0.001;
+        # the exact interpolated 0.999 quantile dominates every such
+        # element with 8x margin (review r10).
+        F.expr("percentile(value, 0.999)").alias("__p99_hi"),
     )
     return agg.select(
         "event_type",
@@ -824,7 +830,8 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("__p50") <= F.col("__p50_hi"))
         ).alias("p50_in_bounds"),
         (
-            (F.col("__p99") >= F.col("__p99_lo")) & (F.col("__p99") <= F.col("__vmax"))
+            (F.col("__p99") >= F.col("__p99_lo"))
+            & (F.col("__p99") <= F.col("__p99_hi"))
         ).alias("p99_in_bounds"),
     )
 
