@@ -61,6 +61,27 @@ def test_cross_doc_ngram_stats_hand_computed(spark):
     assert out[2]["dup_fraction"] == 0.0
 
 
+def test_ngram_novelty_hand_computed(spark):
+    """Corpus-order novelty (round 10): a gram is 'seen' iff its FIRST
+    occurrence is an EARLIER doc_id — the first carrier of a gram stays
+    novel even when later docs repeat it; too-short docs emit nothing."""
+    from trend_o_meter_spark.llm.dedup import ngram_novelty
+
+    rows = [
+        (0, "a b c d"),       # grams: "a b c", "b c d" -> all first here
+        (1, "a b c x y"),     # "a b c" seen (doc 0); "b c x", "c x y" new
+        (2, "a b c d"),       # both grams seen -> novelty 0
+        (3, "a b"),           # < 3 tokens -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ngram_novelty(df).collect()}
+    assert set(out) == {0, 1, 2}
+    assert (out[0]["n_grams"], out[0]["n_seen"], out[0]["novelty"]) == (2, 0, 1.0)
+    assert (out[1]["n_grams"], out[1]["n_seen"]) == (3, 1)
+    assert out[1]["novelty"] == 2.0 / 3.0
+    assert (out[2]["n_grams"], out[2]["n_seen"], out[2]["novelty"]) == (2, 2, 0.0)
+
+
 def test_minhash_finds_near_dup_not_unrelated(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(_docs(spark)).collect()}
     assert (0, 1) in pairs and (0, 4) in pairs      # exact dups always collide

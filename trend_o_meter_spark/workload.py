@@ -94,9 +94,10 @@ def _q(name: str, oracle: str | None, doc: str = ""):
 _SCORE_FIRST = (
     # --- round 10 rotation (VERDICT r09 task 2): newest-first aging so
     # no oracle-backed query's driver verdict is older than 4 rounds.
-    # Slots 1-2: the never-scored query added this round and the query
+    # Slots 1-3: the never-scored queries added this round and the query
     # whose oracle was UPGRADED this round (rows-only -> bound-checked).
     "video_frame_features",
+    "ngram_novelty",
     "approx_sketches",
     # --- slots 3-32: the ENTIRE 30-query r05-stale cohort (every
     # oracle-backed query whose newest driver verdict is r05), in
@@ -154,7 +155,8 @@ _SCORE_FIRST = (
     "anti_join_orderless_customers",
     "rollup_returns",
     "sql_orders_by_year",
-    "cube_order_priority",
+    # (cube_order_priority, displaced by ngram_novelty, re-queues with
+    # the remaining 25 r07 entries for round 11)
 )
 
 
@@ -2411,6 +2413,20 @@ def cross_doc_ngram_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dup_span_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return dedup.dup_span_stats(d)
+
+
+@_q(
+    "ngram_novelty",
+    dedup.ngram_novelty_sql("documents"),
+    doc="Corpus-order novelty per document (the D4-style diversity "
+    "signal, Tirumala et al. 2023, reduced to an exact set statistic): "
+    "fraction of each doc's distinct word 3-grams first seen in an "
+    "earlier doc.  One gram-keyed min-agg + join back + doc-keyed "
+    "count — three keyed shuffles, nothing pairwise.",
+)
+def ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return dedup.ngram_novelty(d)
 
 
 @_q(
