@@ -240,6 +240,19 @@ def interarrival_probe(spark, reps):
     return interarrival_quantiles_from_events(ev)
 
 
+def novelty_probe(spark, reps):
+    """Replicated documents with shifted doc ids — the ADVERSARIAL
+    input: every replica shares ALL its grams with the original, so the
+    distinct-gram (first occurrence) table stays FIXED size while the
+    (gram, doc) pair table and the join fan-out grow exactly reps x.
+    Predicted linear wall; boilerplate grams concentrate reps x into
+    single buckets (AQE skew-split territory)."""
+    from trend_o_meter_spark.llm import dedup
+
+    d = _replicate(table(spark, "documents", SF_DIR), reps, "doc_id")
+    return dedup.ngram_novelty(d)
+
+
 PROBES = {
     "semantic_dedup": semantic_dedup_probe,
     "pagerank": pagerank_probe,
@@ -251,6 +264,7 @@ PROBES = {
     "triangles": triangles_probe,
     "assoc": assoc_probe,
     "interarrival": interarrival_probe,
+    "novelty": novelty_probe,
 }
 
 
