@@ -278,6 +278,62 @@ def stream_rfm_probe(spark, sf_dir: str, n_batches: int = 20) -> dict:
     return out
 
 
+def stream_novelty_probe(spark, sf_dir: str, n_batches: int = 20) -> dict:
+    """Fifth streaming probe (round 10): docs/sec through the
+    ``stream_novelty`` foreachBatch twin — ingest-time novelty scoring
+    against the per-gram min-doc-id state.  The documents table replays
+    in doc_id order as ``n_batches`` micro-batches; each report is
+    consumed with count().  Whole-run and marginal docs/sec."""
+    import tempfile
+
+    from trend_o_meter_spark.catalog import table as cat_table
+    from trend_o_meter_spark.streaming.pipeline import stream_novelty
+
+    batch = cat_table(spark, "documents", sf_dir).select("doc_id", "text")
+    n_rows = batch.count()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with tempfile.TemporaryDirectory() as tmp:
+            src_dir = os.path.join(tmp, "src")
+            # in-doc_id-order delivery (the twin's documented posture):
+            # one file per contiguous id range
+            batch.repartitionByRange(n_batches, "doc_id").write.mode(
+                "overwrite"
+            ).parquet(src_dir)
+            sink = {"docs": 0}
+            per_batch = stream_novelty(
+                state_path=os.path.join(tmp, "state"),
+                on_result=lambda bid, df: sink.update(docs=df.count()),
+            )
+            stream = (
+                spark.readStream.schema(batch.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src_dir)
+            )
+            t0 = time.time()
+            q = (
+                stream.writeStream.foreachBatch(per_batch)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            sec = round(time.time() - t0, 3)
+            progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = {"operator": "stream_novelty", "rows": n_rows, "sec": sec,
+           "rows_per_sec": round(n_rows / sec), "batches": len(progress)}
+    if len(progress) > 1:
+        tail = progress[1:]
+        tail_rows = sum(p["numInputRows"] for p in tail)
+        tail_sec = sum(p["durationMs"]["triggerExecution"] for p in tail) / 1000.0
+        if tail_sec > 0:
+            out["marginal_rows_per_sec"] = round(tail_rows / tail_sec)
+    return out
+
+
 def stream_cusum_probe(spark, sf_dir: str) -> dict:
     """Fourth streaming probe: rows/sec through ``stream_cusum`` (the
     applyInPandasWithState monitoring twin) over the whole events table
@@ -373,6 +429,8 @@ def main() -> None:
     streaming_rfm = stream_rfm_probe(spark, sf_dir)
     load["streaming_cusum_start"] = _host_load()
     streaming_cusum = stream_cusum_probe(spark, sf_dir)
+    load["streaming_novelty_start"] = _host_load()
+    streaming_novelty = stream_novelty_probe(spark, sf_dir)
     load["end"] = _host_load()
 
     out = {
@@ -388,6 +446,7 @@ def main() -> None:
         "streaming_lsh": streaming_lsh,
         "streaming_rfm": streaming_rfm,
         "streaming_cusum": streaming_cusum,
+        "streaming_novelty": streaming_novelty,
         "host_load": load,
     }
     # Full result (with per-run samples) goes to its own file: the driver

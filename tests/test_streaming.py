@@ -2627,6 +2627,68 @@ def test_stream_rfm_matches_batch_replay_and_restart(spark, tmp_path):
     assert results2[2] == want
 
 
+def test_stream_novelty_matches_batch_replay_restart_compaction(spark, tmp_path):
+    """The live novelty twin (round 10): per-gram min-doc-id state,
+    min-merged — each batch's report must equal the batch operator over
+    the union RESTRICTED to the batch's docs (in-doc_id-order
+    delivery), and survive replay, restart, and mid-run compaction
+    unchanged (the partial is a deterministic function of its batch, so
+    replay overwrites itself)."""
+    from trend_o_meter_spark.llm.dedup import ngram_novelty
+    from trend_o_meter_spark.streaming.pipeline import stream_novelty
+
+    docs = [
+        (0, "a b c d"),          # grams all first here
+        (1, "a b c x y"),        # "a b c" seen from doc 0 (same batch)
+        (2, "a b c d"),          # all seen (cross-batch)
+        (3, "p q r s"),          # fresh
+        (4, "p q r a b c"),      # "p q r" seen (batch 2), "a b c" (batch 0)
+        (5, "a b"),              # too short: no report row
+    ]
+    batches = [docs[:2], docs[2:4], docs[4:]]
+
+    def mkdf(rs):
+        return spark.createDataFrame(rs, "doc_id long, text string")
+
+    results = {}
+    per_batch = stream_novelty(
+        state_path=str(tmp_path / "nov"),
+        compact_every=2,  # fires ON batch 2 mid-run
+        on_result=lambda bid, df: results.update(
+            {bid: sorted(map(tuple, df.collect()))}
+        ),
+    )
+    seen = []
+    for i, chunk in enumerate(batches):
+        seen += chunk
+        per_batch(mkdf(chunk), i)
+        ids = {r[0] for r in chunk}
+        want = sorted(
+            map(tuple, ngram_novelty(mkdf(seen)).filter(F.col("doc_id").isin(ids)).collect())
+        )
+        assert results[i] == want, i
+
+    # replay of the last batch: identical report, state self-overwrites
+    per_batch(mkdf(batches[2]), 2)
+    assert results[2] == want
+
+    # restart from the same state path: next batch still exact
+    results2 = {}
+    per_batch2 = stream_novelty(
+        state_path=str(tmp_path / "nov"),
+        on_result=lambda bid, df: results2.update(
+            {bid: sorted(map(tuple, df.collect()))}
+        ),
+    )
+    extra = [(6, "a b c d p q r")]  # every gram seen except "c d p"/"d p q"
+    seen += extra
+    per_batch2(mkdf(extra), 3)
+    want = sorted(
+        map(tuple, ngram_novelty(mkdf(seen)).filter(F.col("doc_id") == 6).collect())
+    )
+    assert results2[3] == want
+
+
 def test_stream_rfm_score_every_snapshot_cadence(spark, tmp_path):
     """Round-10 snapshot cadence (VERDICT r09 #5): with score_every=N,
     non-snapshot batches append state WITHOUT the O(users) re-score (no

@@ -2047,6 +2047,91 @@ def stream_rfm(
     return per_batch
 
 
+def stream_novelty(
+    *,
+    state_path: str,
+    text: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    compact_every: int = 25,
+    on_result: "object" = None,
+):
+    """Live corpus-order novelty: the streaming twin of
+    ``llm.dedup.ngram_novelty`` — novelty scoring over a document
+    stream (the ingest-time curation gate: score each arriving doc
+    against everything already ingested, without rescanning the
+    corpus).
+
+    State is one row per distinct gram: ``(s, min doc_id)`` partials
+    merged by MIN — order-insensitive and replay-idempotent (a batch's
+    partial is a deterministic function of the batch alone, so an
+    at-least-once replay overwrites itself; no ``exclude_batch`` read
+    needed).  Each micro-batch reports novelty rows for ITS OWN docs,
+    scored against the merged state INCLUDING the batch's own grams —
+    exactly the batch operator's first-occurrence rule restricted to
+    those docs, so twin == batch over the union for every reported doc
+    PROVIDED docs arrive in ``doc_id`` order (the first-occurrence rule
+    is history: a late lower-id doc would rewrite already-reported
+    docs' novelty — the same in-order posture as the funnel twin,
+    documented here rather than silently wrong).
+
+    State is O(distinct grams) rows — vocabulary-bounded, sub-linear in
+    corpus size (gram reuse is the whole point of the signal); the
+    per-batch report joins only the BATCH's (doc, gram) pairs against
+    the state, so marginal cost is O(batch grams), never O(corpus).
+    Returns the ``foreachBatch`` callable.
+    """
+    from .. import lineage
+    from ..llm.dedup import shingle_rows
+    from .statestore import PartialStateTable
+
+    st = PartialStateTable(state_path)
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.groupBy("s").agg(F.min("__first").cast("long").alias("__first"))
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            st.compact(spark, transform=merge)
+        if batch_df.isEmpty():
+            return
+        # the batch's (doc, gram) pairs feed BOTH the state partial and
+        # the report join — materialize once (tokenization is the
+        # expensive leg)
+        sh = lineage.cut(shingle_rows(batch_df, text=text, id_col=id_col, n=shingle_n))
+        st.append(
+            sh.groupBy("s").agg(F.min("id").cast("long").alias("__first")),
+            batch_id,
+        )
+        if on_result is None:
+            return
+        state = st.read(spark)
+        first = merge(state)
+        report = (
+            sh.join(first, "s")
+            .groupBy("id")
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.sum(F.when(F.col("__first") < F.col("id"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_seen"),
+            )
+            .select(
+                F.col("id").alias(id_col),
+                "n_grams",
+                "n_seen",
+                (
+                    (F.col("n_grams") - F.col("n_seen")).cast("double")
+                    / F.col("n_grams")
+                ).alias("novelty"),
+            )
+        )
+        on_result(batch_id, report)
+
+    return per_batch
+
+
 def stream_attribution(
     *,
     state_path: str,
