@@ -281,9 +281,14 @@ def stream_rfm_probe(spark, sf_dir: str, n_batches: int = 20) -> dict:
 def stream_novelty_probe(spark, sf_dir: str, n_batches: int = 20) -> dict:
     """Fifth streaming probe (round 10): docs/sec through the
     ``stream_novelty`` foreachBatch twin — ingest-time novelty scoring
-    against the per-gram min-doc-id state.  The documents table replays
-    in doc_id order as ``n_batches`` micro-batches; each report is
-    consumed with count().  Whole-run and marginal docs/sec."""
+    against the per-gram min-doc-id state.  The twin's exactness
+    premise is IN-doc_id-ORDER delivery, which a file stream cannot
+    guarantee (FileStreamSource lists by mtime, and range-partitioned
+    part files commit in task-finish order) — so the probe drives the
+    foreachBatch callable directly over contiguous doc_id ranges (the
+    twin_longevity pattern), making the premise real.  Each report is
+    consumed with count(); whole-run and marginal (batches 2..n)
+    docs/sec."""
     import tempfile
 
     from trend_o_meter_spark.catalog import table as cat_table
@@ -291,46 +296,39 @@ def stream_novelty_probe(spark, sf_dir: str, n_batches: int = 20) -> dict:
 
     batch = cat_table(spark, "documents", sf_dir).select("doc_id", "text")
     n_rows = batch.count()
+    hi = (batch.agg(F.max("doc_id")).head()[0] or 0) + 1
+    span = -(-hi // n_batches)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         with tempfile.TemporaryDirectory() as tmp:
-            src_dir = os.path.join(tmp, "src")
-            # in-doc_id-order delivery (the twin's documented posture):
-            # one file per contiguous id range
-            batch.repartitionByRange(n_batches, "doc_id").write.mode(
-                "overwrite"
-            ).parquet(src_dir)
             sink = {"docs": 0}
             per_batch = stream_novelty(
                 state_path=os.path.join(tmp, "state"),
                 on_result=lambda bid, df: sink.update(docs=df.count()),
             )
-            stream = (
-                spark.readStream.schema(batch.schema)
-                .option("maxFilesPerTrigger", "1")
-                .parquet(src_dir)
-            )
+            walls = []
             t0 = time.time()
-            q = (
-                stream.writeStream.foreachBatch(per_batch)
-                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+            for i in range(n_batches):
+                chunk = batch.filter(
+                    (F.col("doc_id") >= i * span) & (F.col("doc_id") < (i + 1) * span)
+                )
+                tb = time.time()
+                per_batch(chunk, i)
+                walls.append(time.time() - tb)
             sec = round(time.time() - t0, 3)
-            progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = {"operator": "stream_novelty", "rows": n_rows, "sec": sec,
-           "rows_per_sec": round(n_rows / sec), "batches": len(progress)}
-    if len(progress) > 1:
-        tail = progress[1:]
-        tail_rows = sum(p["numInputRows"] for p in tail)
-        tail_sec = sum(p["durationMs"]["triggerExecution"] for p in tail) / 1000.0
-        if tail_sec > 0:
-            out["marginal_rows_per_sec"] = round(tail_rows / tail_sec)
+           "rows_per_sec": round(n_rows / sec), "batches": n_batches,
+           "docs_last_report": sink["docs"]}
+    tail = sum(walls[1:])
+    if tail > 0:
+        # ranges are equal-width over a dense id space: batches 2..n
+        # carry ~ (n-1)/n of the rows
+        out["marginal_rows_per_sec"] = round(
+            n_rows * (n_batches - 1) / n_batches / tail
+        )
     return out
 
 

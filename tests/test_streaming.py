@@ -2689,6 +2689,33 @@ def test_stream_novelty_matches_batch_replay_restart_compaction(spark, tmp_path)
     assert results2[3] == want
 
 
+def test_stream_novelty_gramless_first_batch(spark, tmp_path):
+    """Review r10 crash path: a non-empty first batch whose docs are all
+    shorter than shingle_n yields ZERO shingles — the state read returns
+    None and the report step must bail instead of dereferencing it; a
+    later normal batch then reports exactly."""
+    from trend_o_meter_spark.llm.dedup import ngram_novelty
+    from trend_o_meter_spark.streaming.pipeline import stream_novelty
+
+    results = {}
+    per_batch = stream_novelty(
+        state_path=str(tmp_path / "nov_short"),
+        on_result=lambda bid, df: results.update(
+            {bid: sorted(map(tuple, df.collect()))}
+        ),
+    )
+    def mkdf(rs):
+        return spark.createDataFrame(rs, "doc_id long, text string")
+
+    per_batch(mkdf([(0, "a b"), (1, "x")]), 0)  # gramless: no crash
+    assert results == {}
+    per_batch(mkdf([(2, "x y z w")]), 1)
+    want = sorted(map(tuple, ngram_novelty(
+        mkdf([(0, "a b"), (1, "x"), (2, "x y z w")])
+    ).collect()))
+    assert results[1] == want
+
+
 def test_stream_rfm_score_every_snapshot_cadence(spark, tmp_path):
     """Round-10 snapshot cadence (VERDICT r09 #5): with score_every=N,
     non-snapshot batches append state WITHOUT the O(users) re-score (no

@@ -2076,10 +2076,12 @@ def stream_novelty(
     documented here rather than silently wrong).
 
     State is O(distinct grams) rows — vocabulary-bounded, sub-linear in
-    corpus size (gram reuse is the whole point of the signal); the
-    per-batch report joins only the BATCH's (doc, gram) pairs against
-    the state, so marginal cost is O(batch grams), never O(corpus).
-    Returns the ``foreachBatch`` callable.
+    corpus size (gram reuse is the whole point of the signal).  The
+    per-batch report's shuffle/agg work is O(batch grams): the state is
+    semi-filtered by the batch's gram set (broadcast-semi — the
+    vocabulary side is a scan+filter, never a vocabulary-wide shuffle)
+    before the min-merge and the scoring join.  Returns the
+    ``foreachBatch`` callable.
     """
     from .. import lineage
     from ..llm.dedup import shingle_rows
@@ -2107,27 +2109,18 @@ def stream_novelty(
         if on_result is None:
             return
         state = st.read(spark)
-        first = merge(state)
-        report = (
-            sh.join(first, "s")
-            .groupBy("id")
-            .agg(
-                F.count(F.lit(1)).alias("n_grams"),
-                F.sum(F.when(F.col("__first") < F.col("id"), 1).otherwise(0))
-                .cast("long")
-                .alias("n_seen"),
-            )
-            .select(
-                F.col("id").alias(id_col),
-                "n_grams",
-                "n_seen",
-                (
-                    (F.col("n_grams") - F.col("n_seen")).cast("double")
-                    / F.col("n_grams")
-                ).alias("novelty"),
-            )
-        )
-        on_result(batch_id, report)
+        if state is None:
+            return  # e.g. every doc so far shorter than shingle_n tokens
+        # bound the report to O(batch grams): only the batch's own grams
+        # can appear in its report join, so the vocabulary-sized state is
+        # semi-filtered by the batch gram set FIRST (AQE broadcasts the
+        # small batch side — the state leg is a scan+filter, not a
+        # vocabulary-wide shuffle) and only the survivors are min-merged.
+        batch_grams = sh.select("s").distinct()
+        first = merge(state.join(batch_grams, "s", "left_semi"))
+        from ..llm.dedup import score_novelty
+
+        on_result(batch_id, score_novelty(sh, first, id_col=id_col))
 
     return per_batch
 
