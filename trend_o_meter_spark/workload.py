@@ -46,7 +46,17 @@ from pyspark.sql import functions as F
 
 from . import functions as tfn
 from .catalog import table
-from .llm import bpe, classifier, cluster, dedup, funnel, multimodal, similarity, text
+from .llm import (
+    bpe,
+    classifier,
+    cluster,
+    dedup,
+    funnel,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
 from .operators import (
     analytics,
     bloom,
@@ -2953,6 +2963,22 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return text.balanced_sample(d, strata="lang", k=20)
+
+
+@_q(
+    "priority_sample",
+    sampling.priority_sample_sql("documents", weight="n_chars", strata="source", k=20),
+    doc="Weighted sampling without replacement (priority sampling, "
+    "Duffield-Lund-Thorup JACM 2007): per-stratum top-k by w/u priority "
+    "with deterministic md5-derived u (never rand()), plus the "
+    "max(w, tau) total-weight estimator.  Only +,*,/ float ops, so the "
+    "oracle matches bit-for-bit (no libm ln/pow — the reason this is "
+    "priority sampling rather than Efraimidis-Spirakis).  Skew-safe: "
+    "the row_number()<=k+1 window plans as map-side WindowGroupLimit.",
+)
+def priority_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return sampling.priority_sample(d, weight="n_chars", strata="source", k=20)
 
 
 @_q(
