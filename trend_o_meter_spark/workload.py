@@ -52,6 +52,7 @@ from .llm import (
     cluster,
     dedup,
     funnel,
+    html,
     multimodal,
     sampling,
     similarity,
@@ -2982,6 +2983,26 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return text.balanced_sample(d, strata="lang", k=20)
+
+
+@_q(
+    "html_extract",
+    html.html_extract_sql("documents"),
+    doc="HTML main-content extraction (the CommonCrawl->text stage): a "
+    "real zero-dep tokenizer (quoted-attr '>', comments, raw-text "
+    "script/style/title, entities, malformed-input survival) + block "
+    "segmentation + the Kohlschuetter/Arc90 link-density boilerplate "
+    "rule (integer 3*links<=words compare — no float boundary risk). "
+    "Pages are synthesized deterministically around each document's "
+    "text (nav/h1/footer chrome + 12-word <p> paragraphs with one "
+    "inline anchor) and REALLY extracted back, so the oracle rebuilds "
+    "the expected text analytically — the video_frame_features "
+    "encode-then-really-decode contract.  Pure per-row mapInPandas: "
+    "no shuffle, no state.",
+)
+def html_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return html.html_extract(d)
 
 
 @_q(
