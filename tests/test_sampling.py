@@ -101,3 +101,33 @@ def test_heavier_rows_sampled_more_often():
         light_hits += 0 in sample
     assert heavy_hits > 190  # near-certain inclusion
     assert light_hits < heavy_hits / 2
+
+
+def test_stream_priority_sample_equals_batch_and_replay_safe(spark, tmp_path):
+    """The streaming sample (per-batch top-(k+1) partials, lossless
+    re-rank merge) must be bit-identical to the batch sample over the
+    union — including after an at-least-once replay of a micro-batch."""
+    from trend_o_meter_spark.streaming.pipeline import stream_priority_sample
+
+    ids, weights = _docs(90, seed=29)
+    rows = [(i, w, "s%d" % (i % 2)) for i, w in zip(ids, weights)]
+    b1, b2 = rows[:50], rows[50:]
+    results = {}
+    per_batch = stream_priority_sample(
+        state_path=str(tmp_path / "ps"),
+        k=8,
+        compact_every=2,
+        on_result=lambda bid, df: results.update(
+            {bid: sorted(map(tuple, df.collect()))}
+        ),
+    )
+    schema = "doc_id long, n_chars double, source string"
+    per_batch(spark.createDataFrame(b1, schema), 0)
+    per_batch(spark.createDataFrame(b2, schema), 1)
+    per_batch(spark.createDataFrame(b2, schema), 1)  # at-least-once replay
+    per_batch(spark.createDataFrame([], schema), 2)  # trigger compaction
+
+    full = spark.createDataFrame(rows, schema)
+    want = sorted(map(tuple, priority_sample(full, k=8).collect()))
+    assert results[1] == want
+    assert results[2] == want  # compaction folds without changing the sample

@@ -72,6 +72,27 @@ def priority_sample(
     tests/test_sampling.py); rows with larger ``weight`` are
     exponentially more likely to survive.
     """
+    top = priority_ranked(
+        df, weight=weight, strata=strata, id_col=id_col, k=k, salt=salt
+    )
+    return priority_finalize(top, strata=strata, id_col=id_col, k=k)
+
+
+def priority_ranked(
+    df: DataFrame,
+    *,
+    weight: str = "n_chars",
+    strata: str = "source",
+    id_col: str = "doc_id",
+    k: int = 20,
+    salt: str = "priority-v1",
+) -> DataFrame:
+    """Per-stratum top-(k+1) by priority: ``strata, id, w, __pr, __rank``.
+
+    Keeping k+1 (not k) rows preserves the threshold ``tau``; the
+    top-(k+1) is MERGEABLE — the union's top-(k+1) is contained in the
+    union of per-shard/per-batch top-(k+1)s (pigeonhole), which is what
+    the streaming twin exploits (:func:`rerank` to merge)."""
     from pyspark.sql import Window
 
     h = md5_int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
@@ -80,7 +101,7 @@ def priority_sample(
     w_rank = Window.partitionBy(strata).orderBy(
         F.col("__pr").desc(), F.col(id_col).asc()
     )
-    top = (
+    return (
         df.select(
             F.col(strata),
             F.col(id_col),
@@ -90,6 +111,39 @@ def priority_sample(
         .withColumn("__rank", F.row_number().over(w_rank))
         .filter(F.col("__rank") <= k + 1)
     )
+
+
+def rerank(
+    ranked: DataFrame,
+    *,
+    strata: str = "source",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """Merge ranked partials: re-rank the union on the STORED priorities
+    (no hash recompute) and keep the top-(k+1) per stratum.  Idempotent
+    and order-free — merge(merge(A) ∪ B) == merge(A ∪ B)."""
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy(strata).orderBy(
+        F.col("__pr").desc(), F.col(id_col).asc()
+    )
+    return (
+        ranked.select(strata, id_col, "w", "__pr")
+        .withColumn("__rank", F.row_number().over(w_rank))
+        .filter(F.col("__rank") <= k + 1)
+    )
+
+
+def priority_finalize(
+    top: DataFrame,
+    *,
+    strata: str = "source",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """Top-(k+1) partial -> the sample output (see
+    :func:`priority_sample` for the schema)."""
     tau_tbl = top.filter(F.col("__rank") == k + 1).select(
         F.col(strata), F.col("__pr").alias("tau")
     )

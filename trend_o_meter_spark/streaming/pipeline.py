@@ -541,6 +541,66 @@ def stream_histogram(
     return per_batch
 
 
+def stream_priority_sample(
+    *,
+    state_path: str,
+    weight: str = "n_chars",
+    strata: str = "source",
+    id_col: str = "doc_id",
+    k: int = 20,
+    salt: str = "priority-v1",
+    compact_every: int = 25,
+    on_result: "object" = None,
+):
+    """Live weighted reservoir: the streaming twin of
+    ``llm.sampling.priority_sample`` — each micro-batch writes its
+    per-stratum top-(k+1) priority rows to a replay-idempotent state
+    table; the merged top-(k+1) (re-rank of the union on STORED
+    priorities — lossless, the union's top-(k+1) is contained in the
+    union of per-batch top-(k+1)s) is finalized to the sample + tau +
+    max(w, tau) estimator and handed to ``on_result(batch_id,
+    DataFrame)``.
+
+    Same :class:`.statestore.PartialStateTable` discipline as
+    :func:`stream_histogram`; because the merge is lossless the
+    streaming sample EQUALS the batch sample of the union bit-for-bit
+    (test-pinned) — priority sampling is a true mergeable sketch over
+    the corpus seen so far.  State is O(batches x strata x k) rows
+    between compactions, O(strata x k) after.  Returns the
+    ``foreachBatch`` callable.
+    """
+    from ..llm.sampling import priority_finalize, priority_ranked, rerank
+    from .statestore import PartialStateTable
+
+    st = PartialStateTable(state_path)
+
+    def merge(df: DataFrame) -> DataFrame:
+        return rerank(df, strata=strata, id_col=id_col, k=k)
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            st.compact(spark, transform=merge)
+        if not batch_df.isEmpty():
+            st.append(
+                priority_ranked(
+                    batch_df, weight=weight, strata=strata, id_col=id_col,
+                    k=k, salt=salt,
+                ),
+                batch_id,
+            )
+        state = st.read(spark)
+        if state is None:  # state path not created yet (all-empty batches)
+            return
+        if on_result is not None:
+            on_result(
+                batch_id,
+                priority_finalize(merge(state), strata=strata, id_col=id_col, k=k),
+            )
+
+    return per_batch
+
+
 def stream_tdigest(
     *,
     state_path: str,
