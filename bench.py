@@ -116,6 +116,13 @@ HEADLINE = (
     # round-10: the third real-codec modality — AVI synthesize + decode
     # round-trip per video row (first quiet entry in BASELINE.md)
     "video_frame_features",
+    # round-10 late additions: the three new families (weighted
+    # sampling, adaptive quantile sketch incl. its exact-rank audit
+    # scan, HTML boilerplate extraction) — first quiet entries in
+    # BASELINE.md the same session
+    "priority_sample",
+    "tdigest_quantiles",
+    "html_extract",
 )
 
 

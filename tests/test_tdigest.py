@@ -162,3 +162,28 @@ def test_stream_tdigest_bounds_and_replay_safe(spark, tmp_path):
     est = tdigest_quantiles(est_df, tuple(q for q, _ in BOUND_QS)).collect()[0]
     for q, eps in BOUND_QS:
         assert _rank_err(vals, est[f"est_p{int(round(q * 1000))}"], q) <= eps
+
+
+def test_rollup_daily_table_shape_and_bounds(spark):
+    # Per-(key, day) digest table: one row per key-day; range answer by
+    # merge keeps the rank bounds and the exact fields.
+    from trend_o_meter_spark.operators.tdigest import tdigest_rollup
+
+    rng = np.random.default_rng(31)
+    rows = [
+        (
+            "t%d" % (i % 2),
+            "2024-01-%02d 12:00:00" % (1 + i % 5),
+            float(x),
+        )
+        for i, x in enumerate(rng.lognormal(0.0, 1.5, 5000))
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts_s string, value double")
+    df = df.select("event_type", df.ts_s.cast("timestamp").alias("ts"), "value")
+    out = tdigest_rollup(df, keys=("event_type",)).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["n_days"] == 5
+        assert r["n_exact"] and r["extremes_exact"]
+        for q, _ in BOUND_QS:
+            assert r[f"p{int(round(q * 1000))}_in_bounds"]

@@ -253,6 +253,45 @@ def novelty_probe(spark, reps):
     return dedup.ngram_novelty(d)
 
 
+def tdigest_probe(spark, reps):
+    """Replicated events with FIXED key count (5 event_types): each
+    key's value multiset grows reps x, so partial-digest count grows
+    reps x while every partial stays O(delta) — the merge tree
+    (fanout=16 intermediate level) must hold wall ~linear and the final
+    per-key merge input stays <= fanout rows whatever reps is.  The
+    exact-rank audit scan (count(v<est)) is a broadcast join + keyed agg
+    and should dominate at high reps (it rescans the corpus)."""
+    from trend_o_meter_spark.operators import tdigest
+
+    ev = _replicate(
+        table(spark, "events", SF_DIR).select("event_id", "event_type", "value"),
+        reps,
+        "event_id",
+    )
+    return tdigest.tdigest_bounds(ev, keys=("event_type",))
+
+
+def html_probe(spark, reps):
+    """Replicated documents: pure per-row mapInPandas (synthesize page +
+    tokenize + extract) — the no-shuffle pole; wall must be ~linear with
+    zero exchange growth."""
+    from trend_o_meter_spark.llm import html
+
+    d = _replicate(table(spark, "documents", SF_DIR), reps, "doc_id")
+    return html.html_extract(d)
+
+
+def priority_sample_probe(spark, reps):
+    """Replicated documents, FIXED stratum count: each stratum's
+    candidate set grows reps x while the output stays k+1 rows per
+    stratum — the WindowGroupLimit map-side top-k must keep the shuffle
+    O(k x map_tasks), so wall tracks the scan, not the window."""
+    from trend_o_meter_spark.llm import sampling
+
+    d = _replicate(table(spark, "documents", SF_DIR), reps, "doc_id")
+    return sampling.priority_sample(d, weight="n_chars", strata="source", k=20)
+
+
 PROBES = {
     "semantic_dedup": semantic_dedup_probe,
     "pagerank": pagerank_probe,
@@ -265,6 +304,9 @@ PROBES = {
     "assoc": assoc_probe,
     "interarrival": interarrival_probe,
     "novelty": novelty_probe,
+    "tdigest": tdigest_probe,
+    "html": html_probe,
+    "priority_sample": priority_sample_probe,
 }
 
 

@@ -97,6 +97,23 @@ def main() -> int:
         per_batch = pl.stream_event_transitions(
             state_path=state_path, on_result=on_result
         )
+    elif name == "tdigest":
+        # state = one digest row (<= ~2*delta centroids) per key per
+        # batch between compactions, O(keys) after — expect flat
+        per_batch = pl.stream_tdigest(
+            state_path=state_path, keys=("event_type",), on_result=on_result
+        )
+    elif name == "priority":
+        # state = top-(k+1) per stratum per batch, O(strata x k) after
+        # compaction; merge is a lossless re-rank — expect flat
+        per_batch = pl.stream_priority_sample(
+            state_path=state_path,
+            weight="value",
+            strata="event_type",
+            id_col="event_id",
+            k=20,
+            on_result=on_result,
+        )
     elif name == "assoc":
         # NOTE: state is span-bounded by design (windows accumulate as
         # the stream's time span grows) — expect LINEAR state growth

@@ -298,6 +298,22 @@ def tdigest_bounds(
         tuple(q for q, _ in bound_qs),
         keys=keys,
     )
+    return _rank_audit(df, est, value=value, keys=keys, bound_qs=bound_qs)
+
+
+def _rank_audit(
+    df: DataFrame,
+    est: DataFrame,
+    *,
+    value: str,
+    keys: tuple[str, ...],
+    bound_qs: tuple[tuple[float, float], ...],
+    extra_est_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact-scan audit of digest estimates (shared by the one-shot and
+    rollup registry queries): broadcast-join the per-key estimate row
+    back to the raw rows and compute each estimate's exact rank
+    interval."""
     joined = df.select(*keys, value).join(F.broadcast(est), list(keys))
     v = F.col(value)
     aggs = [
@@ -309,9 +325,10 @@ def tdigest_bounds(
         c = f"est_p{int(round(q * 1000))}"
         aggs.append(F.sum((v < F.col(c)).cast("long")).alias(f"__lt_{c}"))
         aggs.append(F.sum((v <= F.col(c)).cast("long")).alias(f"__le_{c}"))
-    ranks = joined.groupBy(*keys, "n", "vmin", "vmax").agg(*aggs)
+    ranks = joined.groupBy(*keys, "n", "vmin", "vmax", *extra_est_cols).agg(*aggs)
     out_cols = [
         *keys,
+        *[F.col(c) for c in extra_est_cols],
         F.col("n_rows"),
         F.col("vmin"),
         F.col("vmax"),
@@ -347,6 +364,74 @@ def tdigest_bounds_sql(
     )
     return f"""
 SELECT {key_list},
+       count(*) AS n_rows,
+       min({value}) AS vmin,
+       max({value}) AS vmax,
+       TRUE AS n_exact,
+       TRUE AS extremes_exact,
+       {bools}
+FROM {table}
+WHERE {value} IS NOT NULL
+GROUP BY {key_list}
+"""
+
+
+def tdigest_rollup(
+    df: DataFrame,
+    *,
+    value: str = "value",
+    ts: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    delta: int = DEFAULT_DELTA,
+    bound_qs: tuple[tuple[float, float], ...] = BOUND_QS,
+) -> DataFrame:
+    """The hypertable pattern for the adaptive family (the t-digest twin
+    of ``sketch_rollup``'s HLL story): per-(key, day) digests are the
+    STORED sketch table — O(keys x days) rows of <= ~2*delta centroids,
+    whatever the event volume — and ANY time range is answered by
+    merging the covered days' digests, never rescanning raw events.
+
+    Output: per-key ``n_days`` + the merged-digest exact fields and
+    rank-bound booleans (the exact scan exists only to drive the
+    oracle's audit, exactly as in ``sketch_rollup``)."""
+    day = F.date_trunc("day", F.col(ts)).cast("string").alias("__day")
+    daily = tdigest_sketch(
+        df.select(*keys, day, value),
+        value=value,
+        keys=(*keys, "__day"),
+        delta=delta,
+    )
+    merged = tdigest_merge(
+        daily.drop("__day"), keys=keys, delta=delta
+    )
+    n_days = daily.groupBy(*keys).agg(
+        F.countDistinct("__day").cast("long").alias("n_days")
+    )
+    est = tdigest_quantiles(
+        merged, tuple(q for q, _ in bound_qs), keys=keys
+    ).join(n_days, list(keys))
+    return _rank_audit(
+        df, est, value=value, keys=keys, bound_qs=bound_qs,
+        extra_est_cols=("n_days",),
+    )
+
+
+def tdigest_rollup_sql(
+    table: str,
+    *,
+    value: str = "value",
+    ts: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    bound_qs: tuple[tuple[float, float], ...] = BOUND_QS,
+) -> str:
+    """Oracle: exact n_days/n/min/max, literal TRUE for every check."""
+    key_list = ", ".join(keys)
+    bools = ",\n       ".join(
+        f"TRUE AS p{int(round(q * 1000))}_in_bounds" for q, _ in bound_qs
+    )
+    return f"""
+SELECT {key_list},
+       count(DISTINCT date_trunc('day', {ts})) AS n_days,
        count(*) AS n_rows,
        min({value}) AS vmin,
        max({value}) AS vmax,

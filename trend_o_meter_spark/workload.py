@@ -106,8 +106,13 @@ def _q(name: str, oracle: str | None, doc: str = ""):
 _SCORE_FIRST = (
     # --- round 10 rotation (VERDICT r09 task 2): newest-first aging so
     # no oracle-backed query's driver verdict is older than 4 rounds.
-    # Slots 1-3: the never-scored queries added this round and the query
-    # whose oracle was UPGRADED this round (rows-only -> bound-checked).
+    # Slots 1-6: the never-scored queries added this round (three new
+    # families: weighted sampling, t-digest, HTML extraction) and the
+    # query whose oracle was UPGRADED (rows-only -> bound-checked).
+    "priority_sample",
+    "tdigest_quantiles",
+    "tdigest_rollup",
+    "html_extract",
     "video_frame_features",
     "ngram_novelty",
     "approx_sketches",
@@ -163,12 +168,11 @@ _SCORE_FIRST = (
     "q5_region_revenue",
     "q17_small_quantity_revenue",
     "q18_large_volume_orders",
-    "semi_join_urgent_customers",
-    "anti_join_orderless_customers",
-    "rollup_returns",
-    "sql_orders_by_year",
-    # (cube_order_priority, displaced by ngram_novelty, re-queues with
-    # the remaining 25 r07 entries for round 11)
+    # (semi_join_urgent_customers, anti_join_orderless_customers,
+    # rollup_returns, sql_orders_by_year, cube_order_priority — displaced
+    # by the round-10 additions priority_sample/tdigest_quantiles/
+    # tdigest_rollup/html_extract/ngram_novelty — re-queue with the
+    # remaining 25 r07 entries for round 11)
 )
 
 
@@ -1025,6 +1029,21 @@ def moments_by_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tdigest_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir)
     return tdigest.tdigest_bounds(ev, value="value", keys=("event_type",))
+
+
+@_q(
+    "tdigest_rollup",
+    tdigest.tdigest_rollup_sql("events", value="value", ts="ts", keys=("event_type",)),
+    doc="t-digest hypertable rollup (the adaptive twin of sketch_rollup's "
+    "HLL story): per-(key, day) digests are the stored sketch table — "
+    "O(keys x days) rows of <= ~2*delta centroids whatever the event "
+    "volume — and any range is answered by merging the covered days' "
+    "digests, never rescanning raw events.  Exact n_days/n/min/max + "
+    "the same rank-interval audit booleans as tdigest_quantiles.",
+)
+def tdigest_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, "events", sf_dir)
+    return tdigest.tdigest_rollup(ev, value="value", ts="ts", keys=("event_type",))
 
 
 # ---------------------------------------------------------------------------
