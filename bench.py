@@ -123,6 +123,7 @@ HEADLINE = (
     "priority_sample",
     "tdigest_quantiles",
     "html_extract",
+    "warc_extract",
 )
 
 

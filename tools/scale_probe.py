@@ -281,6 +281,18 @@ def html_probe(spark, reps):
     return html.html_extract(d)
 
 
+def warc_probe(spark, reps):
+    """Replicated documents: one shuffle on the chunk key, then per-chunk
+    archive build + gunzip + record parse + HTTP split + extraction —
+    chunk count grows reps x, chunk size stays 16 docs, so wall must be
+    ~linear with flat per-task memory (the real-deployment analogue:
+    one task per .warc.gz member)."""
+    from trend_o_meter_spark.llm import warc
+
+    d = _replicate(table(spark, "documents", SF_DIR), reps, "doc_id")
+    return warc.warc_extract(d)
+
+
 def priority_sample_probe(spark, reps):
     """Replicated documents, FIXED stratum count: each stratum's
     candidate set grows reps x while the output stays k+1 rows per
@@ -306,6 +318,7 @@ PROBES = {
     "novelty": novelty_probe,
     "tdigest": tdigest_probe,
     "html": html_probe,
+    "warc": warc_probe,
     "priority_sample": priority_sample_probe,
 }
 
