@@ -89,6 +89,7 @@ def _tokens(html: str):
     end-of-input without raising.
     """
     i, n = 0, len(html)
+    low = html.lower()  # once: per-element lowercasing would be O(n^2)
     while i < n:
         lt = html.find("<", i)
         if lt == -1:
@@ -132,7 +133,7 @@ def _tokens(html: str):
         if self_closing:
             yield ("close", name)
         elif name in _RAW_TEXT:
-            end = html.lower().find(f"</{name}", i)
+            end = low.find(f"</{name}", i)
             i = n if end == -1 else end  # close tag consumed next loop
             if end == -1:
                 return

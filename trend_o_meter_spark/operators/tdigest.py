@@ -197,9 +197,17 @@ def tdigest_merge(
 
     ``fanout=N`` inserts an intermediate ``(key, salt)`` merge level so
     a hot key's partials reduce N-way in parallel and the final task
-    sees <= N rows (the 100 TB shape); salt is content-derived
-    (hash of the partial's centroid count + extremes), never random.
-    Both shapes are pure functions of the partial multiset.
+    sees <= N rows (the 100 TB shape).  The salt is the partial's
+    ORIGIN PARTITION modulo fanout — never ``rand()`` (stable across
+    task replays, streaming-replay safe), and never content-derived:
+    a content hash would send a flood of IDENTICAL partials (a
+    replicated corpus — the LSH degenerate-bucket profile) into ONE
+    level-1 group, recreating the unbounded task this level exists to
+    prevent; partition ids spread any flood evenly.  Without fanout
+    the result is a pure function of the partial multiset; with it,
+    of the partial multiset plus their (plan-deterministic) partition
+    layout — either way the accuracy bounds hold (test-pinned) and
+    digest floats never reach oracle-hashed output.
     """
     key_schema = ", ".join(f"{k} string" for k in keys)
     schema = f"{key_schema}, {_DIGEST_FIELDS}" if keys else _DIGEST_FIELDS
@@ -208,10 +216,7 @@ def tdigest_merge(
         return _merge_rows(pdf.drop(columns=["__salt"], errors="ignore"), delta)
 
     if fanout:
-        salt = F.pmod(
-            F.xxhash64(F.size("means"), F.col("vmin"), F.col("vmax"), F.col("n")),
-            F.lit(fanout),
-        ).alias("__salt")
+        salt = F.pmod(F.spark_partition_id(), F.lit(fanout)).alias("__salt")
         level1 = (
             partials.select("*", salt)
             .groupBy(*keys, "__salt")
