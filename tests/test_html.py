@@ -115,3 +115,28 @@ def test_spark_operator_matches_kernel(spark):
             got[doc_id]["n_dropped"],
             got[doc_id]["link_words_kept"],
         ) == exp
+
+
+def test_fuzz_tokenizer_never_raises():
+    # The 100 TB scraped-markup contract: arbitrary mutations of real
+    # pages and raw byte noise must never raise (codec-fuzz posture).
+    import random
+
+    rng = random.Random(42)
+    base = synthesize_page(7, "src1", "en", " ".join(f"w{i}" for i in range(40)))
+    alphabet = "<>/!&;#x\"' abcdefp-="
+    for trial in range(3000):
+        s = list(base)
+        for _ in range(rng.randrange(1, 8)):
+            op = rng.randrange(3)
+            pos = rng.randrange(len(s))
+            if op == 0:
+                s[pos] = rng.choice(alphabet)
+            elif op == 1:
+                s.insert(pos, rng.choice(alphabet))
+            else:
+                del s[pos]
+        extract_main_text("".join(s))  # must not raise
+    for trial in range(2000):
+        n = rng.randrange(0, 200)
+        extract_main_text("".join(rng.choice(alphabet) for _ in range(n)))

@@ -115,3 +115,31 @@ def test_spark_operator_end_to_end(spark):
             for w in words[p : p + 12]
         ]
         assert flat == kept_expect
+
+
+def test_fuzz_parser_never_raises():
+    # Arbitrary mutations of a real archive (plain and gzip) and raw
+    # noise must never raise — malformed records cost records, not tasks.
+    import random
+
+    rng = random.Random(43)
+    for gz in (False, True):
+        base = bytearray(warc_build(PAGES, gzip_records=gz))
+        for trial in range(2500):
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 6)):
+                op = rng.randrange(3)
+                pos = rng.randrange(len(b))
+                if op == 0:
+                    b[pos] = rng.randrange(256)
+                elif op == 1:
+                    b.insert(pos, rng.randrange(256))
+                else:
+                    del b[pos]
+            try:
+                parse_warc(bytes(b))  # must not raise non-ValueError
+            except ValueError:
+                pass
+    for trial in range(1000):
+        n = rng.randrange(0, 300)
+        parse_warc(bytes(rng.randrange(256) for _ in range(n)))

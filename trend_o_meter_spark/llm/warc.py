@@ -99,12 +99,21 @@ def warc_build(
 
 
 def _gunzip_members(data: bytes) -> bytes:
-    """Concatenated decompression of a multi-member gzip stream."""
+    """Concatenated decompression of a multi-member gzip stream.
+
+    Corrupt members decode as far as zlib can carry them and the stream
+    stops there (``zlib.error`` is swallowed — the fail-soft corpus
+    contract: a bit-flipped archive yields its intact prefix records,
+    never a raw zlib exception out of a ``mapInPandas`` stage; the lost
+    tail then surfaces as a parse error count)."""
     out = []
     while data:
         d = zlib.decompressobj(31)
-        out.append(d.decompress(data))
-        out.append(d.flush())
+        try:
+            out.append(d.decompress(data))
+            out.append(d.flush())
+        except zlib.error:
+            break
         if not d.eof:  # truncated final member: keep what decoded
             break
         data = d.unused_data
