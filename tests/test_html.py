@@ -108,7 +108,7 @@ def test_spark_operator_matches_kernel(spark):
     df = spark.createDataFrame(rows, "doc_id long, source string, lang string, text string")
     got = {r["doc_id"]: r for r in html_extract(df).collect()}
     for doc_id, source, lang, text in rows:
-        exp = extract_main_text(synthesize_page(doc_id, source, lang, text))
+        exp = extract_main_text(synthesize_page(doc_id, source, text))
         assert (
             got[doc_id]["main_text"],
             got[doc_id]["n_kept"],
@@ -123,7 +123,7 @@ def test_fuzz_tokenizer_never_raises():
     import random
 
     rng = random.Random(42)
-    base = synthesize_page(7, "src1", "en", " ".join(f"w{i}" for i in range(40)))
+    base = synthesize_page(7, "src1", " ".join(f"w{i}" for i in range(40)))
     alphabet = "<>/!&;#x\"' abcdefp-="
     for trial in range(3000):
         s = list(base)
@@ -140,3 +140,12 @@ def test_fuzz_tokenizer_never_raises():
     for trial in range(2000):
         n = rng.randrange(0, 200)
         extract_main_text("".join(rng.choice(alphabet) for _ in range(n)))
+
+
+def test_raw_close_prefix_does_not_swallow_document():
+    # "</styled>" must NOT close "<style>" (HTML5 word-boundary rule);
+    # pre-fix this lost the entire remaining document.
+    html = "<style>div{}</styled><p>real body words here now</p>"
+    assert extract_main_text(html)[0] == ""  # style never closes: raw to EOF
+    html2 = "<style>div{} /* </styles */</style><p>real body words here now</p>"
+    assert extract_main_text(html2)[0] == "real body words here now"

@@ -187,3 +187,16 @@ def test_rollup_daily_table_shape_and_bounds(spark):
         assert r["n_exact"] and r["extremes_exact"]
         for q, _ in BOUND_QS:
             assert r[f"p{int(round(q * 1000))}_in_bounds"]
+
+
+def test_bounds_audit_excludes_nulls_like_the_oracle(spark):
+    # A NULL value row must not inflate n_rows or the rank denominators
+    # (the digest and both oracles exclude NULLs; pre-fix the audit scan
+    # counted them and flipped n_exact/tail bounds).
+    rng = np.random.default_rng(37)
+    rows = [("a", float(x)) for x in rng.exponential(2.0, 100)] + [("a", None)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    r = tdigest_bounds(df, keys=("event_type",)).collect()[0]
+    assert r["n_rows"] == 100 and r["n_exact"] and r["extremes_exact"]
+    for q, _ in BOUND_QS:
+        assert r[f"p{int(round(q * 1000))}_in_bounds"]

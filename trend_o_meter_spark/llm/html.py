@@ -133,7 +133,21 @@ def _tokens(html: str):
         if self_closing:
             yield ("close", name)
         elif name in _RAW_TEXT:
-            end = low.find(f"</{name}", i)
+            # HTML5 raw-text close: "</name" must be followed by
+            # whitespace, "/", or ">" — a prefix match like "</styled>"
+            # must NOT close "<style>" (one malformed page would
+            # otherwise swallow the rest of the document).
+            end, needle = -1, f"</{name}"
+            j2 = i
+            while True:
+                cand = low.find(needle, j2)
+                if cand == -1:
+                    break
+                after = cand + len(needle)
+                if after >= n or html[after] in " \t\r\n/>":
+                    end = cand
+                    break
+                j2 = cand + 1
             i = n if end == -1 else end  # close tag consumed next loop
             if end == -1:
                 return
@@ -153,7 +167,6 @@ def extract_blocks(html: str) -> list[tuple[str, int, int]]:
     blocks: list[tuple[str, int, int]] = []
     cur = Block()
     a_depth = 0
-    raw_skip = 0
 
     def flush() -> None:
         nonlocal cur
@@ -161,20 +174,18 @@ def extract_blocks(html: str) -> list[tuple[str, int, int]]:
             blocks.append((" ".join(cur.words), len(cur.words), cur.link_words))
         cur = Block()
 
+    # No raw-text bookkeeping here: the tokenizer never yields text from
+    # inside script/style/title/... (it jumps straight to the close tag),
+    # so a second skip-counter would just be a divergence hazard.
     for tok in _tokens(html):
         kind = tok[0]
         if kind == "text":
-            if raw_skip:
-                continue
             for w in decode_entities(tok[1]).split():
                 cur.words.append(w)
                 if a_depth > 0:
                     cur.link_words += 1
         else:
             name = tok[1]
-            if name in _RAW_TEXT:
-                raw_skip = max(0, raw_skip + (1 if kind == "open" else -1))
-                continue
             if name == "a":
                 a_depth = max(0, a_depth + (1 if kind == "open" else -1))
             elif name in _BLOCK:
@@ -211,7 +222,7 @@ def extract_main_text(
 PAR_WORDS = 12  # body paragraph size for the synthesized pages
 
 
-def synthesize_page(doc_id: int, source: str, lang: str, text: str) -> str:
+def synthesize_page(doc_id: int, source: str, text: str) -> str:
     """A realistic page around the document's text: head with script/style
     (raw-text hazards), a nav whose link count varies by doc
     (``3 + doc_id % 4`` items, each 3 link words -> dropped by both
@@ -268,7 +279,7 @@ def html_extract(
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                page = synthesize_page(int(r.doc_id), r.source, r.lang, r.text)
+                page = synthesize_page(int(r.doc_id), r.source, r.text)
                 main, kept, dropped, links = extract_main_text(
                     page, min_words=min_words
                 )
@@ -279,15 +290,20 @@ def html_extract(
                          "link_words_kept"],
             )
 
-    return df.select(id_col, "source", "lang", "text").mapInPandas(
-        run, schema=schema
-    )
+    return df.select(id_col, "source", "text").mapInPandas(run, schema=schema)
 
 
 def html_extract_sql(table: str, *, min_words: int = 5) -> str:
     """Oracle: rebuild the expected extraction from the raw text alone —
     12-word paragraph regrouping with the same integer drop rule and the
-    chrome block count as a closed-form expression of ``doc_id``."""
+    chrome block count as a closed-form expression of ``doc_id``.
+
+    VALIDITY RANGE: the closed form assumes the chrome blocks (3-word
+    nav items / 3-word h1 / 5-all-link-word footer) drop and paragraph 0
+    (>= 10 words in the contract corpus, 1 link word) is kept — true for
+    ``min_words`` in [4, 10].  Outside that window the extractor and
+    this oracle diverge by construction; keep the default unless both
+    sides are changed together."""
     return f"""
 WITH words AS (
   SELECT doc_id,

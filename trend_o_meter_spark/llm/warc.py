@@ -202,7 +202,9 @@ def parse_http_response(payload: bytes) -> tuple[int, dict, bytes]:
 CHUNK = 16  # documents per synthesized archive
 
 
-def warc_extract(df: DataFrame, *, gzip_records: bool = True) -> DataFrame:
+def warc_extract(
+    df: DataFrame, *, gzip_records: bool = True, min_words: int = 5
+) -> DataFrame:
     """End-to-end CommonCrawl-shaped ingestion over the documents table:
     per 16-doc chunk, build a real multi-record ``.warc.gz`` from the
     synthesized pages (:func:`..llm.html.synthesize_page`), then run the
@@ -219,7 +221,7 @@ def warc_extract(df: DataFrame, *, gzip_records: bool = True) -> DataFrame:
         pages = [
             (
                 f"http://{r.source}.example/{int(r.doc_id)}",
-                synthesize_page(int(r.doc_id), r.source, r.lang, r.text),
+                synthesize_page(int(r.doc_id), r.source, r.text),
             )
             for r in pdf.itertuples(index=False)
         ]
@@ -234,7 +236,9 @@ def warc_extract(df: DataFrame, *, gzip_records: bool = True) -> DataFrame:
                 continue  # warcinfo etc.
             status, _, body = parse_http_response(payload)
             doc_id = int(headers["warc-target-uri"].rsplit("/", 1)[1])
-            main, kept, dropped, _ = extract_main_text(body.decode())
+            main, kept, dropped, _ = extract_main_text(
+                body.decode(), min_words=min_words
+            )
             out.append((doc_id, status, n_resp, main, kept, dropped))
         return pd.DataFrame(
             out,
@@ -243,8 +247,11 @@ def warc_extract(df: DataFrame, *, gzip_records: bool = True) -> DataFrame:
         )
 
     chunked = df.select(
-        "doc_id", "source", "lang", "text",
-        (F.col("doc_id") / F.lit(CHUNK)).cast("long").alias("__chunk"),
+        "doc_id", "source", "text",
+        # floor division, matching the oracle's doc_id // 16 for ALL ids
+        # (a float-divide + cast('long') truncates toward zero and would
+        # mis-chunk negative ids)
+        F.floor(F.col("doc_id") / F.lit(CHUNK)).cast("long").alias("__chunk"),
     )
     return chunked.groupBy("__chunk").applyInPandas(
         run,
@@ -255,7 +262,9 @@ def warc_extract(df: DataFrame, *, gzip_records: bool = True) -> DataFrame:
 
 def warc_extract_sql(table: str, *, min_words: int = 5) -> str:
     """Oracle: the html_extract expectation + the archive accounting
-    (records per chunk, status 200) as closed forms."""
+    (records per chunk, status 200) as closed forms.  Same
+    ``min_words`` validity range as ``html_extract_sql`` ([4, 10]);
+    change both sides together or not at all."""
     from .html import PAR_WORDS
 
     return f"""

@@ -220,7 +220,7 @@ def tdigest_merge(
         level1 = (
             partials.select("*", salt)
             .groupBy(*keys, "__salt")
-            .applyInPandas(merge_group, schema=f"{schema}" if keys else schema)
+            .applyInPandas(merge_group, schema=schema)
         )
         partials = level1
     return partials.groupBy(*keys).applyInPandas(merge_group, schema=schema)
@@ -318,8 +318,14 @@ def _rank_audit(
     """Exact-scan audit of digest estimates (shared by the one-shot and
     rollup registry queries): broadcast-join the per-key estimate row
     back to the raw rows and compute each estimate's exact rank
-    interval."""
-    joined = df.select(*keys, value).join(F.broadcast(est), list(keys))
+    interval.  NULL values are excluded exactly as the digest and both
+    oracles exclude them — without the filter a single NULL row inflates
+    ``n_rows``/the rank denominators and flips the contract."""
+    joined = (
+        df.filter(F.col(value).isNotNull())
+        .select(*keys, value)
+        .join(F.broadcast(est), list(keys))
+    )
     v = F.col(value)
     aggs = [
         F.count(F.lit(1)).alias("n_rows"),
