@@ -229,16 +229,29 @@ def synthesize_page(doc_id: int, source: str, text: str) -> str:
     rules), an ``<h1>`` (3 words -> dropped by min_words), the text as
     12-word ``<p>`` paragraphs with the FIRST word wrapped in an inline
     anchor (1/12 link density -> kept, anchor text preserved), and a
-    link-saturated footer (dropped)."""
+    link-saturated footer (dropped).
+
+    Body words are partially ENTITY-ESCAPED (every 'e' as decimal
+    ``&#101;``, every 'a' as hex ``&#x61;``, every 'o' as a named
+    reference via ``&#111;`` — one of each numeric form) so the
+    oracle-checked driver path exercises real reference decoding: the
+    expected output is still the original text, but only an extractor
+    that actually decodes entities recovers it."""
     words = text.split()
     nav_n = 3 + doc_id % 4
     nav = "".join(
         f'<li><a href="/{source}/{i}">{source} link {i}</a></li>'
         for i in range(nav_n)
     )
+
+    def esc(w: str) -> str:
+        return w.replace("e", "&#101;").replace("a", "&#x61;").replace(
+            "o", "&#111;"
+        )
+
     pars = []
     for p, start in enumerate(range(0, len(words), PAR_WORDS)):
-        grp = words[start : start + PAR_WORDS]
+        grp = [esc(w) for w in words[start : start + PAR_WORDS]]
         if p == 0:
             grp = [f'<a href="#ref">{grp[0]}</a>', *grp[1:]]
         pars.append(f"<p>{' '.join(grp)}</p>")
