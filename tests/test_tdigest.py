@@ -200,3 +200,44 @@ def test_bounds_audit_excludes_nulls_like_the_oracle(spark):
     assert r["n_rows"] == 100 and r["n_exact"] and r["extremes_exact"]
     for q, _ in BOUND_QS:
         assert r[f"p{int(round(q * 1000))}_in_bounds"]
+
+
+def test_weighted_ingestion_bounds_vs_numpy(spark):
+    # Weighted digest: rank bounds must hold on WEIGHT MASS.  Pin the
+    # estimates against numpy's weighted quantile on a skewed corpus.
+    rng = np.random.default_rng(41)
+    vals = rng.lognormal(3.0, 1.0, 3000)
+    wts = rng.integers(1, 50, 3000)
+    rows = [("a", float(v), int(w)) for v, w in zip(vals, wts)]
+    df = spark.createDataFrame(rows, "event_type string, value double, w long")
+    r = tdigest_bounds(df, keys=("event_type",), weight="w").collect()[0]
+    assert r["n_rows"] == int(wts.sum())
+    assert r["n_exact"] and r["extremes_exact"]
+    for q, _ in BOUND_QS:
+        assert r[f"p{int(round(q * 1000))}_in_bounds"]
+
+
+def test_weighted_equals_replicated_bounds():
+    # A weight-w row is bound-equivalent to w replicated unit rows: the
+    # weighted digest's estimates satisfy the replicated corpus's rank
+    # bounds (values not bit-equal — the merge is lossy — but the
+    # accuracy law is the same).
+    rng = np.random.default_rng(43)
+    vals = rng.exponential(5.0, 800)
+    wts = rng.integers(1, 20, 800)
+    rep = np.repeat(vals, wts)
+    m, w = compress(vals, wts.astype(float), 200)
+    for q, eps in BOUND_QS:
+        est = quantile(m, w, float(vals.min()), float(vals.max()), q)
+        assert _rank_err(rep, est, q) <= eps
+
+
+def test_weighted_nonpositive_and_null_weights_excluded(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 5), ("a", 2.0, 0), ("a", 3.0, None), ("a", 9.0, 5)],
+        "event_type string, value double, w long",
+    )
+    from trend_o_meter_spark.operators.tdigest import tdigest_sketch
+
+    sk = tdigest_sketch(df, keys=("event_type",), weight="w").collect()[0]
+    assert sk["n"] == 10 and sk["vmin"] == 1.0 and sk["vmax"] == 9.0

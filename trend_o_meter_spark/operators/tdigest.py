@@ -140,12 +140,18 @@ def tdigest_partials(
     value: str = "value",
     keys: tuple[str, ...] = ("event_type",),
     delta: int = DEFAULT_DELTA,
+    weight: str | None = None,
 ) -> DataFrame:
     """Map-side partial digests: one digest row per (Arrow batch, key).
 
     No shuffle — ``mapInPandas`` over whatever partitioning the scan
     produced; null values are excluded.  Output rows carry <= ~2*delta
     centroids each.
+
+    ``weight``: optional INTEGER per-row mass column (e.g. token count
+    for token-mass-weighted length percentiles) — rows with null or
+    non-positive weight are excluded, ``n`` becomes the total mass, and
+    every accuracy bound holds on weight mass instead of row count.
     """
     key_schema = ", ".join(f"{k} string" for k in keys)
     schema = f"{key_schema}, {_DIGEST_FIELDS}" if keys else _DIGEST_FIELDS
@@ -153,6 +159,8 @@ def tdigest_partials(
     def build(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf[pdf[value].notna()]
+            if weight is not None:
+                pdf = pdf[pdf[weight].notna() & (pdf[weight] > 0)]
             if pdf.empty:
                 continue
             rows = []
@@ -161,15 +169,21 @@ def tdigest_partials(
                 if keys and not isinstance(kv, tuple):
                     kv = (kv,)
                 v = g[value].to_numpy(dtype=float)
-                m, w = compress(v, np.ones_like(v), delta)
+                w0 = (
+                    g[weight].to_numpy(dtype=float)
+                    if weight is not None
+                    else np.ones_like(v)
+                )
+                m, w = compress(v, w0, delta)
                 rows.append(
-                    (*kv, m.tolist(), w.tolist(), int(v.size),
+                    (*kv, m.tolist(), w.tolist(), int(round(float(w0.sum()))),
                      float(v.min()), float(v.max()))
                 )
             cols = [*keys, "means", "weights", "n", "vmin", "vmax"]
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.select(*keys, value).mapInPandas(build, schema=schema)
+    cols = [*keys, value] + ([weight] if weight is not None else [])
+    return df.select(*cols).mapInPandas(build, schema=schema)
 
 
 def _merge_rows(pdf: pd.DataFrame, delta: int) -> pd.DataFrame:
@@ -233,10 +247,12 @@ def tdigest_sketch(
     keys: tuple[str, ...] = ("event_type",),
     delta: int = DEFAULT_DELTA,
     fanout: int | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
-    """Scan -> merged digest, one row per key."""
+    """Scan -> merged digest, one row per key (``weight``: see
+    :func:`tdigest_partials`)."""
     return tdigest_merge(
-        tdigest_partials(df, value=value, keys=keys, delta=delta),
+        tdigest_partials(df, value=value, keys=keys, delta=delta, weight=weight),
         keys=keys,
         delta=delta,
         fanout=fanout,
@@ -292,6 +308,7 @@ def tdigest_bounds(
     delta: int = DEFAULT_DELTA,
     fanout: int | None = 16,
     bound_qs: tuple[tuple[float, float], ...] = BOUND_QS,
+    weight: str | None = None,
 ) -> DataFrame:
     """Per-key exact ``n_rows``/``vmin``/``vmax`` (digest-tracked, so the
     oracle hash-checks the exact plumbing) + one boolean per (q, eps):
@@ -299,11 +316,15 @@ def tdigest_bounds(
     count(v<=est)/n]`` intersects ``[q-eps, q+eps]`` — verified by a
     second exact scan, never by the digest itself."""
     est = tdigest_quantiles(
-        tdigest_sketch(df, value=value, keys=keys, delta=delta, fanout=fanout),
+        tdigest_sketch(
+            df, value=value, keys=keys, delta=delta, fanout=fanout, weight=weight
+        ),
         tuple(q for q, _ in bound_qs),
         keys=keys,
     )
-    return _rank_audit(df, est, value=value, keys=keys, bound_qs=bound_qs)
+    return _rank_audit(
+        df, est, value=value, keys=keys, bound_qs=bound_qs, weight=weight
+    )
 
 
 def _rank_audit(
@@ -314,6 +335,7 @@ def _rank_audit(
     keys: tuple[str, ...],
     bound_qs: tuple[tuple[float, float], ...],
     extra_est_cols: tuple[str, ...] = (),
+    weight: str | None = None,
 ) -> DataFrame:
     """Exact-scan audit of digest estimates (shared by the one-shot and
     rollup registry queries): broadcast-join the per-key estimate row
@@ -321,21 +343,22 @@ def _rank_audit(
     interval.  NULL values are excluded exactly as the digest and both
     oracles exclude them — without the filter a single NULL row inflates
     ``n_rows``/the rank denominators and flips the contract."""
-    joined = (
-        df.filter(F.col(value).isNotNull())
-        .select(*keys, value)
-        .join(F.broadcast(est), list(keys))
-    )
+    base = df.filter(F.col(value).isNotNull())
+    if weight is not None:
+        base = base.filter(F.col(weight).isNotNull() & (F.col(weight) > 0))
+    sel = [*keys, value] + ([weight] if weight is not None else [])
+    joined = base.select(*sel).join(F.broadcast(est), list(keys))
     v = F.col(value)
+    mass = F.col(weight).cast("long") if weight is not None else F.lit(1).cast("long")
     aggs = [
-        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(mass).alias("n_rows"),  # row count, or total mass when weighted
         F.min(v).alias("exact_min"),
         F.max(v).alias("exact_max"),
     ]
     for q, _ in bound_qs:
         c = f"est_p{int(round(q * 1000))}"
-        aggs.append(F.sum((v < F.col(c)).cast("long")).alias(f"__lt_{c}"))
-        aggs.append(F.sum((v <= F.col(c)).cast("long")).alias(f"__le_{c}"))
+        aggs.append(F.sum(F.when(v < F.col(c), mass).otherwise(F.lit(0))).alias(f"__lt_{c}"))
+        aggs.append(F.sum(F.when(v <= F.col(c), mass).otherwise(F.lit(0))).alias(f"__le_{c}"))
     ranks = joined.groupBy(*keys, "n", "vmin", "vmax", *extra_est_cols).agg(*aggs)
     out_cols = [
         *keys,

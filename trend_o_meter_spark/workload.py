@@ -113,6 +113,7 @@ _SCORE_FIRST = (
     "priority_sample",
     "tdigest_quantiles",
     "tdigest_rollup",
+    "weighted_quantiles",
     "html_extract",
     "warc_extract",
     "video_frame_features",
@@ -168,8 +169,8 @@ _SCORE_FIRST = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "q17_small_quantity_revenue",
-    # (q18_large_volume_orders, semi_join_urgent_customers,
+    # (q17_small_quantity_revenue, q18_large_volume_orders,
+    # semi_join_urgent_customers,
     # anti_join_orderless_customers, rollup_returns, sql_orders_by_year,
     # cube_order_priority — displaced by the round-10 additions
     # priority_sample/tdigest_quantiles/tdigest_rollup/html_extract/
@@ -1031,6 +1032,41 @@ def moments_by_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tdigest_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir)
     return tdigest.tdigest_bounds(ev, value="value", keys=("event_type",))
+
+
+@_q(
+    "weighted_quantiles",
+    """
+SELECT lang,
+       CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_rows,
+       min(CAST(n_chars AS DOUBLE)) AS vmin,
+       max(CAST(n_chars AS DOUBLE)) AS vmax,
+       TRUE AS n_exact,
+       TRUE AS extremes_exact,
+       TRUE AS p500_in_bounds,
+       TRUE AS p900_in_bounds,
+       TRUE AS p990_in_bounds,
+       TRUE AS p999_in_bounds
+FROM documents
+GROUP BY lang
+""",
+    doc="Weighted quantiles via weighted t-digest ingestion: per-lang "
+    "document-LENGTH percentiles by TOKEN MASS (every accuracy bound "
+    "holds on weight mass, not row count — 'the p99 doc length a "
+    "random TOKEN sits in', the packing/curation question row-quantiles "
+    "answer wrongly).  Same exact-rank audit, weighted: rank interval "
+    "= [sum(w | v<est), sum(w | v<=est)] / sum(w); n_rows is the exact "
+    "total mass the oracle recomputes.",
+)
+def weighted_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir).select(
+        "lang",
+        F.col("n_chars").cast("double").alias("n_chars"),
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+    )
+    return tdigest.tdigest_bounds(
+        d, value="n_chars", keys=("lang",), weight="n_words"
+    )
 
 
 @_q(
