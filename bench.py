@@ -124,6 +124,7 @@ HEADLINE = (
     "tdigest_quantiles",
     "html_extract",
     "warc_extract",
+    "robots_filter",
 )
 
 

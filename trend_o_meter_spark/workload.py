@@ -54,6 +54,7 @@ from .llm import (
     funnel,
     html,
     multimodal,
+    robots,
     sampling,
     similarity,
     text,
@@ -116,6 +117,7 @@ _SCORE_FIRST = (
     "weighted_quantiles",
     "html_extract",
     "warc_extract",
+    "robots_filter",
     "video_frame_features",
     "ngram_novelty",
     "approx_sketches",
@@ -168,14 +170,13 @@ _SCORE_FIRST = (
     "json_extract_props",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_region_revenue",
-    # (q17_small_quantity_revenue, q18_large_volume_orders,
-    # semi_join_urgent_customers,
+    # (q5_region_revenue, q17_small_quantity_revenue,
+    # q18_large_volume_orders, semi_join_urgent_customers,
     # anti_join_orderless_customers, rollup_returns, sql_orders_by_year,
     # cube_order_priority — displaced by the round-10 additions
-    # priority_sample/tdigest_quantiles/tdigest_rollup/html_extract/
-    # warc_extract/ngram_novelty — re-queue with the remaining 25 r07
-    # entries for round 11)
+    # priority_sample/tdigest_quantiles/tdigest_rollup/weighted_quantiles/
+    # html_extract/warc_extract/robots_filter/ngram_novelty — re-queue
+    # with the remaining 25 r07 entries for round 11)
 )
 
 
@@ -3060,6 +3061,25 @@ def balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def html_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return html.html_extract(d)
+
+
+@_q(
+    "robots_filter",
+    robots.robots_filter_sql("documents"),
+    doc="robots.txt crawl-permission filtering (RFC 9309, the third "
+    "crawl-pipeline stage next to warc_extract/html_extract): real "
+    "parser (grouping, stacked User-agent lines, comments, CRLF/BOM, "
+    "unknown directives) + wildcard/anchor pattern matching + "
+    "longest-match decision with Allow tie-break.  Per-source policies "
+    "are synthesized deterministically (group selection, directory "
+    "disallow, longer Allow carve-out, /*9$ wildcard-anchor) and "
+    "evaluated for every document URL; the oracle recomputes the "
+    "decision as a closed-form CASE.  Policy side is dimension-sized "
+    "(memoized per task); scan side is a pure map, no shuffle.",
+)
+def robots_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return robots.robots_filter(d)
 
 
 @_q(
