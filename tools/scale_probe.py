@@ -293,6 +293,16 @@ def warc_probe(spark, reps):
     return warc.warc_extract(d)
 
 
+def robots_probe(spark, reps):
+    """Replicated documents: per-source policy parse is memoized per
+    task, each URL evaluation is a handful of cached-regex matches —
+    a pure map; wall must be ~linear with zero exchanges."""
+    from trend_o_meter_spark.llm import robots
+
+    d = _replicate(table(spark, "documents", SF_DIR), reps, "doc_id")
+    return robots.robots_filter(d)
+
+
 def priority_sample_probe(spark, reps):
     """Replicated documents, FIXED stratum count: each stratum's
     candidate set grows reps x while the output stays k+1 rows per
@@ -319,6 +329,7 @@ PROBES = {
     "tdigest": tdigest_probe,
     "html": html_probe,
     "warc": warc_probe,
+    "robots": robots_probe,
     "priority_sample": priority_sample_probe,
 }
 
