@@ -149,3 +149,14 @@ def test_raw_close_prefix_does_not_swallow_document():
     assert extract_main_text(html)[0] == ""  # style never closes: raw to EOF
     html2 = "<style>div{} /* </styles */</style><p>real body words here now</p>"
     assert extract_main_text(html2)[0] == "real body words here now"
+
+
+def test_named_reference_is_load_bearing_in_synthesis():
+    # The page joins each paragraph's last two words with &nbsp;; only
+    # an extractor that decodes the NAMED form recovers the original
+    # word split (numeric-only decoding would weld them into one word).
+    text = " ".join(f"w{i}" for i in range(8))
+    page = synthesize_page(3, "s0", text)
+    assert "&nbsp;" in page
+    main, kept, _, _ = extract_main_text(page)
+    assert main.split() == text.split() and kept == 1

@@ -123,3 +123,28 @@ def test_spark_operator_matches_kernel(spark):
         allowed, mlen = is_allowed(rules, doc_path(source, doc_id))
         r = got[doc_id]
         assert (r["allowed"], r["match_len"]) == (allowed, mlen)
+
+
+def test_other_records_do_not_split_stacked_groups():
+    # RFC 9309 §2.2.1: Sitemap/Crawl-delay/unknown lines must not
+    # interfere with grouping (pre-fix, 'a' got an empty rule set).
+    txt = (
+        "User-agent: a\nSitemap: https://x/s.xml\n"
+        "User-agent: b\nDisallow: /x\n"
+    )
+    groups = parse_robots(txt)
+    assert groups == [(["a", "b"], [(False, "/x")])]
+    assert select_group(groups, "a") == [(False, "/x")]
+
+
+def test_repeated_groups_for_same_agent_combine():
+    # RFC 9309 §2.2.1 MUST: multiple groups for the same token combine.
+    txt = "User-agent: a\nDisallow: /x\n\nUser-agent: a\nDisallow: /y\n"
+    rules = select_group(parse_robots(txt), "a")
+    assert rules == [(False, "/x"), (False, "/y")]
+    assert is_allowed(rules, "/y/page")[0] is False
+    # multiple '*' fallback groups combine too
+    star = "User-agent: *\nDisallow: /x\n\nUser-agent: *\nDisallow: /y\n"
+    assert select_group(parse_robots(star), "other") == [
+        (False, "/x"), (False, "/y")
+    ]

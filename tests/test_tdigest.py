@@ -241,3 +241,16 @@ def test_weighted_nonpositive_and_null_weights_excluded(spark):
 
     sk = tdigest_sketch(df, keys=("event_type",), weight="w").collect()[0]
     assert sk["n"] == 10 and sk["vmin"] == 1.0 and sk["vmax"] == 9.0
+
+
+def test_fractional_weights_raise(spark):
+    import pytest as _pytest
+
+    from trend_o_meter_spark.operators.tdigest import tdigest_sketch
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 0.5), ("a", 2.0, 1.0)],
+        "event_type string, value double, w double",
+    )
+    with _pytest.raises(Exception, match="integer-valued"):
+        tdigest_sketch(df, keys=("event_type",), weight="w").collect()

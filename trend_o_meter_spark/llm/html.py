@@ -232,11 +232,14 @@ def synthesize_page(doc_id: int, source: str, text: str) -> str:
     link-saturated footer (dropped).
 
     Body words are partially ENTITY-ESCAPED (every 'e' as decimal
-    ``&#101;``, every 'a' as hex ``&#x61;``, every 'o' as a named
-    reference via ``&#111;`` — one of each numeric form) so the
-    oracle-checked driver path exercises real reference decoding: the
-    expected output is still the original text, but only an extractor
-    that actually decodes entities recovers it."""
+    ``&#101;``, every 'a' as hex ``&#x61;``) and each paragraph's last
+    two words are joined by the NAMED reference ``&nbsp;`` (which
+    decodes to a space, so the word split is unchanged) — the
+    oracle-checked driver path exercises all three reference forms:
+    the expected output is still the original text, but only an
+    extractor that actually decodes every form recovers it (an
+    undecoded ``&nbsp;`` would weld the final two words into one and
+    break the hash)."""
     words = text.split()
     nav_n = 3 + doc_id % 4
     nav = "".join(
@@ -245,15 +248,15 @@ def synthesize_page(doc_id: int, source: str, text: str) -> str:
     )
 
     def esc(w: str) -> str:
-        return w.replace("e", "&#101;").replace("a", "&#x61;").replace(
-            "o", "&#111;"
-        )
+        return w.replace("e", "&#101;").replace("a", "&#x61;")
 
     pars = []
     for p, start in enumerate(range(0, len(words), PAR_WORDS)):
         grp = [esc(w) for w in words[start : start + PAR_WORDS]]
         if p == 0:
             grp = [f'<a href="#ref">{grp[0]}</a>', *grp[1:]]
+        if len(grp) >= 3:
+            grp = [*grp[:-2], f"{grp[-2]}&nbsp;{grp[-1]}"]
         pars.append(f"<p>{' '.join(grp)}</p>")
     return (
         "<!DOCTYPE html><html><head>"

@@ -78,8 +78,10 @@ def parse_robots(txt: str) -> list[tuple[list[str], list[tuple[bool, str]]]]:
                 # nothing); keep it out of the rule list entirely.
                 if value:
                     rules.append((field == "allow", value))
-        else:
-            collecting_agents = False  # crawl-delay, sitemap, unknown
+        # Other records (crawl-delay, sitemap, unknown) are ignored
+        # ENTIRELY — RFC 9309 §2.2.1: they must not interfere with
+        # grouping, so a Sitemap line between two stacked User-agent
+        # lines must not split the group.
     close()
     return groups
 
@@ -87,22 +89,32 @@ def parse_robots(txt: str) -> list[tuple[list[str], list[tuple[bool, str]]]]:
 def select_group(
     groups: list[tuple[list[str], list[tuple[bool, str]]]], agent: str
 ) -> list[tuple[bool, str]]:
-    """The group whose agent token is the LONGEST case-insensitive
-    substring-prefix match for ``agent``; ``*`` is the fallback; no
-    match at all -> empty rules (everything allowed)."""
+    """The rules for ``agent``: every group whose agent token is the
+    LONGEST case-insensitive match contributes (RFC 9309 §2.2.1 —
+    multiple groups for the same product token MUST be combined);
+    ``*`` groups (also combined) are the fallback; no match at all ->
+    empty rules (everything allowed)."""
     agent = agent.lower()
-    best_len, best_rules = -1, []
-    star_rules: list[tuple[bool, str]] | None = None
-    for agents, rules in groups:
+    best_len = -1
+    for agents, _ in groups:
         for tok in agents:
-            if tok == "*":
-                if star_rules is None:
-                    star_rules = rules
-            elif tok and tok in agent and len(tok) > best_len:
-                best_len, best_rules = len(tok), rules
+            if tok != "*" and tok and tok in agent and len(tok) > best_len:
+                best_len = len(tok)
+    combined: list[tuple[bool, str]] = []
     if best_len >= 0:
-        return best_rules
-    return star_rules if star_rules is not None else []
+        for agents, rules in groups:
+            if any(
+                tok != "*" and tok and tok in agent and len(tok) == best_len
+                for tok in agents
+            ):
+                combined.extend(rules)
+        return combined
+    star_seen = False
+    for agents, rules in groups:
+        if "*" in agents:
+            star_seen = True
+            combined.extend(rules)
+    return combined if star_seen else []
 
 
 _RULE_RE_CACHE: dict[str, re.Pattern] = {}

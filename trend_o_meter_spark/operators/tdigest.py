@@ -169,11 +169,20 @@ def tdigest_partials(
                 if keys and not isinstance(kv, tuple):
                     kv = (kv,)
                 v = g[value].to_numpy(dtype=float)
-                w0 = (
-                    g[weight].to_numpy(dtype=float)
-                    if weight is not None
-                    else np.ones_like(v)
-                )
+                if weight is not None:
+                    w0 = g[weight].to_numpy(dtype=float)
+                    if not np.all(w0 == np.floor(w0)):
+                        # The audit scan truncates per-row via
+                        # cast('long'); fractional weights would
+                        # silently desynchronize n vs the exact mass
+                        # instead of erroring.
+                        raise ValueError(
+                            f"tdigest weight column {weight!r} must be "
+                            "integer-valued (fractional mass is not "
+                            "supported)"
+                        )
+                else:
+                    w0 = np.ones_like(v)
                 m, w = compress(v, w0, delta)
                 rows.append(
                     (*kv, m.tolist(), w.tolist(), int(round(float(w0.sum()))),
