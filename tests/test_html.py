@@ -160,3 +160,29 @@ def test_named_reference_is_load_bearing_in_synthesis():
     assert "&nbsp;" in page
     main, kept, _, _ = extract_main_text(page)
     assert main.split() == text.split() and kept == 1
+
+
+def test_unicode_lowercase_length_change_does_not_desync_raw_close():
+    # U+0130 (LATIN CAPITAL I WITH DOT ABOVE) lowercases to TWO code
+    # points, so str.lower() on the whole document would shift every
+    # index after it and the raw-text close-tag search (run on the
+    # lowered copy, indexed into the original) silently swallowed the
+    # rest of the page.  The ASCII-only fold is length-preserving.
+    html = "<p>İstanbul intro words here</p><style>x{}</style>" \
+           "<p>real body words here now</p>"
+    main = extract_main_text(html)[0]
+    assert "real body words here now" in main
+    # same hazard with the capital letter INSIDE the raw-text content
+    html2 = "<style>/* İ */</style><p>real body words here now</p>"
+    assert extract_main_text(html2)[0] == "real body words here now"
+
+
+def test_surrogate_entities_decode_to_replacement_char():
+    # Lone surrogates are not UTF-8-encodable; one &#xD800; in a page
+    # would kill the whole Arrow batch.  html.unescape maps the range
+    # to U+FFFD; so do we — and the result must survive UTF-8.
+    out = decode_entities("a&#xD800;b&#xDFFF;c&#55296;d")
+    assert out == "a�b�c�d"
+    out.encode("utf-8")  # must not raise
+    # boundary neighbours still decode normally
+    assert decode_entities("&#xD7FF;&#xE000;") == "퟿"

@@ -62,6 +62,14 @@ _NAMED_ENTITIES = {
 _ENTITY_RE = re.compile(r"&(#[xX]?[0-9a-fA-F]+|\w+);")
 _NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9-]*")
 
+# ASCII-only lowercase table: length-preserving for EVERY input, unlike
+# str.lower() (U+0130 lowercases to 2 code points, desyncing indexes
+# computed on the lowered copy from the original string).  Tag names are
+# ASCII, so this is all the case-folding the tokenizer needs.
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
 
 def decode_entities(s: str) -> str:
     """Decode named-core + numeric character references; unknown names
@@ -72,6 +80,11 @@ def decode_entities(s: str) -> str:
         if body.startswith("#"):
             try:
                 cp = int(body[2:], 16) if body[1] in "xX" else int(body[1:])
+                if 0xD800 <= cp <= 0xDFFF:
+                    # Lone surrogates are not UTF-8-encodable: one such
+                    # entity in a scraped page would kill the whole Arrow
+                    # batch.  html.unescape maps these to U+FFFD; so do we.
+                    return "�"
                 return chr(cp) if 0 < cp <= 0x10FFFF else m.group(0)
             except ValueError:
                 return m.group(0)
@@ -89,7 +102,10 @@ def _tokens(html: str):
     end-of-input without raising.
     """
     i, n = 0, len(html)
-    low = html.lower()  # once: per-element lowercasing would be O(n^2)
+    # Once, ASCII-only: indexes into `low` must be valid in `html`, so
+    # the fold MUST be length-preserving (str.lower() is not; see
+    # _ASCII_LOWER).  Per-element lowercasing would be O(n^2).
+    low = html.translate(_ASCII_LOWER)
     while i < n:
         lt = html.find("<", i)
         if lt == -1:
@@ -347,8 +363,9 @@ WITH words AS (
 SELECT d.doc_id,
        a.main_text,
        CAST(a.n_kept AS INTEGER) AS n_kept,
-       CAST((3 + d.doc_id % 4) + 2 + (t.n_pars - a.n_kept) AS INTEGER)
-         AS n_dropped,
+       -- ((x%4)+4)%4: sign-safe vs Python % (DuckDB truncates toward 0)
+       CAST((3 + ((d.doc_id % 4) + 4) % 4) + 2 + (t.n_pars - a.n_kept)
+            AS INTEGER) AS n_dropped,
        1 AS link_words_kept
 FROM {table} d
 JOIN agg a USING (doc_id)

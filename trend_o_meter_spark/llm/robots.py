@@ -215,24 +215,28 @@ def robots_filter_sql(table: str) -> str:
     ``Allow /{source}/d2/p1`` (len(source)+7) iff doc_id%4==2 and the
     id's decimal string starts with '1'; ``Disallow /*9$`` (4) iff the
     id ends in 9.  Longest match wins, ties favor Allow (never occur
-    here: all lengths distinct per doc)."""
+    here: all lengths distinct per doc).
+
+    ``((doc_id % 4) + 4) % 4`` keeps the oracle sign-safe: DuckDB ``%``
+    truncates toward zero (-2 % 4 = -2) while Python's floors (= 2), so
+    the bare form would diverge from :func:`doc_path` on negative ids."""
     return f"""
 SELECT doc_id,
-       '/' || source || '/d' || CAST(doc_id % 4 AS VARCHAR)
+       '/' || source || '/d' || CAST(((doc_id % 4) + 4) % 4 AS VARCHAR)
            || '/p' || CAST(doc_id AS VARCHAR) AS path,
        CASE
-         WHEN doc_id % 4 = 2 AND CAST(doc_id AS VARCHAR) LIKE '1%'
+         WHEN ((doc_id % 4) + 4) % 4 = 2 AND CAST(doc_id AS VARCHAR) LIKE '1%'
            THEN TRUE                                   -- carve-out (longest)
-         WHEN doc_id % 4 = 2
+         WHEN ((doc_id % 4) + 4) % 4 = 2
            THEN FALSE                                  -- directory disallow
          WHEN CAST(doc_id AS VARCHAR) LIKE '%9'
            THEN FALSE                                  -- /*9$ (len 4 > 1)
          ELSE TRUE                                     -- Allow / baseline
        END AS allowed,
        CASE
-         WHEN doc_id % 4 = 2 AND CAST(doc_id AS VARCHAR) LIKE '1%'
+         WHEN ((doc_id % 4) + 4) % 4 = 2 AND CAST(doc_id AS VARCHAR) LIKE '1%'
            THEN CAST(length(source) + 7 AS INTEGER)
-         WHEN doc_id % 4 = 2
+         WHEN ((doc_id % 4) + 4) % 4 = 2
            THEN CAST(length(source) + 5 AS INTEGER)
          WHEN CAST(doc_id AS VARCHAR) LIKE '%9'
            THEN 4

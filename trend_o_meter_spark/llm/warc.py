@@ -248,9 +248,10 @@ def warc_extract(
 
     chunked = df.select(
         "doc_id", "source", "text",
-        # floor division, matching the oracle's doc_id // 16 for ALL ids
-        # (a float-divide + cast('long') truncates toward zero and would
-        # mis-chunk negative ids)
+        # floor division, matching the oracle's floor(doc_id / 16.0) for
+        # ALL ids.  NOTE: DuckDB's `//` and `%` truncate toward zero, so
+        # the oracle spells both as explicit floor / ((x%4)+4)%4 forms —
+        # a bare // or % there would diverge from Python on negative ids.
         F.floor(F.col("doc_id") / F.lit(CHUNK)).cast("long").alias("__chunk"),
     )
     return chunked.groupBy("__chunk").applyInPandas(
@@ -288,18 +289,22 @@ WITH words AS (
 ), totals AS (
   SELECT doc_id, count(*) AS n_pars FROM pars GROUP BY doc_id
 ), chunks AS (
-  SELECT doc_id // {CHUNK} AS chunk, count(*) AS n_records
-  FROM {table} GROUP BY doc_id // {CHUNK}
+  -- floor division (NOT DuckDB's truncating //): matches Spark F.floor
+  -- and Python // for negative ids too
+  SELECT CAST(floor(doc_id / {CHUNK}.0) AS BIGINT) AS chunk,
+         count(*) AS n_records
+  FROM {table} GROUP BY 1
 )
 SELECT d.doc_id,
        200 AS http_status,
        CAST(c.n_records AS INTEGER) AS n_records,
        a.main_text,
        CAST(a.n_kept AS INTEGER) AS n_kept,
-       CAST((3 + d.doc_id % 4) + 2 + (t.n_pars - a.n_kept) AS INTEGER)
-         AS n_dropped
+       -- ((x%4)+4)%4: sign-safe vs Python % (DuckDB truncates toward 0)
+       CAST((3 + ((d.doc_id % 4) + 4) % 4) + 2 + (t.n_pars - a.n_kept)
+            AS INTEGER) AS n_dropped
 FROM {table} d
 JOIN agg a USING (doc_id)
 JOIN totals t USING (doc_id)
-JOIN chunks c ON c.chunk = d.doc_id // {CHUNK}
+JOIN chunks c ON c.chunk = CAST(floor(d.doc_id / {CHUNK}.0) AS BIGINT)
 """
