@@ -128,34 +128,60 @@ HEADLINE = (
 )
 
 
-def stream_probe(spark, sf_dir: str) -> dict:
+def stream_probe(
+    spark, sf_dir: str, min_rows: int = 500_000, n_timed: int = 3
+) -> dict:
     """Streaming throughput probe: rows/sec through the stateful anchored
     downsample (the custom applyInPandasWithState operator — the slowest
-    streaming path we ship) over the whole events table replayed as a
-    file stream, availableNow trigger, noop-equivalent memory-free sink.
+    streaming path we ship), availableNow trigger, noop sink.
+
+    Noise-robust shape (VERDICT r10 task 1 — the r10 driver run's
+    marginal pass came out SLOWER than its cold pass under loadavg 3-8,
+    so one-pass numbers were ambient noise, not evidence):
+
+    * **>= ``min_rows`` driven per pass** — the events table is
+      replicated with suffixed metric names until the row count clears
+      the floor, so fixed costs (worker spin-up, stream start, file
+      listing) amortize instead of dominating the 100k-row original.
+      Suffixing the metric also lifts the stateful walk from the
+      table's 5 distinct keys to 5*k parallel groups — the actual
+      production shape (many metrics), and the only way 32 cores can
+      all run the per-key walk.
+    * **median marginal of ``n_timed`` passes** after one untimed-cold
+      pass (fresh checkpoint each), so a single co-tenant spike cannot
+      set the recorded number.
+    * **per-pass loadavg stamps** inline, so any residual swing is
+      adjudicable from the artifact itself.
     """
+    import statistics
     import tempfile
 
     from trend_o_meter_spark.catalog import table as cat_table
     from trend_o_meter_spark.streaming.stateful import stream_anchored_downsample
 
-    batch = cat_table(spark, "events", sf_dir).select(
+    base = cat_table(spark, "events", sf_dir).select(
         "ts", F.col("event_type").alias("metric"), "value"
     )
-    n_rows = batch.count()
-    secs = []
+    n_base = base.count()
+    k = max(1, -(-min_rows // max(n_base, 1)))
+    batch = base
+    if k > 1:
+        batch = base.select(
+            "ts",
+            F.explode(
+                F.array(*[F.concat("metric", F.lit(f"#{i}")) for i in range(k)])
+            ).alias("metric"),
+            "value",
+        )
+    n_rows = n_base * k
+    passes = []
     with tempfile.TemporaryDirectory() as tmp:
         src_dir = os.path.join(tmp, "src")
         batch.write.mode("overwrite").parquet(src_dir)
-        # run the stream TWICE (fresh checkpoint each time): pass 1
-        # includes the session's one-time applyInPandasWithState worker
-        # spin-up (~2 s of Arrow/pandas import, measured round 10 —
-        # historically the whole 25k-38k round-over-round swing in this
-        # probe); pass 2 is the steady-state (marginal) throughput a
-        # long-running query actually sustains.
-        for i in range(2):
+        for i in range(1 + n_timed):
             stream = spark.readStream.schema(batch.schema).parquet(src_dir)
             kept = stream_anchored_downsample(stream, metric="metric")
+            la0 = _host_load()["loadavg_1m"]
             t0 = time.time()
             q = (
                 kept.writeStream.format("noop")
@@ -164,11 +190,19 @@ def stream_probe(spark, sf_dir: str) -> dict:
                 .start()
             )
             q.awaitTermination()
-            secs.append(round(time.time() - t0, 3))
+            sec = round(time.time() - t0, 3)
+            passes.append(
+                {"sec": sec, "loadavg_1m_before": la0,
+                 "loadavg_1m_after": _host_load()["loadavg_1m"]}
+            )
+    marg = statistics.median(p["sec"] for p in passes[1:])
     return {"operator": "stream_anchored_downsample", "rows": n_rows,
-            "sec": secs[0], "rows_per_sec": round(n_rows / secs[0]),
-            "sec_marginal": secs[1],
-            "rows_per_sec_marginal": round(n_rows / secs[1])}
+            "replication": k, "passes": passes,
+            "sec": passes[0]["sec"],
+            "rows_per_sec": round(n_rows / passes[0]["sec"]),
+            "sec_marginal": marg,
+            "rows_per_sec_marginal": round(n_rows / marg),
+            "marginal_aggregation": f"median_of_{n_timed}"}
 
 
 def stream_lsh_probe(spark, sf_dir: str, n_batches: int = 20) -> dict:
@@ -237,53 +271,78 @@ def stream_rfm_probe(spark, sf_dir: str, n_batches: int = 20) -> dict:
     The events table replays as ``n_batches`` one-file micro-batches
     through a real foreachBatch writeStream; the per-batch report is
     consumed with count() so nothing stays lazy.  Reports whole-run and
-    marginal (batches 2..n) rows/sec like the LSH probe."""
+    marginal (batches 2..n) rows/sec like the LSH probe.
+
+    Noise-robust shape (VERDICT r10 task 1): the whole replay runs
+    ``n_passes`` times — fresh state directory and checkpoint each — and
+    the recorded whole-run/marginal numbers are the per-pass MEDIANS,
+    with a loadavg stamp before/after every pass inline, so one ambient
+    spike can neither set nor hide the recorded throughput."""
+    import statistics
     import tempfile
 
     from trend_o_meter_spark.catalog import table as cat_table
     from trend_o_meter_spark.streaming.pipeline import stream_rfm
 
+    n_passes = 3
     batch = cat_table(spark, "events", sf_dir).select(
         "ts", "user_id", "event_type", "value"
     )
     n_rows = batch.count()
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    passes = []
     try:
         with tempfile.TemporaryDirectory() as tmp:
             src_dir = os.path.join(tmp, "src")
             batch.repartition(n_batches).write.mode("overwrite").parquet(src_dir)
-            sink = {"segments": 0}
-            per_batch = stream_rfm(
-                state_path=os.path.join(tmp, "state"),
-                on_result=lambda bid, df: sink.update(segments=df.count()),
-            )
-            stream = (
-                spark.readStream.schema(batch.schema)
-                .option("maxFilesPerTrigger", "1")
-                .parquet(src_dir)
-            )
-            t0 = time.time()
-            q = (
-                stream.writeStream.foreachBatch(per_batch)
-                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-            sec = round(time.time() - t0, 3)
-            progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+            for i in range(n_passes):
+                sink = {"segments": 0}
+                per_batch = stream_rfm(
+                    state_path=os.path.join(tmp, f"state{i}"),
+                    on_result=lambda bid, df: sink.update(segments=df.count()),
+                )
+                stream = (
+                    spark.readStream.schema(batch.schema)
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(src_dir)
+                )
+                la0 = _host_load()["loadavg_1m"]
+                t0 = time.time()
+                q = (
+                    stream.writeStream.foreachBatch(per_batch)
+                    .option("checkpointLocation", os.path.join(tmp, f"ckpt{i}"))
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                sec = round(time.time() - t0, 3)
+                progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+                rec = {"sec": sec, "batches": len(progress),
+                       "segments": sink["segments"],
+                       "loadavg_1m_before": la0,
+                       "loadavg_1m_after": _host_load()["loadavg_1m"]}
+                if len(progress) > 1:
+                    tail = progress[1:]
+                    tail_rows = sum(p["numInputRows"] for p in tail)
+                    tail_sec = (
+                        sum(p["durationMs"]["triggerExecution"] for p in tail)
+                        / 1000.0
+                    )
+                    if tail_sec > 0:
+                        rec["marginal_rows_per_sec"] = round(tail_rows / tail_sec)
+                passes.append(rec)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    sec = statistics.median(p["sec"] for p in passes)
     out = {"operator": "stream_rfm", "rows": n_rows, "sec": sec,
-           "rows_per_sec": round(n_rows / sec), "batches": len(progress),
-           "segments": sink["segments"]}
-    if len(progress) > 1:
-        tail = progress[1:]
-        tail_rows = sum(p["numInputRows"] for p in tail)
-        tail_sec = sum(p["durationMs"]["triggerExecution"] for p in tail) / 1000.0
-        if tail_sec > 0:
-            out["marginal_rows_per_sec"] = round(tail_rows / tail_sec)
+           "rows_per_sec": round(n_rows / sec), "batches": passes[0]["batches"],
+           "segments": passes[0]["segments"], "passes": passes,
+           "aggregation": f"median_of_{n_passes}"}
+    marginals = [p["marginal_rows_per_sec"] for p in passes
+                 if "marginal_rows_per_sec" in p]
+    if marginals:
+        out["marginal_rows_per_sec"] = statistics.median(marginals)
     return out
 
 
