@@ -111,3 +111,59 @@ def test_full_seven_days_no_leftover(spark):
     assert total < len(data)  # tail beyond the last edge is dropped
     for r in out.values():
         assert r["is_complete"] is True
+
+
+def test_compat_sql_oracle_matches_walk_on_adversarial_data(spark):
+    # The oracle promotion (day_binned_extremes_compat_sql) must agree
+    # with the real applyInPandas walk on shapes the sf corpus never
+    # exercises: multi-edge gaps (empty closed slices), all-four-edges
+    # crossed (no leftover, post-slice elements discarded), a no-trigger
+    # single-element metric (the ':37' drop eats the anchor itself),
+    # ties in value, and fractional-second ages near edge boundaries.
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from trend_o_meter_spark.operators.daybins import (
+        day_binned_extremes_compat_sql,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    # m0: gap spanning the 3d and 5d edges in one step -> empty slices
+    for age, v in [(0, 1.0), (3600, 2.0), (5.5 * DAY, 3.0), (6 * DAY, 1.0)]:
+        rows.append((BASE - float(age), float(v), "m0"))
+    # m1: all four edges crossed, elements beyond bin '7' discarded
+    for age, v in [(0, 5.0), (1.5 * DAY, 4.0), (3.5 * DAY, 3.0),
+                   (5.5 * DAY, 2.0), (7.5 * DAY, 1.0), (8 * DAY, 9.0),
+                   (9 * DAY, 0.5)]:
+        rows.append((BASE - float(age), float(v), "m1"))
+    # m2: single element, zero triggers -> ':37' drops the anchor
+    rows.append((float(BASE), 42.0, "m2"))
+    # m3: dense random walk with value ties and sub-second jitter
+    age = 0.0
+    for _ in range(120):
+        age += rng.uniform(60, 0.12 * DAY)
+        rows.append((BASE - age, float(rng.choice([1.0, 2.0, 3.0])), "m3"))
+    # m4: trigger element is the LAST element (empty leftover slot)
+    for age, v in [(0, 1.0), (0.5 * DAY, 2.0), (1.5 * DAY, 3.0)]:
+        rows.append((BASE - float(age), float(v), "m4"))
+
+    df = spark.createDataFrame(
+        [(e, v, m) for e, v, m in rows], "epoch double, value double, metric string"
+    ).select(F.timestamp_seconds("epoch").alias("ts"), "value", "metric")
+    got = day_binned_extremes_compat(df).toPandas()
+
+    oracle_in = df.toPandas()
+    con = duckdb.connect()
+    con.register("t", oracle_in)
+    exp = con.execute(day_binned_extremes_compat_sql("t")).fetchdf()
+
+    key = ["metric", "day_bin"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    assert list(got.columns) == list(exp.columns)
+    pd.testing.assert_frame_equal(
+        got, exp.astype(got.dtypes.to_dict()), check_like=True
+    )

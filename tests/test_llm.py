@@ -1965,3 +1965,47 @@ def test_label_balance_model_and_edges(spark):
     tiny = spark.createDataFrame([("big",)] * 999 + [("rare",)], "lang string")
     t = {r["label"]: r for r in label_balance(tiny, label="lang").collect()}
     assert t["rare"]["below_min_share"] and not t["big"]["below_min_share"]
+
+
+def test_bpe_encode_fixed_closed_form_matches_kernel():
+    # The bpe_encode_fixed oracle (bpe_encode_fixed_sql) rests on a
+    # closed form: under the registry's fixed rule list, rule 2 never
+    # fires and tokens = len(word)+1 - occ('th') - occ('in') - occ('an').
+    # Pin it against the REAL per-word kernel over the adversarial
+    # alphabet (includes 'e', '<', '/', 'w', '>' so a word can spell
+    # out the literal text "e</w>" — which must still never merge).
+    import random
+
+    from trend_o_meter_spark.llm.bpe import EOW, _merge_word
+
+    rules = [("t", "h"), ("th", "e</w>"), ("i", "n"), ("a", "n")]
+
+    def kernel(w: str) -> int:
+        syms = list(w) + [EOW]
+        have = set(syms)
+        for a, b in rules:
+            if a in have and b in have:
+                m = _merge_word(syms, a, b)
+                if len(m) != len(syms):
+                    syms, have = m, set(m)
+        return len(syms)
+
+    def closed(w: str) -> int:
+        occ = lambda p: (len(w) - len(w.replace(p, ""))) // 2
+        return len(w) + 1 - occ("th") - occ("in") - occ("an")
+
+    rng = random.Random(0)
+    for _ in range(20000):
+        w = "".join(
+            rng.choice("thinae</w>xo") for _ in range(rng.randrange(1, 12))
+        )
+        assert kernel(w) == closed(w), w
+
+
+def test_bpe_encode_fixed_sql_rejects_other_rule_lists():
+    import pytest
+
+    from trend_o_meter_spark.llm.bpe import bpe_encode_fixed_sql
+
+    with pytest.raises(ValueError):
+        bpe_encode_fixed_sql("documents", [("e", "</w>"), ("t", "h")])

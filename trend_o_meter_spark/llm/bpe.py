@@ -264,3 +264,51 @@ def bpe_encode_vocab(
         F.col(id_col),
         F.coalesce(F.col("__total"), F.lit(0)).cast("long").alias("n_tokens_bpe"),
     )
+
+
+def bpe_encode_fixed_sql(table: str, rules: list[tuple[str, str]]) -> str:
+    """Closed-form oracle for :func:`bpe_encode_vocab` under the
+    registry's FIXED 4-rule list — the rows-only -> oracle promotion
+    (VERDICT r10 task 2).
+
+    Derivation (fuzz-pinned vs the real kernel over 200k words drawn
+    from the adversarial alphabet ``thinae</w>xo`` in
+    tests/test_llm.py):
+
+    * rule 2 ``(th, e</w>)`` can NEVER fire: the symbol ``e</w>`` only
+      exists after a ``(e, </w>)`` merge, which is not in the list —
+      single characters of a word spelling out the literal text
+      ``e</w>`` stay separate symbols;
+    * the other three rules are 2-symbol merges whose patterns share no
+      characters and cannot self-overlap (distinct symbols), and no
+      merge ever creates or destroys another rule's adjacency (``th``
+      carries no i/a/n; the ``n`` of an ``an`` occurrence is preceded
+      by ``a``, so rule 3 cannot have consumed it) — so each rule
+      removes exactly one symbol per substring occurrence;
+    * hence ``n_tokens(word) = length(word) + 1 - occ('th') -
+      occ('in') - occ('an')`` with ``occ`` the plain substring count
+      ``(len - len(replace(w, p, ''))) // 2``.
+
+    Raises if called with any other rule list: the closed form is a
+    theorem about THIS list, not BPE in general."""
+    if rules != [("t", "h"), ("th", "e</w>"), ("i", "n"), ("a", "n")]:
+        raise ValueError("closed-form oracle only holds for the fixed rule list")
+    from .dedup import NORM_SQL
+
+    norm = NORM_SQL.format(c="text")
+    occ = "((length(w) - length(replace(w, '{p}', ''))) // 2)"
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split({norm}, ' ')) AS w
+  FROM {table}
+), toks AS (
+  SELECT doc_id,
+         SUM(length(w) + 1 - {occ.format(p='th')}
+                           - {occ.format(p='in')}
+                           - {occ.format(p='an')}) AS n
+  FROM words WHERE w <> '' GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(t.n, 0) AS BIGINT) AS n_tokens_bpe
+FROM (SELECT DISTINCT doc_id FROM {table}) d
+LEFT JOIN toks t USING (doc_id)
+"""

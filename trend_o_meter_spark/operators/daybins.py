@@ -240,3 +240,117 @@ SELECT
 FROM binned
 GROUP BY {key_grp}day_bin
 """
+
+
+def day_binned_extremes_compat_sql(
+    table: str,
+    *,
+    ts: str = "ts",
+    value: str = "value",
+    metric: str = "metric",
+    day_bins: Sequence[int] = (1, 3, 5, 7),
+    min_data_hours: int = 18,
+    source_sql: str | None = None,
+) -> str:
+    """Exact DuckDB oracle for :func:`day_binned_extremes_compat` — the
+    rows-only -> oracle promotion (VERDICT r10 task 2 stretch).
+
+    The reference walk (trend-o-meter:17-64) LOOKS imperatively
+    sequential, but its per-element state has a closed form:
+
+    * ``c_i`` = number of bin edges above element ``i``'s (float-second)
+      time is NON-DECREASING in newest-first order, so the one-edge-per-
+      element counter ``f`` obeys ``f(i+1) = min(f(i)+1, c_i)``, whose
+      solution is ``f(i) = i - 1 - max_{j<i}(j - c_j)`` (``f(0)=0``) — a
+      running-max window;
+    * an element triggers a slice close iff ``f < c``; its slice label is
+      ``f + [f < c]``; labels ``>= len(bins)`` are discarded (the walk
+      never appends a 5th slice);
+    * the ``:37`` leftover off-by-one is exactly "drop the FIRST element
+      (newest-first) of the last slice ``T`` when ``T < len(bins)``"
+      (``T`` = total triggers; when no edge was ever crossed that first
+      element is the anchor itself);
+    * closed slices may be EMPTY (consecutive crossing elements), and
+      the leftover slot exists even when emptied by the drop — slots are
+      generated per metric and left-joined to the element aggregate.
+
+    Float semantics are replicated bit-for-bit: the walk compares
+    ``int64-nanoseconds / 1e9`` float64 seconds against
+    ``anchor - b*86400`` float64 edges; the oracle uses
+    ``epoch_ns(..) / 1000000000.0`` and the same subtraction, both IEEE
+    double ops.  Tie-breaks (strict ``<``/``>`` keep the first-
+    encountered sample) are index-carried struct min/max, as in
+    :func:`day_binned_extremes_sql`.
+    """
+    bins = list(day_bins)
+    B = len(bins)
+    src = source_sql or f"SELECT * FROM {table}"
+    c_expr = " + ".join(
+        f"(CASE WHEN tsec < anchor - {b * 86400} THEN 1 ELSE 0 END)"
+        for b in bins
+    )
+    label = "CASE s " + " ".join(
+        f"WHEN {k} THEN '{b}'" for k, b in enumerate(bins)
+    ) + " END"
+    return f"""
+WITH src AS ({src}),
+elems AS (
+  SELECT {metric} AS m, {ts} AS t, {value} AS v,
+         epoch_ns({ts}) / 1000000000.0 AS tsec,
+         row_number() OVER (PARTITION BY {metric} ORDER BY {ts} DESC) - 1 AS i
+  FROM src
+),
+anch AS (
+  SELECT *, max(tsec) OVER (PARTITION BY m) AS anchor FROM elems
+),
+cvals AS (
+  SELECT *, {c_expr} AS c FROM anch
+),
+fvals AS (
+  SELECT *,
+    CASE WHEN i = 0 THEN 0
+         ELSE i - 1 - max(i - c) OVER (
+             PARTITION BY m ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    END AS f
+  FROM cvals
+),
+svals AS (
+  SELECT *, f + (CASE WHEN f < c THEN 1 ELSE 0 END) AS s,
+         sum(CASE WHEN f < c THEN 1 ELSE 0 END) OVER (PARTITION BY m) AS tt
+  FROM fvals
+),
+kept AS (
+  SELECT *, row_number() OVER (PARTITION BY m, s ORDER BY i) AS rs
+  FROM svals WHERE s < {B}
+),
+kept2 AS (
+  SELECT * FROM kept WHERE NOT (tt < {B} AND s = tt AND rs = 1)
+),
+slots AS (
+  SELECT m, unnest(generate_series(0, CAST(
+           CASE WHEN tt < {B} THEN tt ELSE {B - 1} END AS BIGINT))) AS s
+  FROM (SELECT m, any_value(tt) AS tt FROM svals GROUP BY m)
+),
+agg AS (
+  SELECT m, s,
+         count(*) AS n,
+         (min(struct_pack(v := v, i := i, t := t))).v AS minv,
+         (min(struct_pack(v := v, i := i, t := t))).t AS mint,
+         (max(struct_pack(v := v, ni := -i, t := t))).v AS maxv,
+         (max(struct_pack(v := v, ni := -i, t := t))).t AS maxt,
+         max(t) AS firstt,
+         min(t) AS lastt,
+         ceil((max(tsec) - min(tsec)) / 3600) > {min_data_hours} AS comp
+  FROM kept2 GROUP BY m, s
+)
+SELECT sl.m AS {metric},
+       {label} AS day_bin,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_samples,
+       a.minv AS min_val, a.mint AS min_ts,
+       a.maxv AS max_val, a.maxt AS max_ts,
+       a.firstt AS first_ts, a.lastt AS last_ts,
+       COALESCE(a.comp, FALSE) AS is_complete
+FROM slots sl
+LEFT JOIN agg a USING (m, s)
+"""

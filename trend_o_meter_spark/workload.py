@@ -156,10 +156,11 @@ _SCORE_FIRST = (
     "holt_linear_02",
     # --- slots 33-50: the oldest 18 of the 43-strong r07 cohort, in
     # declaration order; the remaining 25 r07 entries queue for round
-    # 11, then the r08 cohort.  The rows-only-by-design entries
-    # (bpe_merges, bpe_encode_fixed, flagship_day_bins_compat) are NOT
-    # fronted: re-sampling them cannot produce a stronger verdict than
-    # they already carry. ----------------------------------------------
+    # 11, then the r08 cohort.  The one remaining rows-only-by-design
+    # entry (bpe_merges — iterative data-dependent merge choices) is NOT
+    # fronted: re-sampling it cannot produce a stronger verdict than it
+    # already carries.  (bpe_encode_fixed and flagship_day_bins_compat
+    # were oracle-promoted in round 11.) -------------------------------
     "asof_join_orders",
     "window_rank",
     "unpivot_lineitem_charges",
@@ -217,12 +218,19 @@ def flagship_day_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "flagship_day_bins_compat",
-    None,  # sequential reference walk (one-edge-per-element, :37 off-by-one)
-    # is not SQL-expressible -> rows-only check; exact semantics pinned by
-    # the golden tests in tests/test_daybins_compat.py
+    daybins.day_binned_extremes_compat_sql(
+        "events",
+        ts="ts",
+        value="value",
+        metric="event_type",
+        source_sql=_DOWNSAMPLE_SQL,
+    ),
     doc="A3 quirk-faithful variant: bit-exact reference minMaxForDayBins "
     "walk (trend-o-meter:17-64) incl. the :37 leftover off-by-one, via "
-    "per-metric applyInPandas (SURVEY §7.2 phase 3).",
+    "per-metric applyInPandas (SURVEY §7.2 phase 3).  Oracle: the walk's "
+    "sequential state has a closed form (running-max window over "
+    "edges-above counts; ':37' = drop the first element of the last "
+    "slice) — see day_binned_extremes_compat_sql.",
 )
 def flagship_day_bins_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir).select("event_id", "ts", "event_type", "value")
@@ -2612,16 +2620,17 @@ _BPE_FIXED_RULES = [("t", "h"), ("th", "e</w>"), ("i", "n"), ("a", "n")]
 
 @_q(
     "bpe_encode_fixed",
-    None,  # the left-to-right non-overlapping merge loop has no clean SQL
-    # twin (string-replace approximations break on shared delimiters);
-    # encode correctness is pinned vs the python reference in tests
+    bpe.bpe_encode_fixed_sql("documents", _BPE_FIXED_RULES),
     doc="BPE encoding with a fixed rule list: tokens-per-doc after "
     "applying 4 merges in rank order — the compression measurement on "
     "the corpus, via the scale path: each DISTINCT word is encoded "
     "once by an Arrow-batched kernel (constant expression depth in "
     "num_rules, unlike the fold encoder's O(rules)-deep tree) and "
-    "joined back.  Fold/vocab equality is test-pinned.  Rows-only by "
-    "design.",
+    "joined back.  Fold/vocab equality is test-pinned.  Oracle: the "
+    "closed form for THIS rule list (rule 2 provably never fires; the "
+    "other three are disjoint non-self-overlapping bigram merges, so "
+    "tokens = len+1 minus the three substring counts) — see "
+    "bpe_encode_fixed_sql for the proof sketch and its fuzz pin.",
 )
 def bpe_encode_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
