@@ -37,12 +37,19 @@ from __future__ import annotations
 import os
 import re
 import sys
+import time
 
 sys.path.insert(0, "/root/repo")
 
 from trend_o_meter_spark.lineage import AUDIT_ENV
 from trend_o_meter_spark.session import get_spark
 from trend_o_meter_spark.workload import registry
+
+
+# Planning wall-time above this flags SLOW-PLAN: the analysis pass is
+# per-query driver-side cost, so "a few seconds" (VERDICT r10 task 3) is
+# where a 100x-wider funnel's planning would start to rival execution.
+PLAN_WALL_FLAG_S = 5.0
 
 
 def audit_plan(plan: str) -> dict:
@@ -97,7 +104,16 @@ def main() -> int:
             os.environ.pop(AUDIT_ENV, None)  # production shape: count cuts
             n_rdd_prod = len(re.findall(r"Scan ExistingRDD", _explain(spark, spec, sf_dir)))
             os.environ[AUDIT_ENV] = "1"  # full lineage: true metrics
+            # Time THIS pass: with lineage.cut passing through, building
+            # the DataFrame + explainString is pure driver-side Catalyst
+            # work (analysis + optimization + physical planning over the
+            # full un-checkpointed lineage, no execution) — the planning
+            # cost a 100x-wider funnel would pay per query (VERDICT r10
+            # task 3).  The production pass is NOT timed: its ckpt
+            # queries execute checkpoint subtrees, which is runtime.
+            t0 = time.time()
             plan = _explain(spark, spec, sf_dir)
+            plan_s = time.time() - t0
         except Exception as e:  # noqa: BLE001
             rows.append((spec.name, None, f"ERROR {type(e).__name__}"))
             n_flagged += 1
@@ -106,6 +122,12 @@ def main() -> int:
             os.environ.pop(AUDIT_ENV, None)
         m = audit_plan(plan)
         m["ckpt"] = max(0, n_rdd_prod - len(re.findall(r"Scan ExistingRDD", plan)))
+        m["plan_s"] = round(plan_s, 2)
+        if m["plan_s"] > PLAN_WALL_FLAG_S:
+            m["flags"] = ",".join(
+                sorted(set(filter(None, m["flags"].split(","))) - {"-"}
+                       | {"SLOW-PLAN"})
+            )
         if m["flags"] != "-":
             n_flagged += 1
         rows.append((spec.name, m, None))
@@ -123,21 +145,24 @@ def main() -> int:
         "the TRUE pre-checkpoint lineage (SPARK_GRAFT_NO_CHECKPOINT pass),",
         "so a checkpointed query's upstream scans/shuffles stay auditable;",
         "at runtime each cut executes its subtree once and serves all",
-        "consumers from the materialized RDD.  Flags: CARTESIAN,",
-        "1PART-WINDOW (window fed by a single-partition exchange) — both",
-        "fail the audit.",
+        "consumers from the materialized RDD.  `plan_s` = driver-side",
+        "Catalyst wall (analysis + optimization + physical planning of the",
+        "FULL un-checkpointed lineage, no execution) — the per-query",
+        "planning cost at 100x-wider pipelines.  Flags: CARTESIAN,",
+        "1PART-WINDOW (window fed by a single-partition exchange),",
+        f"SLOW-PLAN (plan_s > {PLAN_WALL_FLAG_S:g} s) — all fail the audit.",
         "",
-        "| query | sh | bc | cg | TOaP | scan/push | ckpt | flags |",
-        "|---|---|---|---|---|---|---|---|",
+        "| query | sh | bc | cg | TOaP | scan/push | ckpt | plan_s | flags |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for name, m, err in rows:
         if err:
-            out.append(f"| {name} | - | - | - | - | - | - | {err} |")
+            out.append(f"| {name} | - | - | - | - | - | - | - | {err} |")
             continue
         out.append(
             f"| {name} | {m['exchanges']} | {m['broadcasts']} | {m['codegen']} | "
             f"{'y' if m['take_ordered'] else ''} | {m['scans']}/{m['pushed']} | "
-            f"{m['ckpt'] or ''} | {m['flags']} |"
+            f"{m['ckpt'] or ''} | {m['plan_s']} | {m['flags']} |"
         )
     out.append("")
     out.append(f"{len(rows)} queries audited, {n_flagged} flagged.")

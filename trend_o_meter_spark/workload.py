@@ -106,61 +106,73 @@ def _q(name: str, oracle: str | None, doc: str = ""):
 # verdict across rounds even under a query-count/time cap; remaining
 # entries keep declaration order (stable sort).
 _SCORE_FIRST = (
-    # --- round 10 rotation (VERDICT r09 task 2): newest-first aging so
+    # --- round 11 rotation (VERDICT r10 task 7): newest-first aging so
     # no oracle-backed query's driver verdict is older than 4 rounds.
-    # Slots 1-6: the never-scored queries added this round (three new
-    # families: weighted sampling, t-digest, HTML extraction) and the
-    # query whose oracle was UPGRADED (rows-only -> bound-checked).
-    "priority_sample",
-    "tdigest_quantiles",
-    "tdigest_rollup",
-    "weighted_quantiles",
+    # Slots 1-5: queries whose Spark code or oracle changed THIS round —
+    # the two rows-only -> oracle promotions (closed-form oracles) and
+    # the crawl trilogy whose oracles were made sign-safe and whose
+    # shared extractor got the length-preserving-lowercase /
+    # surrogate-entity fixes.
+    "bpe_encode_fixed",
+    "flagship_day_bins_compat",
     "html_extract",
     "warc_extract",
     "robots_filter",
-    "video_frame_features",
-    "ngram_novelty",
-    "approx_sketches",
-    # --- slots 3-32: the ENTIRE 30-query r05-stale cohort (every
-    # oracle-backed query whose newest driver verdict is r05), in
-    # declaration order. -----------------------------------------------
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_parts",
-    "q12_late_lines_by_class",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q20_promotion_candidates",
-    "grouping_sets_revenue",
-    "dup_span_removal",
-    "exact_substr_spans",
-    "curation_funnel_v2",
-    "curation_funnel_v3",
-    "pagerank_docs",
-    "hits_docs",
-    "logreg_lang_weights",
-    "logreg_lang_scores",
-    "logreg_hashed_weights",
-    "logreg_hashed_scores",
-    "dsir_weights",
-    "dsir_resample",
-    "ccnet_buckets",
-    "lm_kn_score",
-    "temperature_mixture",
-    "semantic_dedup",
-    "audio_features",
-    "decontaminate_spans",
-    "gopher_rules",
-    "winnowing_fingerprints",
-    "phrase_search",
-    "holt_linear_02",
-    # --- slots 33-50: the oldest 18 of the 43-strong r07 cohort, in
-    # declaration order; the remaining 25 r07 entries queue for round
-    # 11, then the r08 cohort.  The one remaining rows-only-by-design
-    # entry (bpe_merges — iterative data-dependent merge choices) is NOT
-    # fronted: re-sampling it cannot produce a stronger verdict than it
-    # already carries.  (bpe_encode_fixed and flagship_day_bins_compat
-    # were oracle-promoted in round 11.) -------------------------------
+    # --- slots 6-38: the ENTIRE 33-query r07-stale cohort (every
+    # oracle-backed query whose newest driver verdict is r07), sorted by
+    # name. -------------------------------------------------------------
+    "ab_lift",
+    "anti_join_orderless_customers",
+    "assoc_rules",
+    "attribution_last_touch",
+    "bloom_contamination",
+    "calibration_ece",
+    "cohort_retention",
+    "contamination_check",
+    "cube_order_priority",
+    "dau_mau",
+    "distinct_agg",
+    "event_transitions",
+    "funnel_views",
+    "hist_median_mad",
+    "image_features",
+    "label_balance",
+    "metric_correlation",
+    "mrl_recall",
+    "pivot_events",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q5_region_revenue",
+    "rollup_returns",
+    "seasonal_hourly",
+    "semi_join_urgent_customers",
+    "set_ops_nations",
+    "split_drift_psi",
+    "sql_orders_by_year",
+    "theil_sen_daily",
+    "triangle_counts",
+    "typo_pairs",
+    "window_distribution",
+    "winnow_near_dup",
+    # --- slots 39-50: the first 12 (by name) of the 50-strong r08
+    # cohort; the remaining 38 queue for round 12.  The one remaining
+    # rows-only-by-design entry (bpe_merges — iterative data-dependent
+    # merge choices) is NOT fronted: re-sampling it cannot produce a
+    # stronger verdict than it already carries. -------------------------
+    "active_channels",
+    "cms_heavy_hitters",
+    "cooc_pmi_topk",
+    "cross_corpus_lsh",
+    "cross_doc_ngram_dup",
+    "curation_funnel",
+    "cusum_shifts",
+    "dataset_split",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_exact",
+    "downsample_60s",
+    # --- pre-round-11 tail (kept for stable ordering of the remainder;
+    # these already carry r08+ verdicts and sort after the 50 above) ----
     "asof_join_orders",
     "window_rank",
     "unpivot_lineitem_charges",
