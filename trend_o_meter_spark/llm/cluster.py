@@ -395,6 +395,7 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     checkpoint_dir: str | None = None,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank (Page et al. 1999, "The PageRank Citation
     Ranking") over an edge list — the link-analysis quality prior a
@@ -426,11 +427,14 @@ def pagerank(
     # materialize the edge list ONCE before the loop: it is referenced by
     # every iteration's join (plus nodes/outdeg), and an expensive edge
     # derivation (e.g. the simhash band join feeding pagerank_docs) would
-    # otherwise re-execute 3 + 2*iters times through lineage
-    e = _truncate(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct(),
-        checkpoint_dir,
-    )
+    # otherwise re-execute 3 + 2*iters times through lineage.
+    # ``edges_distinct=True`` skips the defensive dedup for callers whose
+    # edge list is distinct by construction (see hits(): 6.5 s of the
+    # 10.8 s sf0.1 edge materialization was this redundant shuffle).
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not edges_distinct:
+        e = e.distinct()
+    e = _truncate(e, checkpoint_dir)
     nodes = _truncate(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -547,6 +551,7 @@ def hits(
     dst: str = "dst",
     iters: int = 3,
     checkpoint_dir: str | None = None,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg 1999, "Authoritative sources in a
     hyperlinked environment"): hubs point at good authorities,
@@ -574,10 +579,17 @@ def hits(
     """
     if int(iters) < 1:
         raise ValueError(f"hits requires iters >= 1, got {iters}")
-    e = _truncate(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct(),
-        checkpoint_dir,
-    )
+    # ``edges_distinct=True`` skips the defensive edge dedup (round-11
+    # shave, VERDICT r10 task 5): callers whose edge list is distinct BY
+    # CONSTRUCTION (e.g. hits_docs — ``id_a < id_b`` pairs already
+    # distinct-ed, then symmetrized by a disjoint union) pay a redundant
+    # full-edge-table shuffle otherwise — measured 6.5 s of the 10.8 s
+    # edge materialization at sf0.1 (4.3M edges).  Values are untouched
+    # either way; the oracle keeps its SELECT DISTINCT.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not edges_distinct:
+        e = e.distinct()
+    e = _truncate(e, checkpoint_dir)
     nodes = _truncate(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -585,6 +597,21 @@ def hits(
         checkpoint_dir,
     )
     nn = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
+
+    # Size-gated broadcast of the per-round score tables (round-11
+    # shave): they are O(nodes) rows behind a checkpoint, so Catalyst
+    # has no stats and plans SortMergeJoin — shuffling the FULL edge
+    # table every half-round (6x for iters=3).  When the node count
+    # (known: `nodes` is already materialized, the count is a cheap RDD
+    # job) is small enough to broadcast (~16 B/row; 1M nodes ≈ tens of
+    # MB as a hashed relation), hint it and the edge table never
+    # exchanges inside the loop.  Above the gate the keyed
+    # shuffle-join is the right plan and we leave it alone — the
+    # 50M-node regime must NOT broadcast.
+    _bc_scores = nodes.count() <= 1_000_000
+
+    def score_side(df):
+        return F.broadcast(df) if _bc_scores else df
 
     def q9(col):
         return F.floor(col * F.lit(1e9) + F.lit(0.5)).cast("long")  # scores >= 0
@@ -624,7 +651,7 @@ def hits(
             )
         else:
             araw = _truncate(
-                e.join(hq.withColumnRenamed("node", "src"), "src")
+                e.join(score_side(hq.withColumnRenamed("node", "src")), "src")
                 .groupBy("dst")
                 .agg(F.sum("q").alias("__raw")),
                 checkpoint_dir,
@@ -635,7 +662,7 @@ def hits(
             q9(F.col("__raw").cast("double") / F.col("__s")).alias("q"),
         )
         hraw = _truncate(
-            e.join(aq.withColumnRenamed("node", "dst"), "dst")
+            e.join(score_side(aq.withColumnRenamed("node", "dst")), "dst")
             .groupBy("src")
             .agg(F.sum("q").alias("__raw")),
             checkpoint_dir,

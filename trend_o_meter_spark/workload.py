@@ -2811,7 +2811,9 @@ def pagerank_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    return cluster.pagerank(edges, iters=3)
+    # distinct by construction: id_a < id_b pairs are distinct-ed
+    # upstream; the reversed union is disjoint from the forward half
+    return cluster.pagerank(edges, iters=3, edges_distinct=True)
 
 
 @_q(
@@ -2855,7 +2857,8 @@ def hits_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    return cluster.hits(edges, iters=3)
+    # distinct by construction (see pagerank_docs_q)
+    return cluster.hits(edges, iters=3, edges_distinct=True)
 
 
 @_q(
