@@ -102,15 +102,20 @@ def main() -> int:
     for spec in registry():
         try:
             os.environ.pop(AUDIT_ENV, None)  # production shape: count cuts
+            # build_s: the production pass wall (DataFrame construction +
+            # explain).  With lazy lineage cuts this is per-segment
+            # Catalyst planning; operators with construction-time driver
+            # actions (fixpoint loops, trainers, count gates) execute
+            # those too — it is the driver-visible cost a user pays
+            # before the query's first result job.
+            t0 = time.time()
             n_rdd_prod = len(re.findall(r"Scan ExistingRDD", _explain(spark, spec, sf_dir)))
+            build_s = time.time() - t0
             os.environ[AUDIT_ENV] = "1"  # full lineage: true metrics
-            # Time THIS pass: with lineage.cut passing through, building
-            # the DataFrame + explainString is pure driver-side Catalyst
-            # work (analysis + optimization + physical planning over the
-            # full un-checkpointed lineage, no execution) — the planning
-            # cost a 100x-wider funnel would pay per query (VERDICT r10
-            # task 3).  The production pass is NOT timed: its ckpt
-            # queries execute checkpoint subtrees, which is runtime.
+            # plan_s: the same wall with lineage.cut passing through —
+            # the COUNTERFACTUAL cost of the full un-checkpointed
+            # lineage (VERDICT r10 task 3).  plan_s >> build_s is the
+            # measured justification for a query's cut boundaries.
             t0 = time.time()
             plan = _explain(spark, spec, sf_dir)
             plan_s = time.time() - t0
@@ -122,8 +127,13 @@ def main() -> int:
             os.environ.pop(AUDIT_ENV, None)
         m = audit_plan(plan)
         m["ckpt"] = max(0, n_rdd_prod - len(re.findall(r"Scan ExistingRDD", plan)))
+        m["build_s"] = round(build_s, 2)
         m["plan_s"] = round(plan_s, 2)
-        if m["plan_s"] > PLAN_WALL_FLAG_S:
+        # SLOW-PLAN fires only where PRODUCTION pays the full-lineage
+        # planning: a query with zero cut boundaries whose planning
+        # exceeds the threshold.  Cut queries' plan_s is the documented
+        # counterfactual, not a production cost.
+        if m["plan_s"] > PLAN_WALL_FLAG_S and m["ckpt"] == 0:
             m["flags"] = ",".join(
                 sorted(set(filter(None, m["flags"].split(","))) - {"-"}
                        | {"SLOW-PLAN"})
@@ -145,24 +155,32 @@ def main() -> int:
         "the TRUE pre-checkpoint lineage (SPARK_GRAFT_NO_CHECKPOINT pass),",
         "so a checkpointed query's upstream scans/shuffles stay auditable;",
         "at runtime each cut executes its subtree once and serves all",
-        "consumers from the materialized RDD.  `plan_s` = driver-side",
-        "Catalyst wall (analysis + optimization + physical planning of the",
-        "FULL un-checkpointed lineage, no execution) — the per-query",
-        "planning cost at 100x-wider pipelines.  Flags: CARTESIAN,",
-        "1PART-WINDOW (window fed by a single-partition exchange),",
-        f"SLOW-PLAN (plan_s > {PLAN_WALL_FLAG_S:g} s) — all fail the audit.",
+        "consumers from the materialized RDD.  `build_s` = the PRODUCTION",
+        "pass wall (construction + explain: per-segment planning, plus any",
+        "construction-time driver actions — fixpoint loops, trainers,",
+        "count gates — executing at this sf).  `plan_s` = the same wall",
+        "with cuts passing through: the COUNTERFACTUAL full-lineage",
+        "planning cost; plan_s >> build_s is the measured justification",
+        "for that query's cut boundaries.  Flags: CARTESIAN, 1PART-WINDOW",
+        "(window fed by a single-partition exchange), SLOW-PLAN",
+        f"(plan_s > {PLAN_WALL_FLAG_S:g} s on a query with NO cut",
+        "boundaries — production pays full-lineage planning) — all fail",
+        "the audit.",
         "",
-        "| query | sh | bc | cg | TOaP | scan/push | ckpt | plan_s | flags |",
-        "|---|---|---|---|---|---|---|---|---|",
+        f"Host load at generation: {os.getloadavg()[0]:.1f}/{os.cpu_count()}"
+        " (1m loadavg/cpus) — wall columns are load-sensitive.",
+        "",
+        "| query | sh | bc | cg | TOaP | scan/push | ckpt | build_s | plan_s | flags |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name, m, err in rows:
         if err:
-            out.append(f"| {name} | - | - | - | - | - | - | - | {err} |")
+            out.append(f"| {name} | - | - | - | - | - | - | - | - | {err} |")
             continue
         out.append(
             f"| {name} | {m['exchanges']} | {m['broadcasts']} | {m['codegen']} | "
             f"{'y' if m['take_ordered'] else ''} | {m['scans']}/{m['pushed']} | "
-            f"{m['ckpt'] or ''} | {m['plan_s']} | {m['flags']} |"
+            f"{m['ckpt'] or ''} | {m['build_s']} | {m['plan_s']} | {m['flags']} |"
         )
     out.append("")
     out.append(f"{len(rows)} queries audited, {n_flagged} flagged.")
