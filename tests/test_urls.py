@@ -1,0 +1,88 @@
+"""URL canonicalization tests: the dot-segment fold is fuzz-pinned
+against a literal transcription of RFC 3986 section 5.2.4's buffer
+algorithm, and the full canonicalizer against hand-checked cases."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from trend_o_meter_spark.llm.urls import (
+    canonicalize_url,
+    domain_stats,
+    remove_dot_segments_col,
+    url_canonical,
+)
+
+
+def rfc_remove_dot_segments(path: str) -> str:
+    """RFC 3986 5.2.4, transcribed literally (input buffer walk)."""
+    inp, out = path, ""
+    while inp:
+        if inp.startswith("../"):
+            inp = inp[3:]
+        elif inp.startswith("./"):
+            inp = inp[2:]
+        elif inp.startswith("/./"):
+            inp = "/" + inp[3:]
+        elif inp == "/.":
+            inp = "/"
+        elif inp.startswith("/../"):
+            inp = "/" + inp[4:]
+            out = out[: out.rfind("/")] if "/" in out else ""
+        elif inp == "/..":
+            inp = "/"
+            out = out[: out.rfind("/")] if "/" in out else ""
+        elif inp in (".", ".."):
+            inp = ""
+        else:
+            i = inp.find("/", 1)
+            seg, inp = (inp, "") if i == -1 else (inp[:i], inp[i:])
+            out += seg
+    return out
+
+
+def test_dot_segment_fold_matches_rfc_on_fuzz(spark):
+    rng = random.Random(11)
+    parts = ["a", "bb", "c1", ".", "..", ""]
+    paths = []
+    for _ in range(400):
+        n = rng.randrange(0, 7)
+        paths.append("/" + "/".join(rng.choice(parts) for _ in range(n)))
+    paths += ["/", "/.", "/..", "/a/..", "/a/.", "/../a", "/a//b", "/a//../b",
+              "/a/b/c/./../../g", "/./", "/../", "/a/../../b"]
+    df = spark.createDataFrame([(p,) for p in paths], "p string")
+    got = {
+        r["p"]: r["out"]
+        for r in df.select("p", remove_dot_segments_col(F.col("p")).alias("out")).collect()
+    }
+    for p in paths:
+        assert got[p] == rfc_remove_dot_segments(p), (
+            p, got[p], rfc_remove_dot_segments(p))
+
+
+def test_canonicalize_known_cases(spark):
+    cases = [
+        ("HTTP://WWW.Example.COM:80/a/./b/../c#frag", "http://www.example.com/a/c"),
+        ("https://Host:443/", "https://host/"),
+        ("https://Host:8443/x", "https://host:8443/x"),  # non-default kept
+        ("http://h", "http://h/"),                        # empty path -> /
+        ("http://h/%7Euser/p", "http://h/~user/p"),
+        ("http://h/a?q=1#f", "http://h/a?q=1"),           # query kept, frag cut
+        ("not a url", "not a url"),                       # passthrough
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = {r["u"]: r["c"] for r in df.select("u", canonicalize_url(F.col("u")).alias("c")).collect()}
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)
+
+
+def test_url_collisions_surface_in_domain_stats(spark):
+    # two docs, same source, doc_ids 100 apart -> same logical page;
+    # different mess branches -> same canonical URL -> one dup
+    df = spark.createDataFrame(
+        [(7, "srcA"), (107, "srcA"), (8, "srcA")], "doc_id long, source string"
+    )
+    c = {r["doc_id"]: r["url"] for r in url_canonical(df).collect()}
+    assert c[7] == c[107] and c[7] != c[8]
+    row = domain_stats(df).collect()[0]
+    assert (row["n_docs"], row["n_urls"], row["n_dup_docs"]) == (3, 2, 1)

@@ -58,6 +58,7 @@ from .llm import (
     sampling,
     similarity,
     text,
+    urls,
     warc,
 )
 from .operators import (
@@ -118,6 +119,10 @@ _SCORE_FIRST = (
     "html_extract",
     "warc_extract",
     "robots_filter",
+    # never-scored queries added this round (URL canonicalization family)
+    "url_canonical",
+    "url_domain_stats",
+    "url_dedup",
     # --- slots 6-38: the ENTIRE 33-query r07-stale cohort (every
     # oracle-backed query whose newest driver verdict is r07), sorted by
     # name. -------------------------------------------------------------
@@ -154,8 +159,8 @@ _SCORE_FIRST = (
     "typo_pairs",
     "window_distribution",
     "winnow_near_dup",
-    # --- slots 39-50: the first 12 (by name) of the 50-strong r08
-    # cohort; the remaining 38 queue for round 12.  The one remaining
+    # --- slots 42-50: the first 9 (by name) of the 50-strong r08
+    # cohort; the remaining 41 queue for round 12.  The one remaining
     # rows-only-by-design entry (bpe_merges — iterative data-dependent
     # merge choices) is NOT fronted: re-sampling it cannot produce a
     # stronger verdict than it already carries. -------------------------
@@ -168,9 +173,6 @@ _SCORE_FIRST = (
     "cusum_shifts",
     "dataset_split",
     "dedup_clusters",
-    "dedup_clusters_star",
-    "dedup_exact",
-    "downsample_60s",
     # --- pre-round-11 tail (kept for stable ordering of the remainder;
     # these already carry r08+ verdicts and sort after the 50 above) ----
     "asof_join_orders",
@@ -4227,4 +4229,55 @@ def seasonal_adjusted_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame
         value="residual",
         keys=("event_type",),
         z_threshold=3.5,
+    )
+
+
+@_q(
+    "url_canonical",
+    urls.url_canonical_sql("documents"),
+    doc="URL canonicalization (RFC 3986 6.2.2), the crawl-frontier front "
+    "gate before any content downloads: scheme/host lowercase, default-"
+    "port strip, fragment removal, remove_dot_segments as a pure JVM "
+    "array-stack fold (no UDF), %7E decode, empty path -> '/'.  Raw "
+    "URLs are synthesized deterministically per document exercising "
+    "every branch; the oracle knows raw and canonical forms in closed "
+    "form (the html/warc/robots contract).  Map-only, zero shuffles.",
+)
+def url_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return urls.url_canonical(d)
+
+
+@_q(
+    "url_domain_stats",
+    urls.domain_stats_sql("documents"),
+    doc="Per-host frontier rollup over canonical URLs: docs per host, "
+    "distinct canonical URLs, and the duplicate count their difference "
+    "exposes (the logical page is doc_id % 100 per source, so distinct "
+    "documents genuinely collide after canonicalization).  One keyed "
+    "aggregation over dimension-sized hosts.",
+)
+def url_domain_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return urls.domain_stats(d)
+
+
+@_q(
+    "url_dedup",
+    """
+WITH c AS (SELECT doc_id, {canon} AS url FROM documents)
+SELECT doc_id, url,
+       doc_id = min(doc_id) OVER (PARTITION BY url) AS keep
+FROM c
+""".format(canon=urls._CANON_SQL.format(mod=urls.PAGE_MOD)),
+    doc="URL-level dedup decision: canonicalize, keep the smallest "
+    "doc_id per canonical URL (the deterministic survivor rule shared "
+    "with exact/near dedup).  One keyed min + membership test.",
+)
+def url_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    c = urls.url_canonical(d).select("doc_id", "url")
+    w = Window.partitionBy("url")
+    return c.select(
+        "doc_id", "url", (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep")
     )
