@@ -125,6 +125,7 @@ HEADLINE = (
     "html_extract",
     "warc_extract",
     "robots_filter",
+    "url_canonical",
 )
 
 

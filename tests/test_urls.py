@@ -86,3 +86,67 @@ def test_url_collisions_surface_in_domain_stats(spark):
     assert c[7] == c[107] and c[7] != c[8]
     row = domain_stats(df).collect()[0]
     assert (row["n_docs"], row["n_urls"], row["n_dup_docs"]) == (3, 2, 1)
+
+
+def test_stream_url_dedup_matches_batch_replay_restart_compaction(spark, tmp_path):
+    """The live URL-dedup twin: per-canonical-url min-doc-id state,
+    min-merged — each batch's report must equal the batch url_dedup
+    query over the union RESTRICTED to the batch's docs (in-doc_id-order
+    delivery), and survive replay, restart, and mid-run compaction
+    unchanged."""
+    from pyspark.sql import Window
+
+    from trend_o_meter_spark.llm.urls import url_canonical
+    from trend_o_meter_spark.streaming.pipeline import stream_url_dedup
+
+    # doc_ids 100 apart on the same source share a canonical URL
+    docs = [(7, "srcA"), (8, "srcA"), (107, "srcA"), (9, "srcB"),
+            (207, "srcA"), (108, "srcA"), (109, "srcB")]
+    batches = [docs[:2], docs[2:4], docs[4:]]
+
+    def mkdf(rs):
+        return spark.createDataFrame(rs, "doc_id long, source string")
+
+    def batch_answer(seen, ids):
+        c = url_canonical(mkdf(seen)).select("doc_id", "url")
+        w = Window.partitionBy("url")
+        return sorted(
+            map(tuple, c.select(
+                "doc_id", "url",
+                (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+            ).filter(F.col("doc_id").isin(ids)).collect())
+        )
+
+    results = {}
+    per_batch = stream_url_dedup(
+        state_path=str(tmp_path / "urls"),
+        compact_every=2,  # fires ON batch 2 mid-run
+        on_result=lambda bid, df: results.update(
+            {bid: sorted(map(tuple, df.collect()))}
+        ),
+    )
+    seen = []
+    for i, chunk in enumerate(batches):
+        seen += chunk
+        per_batch(mkdf(chunk), i)
+        want = batch_answer(seen, {r[0] for r in chunk})
+        assert results[i] == want, i
+    # batch 2 must contain real cross-batch drops: 207/108/109 collide
+    # with earlier 7/8/9
+    assert any(not keep for _, _, keep in results[2])
+
+    # replay of the last batch: identical report, state self-overwrites
+    per_batch(mkdf(batches[2]), 2)
+    assert results[2] == want
+
+    # restart from the same state path: next batch still exact
+    per_batch2 = stream_url_dedup(
+        state_path=str(tmp_path / "urls"),
+        on_result=lambda bid, df: results.update(
+            {bid: sorted(map(tuple, df.collect()))}
+        ),
+    )
+    extra = [(307, "srcA"), (10, "srcB")]
+    seen += extra
+    per_batch2(mkdf(extra), 3)
+    assert results[3] == batch_answer(seen, {307, 10})

@@ -2508,3 +2508,78 @@ def stream_attribution(
             on_result(batch_id, report.unionByName(late_report))
 
     return per_batch
+
+
+def stream_url_dedup(
+    *,
+    state_path: str,
+    id_col: str = "doc_id",
+    source: str = "source",
+    compact_every: int = 25,
+    on_result: "object" = None,
+):
+    """Live URL-level dedup: the streaming twin of the ``url_dedup``
+    registry query — the crawl-frontier gate applied at ingest time
+    (canonicalize the arriving document's URL, keep it only if no
+    earlier document already claimed that canonical URL).
+
+    State is one row per distinct CANONICAL url: ``(url, min doc_id)``
+    partials merged by MIN — order-insensitive and replay-idempotent (a
+    batch's partial is a deterministic function of the batch alone, so
+    an at-least-once replay overwrites itself; no ``exclude_batch``
+    read needed — the same discipline as :func:`stream_novelty`).  Each
+    micro-batch reports ``(doc_id, url, keep)`` for ITS OWN docs,
+    decided against the merged state INCLUDING the batch's own urls —
+    exactly the batch operator's min-id rule restricted to those docs,
+    so twin == batch over the union PROVIDED docs arrive in ``doc_id``
+    order (a late lower-id doc would re-assign survivors already
+    reported; the same documented in-order posture as the novelty and
+    funnel twins).
+
+    Scale: state is O(distinct canonical urls).  The per-batch report
+    is O(batch): the state side is semi-filtered by the batch's url set
+    before the min-merge and the decision join (AQE broadcasts the
+    small batch side), never a state-wide shuffle.  Returns the
+    ``foreachBatch`` callable.
+    """
+    from .. import lineage
+    from ..llm.urls import canonicalize_url, synthesize_raw_url
+    from .statestore import PartialStateTable
+
+    st = PartialStateTable(state_path)
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.groupBy("url").agg(F.min("__min").cast("long").alias("__min"))
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            st.compact(spark, transform=merge)
+        if batch_df.isEmpty():
+            return
+        d = F.col(id_col)
+        canon = lineage.cut(
+            batch_df.select(
+                d.alias("doc_id"),
+                canonicalize_url(synthesize_raw_url(d, F.col(source))).alias("url"),
+            )
+        )
+        st.append(
+            canon.groupBy("url").agg(F.min("doc_id").cast("long").alias("__min")),
+            batch_id,
+        )
+        if on_result is None:
+            return
+        state = st.read(spark)
+        if state is None:
+            return
+        batch_urls = canon.select("url").distinct()
+        owner = merge(state.join(batch_urls, "url", "left_semi"))
+        on_result(
+            batch_id,
+            canon.join(owner, "url").select(
+                "doc_id", "url", (F.col("doc_id") == F.col("__min")).alias("keep")
+            ),
+        )
+
+    return per_batch
