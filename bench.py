@@ -535,6 +535,13 @@ def main() -> None:
         for k, v in out.items()
         if k not in ("samples", "queries", "host_load", "aggregation")
     }
+    # per-pass detail (loadavg stamps) lives in BENCH_LAST.json; the
+    # stdout line must stay under the driver's ~2,000-char tail window
+    line = {
+        k: ({kk: vv for kk, vv in v.items() if kk != "passes"}
+            if isinstance(v, dict) else v)
+        for k, v in line.items()
+    }
     line["samples_file"] = result_path
     sys.stdout.flush()
     print(json.dumps(line))
