@@ -1415,3 +1415,88 @@ SELECT ex.query_id, count(*) AS n_exact,
 FROM ex LEFT JOIN ap USING (query_id, neighbor_id)
 GROUP BY 1
 """
+
+
+def hard_negatives(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_anchors: int = 5,
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for each
+    anchor, the top-``k`` most-cosine-similar vectors whose LABEL
+    DIFFERS — the negatives closest to the decision boundary, the pairs
+    a contrastive loss learns the most from (the in-batch-negatives
+    upgrade every embedding-model recipe ships).
+
+    Output: ``anchor_id, anchor_label, neighbor_id, neighbor_label,
+    cos_sim, rank``.  Same shape discipline as :func:`cosine_topk`:
+    anchors are a TakeOrdered broadcast, the corpus is scanned once,
+    per-anchor ranking is a keyed window (k rows per anchor survive the
+    partial TopK), ties broken on (rounded cos, id) so both engines
+    agree bit-exactly.  Scale path: swap the scan for the IVF-probed
+    candidate set (:func:`ivf_assign`) exactly as cosine_topk ->
+    pq_adc_topk does; the label anti-filter composes unchanged.
+    """
+    anchors = df.orderBy(id_col).limit(n_anchors).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("avec"),
+        F.col(label_col).alias("anchor_label"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.round(F.col("cos_sim"), 9).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        spread(df)
+        .crossJoin(F.broadcast(anchors))
+        .filter(F.col(label_col) != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).cast("int").alias("neighbor_label"),
+            cosine(F.col("avec"), F.col(vec_col)).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("cos_sim", F.round("cos_sim", 6))
+    )
+
+
+def hard_negatives_sql(
+    table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_anchors: int = 5,
+    k: int = 5,
+) -> str:
+    cos = cosine_sql("a.avec", f"c.{vec_col}")
+    return f"""
+WITH a AS (
+  SELECT {id_col} AS anchor_id, {vec_col} AS avec, {label_col} AS anchor_label
+  FROM {table} ORDER BY {id_col} LIMIT {n_anchors}
+),
+scored AS (
+  SELECT a.anchor_id, a.anchor_label,
+         c.{id_col} AS neighbor_id,
+         CAST(c.{label_col} AS INTEGER) AS neighbor_label,
+         {cos} AS cos_sim
+  FROM {table} c, a WHERE c.{label_col} != a.anchor_label
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+             ORDER BY round(cos_sim, 9) DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT anchor_id, CAST(anchor_label AS INTEGER) AS anchor_label,
+       neighbor_id, neighbor_label,
+       round(cos_sim, 6) AS cos_sim, rank
+FROM ranked WHERE rank <= {k}
+"""

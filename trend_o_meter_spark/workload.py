@@ -123,6 +123,7 @@ _SCORE_FIRST = (
     "url_canonical",
     "url_domain_stats",
     "url_dedup",
+    "hard_negatives",
     # --- slots 6-38: the ENTIRE 33-query r07-stale cohort (every
     # oracle-backed query whose newest driver verdict is r07), sorted by
     # name. -------------------------------------------------------------
@@ -172,7 +173,6 @@ _SCORE_FIRST = (
     "curation_funnel",
     "cusum_shifts",
     "dataset_split",
-    "dedup_clusters",
     # --- pre-round-11 tail (kept for stable ordering of the remainder;
     # these already carry r08+ verdicts and sort after the 50 above) ----
     "asof_join_orders",
@@ -4281,3 +4281,18 @@ def url_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "doc_id", "url", (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep")
     )
+
+
+@_q(
+    "hard_negatives",
+    similarity.hard_negatives_sql("embeddings"),
+    doc="Hard-negative mining for contrastive/embedding training: per "
+    "anchor the top-k most-cosine-similar vectors with a DIFFERENT "
+    "label (the negatives nearest the decision boundary).  Broadcast "
+    "anchors, single corpus scan, keyed-window top-k; the scale path "
+    "is the IVF-probed candidate set exactly as cosine_topk -> "
+    "pq_adc_topk.",
+)
+def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "embeddings", sf_dir)
+    return similarity.hard_negatives(e)
