@@ -2009,3 +2009,24 @@ def test_bpe_encode_fixed_sql_rejects_other_rule_lists():
 
     with pytest.raises(ValueError):
         bpe_encode_fixed_sql("documents", [("e", "</w>"), ("t", "h")])
+
+
+def test_hard_negatives_excludes_same_label_and_ranks_by_cos(spark):
+    from trend_o_meter_spark.llm.similarity import hard_negatives
+
+    # anchor 0 (label 0): v1 same-label near-dup must be EXCLUDED even
+    # though it is the most similar vector; v2 (label 1, close) ranks
+    # above v3 (label 1, orthogonal); v4 (label 2, anti-parallel) last.
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0], 0),   # same label: never a negative
+        (2, [0.9, 0.4, 0.0], 1),
+        (3, [0.0, 1.0, 0.0], 1),
+        (4, [-1.0, 0.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = hard_negatives(df, n_anchors=1, k=3).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in out] == [2, 3, 4]
+    assert all(r["anchor_id"] == 0 and r["neighbor_label"] != 0 for r in out)
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["cos_sim"] > out[1]["cos_sim"] > out[2]["cos_sim"]
