@@ -1168,14 +1168,23 @@ def test_bpe_train_is_one_spark_job_regardless_of_merges(spark):
 
     texts = ["low lower lowest", "new newer newest newest", "low low new wider wide"]
     df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
-    tracker = spark.sparkContext.statusTracker()
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
 
-    def jobs_for(n_merges):
-        before = len(tracker.getJobIdsForGroup(None))
-        bpe_train(df, num_merges=n_merges).collect()
-        return len(tracker.getJobIdsForGroup(None)) - before
+    def jobs_for(n_merges, tag):
+        # count within a DEDICATED job group: the suite's shared session
+        # can fire unrelated async jobs (listener/stream stragglers from
+        # earlier tests) into the default group mid-measurement, which
+        # made a whole-session before/after diff flaky by +-1
+        sc.setJobGroup(tag, "bpe job-count probe")
+        try:
+            bpe_train(df, num_merges=n_merges).collect()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(tracker.getJobIdsForGroup(tag))
 
-    j2, j12 = jobs_for(2), jobs_for(12)
+    j2 = jobs_for(2, "bpe-probe-2")
+    j12 = jobs_for(12, "bpe-probe-12")
     assert j12 <= j2 + 1, (j2, j12)  # flat in num_merges (+1 slack for AQE retries)
 
 
