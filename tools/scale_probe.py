@@ -314,7 +314,27 @@ def priority_sample_probe(spark, reps):
     return sampling.priority_sample(d, weight="n_chars", strata="source", k=20)
 
 
+def url_canonical_probe(spark, reps):
+    from trend_o_meter_spark.llm import urls
+
+    d = _replicate(table(spark, "documents", SF_DIR), reps, "doc_id")
+    return urls.url_canonical(d)
+
+
+def hard_negatives_probe(spark, reps):
+    """Replicated embeddings (shifted vec_ids): anchors stay 5, the
+    scanned corpus grows reps x — the brute-force baseline is linear by
+    construction; the probe pins that the keyed-window top-k doesn't
+    smuggle in anything worse."""
+    from trend_o_meter_spark.llm import similarity
+
+    emb = _replicate(table(spark, "embeddings", SF_DIR), reps, "vec_id")
+    return similarity.hard_negatives(emb)
+
+
 PROBES = {
+    "url_canonical": url_canonical_probe,
+    "hard_negatives": hard_negatives_probe,
     "semantic_dedup": semantic_dedup_probe,
     "pagerank": pagerank_probe,
     "dup_span_removal": dup_span_removal_probe,
