@@ -126,6 +126,7 @@ HEADLINE = (
     "warc_extract",
     "robots_filter",
     "url_canonical",
+    "hard_negatives",
 )
 
 
