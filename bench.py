@@ -445,6 +445,29 @@ def stream_cusum_probe(spark, sf_dir: str) -> dict:
             "rows_per_sec": round(n_rows / sec)}
 
 
+def _calibrate(n_runs: int = 3) -> dict:
+    """Steal-detection kernel: a FIXED single-thread numpy workload
+    timed ``n_runs`` times.  Its wall is independent of suite content,
+    so an inflated bench self-adjudicates from the artifact alone:
+    kernel inflated too -> hypervisor CPU steal / ambient (the
+    flat-profile ~1.2x runs the round-11 close documented); kernel at
+    its usual ~0.1 s but queries slow -> a real regression.  In-VM
+    loadavg cannot see steal — this can."""
+    import hashlib
+
+    block = b"\x5a" * 1_048_576  # 1 MiB
+    hashlib.sha256(block)  # untimed warmup (page faults, code paths)
+    times = []
+    for _ in range(n_runs):
+        h = hashlib.sha256()
+        t0 = time.time()
+        for _ in range(150):  # 150 MiB of fixed single-thread work
+            h.update(block)
+        times.append(round(time.time() - t0, 3))
+    return {"kernel": "sha256x150MiB", "runs": times,
+            "median": sorted(times)[len(times) // 2]}
+
+
 def _host_load() -> dict:
     """Co-tenant-load stamp: BASELINE.md documents that streaming
     throughput tracks ambient host load; recording loadavg/uptime at
@@ -476,7 +499,8 @@ def main() -> None:
     # spike (e.g. the driver's own correctness jobs sharing the host) cannot
     # manufacture a false >2x outlier in the recorded artifact.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    load = {"cpus": os.cpu_count(), "batch_start": _host_load()}
+    load = {"cpus": os.cpu_count(), "batch_start": _host_load(),
+            "calibration_start": _calibrate()}
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     pass_loads = []
     for _ in range(n_runs):
@@ -500,6 +524,7 @@ def main() -> None:
     load["streaming_novelty_start"] = _host_load()
     streaming_novelty = stream_novelty_probe(spark, sf_dir)
     load["end"] = _host_load()
+    load["calibration_end"] = _calibrate()
 
     out = {
         "metric": "headline_suite_wall_clock",
@@ -543,6 +568,9 @@ def main() -> None:
             if isinstance(v, dict) else v)
         for k, v in line.items()
     }
+    # compact steal-adjudication datum for the driver's captured line
+    line["calib"] = {"start": load["calibration_start"]["median"],
+                     "end": load["calibration_end"]["median"]}
     line["samples_file"] = result_path
     sys.stdout.flush()
     print(json.dumps(line))
