@@ -445,27 +445,46 @@ def stream_cusum_probe(spark, sf_dir: str) -> dict:
             "rows_per_sec": round(n_rows / sec)}
 
 
-def _calibrate(n_runs: int = 3) -> dict:
-    """Steal-detection kernel: a FIXED single-thread numpy workload
-    timed ``n_runs`` times.  Its wall is independent of suite content,
-    so an inflated bench self-adjudicates from the artifact alone:
-    kernel inflated too -> hypervisor CPU steal / ambient (the
-    flat-profile ~1.2x runs the round-11 close documented); kernel at
-    its usual ~0.1 s but queries slow -> a real regression.  In-VM
-    loadavg cannot see steal — this can."""
+def _calibrate(n_runs: int = 3, fan: int = 16) -> dict:
+    """Host-contention instrument: a FIXED sha256-over-150MiB kernel
+    timed ``n_runs`` times single-thread AND once across ``fan``
+    concurrent threads (hashlib releases the GIL above 2 KiB updates,
+    so the threads scale on free cores).  Wall is independent of suite
+    content, so an inflated bench self-adjudicates from the artifact:
+
+    * ``median`` (1-thread) inflated -> per-core hypervisor steal or
+      frequency throttle;
+    * 1-thread at reference but ``fan_wall`` inflated well above it ->
+      CAPACITY oversubscription (co-tenants competing only under
+      full-width load — the round-11 post-close signature: 1-thread
+      read 0.130 vs the 0.124 quiet reference while the 32-way suite
+      ran 1.32x slow);
+    * both at reference but queries slow -> a real regression.
+
+    In-VM loadavg can see none of this; the kernel pair can."""
     import hashlib
+    from concurrent.futures import ThreadPoolExecutor
 
     block = b"\x5a" * 1_048_576  # 1 MiB
     hashlib.sha256(block)  # untimed warmup (page faults, code paths)
+
+    def one(_=None) -> None:
+        h = hashlib.sha256()
+        for _ in range(150):  # 150 MiB of fixed work per thread
+            h.update(block)
+
     times = []
     for _ in range(n_runs):
-        h = hashlib.sha256()
         t0 = time.time()
-        for _ in range(150):  # 150 MiB of fixed single-thread work
-            h.update(block)
+        one()
         times.append(round(time.time() - t0, 3))
+    with ThreadPoolExecutor(max_workers=fan) as ex:
+        t0 = time.time()
+        list(ex.map(one, range(fan)))
+        fan_wall = round(time.time() - t0, 3)
     return {"kernel": "sha256x150MiB", "runs": times,
-            "median": sorted(times)[len(times) // 2]}
+            "median": sorted(times)[len(times) // 2],
+            "fan": fan, "fan_wall": fan_wall}
 
 
 def _host_load() -> dict:
@@ -569,8 +588,12 @@ def main() -> None:
         for k, v in line.items()
     }
     # compact steal-adjudication datum for the driver's captured line
-    line["calib"] = {"start": load["calibration_start"]["median"],
-                     "end": load["calibration_end"]["median"]}
+    line["calib"] = {
+        "start": load["calibration_start"]["median"],
+        "end": load["calibration_end"]["median"],
+        "fan_start": load["calibration_start"]["fan_wall"],
+        "fan_end": load["calibration_end"]["fan_wall"],
+    }
     line["samples_file"] = result_path
     sys.stdout.flush()
     print(json.dumps(line))
