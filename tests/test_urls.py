@@ -69,6 +69,9 @@ def test_canonicalize_known_cases(spark):
         ("http://h/%7Euser/p", "http://h/~user/p"),
         ("http://h/a?q=1#f", "http://h/a?q=1"),           # query kept, frag cut
         ("not a url", "not a url"),                       # passthrough
+        # RFC 3986 6.2.2.1: userinfo keeps its case; only host lowers
+        ("http://User:Pw@Host.COM/x", "http://User:Pw@host.com/x"),
+        ("http://A@B@Host/x", "http://A@B@host/x"),       # last '@' splits
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = {r["u"]: r["c"] for r in df.select("u", canonicalize_url(F.col("u")).alias("c")).collect()}

@@ -91,8 +91,14 @@ def canonicalize_url(url: Column) -> Column:
     """
     no_frag = F.regexp_replace(url, "#.*", "")
     scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
-    auth = F.lower(
-        F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    auth_raw = F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    # RFC 3986 6.2.2.1 case-normalizes only scheme and host: any userinfo
+    # (everything through the last '@') keeps its case.  `.*@` is greedy,
+    # so it captures through the LAST '@'; with no '@' it is empty and the
+    # whole authority is host[:port].
+    auth = F.concat(
+        F.regexp_extract(auth_raw, r"^(.*@)", 1),
+        F.lower(F.regexp_replace(auth_raw, r"^.*@", "")),
     )
     auth = (
         F.when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
@@ -205,7 +211,7 @@ _RAW_SQL = """
 
 _CANON_SQL = """
   'http://' || source || '.example.com'
-  || CASE WHEN doc_id % 5 = 4 THEN '/~docs/p' ELSE '/docs/p' END
+  || CASE WHEN doc_id % 5 IN (0, 1, 2, 3) THEN '/docs/p' ELSE '/~docs/p' END
   || CAST(doc_id % {mod} AS VARCHAR)
 """
 

@@ -107,91 +107,72 @@ def _q(name: str, oracle: str | None, doc: str = ""):
 # verdict across rounds even under a query-count/time cap; remaining
 # entries keep declaration order (stable sort).
 _SCORE_FIRST = (
-    # --- round 11 rotation (VERDICT r10 task 7): newest-first aging so
-    # no oracle-backed query's driver verdict is older than 4 rounds.
-    # Slots 1-5: queries whose Spark code or oracle changed THIS round —
-    # the two rows-only -> oracle promotions (closed-form oracles) and
-    # the crawl trilogy whose oracles were made sign-safe and whose
-    # shared extractor got the length-preserving-lowercase /
-    # surrogate-entity fixes.
-    "bpe_encode_fixed",
-    "flagship_day_bins_compat",
-    "html_extract",
-    "warc_extract",
-    "robots_filter",
-    # never-scored queries added this round (URL canonicalization family)
+    # --- round 12 rotation (VERDICT r11 tasks 1/2/4): newest-first aging
+    # so no oracle-backed query's driver verdict is older than 4 rounds.
+    # Slots 1-4: queries NEW or oracle-changed this round — bpe_merges
+    # (rows-only since r03, promoted to a bound/invariant oracle),
+    # hard_negatives_ivf (the documented IVF scale path, now registered),
+    # langid_scores (trained hashed-ngram language id), unigram_vocab
+    # (unigram-LM tokenizer trainer).
+    "bpe_merges",
+    "hard_negatives_ivf",
+    "langid_scores",
+    "unigram_vocab",
+    # Slots 5-7: URL family — _CANON_SQL made sign-safe this round
+    # (ADVICE r11), so their oracles' text changed; re-verify.
     "url_canonical",
     "url_domain_stats",
     "url_dedup",
-    "hard_negatives",
-    # --- slots 6-38: the ENTIRE 33-query r07-stale cohort (every
-    # oracle-backed query whose newest driver verdict is r07), sorted by
-    # name. -------------------------------------------------------------
-    "ab_lift",
-    "anti_join_orderless_customers",
-    "assoc_rules",
-    "attribution_last_touch",
-    "bloom_contamination",
-    "calibration_ece",
-    "cohort_retention",
-    "contamination_check",
-    "cube_order_priority",
-    "dau_mau",
-    "distinct_agg",
-    "event_transitions",
-    "funnel_views",
-    "hist_median_mad",
-    "image_features",
-    "label_balance",
-    "metric_correlation",
-    "mrl_recall",
-    "pivot_events",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q5_region_revenue",
-    "rollup_returns",
-    "seasonal_hourly",
-    "semi_join_urgent_customers",
-    "set_ops_nations",
-    "split_drift_psi",
-    "sql_orders_by_year",
-    "theil_sen_daily",
-    "triangle_counts",
-    "typo_pairs",
-    "window_distribution",
-    "winnow_near_dup",
-    # --- slots 42-50: the first 9 (by name) of the 50-strong r08
-    # cohort; the remaining 41 queue for round 12.  The one remaining
-    # rows-only-by-design entry (bpe_merges — iterative data-dependent
-    # merge choices) is NOT fronted: re-sampling it cannot produce a
-    # stronger verdict than it already carries. -------------------------
-    "active_channels",
-    "cms_heavy_hitters",
-    "cooc_pmi_topk",
-    "cross_corpus_lsh",
-    "cross_doc_ngram_dup",
-    "curation_funnel",
-    "cusum_shifts",
-    "dataset_split",
-    # --- pre-round-11 tail (kept for stable ordering of the remainder;
-    # these already carry r08+ verdicts and sort after the 50 above) ----
-    "asof_join_orders",
-    "window_rank",
-    "unpivot_lineitem_charges",
-    "metric_format_join",
-    "bloom_membership",
-    "scalar_funcs",
-    "datetime_funcs",
-    "json_extract_props",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    # (q5_region_revenue, q17_small_quantity_revenue,
-    # q18_large_volume_orders, semi_join_urgent_customers,
-    # anti_join_orderless_customers, rollup_returns, sql_orders_by_year,
-    # cube_order_priority — displaced by the round-10 additions
-    # priority_sample/tdigest_quantiles/tdigest_rollup/weighted_quantiles/
-    # html_extract/warc_extract/robots_filter/ngram_novelty — re-queue
-    # with the remaining 25 r07 entries for round 11)
+    # --- slots 8-49: the ENTIRE remaining r08-stale cohort (the 42
+    # oracle-backed queries whose newest driver verdict is r08), by name.
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_exact",
+    "downsample_60s",
+    "dup_span_stats",
+    "events_in_sessions",
+    "ewma_02",
+    "flagship_day_bins",
+    "holt_winters_hourly",
+    "interarrival_quantiles",
+    "kmeans_centroids",
+    "lang_id",
+    "mad_anomalies",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "pq_adc_topk",
+    "pq_codes",
+    "pq_recall_at_k",
+    "quality_filter",
+    "quantize_embeddings",
+    "resample_1h_lerp",
+    "resample_1h_locf",
+    "resize_image_meta",
+    "retention_7d",
+    "rfm_segments",
+    "rolling_current_avg",
+    "seasonal_adjusted_anomalies",
+    "sessionize_30m",
+    "simhash_fingerprints",
+    "simhash_near_dup",
+    "sliding_rates_10s",
+    "split_drift_ks",
+    "text_stats",
+    "token_count",
+    "token_histogram",
+    "topk_recent",
+    "trend_slope_daily",
+    "trending_daily",
+    "tumbling_mean_60s",
+    "value_quantiles",
+    "verified_near_dups",
+    "zscore_anomalies",
+    # --- slot 50: aging head (by name) of the 50-strong r09 cohort; the
+    # remaining 49 queue for round 13.
+    "asof_forward_orders",
+    # Entries not listed keep declaration order (stable sort) and sort
+    # after the 50 above; the r09/r10/r11 cohorts already carry fresh
+    # verdicts.
 )
 
 
