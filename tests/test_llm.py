@@ -1122,6 +1122,52 @@ def test_bpe_train_matches_reference_implementation(spark):
     assert all(enc[i] < raw[i] for i in enc)  # merges compress every doc
 
 
+def test_bpe_train_check_verdict_row_and_oracle(spark):
+    """bpe_train_check's exact columns must equal the trainer's rank-0
+    rule / the corpus pair mass, its invariants must hold, and the
+    DuckDB oracle must hash-match it on the same corpus (the promotion
+    recipe that took bpe_merges off rows-only, round 12)."""
+    import duckdb
+
+    from trend_o_meter_spark.llm.bpe import (
+        bpe_train,
+        bpe_train_check,
+        bpe_train_check_sql,
+    )
+
+    texts = [
+        "low lower lowest",
+        "new newer newest newest",
+        "low low new wider wide",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    n = 6
+    row = bpe_train_check(df, num_merges=n).collect()[0]
+    rules = bpe_train(df, num_merges=n).orderBy("rank").collect()
+
+    assert (row["rank0_left"], row["rank0_right"], row["rank0_merged"],
+            row["rank0_count"]) == (
+        rules[0]["left"], rules[0]["right"], rules[0]["merged"],
+        rules[0]["pair_count"])
+    assert row["n_rules"] == len(rules) == n
+    freqs = {}
+    for t in texts:
+        for w in t.lower().split():
+            freqs[w] = freqs.get(w, 0) + 1
+    assert row["init_pair_mass"] == sum(f * len(w) for w, f in freqs.items())
+    assert row["counts_monotone"] and row["merged_is_concat"] and row["counts_ge_min"]
+
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    oracle = con.execute(bpe_train_check_sql("documents", num_merges=n)).df()
+    assert len(oracle) == 1
+    o = oracle.iloc[0]
+    for c in ("rank0_left", "rank0_right", "rank0_merged", "rank0_count",
+              "n_rules", "init_pair_mass", "counts_monotone",
+              "merged_is_concat", "counts_ge_min"):
+        assert o[c] == row[c], (c, o[c], row[c])
+
+
 def test_bpe_merge_word_matches_fold(spark):
     """The driver-side merge (_merge_word) and the distributed encoder
     fold (_merged_syms) must agree on the non-overlapping left-to-right

@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _norm
+from .dedup import NORM_SQL, _norm
 
 EOW = "</w>"
 
@@ -165,15 +165,128 @@ def bpe_train(
     practice (a web corpus has hundreds of millions of distinct
     "words", almost all noise below the cap).  Pass ``None`` only for
     corpora known to be small."""
-    wf = _word_freqs(df, text=text)
-    if top_words is not None:
-        wf = wf.orderBy(F.col("freq").desc(), F.col("word").asc()).limit(int(top_words))
-    word_freqs = [(r["word"], r["freq"]) for r in wf.collect()]
-    rules = _train_rules(word_freqs, num_merges, min_pair_count)
+    word_freqs, rules = _collect_and_train(
+        df, text=text, num_merges=num_merges,
+        min_pair_count=min_pair_count, top_words=top_words,
+    )
     spark = df.sparkSession
     return spark.createDataFrame(
         rules, "rank int, left string, right string, merged string, pair_count long"
     )
+
+
+def _collect_and_train(
+    df: DataFrame,
+    *,
+    text: str,
+    num_merges: int,
+    min_pair_count: int,
+    top_words: int | None,
+) -> tuple[list[tuple[str, int]], list[tuple[int, str, str, str, int]]]:
+    wf = _word_freqs(df, text=text)
+    if top_words is not None:
+        wf = wf.orderBy(F.col("freq").desc(), F.col("word").asc()).limit(int(top_words))
+    word_freqs = [(r["word"], r["freq"]) for r in wf.collect()]
+    return word_freqs, _train_rules(word_freqs, num_merges, min_pair_count)
+
+
+def bpe_train_check(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    num_merges: int = 30,
+    min_pair_count: int = 2,
+    top_words: int | None = 1_000_000,
+) -> DataFrame:
+    """Oracle-checkable verdict row for the BPE trainer (the
+    ``approx_sketches`` / ``sketch_rollup`` recipe: exact columns DuckDB
+    can recompute independently, plus invariant booleans the oracle
+    asserts TRUE — the hash matches iff the trainer really satisfies
+    them).  One row:
+
+    * ``rank0_left/right/merged/count`` — the FIRST learned rule.  The
+      oracle recomputes it closed-form as the argmax (count desc, pair
+      asc) of the initial weighted character-bigram table (chars +
+      ``</w>`` sentinel), fully independent of the trainer's code path.
+    * ``init_pair_mass`` — total initial adjacent-pair mass
+      ``sum(freq * len(word))``; exact cross-engine tokenization check.
+    * ``n_rules`` — rule-list arity (== ``num_merges`` on any corpus
+      whose pair mass doesn't dry up; the oracle pins the constant).
+    * ``counts_monotone`` — pair_count non-increasing in rank.  A real
+      theorem for exact BPE (new pairs created by a merge are bounded by
+      the chosen pair's count; old pairs only lose mass), so it detects
+      delta-bookkeeping corruption in the incremental trainer.
+    * ``merged_is_concat`` / ``counts_ge_min`` — postconditions.
+
+    The full rule-list artifact stays available via :func:`bpe_train`
+    and remains sequence-pinned against the pure-Python full-recount
+    reference in ``tests/test_llm.py``."""
+    word_freqs, rules = _collect_and_train(
+        df, text=text, num_merges=num_merges,
+        min_pair_count=min_pair_count, top_words=top_words,
+    )
+    mass = sum(f * len(w) for w, f in word_freqs)
+    monotone = all(
+        rules[i][4] >= rules[i + 1][4] for i in range(len(rules) - 1)
+    )
+    concat_ok = all(m == a + b for _, a, b, m, _ in rules)
+    ge_min = all(c >= min_pair_count for *_r, c in rules)
+    r0 = rules[0] if rules else (0, None, None, None, None)
+    row = (
+        r0[1], r0[2], r0[3],
+        int(r0[4]) if rules else None,
+        len(rules), int(mass), monotone, concat_ok, ge_min,
+    )
+    return df.sparkSession.createDataFrame(
+        [row],
+        "rank0_left string, rank0_right string, rank0_merged string, "
+        "rank0_count long, n_rules long, init_pair_mass long, "
+        "counts_monotone boolean, merged_is_concat boolean, "
+        "counts_ge_min boolean",
+    )
+
+
+def bpe_train_check_sql(table: str, *, text: str = "text", num_merges: int = 30) -> str:
+    """DuckDB oracle for :func:`bpe_train_check`: the rank-0 rule and the
+    pair mass are recomputed closed-form from the word-frequency table
+    (``substr`` explode over char positions; ``</w>`` sentinel on the
+    last position); the trainer invariants are asserted TRUE; ``n_rules``
+    is pinned to ``num_merges`` (exact whenever the corpus' pair mass
+    survives that many merges — true at every shipped SF)."""
+    norm = NORM_SQL.format(c=text)
+    return f"""
+WITH wf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split({norm}, ' ')) AS word FROM {table})
+  WHERE word <> ''
+  GROUP BY word
+),
+sym AS (
+  SELECT substr(word, i, 1) AS a,
+         CASE WHEN i = length(word) THEN '{EOW}' ELSE substr(word, i + 1, 1) END AS b,
+         freq
+  FROM wf, UNNEST(generate_series(1, length(word))) AS u(i)
+),
+top AS (
+  SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM sym GROUP BY a, b
+  ORDER BY cnt DESC, a ASC, b ASC
+  LIMIT 1
+),
+mass AS (
+  SELECT CAST(sum(freq * length(word)) AS BIGINT) AS init_pair_mass FROM wf
+)
+SELECT top.a AS rank0_left,
+       top.b AS rank0_right,
+       top.a || top.b AS rank0_merged,
+       top.cnt AS rank0_count,
+       CAST({num_merges} AS BIGINT) AS n_rules,
+       mass.init_pair_mass,
+       TRUE AS counts_monotone,
+       TRUE AS merged_is_concat,
+       TRUE AS counts_ge_min
+FROM top, mass
+"""
 
 
 def bpe_encode(

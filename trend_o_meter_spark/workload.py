@@ -2598,16 +2598,26 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "bpe_merges",
-    None,  # iterative, data-dependent merge choices: not SQL-expressible;
-    # pinned against a pure-python reference trainer in tests/test_llm.py
+    # The full merge sequence is iterative and data-dependent — not
+    # SQL-expressible — but the sketch_rollup recipe still makes the
+    # trainer oracle-checkable inside the hash-exact protocol: the query
+    # returns a verdict row whose exact columns (rank-0 rule = initial
+    # weighted-bigram argmax; total pair mass) DuckDB recomputes
+    # closed-form, and whose invariant booleans (pair_count monotone
+    # non-increasing — a theorem for exact BPE; merged = left||right;
+    # counts >= min) the oracle asserts TRUE.  The full 20-rule artifact
+    # stays available via bpe.bpe_train and remains sequence-pinned
+    # against a pure-Python full-recount reference in tests/test_llm.py.
+    bpe.bpe_train_check_sql("documents", num_merges=20),
     doc="Distributed BPE tokenizer training (Sennrich 2016): merge rules "
     "learned from the word-frequency table (state O(distinct words), "
-    "not O(corpus)); per round one pair-count shuffle + a 1-row argmax "
-    "+ a vocab-sized fold applying the merge.  Rows-only by design.",
+    "not O(corpus)); ONE Spark job (the word-freq agg) regardless of "
+    "num_merges, driver-side incremental-delta merge loop.  Registered "
+    "as its oracle-checkable verdict row (see bpe.bpe_train_check).",
 )
 def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
-    return bpe.bpe_train(d, num_merges=20)
+    return bpe.bpe_train_check(d, num_merges=20)
 
 
 _BPE_FIXED_RULES = [("t", "h"), ("th", "e</w>"), ("i", "n"), ("a", "n")]
