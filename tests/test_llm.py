@@ -2085,3 +2085,37 @@ def test_hard_negatives_excludes_same_label_and_ranks_by_cos(spark):
     assert all(r["anchor_id"] == 0 and r["neighbor_label"] != 0 for r in out)
     assert [r["rank"] for r in out] == [1, 2, 3]
     assert out[0]["cos_sim"] > out[1]["cos_sim"] > out[2]["cos_sim"]
+
+
+def test_hard_negatives_ivf_full_probe_equals_exact_and_recall_is_one(spark):
+    """With n_probe == n_centroids every cell is probed, so the IVF
+    miner must return EXACTLY the brute-force result, and the recall
+    eval must report 1.0 per anchor (the cosine_topk_ivf contract,
+    applied to the labeled miner)."""
+    import random
+
+    from trend_o_meter_spark.llm.similarity import (
+        hard_negatives,
+        hard_negatives_ivf,
+        hard_negatives_recall,
+    )
+
+    rng = random.Random(12)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 3) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    kw = dict(n_anchors=4, k=5, n_centroids=6)
+    exact = sorted(map(tuple, hard_negatives(df, n_anchors=4, k=5).collect()))
+    full = sorted(map(tuple, hard_negatives_ivf(df, n_probe=6, **kw).collect()))
+    assert full == exact
+
+    rec = hard_negatives_recall(df, n_probe=6, **kw).collect()
+    assert len(rec) == 4 and all(r["recall"] == 1.0 for r in rec)
+
+    # a 1-probe run is a genuine subset: never MORE hits than exact,
+    # every returned pair label-valid
+    few = hard_negatives_ivf(df, n_probe=1, **kw).collect()
+    assert all(r["neighbor_label"] != r["anchor_label"] for r in few)
+    rec1 = hard_negatives_recall(df, n_probe=1, **kw).collect()
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rec1)

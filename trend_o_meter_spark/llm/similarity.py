@@ -1500,3 +1500,215 @@ SELECT anchor_id, CAST(anchor_label AS INTEGER) AS anchor_label,
        round(cos_sim, 6) AS cos_sim, rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def hard_negatives_ivf(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_anchors: int = 5,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-probed hard-negative mining — the scale path
+    :func:`hard_negatives`'s docstring promises, executed: corpus
+    vectors live in their nearest-centroid cell (:func:`ivf_assign`),
+    each anchor probes only its ``n_probe`` nearest cells, and the label
+    anti-filter composes unchanged on the cell-keyed candidate join.
+    Approximate by construction (a boundary negative outside the probed
+    cells is missed — measured by :func:`hard_negatives_recall`).
+
+    Output schema matches :func:`hard_negatives` (``anchor_id,
+    anchor_label, neighbor_id, neighbor_label, cos_sim, rank``), ranks
+    over the probed candidate set.
+
+    At 100 TB: one broadcast-join assignment pass over the corpus, then
+    a candidate join keyed by cell id — bounded by the biggest cell,
+    never queries x corpus; anchors/centroids are the only broadcast
+    sides.  Same shape as :func:`cosine_topk` -> :func:`cosine_topk_ivf`.
+    """
+    from pyspark.sql import Window
+
+    corpus_cells = ivf_assign(
+        df, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
+    ).select(F.col(id_col), F.col("cluster"))
+    corpus = df.join(corpus_cells, id_col)
+
+    cents = df.orderBy(id_col).limit(n_centroids).select(
+        F.col(id_col).alias("cluster"), F.col(vec_col).alias("cvec")
+    )
+    anchors = df.orderBy(id_col).limit(n_anchors).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("avec"),
+        F.col(label_col).alias("anchor_label"),
+    )
+    wq = Window.partitionBy("anchor_id").orderBy(
+        F.round(F.col("__c"), 9).desc(), F.col("cluster").asc()
+    )
+    probes = (
+        anchors.crossJoin(F.broadcast(cents))
+        .select(
+            "anchor_id", "avec", "anchor_label", "cluster",
+            cosine(F.col("cvec"), F.col("avec")).alias("__c"),
+        )
+        .withColumn("__pr", F.row_number().over(wq))
+        .filter(F.col("__pr") <= n_probe)
+        .select("anchor_id", "avec", "anchor_label", "cluster")
+    )
+
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.round(F.col("cos_sim"), 9).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        corpus.join(F.broadcast(probes), "cluster")
+        .filter(F.col(label_col) != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).cast("int").alias("neighbor_label"),
+            cosine(F.col("avec"), F.col(vec_col)).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("cos_sim", F.round("cos_sim", 6))
+    )
+
+
+def hard_negatives_ivf_sql(
+    table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_anchors: int = 5,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> str:
+    cell_cos = cosine_sql("c.cvec", f"t.{vec_col}")
+    ac_cos = cosine_sql("c.cvec", "a.avec")
+    cand_cos = cosine_sql("p.avec", f"cc.{vec_col}")
+    return f"""
+WITH c AS (
+  SELECT {id_col} AS cluster, {vec_col} AS cvec FROM {table}
+  ORDER BY {id_col} LIMIT {n_centroids}
+),
+assigned AS (
+  SELECT {id_col}, CAST(-(m.nc) AS BIGINT) AS cluster FROM (
+    SELECT t.{id_col}, max(struct_pack(c := round({cell_cos}, 9), nc := -c.cluster)) AS m
+    FROM {table} t, c GROUP BY 1
+  )
+),
+corpus AS (
+  SELECT t.*, a.cluster FROM {table} t JOIN assigned a USING ({id_col})
+),
+a AS (
+  SELECT {id_col} AS anchor_id, {vec_col} AS avec, {label_col} AS anchor_label
+  FROM {table} ORDER BY {id_col} LIMIT {n_anchors}
+),
+probes AS (
+  SELECT anchor_id, avec, anchor_label, cluster FROM (
+    SELECT a.anchor_id, a.avec, a.anchor_label, c.cluster,
+           row_number() OVER (PARTITION BY a.anchor_id
+                              ORDER BY round({ac_cos}, 9) DESC, c.cluster ASC) AS pr
+    FROM a, c
+  ) WHERE pr <= {n_probe}
+),
+scored AS (
+  SELECT p.anchor_id, p.anchor_label,
+         cc.{id_col} AS neighbor_id,
+         CAST(cc.{label_col} AS INTEGER) AS neighbor_label,
+         {cand_cos} AS cos_sim
+  FROM corpus cc JOIN probes p USING (cluster)
+  WHERE cc.{label_col} != p.anchor_label
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+             ORDER BY round(cos_sim, 9) DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT anchor_id, CAST(anchor_label AS INTEGER) AS anchor_label,
+       neighbor_id, neighbor_label,
+       round(cos_sim, 6) AS cos_sim, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def hard_negatives_recall(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_anchors: int = 5,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """recall@k of the IVF-probed hard-negative miner against the exact
+    :func:`hard_negatives` baseline, per anchor — the measurement that
+    justifies an ``n_probe`` before pointing the miner at the corpus
+    (the :func:`ivf_recall` shape, so the ANN-quality evals read alike).
+
+    Output: ``anchor_id, n_exact, n_hit, recall``."""
+    ex = hard_negatives(
+        df, id_col=id_col, vec_col=vec_col, label_col=label_col,
+        n_anchors=n_anchors, k=k,
+    ).select("anchor_id", "neighbor_id")
+    ap = (
+        hard_negatives_ivf(
+            df, id_col=id_col, vec_col=vec_col, label_col=label_col,
+            n_anchors=n_anchors, k=k, n_centroids=n_centroids, n_probe=n_probe,
+        )
+        .select("anchor_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    j = ex.join(ap, ["anchor_id", "neighbor_id"], "left")
+    return (
+        j.groupBy("anchor_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "anchor_id",
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 9).alias("recall"),
+        )
+    )
+
+
+def hard_negatives_recall_sql(
+    table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_anchors: int = 5,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> str:
+    ex = hard_negatives_sql(
+        table, id_col=id_col, vec_col=vec_col, label_col=label_col,
+        n_anchors=n_anchors, k=k,
+    )
+    ap = hard_negatives_ivf_sql(
+        table, id_col=id_col, vec_col=vec_col, label_col=label_col,
+        n_anchors=n_anchors, k=k, n_centroids=n_centroids, n_probe=n_probe,
+    )
+    return f"""
+WITH ex AS ({ex}),
+ap AS ({ap})
+SELECT ex.anchor_id, count(*) AS n_exact,
+       CAST(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       round(CAST(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(count(*) AS DOUBLE), 9) AS recall
+FROM ex LEFT JOIN ap USING (anchor_id, neighbor_id)
+GROUP BY 1
+"""

@@ -116,6 +116,7 @@ _SCORE_FIRST = (
     # (unigram-LM tokenizer trainer).
     "bpe_merges",
     "hard_negatives_ivf",
+    "hard_negatives_recall",
     "langid_scores",
     "unigram_vocab",
     # Slots 5-7: URL family — _CANON_SQL made sign-safe this round
@@ -167,9 +168,9 @@ _SCORE_FIRST = (
     "value_quantiles",
     "verified_near_dups",
     "zscore_anomalies",
-    # --- slot 50: aging head (by name) of the 50-strong r09 cohort; the
-    # remaining 49 queue for round 13.
-    "asof_forward_orders",
+    # (hard_negatives_recall takes the 50th slot; the whole 50-strong
+    # r09 cohort — asof_forward_orders first by name — queues for
+    # round 13.)
     # Entries not listed keep declaration order (stable sort) and sort
     # after the 50 above; the r09/r10/r11 cohorts already carry fresh
     # verdicts.
@@ -4281,9 +4282,34 @@ def url_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anchor the top-k most-cosine-similar vectors with a DIFFERENT "
     "label (the negatives nearest the decision boundary).  Broadcast "
     "anchors, single corpus scan, keyed-window top-k; the scale path "
-    "is the IVF-probed candidate set exactly as cosine_topk -> "
-    "pq_adc_topk.",
+    "is hard_negatives_ivf below.",
 )
 def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, "embeddings", sf_dir)
     return similarity.hard_negatives(e)
+
+
+@_q(
+    "hard_negatives_ivf",
+    similarity.hard_negatives_ivf_sql("embeddings"),
+    doc="IVF-probed hard-negative mining — hard_negatives' registered "
+    "scale path (VERDICT r11 task 2): corpus in nearest-centroid cells "
+    "(ivf_assign), anchors probe n_probe cells, label anti-filter on "
+    "the cell-keyed candidate join.  Never queries x corpus; the only "
+    "broadcasts are centroids/anchors — the shape that survives 100 TB.",
+)
+def hard_negatives_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "embeddings", sf_dir)
+    return similarity.hard_negatives_ivf(e)
+
+
+@_q(
+    "hard_negatives_recall",
+    similarity.hard_negatives_recall_sql("embeddings"),
+    doc="recall@k of the IVF hard-negative miner vs the exact baseline, "
+    "per anchor (the ivf_recall shape) — the eval that picks n_probe "
+    "before the miner points at the corpus.",
+)
+def hard_negatives_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, "embeddings", sf_dir)
+    return similarity.hard_negatives_recall(e)
