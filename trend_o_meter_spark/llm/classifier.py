@@ -333,20 +333,44 @@ FROM scored_base, st, {wf}
 # --- hashed bag-of-words logistic regression (fastText-style) ---------------
 
 
-def _hashed_feats(df: DataFrame, *, text: str, id_col: str, n_features: int):
+def _hashed_feats(
+    df: DataFrame, *, text: str, id_col: str, n_features: int,
+    grams: int | None = None,
+):
     """Sparse term-frequency rows ``(did, bucket, tf)`` — tokens of the
     normalized text hashed into ``n_features`` buckets (shared md5), tf
     = bucket count / doc token count.  The feature map needs no
     vocabulary and no fitting: the standard hashing trick (Weinberger
     et al. 2009), which is what makes the classifier trainable in one
-    pass over any corpus size."""
+    pass over any corpus size.
+
+    ``grams=None`` tokenizes on whitespace (bag of words); ``grams=n``
+    uses overlapping character n-grams of the normalized text instead —
+    the fastText-style feature set language identification needs (word
+    identity barely transfers across languages; character shape does).
+    A doc shorter than ``n`` chars contributes no rows either way (it
+    scores at the bias alone downstream)."""
     from ..llm.hashing import md5_int
     from .dedup import _norm
 
-    toks = df.select(
-        F.col(id_col).alias("did"),
-        F.explode(F.split(_norm(F.col(text)), " ")).alias("tok"),
-    ).filter(F.col("tok") != "")
+    if grams is not None:
+        base = df.select(
+            F.col(id_col).alias("did"), _norm(F.col(text)).alias("__t")
+        )
+        idx = F.when(
+            F.length("__t") >= grams,
+            F.sequence(F.lit(1), F.length("__t") - grams + 1),
+        ).otherwise(F.array().cast("array<int>"))
+        toks = base.select(
+            "did", "__t", F.explode(idx).alias("__i")
+        ).select(
+            "did", F.col("__t").substr(F.col("__i"), F.lit(grams)).alias("tok")
+        )
+    else:
+        toks = df.select(
+            F.col(id_col).alias("did"),
+            F.explode(F.split(_norm(F.col(text)), " ")).alias("tok"),
+        ).filter(F.col("tok") != "")
     bucket = md5_int(F.concat(F.lit("f:"), F.col("tok"))) % n_features
     counts = toks.select("did", bucket.alias("bucket")).groupBy("did", "bucket").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -366,6 +390,7 @@ def logreg_hashed_train(
     n_features: int = 64,
     iters: int = 3,
     lr: float = 0.5,
+    grams: int | None = None,
 ) -> DataFrame:
     """Sparse-feature batch-GD logistic regression over hashed
     bag-of-words — the fastText/CCNet-style quality/language gate, with
@@ -382,23 +407,45 @@ def logreg_hashed_train(
     (per-row 1e-9 BIGINT quantization before every sum, 1e-6 sigmoid,
     shared away-from-zero quantizer), so the DuckDB oracle is
     hash-exact."""
-    feats = _hashed_feats(df, text=text, id_col=id_col, n_features=n_features)
+    feats = _hashed_feats(
+        df, text=text, id_col=id_col, n_features=n_features, grams=grams
+    ).localCheckpoint(eager=True)
     labels = df.select(
         F.col(id_col).alias("did"), F.expr(f"CAST(({label_sql}) AS INT)").alias("y")
-    )
-    feats = feats.localCheckpoint(eager=True)
-    labels = labels.localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
     n_rows = labels.count()
     present = sorted(r["bucket"] for r in feats.select("bucket").distinct().collect())
     spark = df.sparkSession
+    b, w = _hashed_gd(
+        feats, labels, n_rows=n_rows, present=present, iters=iters, lr=lr
+    )
+    return spark.createDataFrame(
+        [("__bias", b)] + [(f"b{k}", w[k]) for k in present],
+        "term string, weight double",
+    )
 
-    def qint(col):
-        return (
-            F.when(col >= 0, F.floor(col + F.lit(0.5)))
-            .otherwise(-F.floor(-col + F.lit(0.5)))
-            .cast("long")
-        )
 
+def _qint(col):
+    return (
+        F.when(col >= 0, F.floor(col + F.lit(0.5)))
+        .otherwise(-F.floor(-col + F.lit(0.5)))
+        .cast("long")
+    )
+
+
+def _hashed_gd(
+    feats: DataFrame,
+    labels: DataFrame,
+    *,
+    n_rows: int,
+    present: list[int],
+    iters: int,
+    lr: float,
+) -> tuple[float, dict[int, float]]:
+    """The batch-GD loop over a (checkpointed) sparse feature frame —
+    shared by the single-head trainer and the multi-head langid trainer
+    so heads reuse ONE materialized frame instead of rebuilding it."""
+    spark = feats.sparkSession
     w = {bkt: 0.0 for bkt in present}
     b = 0.0
     lr = float(lr)
@@ -408,7 +455,7 @@ def logreg_hashed_train(
         )
         logits = (
             feats.join(F.broadcast(wdf), "bucket")
-            .select("did", qint(F.col("w") * F.col("tf") * F.lit(1e9)).alias("__c"))
+            .select("did", _qint(F.col("w") * F.col("tf") * F.lit(1e9)).alias("__c"))
             .groupBy("did")
             .agg(F.sum("__c").alias("__s"))
         )
@@ -417,12 +464,12 @@ def logreg_hashed_train(
         zp = labels.join(logits, "did", "left").select(
             "did", "y", p.alias("p")
         )
-        gb = zp.agg(F.sum(qint((F.col("p") - F.col("y")) * F.lit(1e9))).alias("sb")).collect()[0]
+        gb = zp.agg(F.sum(_qint((F.col("p") - F.col("y")) * F.lit(1e9))).alias("sb")).collect()[0]
         grows = (
             feats.join(zp, "did")
             .select(
                 "bucket",
-                qint((F.col("p") - F.col("y")) * F.col("tf") * F.lit(1e9)).alias("__g"),
+                _qint((F.col("p") - F.col("y")) * F.col("tf") * F.lit(1e9)).alias("__g"),
             )
             .groupBy("bucket")
             .agg(F.sum("__g").alias("__gs"))
@@ -432,9 +479,29 @@ def logreg_hashed_train(
         for r in grows:
             k = r["bucket"]
             w[k] = _q(w[k] - lr * (float(r["__gs"]) / 1e9 / n_rows), 1e9)
-    return spark.createDataFrame(
-        [("__bias", b)] + [(f"b{k}", w[k]) for k in present],
-        "term string, weight double",
+    return b, w
+
+
+def _hashed_score(
+    feats: DataFrame, all_ids: DataFrame, b: float, w: dict[int, float], id_col: str
+) -> DataFrame:
+    """Score every id with a trained head off a shared feature frame:
+    ``(id_col, p)``; rows with no features score at the bias alone."""
+    spark = feats.sparkSession
+    wdf = spark.createDataFrame(
+        [(int(k), float(v)) for k, v in w.items()] or [(0, 0.0)],
+        "bucket long, w double",
+    )
+    logits = (
+        feats.join(F.broadcast(wdf), "bucket")
+        .select("did", _qint(F.col("w") * F.col("tf") * F.lit(1e9)).alias("__c"))
+        .groupBy("did")
+        .agg(F.sum("__c").alias("__s"))
+    )
+    t = F.lit(float(b)) + F.coalesce(F.col("__s"), F.lit(0)).cast("double") / F.lit(1e9)
+    p = F.floor((F.lit(1.0) / (F.lit(1.0) + F.exp(-t))) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return all_ids.join(logits, "did", "left").select(
+        F.col("did").alias(id_col), p.alias("p")
     )
 
 
@@ -447,18 +514,21 @@ def logreg_hashed_train_and_score(
     n_features: int = 64,
     iters: int = 3,
     lr: float = 0.5,
+    grams: int | None = None,
 ) -> DataFrame:
     """Fit the hashed classifier on ``df`` then score every row:
     ``(id, p)`` — docs with no tokens score at the bias alone."""
     wrows = logreg_hashed_train(
         df, text=text, id_col=id_col, label_sql=label_sql,
-        n_features=n_features, iters=iters, lr=lr,
+        n_features=n_features, iters=iters, lr=lr, grams=grams,
     ).collect()
     b = next(r["weight"] for r in wrows if r["term"] == "__bias")
     wmap = [(int(r["term"][1:]), r["weight"]) for r in wrows if r["term"] != "__bias"]
     spark = df.sparkSession
     wdf = spark.createDataFrame(wmap or [(0, 0.0)], "bucket long, w double")
-    feats = _hashed_feats(df, text=text, id_col=id_col, n_features=n_features)
+    feats = _hashed_feats(
+        df, text=text, id_col=id_col, n_features=n_features, grams=grams
+    )
 
     def qint(col):
         return (
@@ -482,19 +552,31 @@ def logreg_hashed_train_and_score(
 
 
 def _hashed_sql_parts(
-    table: str, *, text: str, id_col: str, label_sql: str, n_features: int
+    table: str, *, text: str, id_col: str, label_sql: str, n_features: int,
+    grams: int | None = None,
 ) -> list[str]:
     from ..llm.hashing import md5_int_sql
     from .dedup import NORM_SQL
 
     norm = NORM_SQL.format(c=text)
     bucket = md5_int_sql("'f:' || tok")
-    return [
-        f"base AS (SELECT {id_col} AS did, CAST(({label_sql}) AS INT) AS y FROM {table})",
-        f"""toks AS (
+    if grams is not None:
+        # overlapping char n-grams of the normalized text; docs shorter
+        # than n chars (or NULL) produce no rows, exactly like Spark's
+        # empty-sequence explode
+        toks_sql = f"""toks AS (
+  SELECT did, substr(t, i, {grams}) AS tok
+  FROM (SELECT {id_col} AS did, {norm} AS t FROM {table}),
+       UNNEST(generate_series(1, length(t) - {grams - 1})) AS u(i)
+)"""
+    else:
+        toks_sql = f"""toks AS (
   SELECT {id_col} AS did, t.tok FROM {table},
   unnest(str_split({norm}, ' ')) AS t(tok) WHERE t.tok != ''
-)""",
+)"""
+    return [
+        f"base AS (SELECT {id_col} AS did, CAST(({label_sql}) AS INT) AS y FROM {table})",
+        toks_sql,
         "lens AS (SELECT did, count(*) AS len FROM toks GROUP BY 1)",
         f"""bcnt AS (
   SELECT did, {bucket} % {n_features} AS bucket, count(*) AS cnt
@@ -572,9 +654,11 @@ def logreg_hashed_train_sql(
     n_features: int = 64,
     iters: int = 3,
     lr: float = 0.5,
+    grams: int | None = None,
 ) -> str:
     parts = _hashed_sql_parts(
-        table, text=text, id_col=id_col, label_sql=label_sql, n_features=n_features
+        table, text=text, id_col=id_col, label_sql=label_sql,
+        n_features=n_features, grams=grams,
     ) + _hashed_sql_iters(iters, lr)
     k = int(iters)
     return (
@@ -595,6 +679,7 @@ def logreg_hashed_score_sql(
     n_features: int = 64,
     iters: int = 3,
     lr: float = 0.5,
+    grams: int | None = None,
 ) -> str:
     def qint(expr: str) -> str:
         return (
@@ -603,7 +688,8 @@ def logreg_hashed_score_sql(
         )
 
     parts = _hashed_sql_parts(
-        table, text=text, id_col=id_col, label_sql=label_sql, n_features=n_features
+        table, text=text, id_col=id_col, label_sql=label_sql,
+        n_features=n_features, grams=grams,
     ) + _hashed_sql_iters(iters, lr)
     k = int(iters)
     t = f"b{k}.b + CAST(coalesce(c.s, 0) AS DOUBLE) / 1000000000.0"
@@ -620,6 +706,119 @@ SELECT l.did AS {id_col}, {p} AS p
 FROM base l LEFT JOIN cf c USING (did), b{k}
 """
     )
+
+
+# --- trained language identification ----------------------------------------
+
+LANGID_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def langid_scores(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    langs: tuple[str, ...] = LANGID_LANGS,
+    n_features: int = 64,
+    iters: int = 2,
+    lr: float = 0.5,
+    grams: int = 3,
+) -> DataFrame:
+    """Trained language identification — the fastText langid recipe
+    (Joulin et al. 2017): one-vs-rest hashed char-n-gram logistic
+    regression per language, fit on the corpus's own ``lang`` labels,
+    then every doc scored against all heads.
+
+    Output: ``doc_id, p_<lang>... , lang_pred`` where ``lang_pred`` is
+    the head argmax (1e-6-quantized probabilities; ties break to the
+    lexicographically-last language via the same struct-max lattice as
+    text.lang_id, so both engines agree bit-exactly).
+
+    Replaces guessing from a 5-stopword marker list (text.lang_id) with
+    a classifier that learns whatever character shapes actually
+    separate the labeled corpus.  Accuracy on a genuinely multilingual
+    fixture is pinned in tests/test_llm.py; on corpora whose labels are
+    independent of the text the heads converge near the class priors —
+    the honest answer.
+
+    Scale: training state is O(n_features) scalars per head
+    (``len(langs) * iters`` keyed-integer-sum rounds, same discipline as
+    :func:`logreg_hashed_train`); scoring is one broadcast join per head
+    over the shared sparse char-gram frame.  At 100 TB you fit on a
+    labeled sample and only the scoring pass sees the corpus."""
+    # one materialized char-gram frame + label frame shared by all heads
+    # (per-head train_and_score would rebuild and re-checkpoint both
+    # len(langs) times for bit-identical results)
+    feats = _hashed_feats(
+        df, text=text, id_col=id_col, n_features=n_features, grams=grams
+    ).localCheckpoint(eager=True)
+    ids = df.select(
+        F.col(id_col).alias("did"), F.col(lang_col).alias("__lang")
+    ).localCheckpoint(eager=True)
+    n_rows = ids.count()
+    present = sorted(r["bucket"] for r in feats.select("bucket").distinct().collect())
+
+    scores: DataFrame | None = None
+    for lang in langs:
+        labels = ids.select(
+            "did", (F.col("__lang") == lang).cast("int").alias("y")
+        )
+        b, w = _hashed_gd(
+            feats, labels, n_rows=n_rows, present=present, iters=iters, lr=lr
+        )
+        s = _hashed_score(feats, ids.select("did"), b, w, id_col).withColumnRenamed(
+            "p", f"p_{lang}"
+        )
+        scores = s if scores is None else scores.join(s, id_col)
+    cands = F.array(
+        *[
+            F.struct(F.col(f"p_{lang}").alias("s"), F.lit(lang).alias("l"))
+            for lang in langs
+        ]
+    )
+    return scores.select(
+        F.col(id_col),
+        *[F.col(f"p_{lang}") for lang in langs],
+        F.array_max(cands)["l"].alias("lang_pred"),
+    )
+
+
+def langid_scores_sql(
+    table: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    langs: tuple[str, ...] = LANGID_LANGS,
+    n_features: int = 64,
+    iters: int = 2,
+    lr: float = 0.5,
+    grams: int = 3,
+) -> str:
+    """One scoped-CTE subquery per language head (WITH inside parens, so
+    the per-head CTE names cannot collide), joined on the id; argmax via
+    the same struct-max lattice as the Spark side."""
+    heads = []
+    for lang in langs:
+        head = logreg_hashed_score_sql(
+            table, text=text, id_col=id_col,
+            label_sql=f"{lang_col} = '{lang}'",
+            n_features=n_features, iters=iters, lr=lr, grams=grams,
+        )
+        heads.append(f"({head}) AS s_{lang}")
+    joins = heads[0] + "".join(
+        f"\nJOIN {h} USING ({id_col})" for h in heads[1:]
+    )
+    packs = ", ".join(
+        f"struct_pack(s := s_{lang}.p, l := '{lang}')" for lang in langs
+    )
+    pcols = ", ".join(f"s_{lang}.p AS p_{lang}" for lang in langs)
+    return f"""
+SELECT {id_col}, {pcols},
+       (list_max([{packs}])).l AS lang_pred
+FROM {joins}
+"""
 
 
 # --- probability calibration (reliability diagram + ECE) --------------------

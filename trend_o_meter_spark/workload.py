@@ -2914,6 +2914,22 @@ def logreg_hashed_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "langid_scores",
+    classifier.langid_scores_sql("documents"),
+    doc="Trained language identification (fastText recipe, Joulin 2017): "
+    "one-vs-rest hashed char-3-gram logistic regression per language "
+    "fit on the corpus's lang labels, every doc scored by all heads, "
+    "argmax prediction (struct-max lattice, tie -> lexicographically "
+    "last, engine-identical).  The trained upgrade of lang_id's "
+    "marker-word heuristic (VERDICT r11 task 6); accuracy pinned on a "
+    "genuinely multilingual fixture in tests/test_llm.py.",
+)
+def langid_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return classifier.langid_scores(d)
+
+
+@_q(
     "typo_pairs",
     text.typo_pairs_sql("documents", text="source"),
     doc="FastSS deletion-neighborhood fuzzy join (Bocek 2007): "
