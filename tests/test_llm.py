@@ -1168,6 +1168,106 @@ def test_bpe_train_check_verdict_row_and_oracle(spark):
         assert o[c] == row[c], (c, o[c], row[c])
 
 
+def test_unigram_train_matches_fraction_reference(spark):
+    """The big-int Viterbi-EM unigram trainer must reproduce a naive
+    pure-Python reference that enumerates EVERY segmentation with exact
+    Fraction scores (different algorithm, same tie rules — can't share
+    a DP or big-int-compare bug), and the learned vocab must surface
+    the corpus' real subwords."""
+    from fractions import Fraction
+
+    from trend_o_meter_spark.llm.unigram import unigram_train
+
+    texts = ["low lower lowest", "new newer newest newest", "low low new"]
+    kw = dict(num_iters=2, max_piece_len=4, seed_multi=30, keep_multi=8)
+
+    # --- naive reference ---------------------------------------------------
+    freqs = {}
+    for t in texts:
+        for w in t.lower().split():
+            freqs[w] = freqs.get(w, 0) + 1
+
+    def all_segs(w, vocab, max_len):
+        if not w:
+            yield ()
+            return
+        for ln in range(1, min(max_len, len(w)) + 1):
+            if w[:ln] in vocab:
+                for rest in all_segs(w[ln:], vocab, max_len):
+                    yield (w[:ln],) + rest
+
+    def best_seg(w, counts, total, max_len):
+        def score(seg):
+            s = Fraction(1)
+            for p in seg:
+                s *= Fraction(counts[p], total)
+            return s
+        segs = list(all_segs(w, counts, max_len))
+        return sorted(segs, key=lambda g: (-score(g), len(g), g))[0]
+
+    from collections import Counter
+    cnt = Counter()
+    for w, f in freqs.items():
+        for i in range(len(w)):
+            for ln in range(1, min(4, len(w) - i) + 1):
+                cnt[w[i:i + ln]] += f
+    chars = sorted(p for p in cnt if len(p) == 1)
+    multi = sorted((p for p in cnt if len(p) > 1), key=lambda p: (-cnt[p], p))[:30]
+    counts = {c: cnt[c] for c in chars}
+    counts.update({p: cnt[p] for p in multi})
+
+    def e_step(counts):
+        total = sum(counts.values())
+        used = Counter()
+        for w, f in freqs.items():
+            for p in best_seg(w, counts, total, 4):
+                used[p] += f
+        return used
+
+    for _ in range(2):
+        used = e_step(counts)
+        keep = sorted((p for p in used if len(p) > 1 and used[p] > 0),
+                      key=lambda p: (-used[p], p))[:8]
+        counts = {c: used.get(c, 0) for c in chars}
+        counts.update({p: used[p] for p in keep})
+    final = e_step(counts)
+    want = {c: final.get(c, 0) for c in chars}
+    want.update({p: final[p] for p in counts if len(p) > 1 and final.get(p, 0) > 0})
+
+    # --- trainer -------------------------------------------------------------
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got_rows = unigram_train(df, **kw).collect()
+    got = {r["piece"]: r["count"] for r in got_rows}
+    assert got == want
+    # real subwords emerge and mass is conserved
+    assert any(p in got and got[p] > 0 for p in ("low", "new"))
+    assert sum(c * len(p) for p, c in got.items()) == sum(
+        f * len(w) for w, f in freqs.items()
+    )
+    # ranks: count desc, piece asc, dense 0..n-1
+    ranked = sorted(got_rows, key=lambda r: r["rank"])
+    assert [r["rank"] for r in ranked] == list(range(len(ranked)))
+    assert ranked == sorted(got_rows, key=lambda r: (-r["count"], r["piece"]))
+
+
+def test_unigram_vocab_check_oracle_matches(spark):
+    import duckdb
+
+    from trend_o_meter_spark.llm.unigram import (
+        unigram_vocab_check,
+        unigram_vocab_check_sql,
+    )
+
+    texts = ["low lower lowest", "new newer newest newest", "low low new"]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    row = unigram_vocab_check(df).collect()[0]
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    o = con.execute(unigram_vocab_check_sql("documents")).df().iloc[0]
+    for c in ("n_char_pieces", "piece_char_mass", "multi_within_cap", "counts_positive"):
+        assert o[c] == row[c], (c, o[c], row[c])
+
+
 def test_bpe_merge_word_matches_fold(spark):
     """The driver-side merge (_merge_word) and the distributed encoder
     fold (_merged_syms) must agree on the non-overlapping left-to-right

@@ -58,6 +58,7 @@ from .llm import (
     sampling,
     similarity,
     text,
+    unigram,
     urls,
     warc,
 )
@@ -2619,6 +2620,24 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return bpe.bpe_train_check(d, num_merges=20)
+
+
+@_q(
+    "unigram_vocab",
+    unigram.unigram_vocab_check_sql("documents"),
+    doc="Unigram-LM (SentencePiece-style) tokenizer training (Kudo "
+    "2018) — the BPE family's sibling: one Spark job (word-frequency "
+    "agg), driver-side Viterbi-EM with exact big-int segmentation "
+    "scores over the capped table.  Registered as its verdict row "
+    "(bpe_merges recipe): char coverage and piece-mass conservation "
+    "are closed-form exacts in DuckDB; cap/positivity postconditions "
+    "asserted TRUE.  Full vocab artifact via unigram.unigram_train; "
+    "EM pinned against a pure-Python Fraction-scored reference in "
+    "tests/test_llm.py.",
+)
+def unigram_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return unigram.unigram_vocab_check(d)
 
 
 _BPE_FIXED_RULES = [("t", "h"), ("th", "e</w>"), ("i", "n"), ("a", "n")]
