@@ -228,9 +228,11 @@ def stream_lsh_probe(spark, sf_dir: str, n_batches: int = 20) -> dict:
     # state partitions sized to per-batch volume, not the batch suite's 32:
     # each micro-batch pays one state-store commit + one Python stateful
     # task PER partition, a fixed cost that dominates small batches
-    # (BASELINE.md round-4 attribution: 32 -> 8 partitions is 1.5x marginal)
+    # (BASELINE.md round-4 attribution: 32 -> 8 partitions is 1.5x
+    # marginal; round-12 directory-state decomposition: 8 -> 4 with
+    # state_groups=8 is the best-of-3 operating point)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         with tempfile.TemporaryDirectory() as tmp:
             src_dir = os.path.join(tmp, "src")

@@ -759,10 +759,13 @@ def test_rowwise_minhash_arrow_java_canonicalization(spark):
     assert 4 not in arrow and 5 not in arrow
 
 
-def test_stream_near_dup_lsh_matches_batch(spark, stream_dirs):
+@pytest.mark.parametrize("state_groups", [8, None])
+def test_stream_near_dup_lsh_matches_batch(spark, stream_dirs, state_groups):
     """Incremental LSH over two micro-batches finds exactly the batch
     operator's candidate pairs — including pairs whose members arrive in
-    DIFFERENT batches (the state store carries bucket membership)."""
+    DIFFERENT batches (the state store carries bucket membership).
+    Pinned for BOTH state layouts: the default bucket directory
+    (state_groups=8, round-12) and per-bucket keying (None)."""
     from trend_o_meter_spark.llm.dedup import minhash_lsh_pairs
     from trend_o_meter_spark.streaming.lsh import stream_near_dup_lsh
 
@@ -785,7 +788,7 @@ def test_stream_near_dup_lsh_matches_batch(spark, stream_dirs):
             F.get_json_object("value", "$.doc_id").cast("long").alias("doc_id"),
             F.get_json_object("value", "$.text").alias("text"),
         ).filter(F.col("text").isNotNull())
-        return stream_near_dup_lsh(parsed)
+        return stream_near_dup_lsh(parsed, state_groups=state_groups)
 
     out = _run_batches(spark, in_dir, ckpt, transform, batches, "lsh_stream_out")
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}  # dedupe across bands

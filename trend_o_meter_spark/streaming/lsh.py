@@ -65,6 +65,18 @@ PAIRS_SCHEMA = StructType(
 
 _BUCKET_STATE = StructType([StructField("ids", ArrayType(LongType()), True)])
 
+# directory-mode state (see stream_near_dup_lsh state_groups): one state
+# row per COARSE group holding every bucket routed to it as three
+# parallel per-member arrays (bucket band, bucket hash, member id) —
+# rebuild is a zip, serialization preserves admission order
+_DIR_STATE = StructType(
+    [
+        StructField("bands", ArrayType(IntegerType()), True),
+        StructField("bhs", ArrayType(StringType()), True),
+        StructField("mids", ArrayType(LongType()), True),
+    ]
+)
+
 
 # JVM-semantics text canonicalization twins (the expression path is
 # lower/trim/regexp_replace('\\s+')): Java regex \s is ASCII-only
@@ -206,6 +218,7 @@ def stream_near_dup_lsh(
     seed: int = 42,
     max_bucket: int = 64,
     sig_impl: str = "arrow",
+    state_groups: int | None = 8,
 ) -> DataFrame:
     """Incremental LSH candidate pairs over a document stream.
 
@@ -213,6 +226,28 @@ def stream_near_dup_lsh(
     collision, ``id_a < id_b``; the same logical pair may appear under
     several bands (dedupe downstream).  State per bucket is its member
     id list, capped at ``max_bucket``.
+
+    ``state_groups`` picks the state layout (pair-set identical either
+    way — both are pytest-pinned to the batch operator):
+
+    * an int ``G`` (default 8) — **directory mode**: state is keyed by
+      ``hash(band, bh) % G`` and each of the G state rows holds a
+      directory of every bucket routed to it.  Rationale (BASELINE.md
+      round-12 decomposition): ``applyInPandasWithState`` pays a fixed
+      per-GROUP cost (per-group Arrow slice + pandas frame + GroupState
+      round-trip, ~0.25 ms) — with per-bucket keying a 250-doc trigger
+      touches ~1,000 near-singleton groups, so the stateful stage cost
+      is ~25x the useful work.  G groups bound that overhead; the
+      per-bucket admission logic (sorted batch ids, ``max_bucket`` cap,
+      insertion-order members) runs identically inside the directory.
+      The trade is state churn: every touched group rewrites its whole
+      directory, so size G to keep per-group state in low MBs
+      (state ~= corpus_banded_rows / G members per group).
+    * ``None`` — **per-bucket keying**: one state row per (band, bh).
+      Only touched buckets load/commit per trigger, so churn stays
+      O(batch) regardless of corpus size — the right layout when state
+      is huge and triggers are large (the 100 TB tail-ingest case),
+      at the cost of the per-group overhead above on small triggers.
     """
 
     def scan(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
@@ -240,6 +275,55 @@ def stream_near_dup_lsh(
         if out_a:
             yield pd.DataFrame({"band": band, "bh": bh, "id_a": out_a, "id_b": out_b})
 
+    def scan_dir(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        from collections import defaultdict
+
+        if state.exists:
+            sb, sh, sm = state.get
+            d: dict[tuple[int, str], list[int]] = {}
+            for b, h, m in zip(sb, sh, sm):
+                d.setdefault((int(b), h), []).append(int(m))
+        else:
+            d = {}
+        newby: dict[tuple[int, str], list[int]] = defaultdict(list)
+        for pdf in pdfs:
+            for b, h, i in zip(pdf["band"], pdf["bh"], pdf["id"]):
+                newby[(int(b), h)].append(int(i))
+        ob: list[int] = []
+        oh: list[str] = []
+        oa: list[int] = []
+        o2: list[int] = []
+        # sorted bucket order + sorted ids per bucket: identical admission
+        # to the per-bucket scan (which sorts the whole group's batch),
+        # replay-stable regardless of Arrow chunking
+        for (b, h) in sorted(newby):
+            ids = d.get((b, h), [])
+            known = set(ids)
+            for i in sorted(set(newby[(b, h)])):
+                if i in known:
+                    continue
+                if len(ids) >= max_bucket:
+                    break
+                for j in ids:
+                    ob.append(b)
+                    oh.append(h)
+                    oa.append(min(i, j))
+                    o2.append(max(i, j))
+                ids.append(i)
+                known.add(i)
+            d[(b, h)] = ids
+        sb2: list[int] = []
+        sh2: list[str] = []
+        sm2: list[int] = []
+        for (b, h), ids in d.items():
+            for m in ids:
+                sb2.append(b)
+                sh2.append(h)
+                sm2.append(m)
+        state.update((sb2, sh2, sm2))
+        if oa:
+            yield pd.DataFrame({"band": ob, "bh": oh, "id_a": oa, "id_b": o2})
+
     sigs = rowwise_minhash_signatures(
         docs,
         text=text,
@@ -250,10 +334,21 @@ def stream_near_dup_lsh(
         impl=sig_impl,
     )
     banded = banded_rows(sigs, num_perm=num_perm, bands=bands)
-    return banded.groupBy("band", "bh").applyInPandasWithState(
-        scan,
+    if state_groups is None:
+        return banded.groupBy("band", "bh").applyInPandasWithState(
+            scan,
+            outputStructType=PAIRS_SCHEMA,
+            stateStructType=_BUCKET_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    keyed = banded.withColumn(
+        "__g", F.pmod(F.xxhash64(F.col("band"), F.col("bh")), F.lit(int(state_groups)))
+    )
+    return keyed.groupBy("__g").applyInPandasWithState(
+        scan_dir,
         outputStructType=PAIRS_SCHEMA,
-        stateStructType=_BUCKET_STATE,
+        stateStructType=_DIR_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
