@@ -534,6 +534,10 @@ def main() -> None:
 
     times = {name: sorted(ts)[len(ts) // 2] for name, ts in samples.items()}
 
+    # kernel sample between the batch suite and the streaming block: with
+    # start/mid/end brackets BOTH halves of the artifact are independently
+    # steal-attributable (VERDICT r11 task 8), not just the whole run
+    load["calibration_streaming_start"] = _calibrate()
     load["streaming_start"] = _host_load()
     streaming = stream_probe(spark, sf_dir)
     load["streaming_lsh_start"] = _host_load()
@@ -592,8 +596,10 @@ def main() -> None:
     # compact steal-adjudication datum for the driver's captured line
     line["calib"] = {
         "start": load["calibration_start"]["median"],
+        "mid": load["calibration_streaming_start"]["median"],
         "end": load["calibration_end"]["median"],
         "fan_start": load["calibration_start"]["fan_wall"],
+        "fan_mid": load["calibration_streaming_start"]["fan_wall"],
         "fan_end": load["calibration_end"]["fan_wall"],
     }
     line["samples_file"] = result_path

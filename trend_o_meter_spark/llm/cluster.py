@@ -396,6 +396,7 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_dir: str | None = None,
     edges_distinct: bool = False,
+    edges_cut: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank (Page et al. 1999, "The PageRank Citation
     Ranking") over an edge list — the link-analysis quality prior a
@@ -434,7 +435,12 @@ def pagerank(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not edges_distinct:
         e = e.distinct()
-    e = _truncate(e, checkpoint_dir)
+    if not (edges_cut and edges_distinct):
+        # ``edges_cut=True``: the caller's frame is already materialized
+        # behind its own lineage cut (e.g. the session-shared
+        # pagerank_docs/hits_docs edge table) — re-checkpointing it would
+        # copy the whole edge list once more per query call
+        e = _truncate(e, checkpoint_dir)
     nodes = _truncate(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -552,6 +558,7 @@ def hits(
     iters: int = 3,
     checkpoint_dir: str | None = None,
     edges_distinct: bool = False,
+    edges_cut: bool = False,
 ) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg 1999, "Authoritative sources in a
     hyperlinked environment"): hubs point at good authorities,
@@ -589,7 +596,10 @@ def hits(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not edges_distinct:
         e = e.distinct()
-    e = _truncate(e, checkpoint_dir)
+    if not (edges_cut and edges_distinct):
+        # see pagerank: skip the redundant re-checkpoint of a frame the
+        # caller already materialized behind a cut
+        e = _truncate(e, checkpoint_dir)
     nodes = _truncate(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
