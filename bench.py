@@ -127,6 +127,15 @@ HEADLINE = (
     "robots_filter",
     "url_canonical",
     "hard_negatives",
+    # round-12: the IVF scale path for hard-negative mining, the
+    # unigram-LM tokenizer trainer, and the now-oracle-checked BPE
+    # trainer verdict row (first quiet entries in BASELINE.md the same
+    # session).  langid_scores is deliberately NOT here: ~22 s median,
+    # all driver-side GD-loop round-trips (5 heads x 2 iters), which
+    # would swamp the suite signal — it stays a correctness-only query.
+    "hard_negatives_ivf",
+    "unigram_vocab",
+    "bpe_merges",
 )
 
 

@@ -37,6 +37,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import lineage
+
 # Default feature set: cheap char statistics that separate the corpus's
 # language classes (used by the registry's language-classifier query).
 DEFAULT_FEATURES: dict[str, str] = {
@@ -111,7 +113,7 @@ def logreg_train(
         mn, mx = anchors[n]
         rng = mx - mn if mx > mn else 1.0
         zcols.append(((F.col(n) - F.lit(mn)) / F.lit(rng)).alias(f"__z_{n}"))
-    z = base.select(*zcols, "__y").localCheckpoint(eager=True)
+    z = lineage.cut(base.select(*zcols, "__y"), eager=True)
 
     w = {n: 0.0 for n in names}
     b = 0.0
@@ -407,12 +409,19 @@ def logreg_hashed_train(
     (per-row 1e-9 BIGINT quantization before every sum, 1e-6 sigmoid,
     shared away-from-zero quantizer), so the DuckDB oracle is
     hash-exact."""
-    feats = _hashed_feats(
-        df, text=text, id_col=id_col, n_features=n_features, grams=grams
-    ).localCheckpoint(eager=True)
-    labels = df.select(
-        F.col(id_col).alias("did"), F.expr(f"CAST(({label_sql}) AS INT)").alias("y")
-    ).localCheckpoint(eager=True)
+    feats = lineage.cut(
+        _hashed_feats(
+            df, text=text, id_col=id_col, n_features=n_features, grams=grams
+        ),
+        eager=True,
+    )
+    labels = lineage.cut(
+        df.select(
+            F.col(id_col).alias("did"),
+            F.expr(f"CAST(({label_sql}) AS INT)").alias("y"),
+        ),
+        eager=True,
+    )
     n_rows = labels.count()
     present = sorted(r["bucket"] for r in feats.select("bucket").distinct().collect())
     spark = df.sparkSession
@@ -464,21 +473,32 @@ def _hashed_gd(
         zp = labels.join(logits, "did", "left").select(
             "did", "y", p.alias("p")
         )
-        gb = zp.agg(F.sum(_qint((F.col("p") - F.col("y")) * F.lit(1e9))).alias("sb")).collect()[0]
+        # ONE gradient job per iteration: the bias gradient rides along
+        # as sentinel bucket -1 (real buckets are md5 % n_features >= 0).
+        # Values identical to separate jobs — both are exact integer
+        # sums of the same per-row quantized contributions.
         grows = (
             feats.join(zp, "did")
             .select(
                 "bucket",
                 _qint((F.col("p") - F.col("y")) * F.col("tf") * F.lit(1e9)).alias("__g"),
             )
+            .unionByName(
+                zp.select(
+                    F.lit(-1).cast("long").alias("bucket"),
+                    _qint((F.col("p") - F.col("y")) * F.lit(1e9)).alias("__g"),
+                )
+            )
             .groupBy("bucket")
             .agg(F.sum("__g").alias("__gs"))
             .collect()
         )
-        b = _q(b - lr * (float(gb["sb"]) / 1e9 / n_rows), 1e9)
         for r in grows:
             k = r["bucket"]
-            w[k] = _q(w[k] - lr * (float(r["__gs"]) / 1e9 / n_rows), 1e9)
+            if k == -1:
+                b = _q(b - lr * (float(r["__gs"]) / 1e9 / n_rows), 1e9)
+            else:
+                w[k] = _q(w[k] - lr * (float(r["__gs"]) / 1e9 / n_rows), 1e9)
     return b, w
 
 
@@ -750,23 +770,40 @@ def langid_scores(
     # one materialized char-gram frame + label frame shared by all heads
     # (per-head train_and_score would rebuild and re-checkpoint both
     # len(langs) times for bit-identical results)
-    feats = _hashed_feats(
-        df, text=text, id_col=id_col, n_features=n_features, grams=grams
-    ).localCheckpoint(eager=True)
-    ids = df.select(
-        F.col(id_col).alias("did"), F.col(lang_col).alias("__lang")
-    ).localCheckpoint(eager=True)
+    feats = lineage.cut(
+        _hashed_feats(
+            df, text=text, id_col=id_col, n_features=n_features, grams=grams
+        ),
+        eager=True,
+    )
+    ids = lineage.cut(
+        df.select(F.col(id_col).alias("did"), F.col(lang_col).alias("__lang")),
+        eager=True,
+    )
     n_rows = ids.count()
     present = sorted(r["bucket"] for r in feats.select("bucket").distinct().collect())
 
-    scores: DataFrame | None = None
-    for lang in langs:
+    # heads are independent given the shared frames — train them on
+    # concurrent scheduler threads (results are per-head deterministic,
+    # so scheduling order cannot leak); wall = one head's GD loop
+    # instead of len(langs) of them (this is what keeps the trainer
+    # under the plan audit's construction-wall threshold)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def train_head(lang: str):
         labels = ids.select(
             "did", (F.col("__lang") == lang).cast("int").alias("y")
         )
-        b, w = _hashed_gd(
+        return _hashed_gd(
             feats, labels, n_rows=n_rows, present=present, iters=iters, lr=lr
         )
+
+    with ThreadPoolExecutor(max_workers=len(langs)) as pool:
+        heads = dict(zip(langs, pool.map(train_head, langs)))
+
+    scores: DataFrame | None = None
+    for lang in langs:
+        b, w = heads[lang]
         s = _hashed_score(feats, ids.select("did"), b, w, id_col).withColumnRenamed(
             "p", f"p_{lang}"
         )
