@@ -1250,6 +1250,44 @@ def test_unigram_train_matches_fraction_reference(spark):
     assert ranked == sorted(got_rows, key=lambda r: (-r["count"], r["piece"]))
 
 
+def test_pack_sequences_global_two_level_prefix_sum(spark):
+    """The distributed (bucketed) prefix sum must equal the sequential
+    definition on sparse ids, tiny buckets, boundary-crossing docs, and
+    empty/NULL docs — computed here by a plain python scan."""
+    from trend_o_meter_spark.llm.packing import pack_sequences
+
+    docs = [
+        (3, "a b c d e"),          # 5 toks
+        (7, ""),                   # 0 toks -> NULL seq cols
+        (12, "x " * 300),          # 300 toks, crosses a 256 boundary
+        (13, None),                # NULL text -> 0 toks
+        (25, "one two"),           # new bucket (width 10)
+        (40, "t " * 10),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            df, seq_len=256, bucket_width=10
+        ).collect()
+    }
+    # sequential reference
+    start = 0
+    for did, t in sorted(docs):
+        n = len([w for w in (t or "").lower().split() if w])
+        r = out[did]
+        assert (r["n_tokens"], r["start_tok"]) == (n, start), (did, r)
+        if n > 0:
+            assert r["seq_first"] == start // 256
+            assert r["seq_last"] == (start + n - 1) // 256
+            assert r["tok_offset"] == start % 256
+        else:
+            assert r["seq_first"] is None and r["seq_last"] is None
+            assert r["tok_offset"] is None
+        start += n
+    assert out[12]["seq_last"] > out[12]["seq_first"]  # boundary crossed
+
+
 def test_unigram_vocab_check_oracle_matches(spark):
     import duckdb
 

@@ -55,6 +55,7 @@ from .llm import (
     funnel,
     html,
     multimodal,
+    packing,
     robots,
     sampling,
     similarity,
@@ -121,6 +122,7 @@ _SCORE_FIRST = (
     "hard_negatives_recall",
     "langid_scores",
     "unigram_vocab",
+    "pack_sequences_global",
     # Slots 5-7: URL family — _CANON_SQL made sign-safe this round
     # (ADVICE r11), so their oracles' text changed; re-verify.
     "url_canonical",
@@ -169,10 +171,10 @@ _SCORE_FIRST = (
     "tumbling_mean_60s",
     "value_quantiles",
     "verified_near_dups",
-    "zscore_anomalies",
-    # (hard_negatives_recall takes the 50th slot; the whole 50-strong
-    # r09 cohort — asof_forward_orders first by name — queues for
+    # (8 new/changed + 42-1 r08-stale = 50: zscore_anomalies, displaced
+    # to slot 51 by pack_sequences, re-queues with the r09 cohort for
     # round 13.)
+    "zscore_anomalies",
     # Entries not listed keep declaration order (stable sort) and sort
     # after the 50 above; the r09/r10/r11 cohorts already carry fresh
     # verdicts.
@@ -2639,6 +2641,24 @@ def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def unigram_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return unigram.unigram_vocab_check(d)
+
+
+@_q(
+    "pack_sequences_global",
+    packing.pack_sequences_sql("documents", seq_len=512),
+    doc="GLOBAL-order sequence packing: greedy contiguous assignment of "
+    "docs, in corpus-wide id order, into 512-token training sequences "
+    "— the single-deterministic-stream variant of pack_sequences "
+    "(which shards by lang and prefix-sums within shards, sidestepping "
+    "global order).  Spark side is the textbook two-level distributed "
+    "prefix sum (keyed per-bucket window + broadcast bucket base "
+    "offsets; NEVER a single-partition global window); the oracle is "
+    "the sequential global-window definition, so hash-equality proves "
+    "the distributed composition.",
+)
+def pack_sequences_global_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return packing.pack_sequences(d, seq_len=512)
 
 
 _BPE_FIXED_RULES = [("t", "h"), ("th", "e</w>"), ("i", "n"), ("a", "n")]
