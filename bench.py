@@ -136,6 +136,7 @@ HEADLINE = (
     "hard_negatives_ivf",
     "unigram_vocab",
     "bpe_merges",
+    "pack_sequences_global",
 )
 
 

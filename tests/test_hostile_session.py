@@ -29,9 +29,20 @@ SAMPLE = [
 
 @pytest.mark.parametrize("name", SAMPLE)
 def test_query_survives_ansi_mode(spark, name):
-    before = spark.conf.get("spark.sql.ansi.enabled", "false")
+    # restore-by-unset when the conf was unset before: restoring to the
+    # "false" FALLBACK would pin legacy semantics (size(null) = -1) on
+    # the shared session — Spark 4's unset default is ANSI ON (found
+    # live: a downstream size()-based test failed only in full-suite
+    # order, round 12)
+    try:
+        before = spark.conf.get("spark.sql.ansi.enabled")
+    except Exception:
+        before = None
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try:
         assert entry_mod.queries()[name](spark, SF_DIR).count() >= 0
     finally:
-        spark.conf.set("spark.sql.ansi.enabled", before)
+        if before is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", before)

@@ -180,13 +180,24 @@ def test_kmv_below_k_is_exact_even_under_ansi(spark):
     from trend_o_meter_spark.operators.theta import kmv_estimate, kmv_sketch
 
     df = spark.createDataFrame([("a", i) for i in range(5)], "k string, uid long")
-    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    # restore-by-unset when the conf was unset before: restoring to the
+    # "false" FALLBACK would pin legacy semantics (size(null) = -1) on
+    # the shared session — Spark 4's unset default is ANSI ON (found
+    # live: a downstream size()-based test failed only in full-suite
+    # order, round 12)
+    try:
+        prev = spark.conf.get("spark.sql.ansi.enabled")
+    except Exception:
+        prev = None
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try:
         sk = kmv_sketch(df, keys=("k",), id_col="uid", k=64)
         out = kmv_estimate(sk, keys=("k",), k=64).collect()
     finally:
-        spark.conf.set("spark.sql.ansi.enabled", prev)
+        if prev is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
     assert out[0]["n_kept"] == 5 and out[0]["est_distinct"] == 5.0
 
 

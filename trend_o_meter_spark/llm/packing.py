@@ -64,9 +64,14 @@ def pack_sequences(
     doc touches) and ``tok_offset`` (position inside ``seq_first``) —
     NULL sequence columns for token-free docs."""
     toks = F.filter(F.split(_norm(F.col(text)), " "), lambda x: x != "")
+    # NULL text -> 0 tokens via an explicit isNull branch, NOT
+    # coalesce(size(...)): size(NULL) is -1 under legacy semantics
+    # (ansi.enabled=false) and NULL under ANSI — the branch is correct
+    # in both session modes
+    n_toks = F.when(F.col(text).isNull(), F.lit(0)).otherwise(F.size(toks))
     base = df.select(
         F.col(id_col),
-        F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("n_tokens"),
+        n_toks.cast("long").alias("n_tokens"),
         F.floor(F.col(id_col) / F.lit(int(bucket_width))).alias("__b"),
     )
     sums = base.groupBy("__b").agg(F.sum("n_tokens").alias("__bt"))
