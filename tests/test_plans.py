@@ -121,6 +121,16 @@ def test_sliding_rates_no_single_partition_window(plans):
     assert "SinglePartition" not in plans("sliding_rates_10s")
 
 
+def test_pack_sequences_global_no_single_partition_window(plans):
+    # The whole point of the two-level distributed prefix sum: the global
+    # token cumsum must NEVER compile to a Window over Exchange
+    # SinglePartition (that is the naive global-ORDER BY window the
+    # operator exists to avoid).  The only window is bucket-partitioned.
+    p = plans("pack_sequences_global")
+    assert "SinglePartition" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_q17_part_join_broadcasts_via_aqe(spark):
     # q17 carries no broadcast hint (part scales with sf — not a dim
     # table); at small sf AQE must still pick a broadcast join from its
