@@ -248,6 +248,12 @@ def stream_near_dup_lsh(
       O(batch) regardless of corpus size — the right layout when state
       is huge and triggers are large (the 100 TB tail-ingest case),
       at the cost of the per-group overhead above on small triggers.
+
+    Measured (BASELINE.md round-12 longevity, 200 growing batches):
+    directory starts ~1.6x faster but per-batch wall doubles as state
+    grows (882 -> 1,775 ms); per-bucket starts slower and stays flat
+    (1,416 -> 1,304 ms at 80k state rows).  Crossover ~60k banded
+    members at G=8 — pick per-bucket for unbounded long-running ingest.
     """
 
     def scan(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
