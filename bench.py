@@ -250,7 +250,7 @@ def stream_lsh_probe(spark, sf_dir: str, n_batches: int = 20, n_passes: int = 3)
     # state_groups=8 is the best-of-3 operating point)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    secs, margs, n_prog = [], [], 0
+    secs, margs, n_progs = [], [], []
     try:
         for _ in range(int(n_passes)):
             with tempfile.TemporaryDirectory() as tmp:
@@ -272,7 +272,7 @@ def stream_lsh_probe(spark, sf_dir: str, n_batches: int = 20, n_passes: int = 3)
                 q.awaitTermination()
                 secs.append(round(time.time() - t0, 3))
                 progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
-                n_prog = len(progress)
+                n_progs.append(len(progress))
                 if len(progress) > 1:
                     tail = progress[1:]
                     tail_rows = sum(p["numInputRows"] for p in tail)
@@ -284,7 +284,8 @@ def stream_lsh_probe(spark, sf_dir: str, n_batches: int = 20, n_passes: int = 3)
     sec = statistics.median(secs)
     out = {"operator": "stream_near_dup_lsh", "rows": n_rows,
            "sec": sec, "rows_per_sec": round(n_rows / sec),
-           "batches": n_prog, "aggregation": f"median_of_{n_passes}"}
+           "batches": statistics.median(n_progs) if n_progs else 0,
+           "aggregation": f"median_of_{n_passes}"}
     if margs:
         out["marginal_rows_per_sec"] = round(statistics.median(margs))
     return out

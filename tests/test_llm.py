@@ -1264,13 +1264,17 @@ def test_pack_sequences_global_two_level_prefix_sum(spark):
         (25, "one two"),           # new bucket (width 10)
         (40, "t " * 10),
     ]
-    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # a NULL id has no defined position in id order: excluded, documented
+    df = spark.createDataFrame(
+        docs + [(None, "ghost doc")], "doc_id long, text string"
+    )
     out = {
         r["doc_id"]: r
         for r in pack_sequences(
             df, seq_len=256, bucket_width=10
         ).collect()
     }
+    assert None not in out and len(out) == len(docs)
     # sequential reference
     start = 0
     for did, t in sorted(docs):

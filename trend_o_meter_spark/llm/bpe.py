@@ -246,20 +246,34 @@ def bpe_train_check(
     )
 
 
-def bpe_train_check_sql(table: str, *, text: str = "text", num_merges: int = 30) -> str:
+def bpe_train_check_sql(
+    table: str,
+    *,
+    text: str = "text",
+    num_merges: int = 30,
+    top_words: int | None = 1_000_000,
+) -> str:
     """DuckDB oracle for :func:`bpe_train_check`: the rank-0 rule and the
     pair mass are recomputed closed-form from the word-frequency table
     (``substr`` explode over char positions; ``</w>`` sentinel on the
-    last position); the trainer invariants are asserted TRUE; ``n_rules``
-    is pinned to ``num_merges`` (exact whenever the corpus' pair mass
-    survives that many merges — true at every shipped SF)."""
+    last position; the SAME ``top_words`` admission cap the trainer
+    applies — without it the two sides would diverge past 1M distinct
+    words); the trainer invariants are asserted TRUE; ``n_rules`` is
+    pinned to ``num_merges``.
+
+    Validity domain (bound oracle by design): exact whenever the corpus
+    sustains ``num_merges`` merges at ``min_pair_count`` — true at every
+    shipped SF and any real text corpus; a starved corpus fails LOUDLY
+    (n_rules mismatch), which is the correct behavior for a verdict row.
+    """
     norm = NORM_SQL.format(c=text)
+    cap = "" if top_words is None else f"\n  ORDER BY freq DESC, word ASC LIMIT {int(top_words)}"
     return f"""
 WITH wf AS (
   SELECT word, CAST(count(*) AS BIGINT) AS freq
   FROM (SELECT unnest(string_split({norm}, ' ')) AS word FROM {table})
   WHERE word <> ''
-  GROUP BY word
+  GROUP BY word{cap}
 ),
 sym AS (
   SELECT substr(word, i, 1) AS a,

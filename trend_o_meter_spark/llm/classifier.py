@@ -537,38 +537,28 @@ def logreg_hashed_train_and_score(
     grams: int | None = None,
 ) -> DataFrame:
     """Fit the hashed classifier on ``df`` then score every row:
-    ``(id, p)`` — docs with no tokens score at the bias alone."""
-    wrows = logreg_hashed_train(
-        df, text=text, id_col=id_col, label_sql=label_sql,
-        n_features=n_features, iters=iters, lr=lr, grams=grams,
-    ).collect()
-    b = next(r["weight"] for r in wrows if r["term"] == "__bias")
-    wmap = [(int(r["term"][1:]), r["weight"]) for r in wrows if r["term"] != "__bias"]
-    spark = df.sparkSession
-    wdf = spark.createDataFrame(wmap or [(0, 0.0)], "bucket long, w double")
-    feats = _hashed_feats(
-        df, text=text, id_col=id_col, n_features=n_features, grams=grams
+    ``(id, p)`` — docs with no tokens score at the bias alone.  One
+    materialized feature frame serves both the GD loop and the scoring
+    join (the langid_scores shape)."""
+    feats = lineage.cut(
+        _hashed_feats(
+            df, text=text, id_col=id_col, n_features=n_features, grams=grams
+        ),
+        eager=True,
     )
-
-    def qint(col):
-        return (
-            F.when(col >= 0, F.floor(col + F.lit(0.5)))
-            .otherwise(-F.floor(-col + F.lit(0.5)))
-            .cast("long")
-        )
-
-    logits = (
-        feats.join(F.broadcast(wdf), "bucket")
-        .select("did", qint(F.col("w") * F.col("tf") * F.lit(1e9)).alias("__c"))
-        .groupBy("did")
-        .agg(F.sum("__c").alias("__s"))
+    labels = lineage.cut(
+        df.select(
+            F.col(id_col).alias("did"),
+            F.expr(f"CAST(({label_sql}) AS INT)").alias("y"),
+        ),
+        eager=True,
     )
-    t = F.lit(float(b)) + F.coalesce(F.col("__s"), F.lit(0)).cast("double") / F.lit(1e9)
-    p = F.floor((F.lit(1.0) / (F.lit(1.0) + F.exp(-t))) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-    allk = df.select(F.col(id_col).alias("did"))
-    return allk.join(logits, "did", "left").select(
-        F.col("did").alias(id_col), p.alias("p")
+    n_rows = labels.count()
+    present = sorted(r["bucket"] for r in feats.select("bucket").distinct().collect())
+    b, w = _hashed_gd(
+        feats, labels, n_rows=n_rows, present=present, iters=iters, lr=lr
     )
+    return _hashed_score(feats, labels.select("did"), b, w, id_col)
 
 
 def _hashed_sql_parts(

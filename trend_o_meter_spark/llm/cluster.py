@@ -432,10 +432,17 @@ def pagerank(
     # ``edges_distinct=True`` skips the defensive dedup for callers whose
     # edge list is distinct by construction (see hits(): 6.5 s of the
     # 10.8 s sf0.1 edge materialization was this redundant shuffle).
+    if edges_cut and not edges_distinct:
+        raise ValueError(
+            "edges_cut=True requires edges_distinct=True: the internal "
+            "distinct() would produce a NEW multi-consumer shuffle that "
+            "must be truncated — skipping the cut there re-executes it "
+            "per consumer"
+        )
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not edges_distinct:
         e = e.distinct()
-    if not (edges_cut and edges_distinct):
+    if not edges_cut:
         # ``edges_cut=True``: the caller's frame is already materialized
         # behind its own lineage cut (e.g. the session-shared
         # pagerank_docs/hits_docs edge table) — re-checkpointing it would
@@ -593,10 +600,14 @@ def hits(
     # full-edge-table shuffle otherwise — measured 6.5 s of the 10.8 s
     # edge materialization at sf0.1 (4.3M edges).  Values are untouched
     # either way; the oracle keeps its SELECT DISTINCT.
+    if edges_cut and not edges_distinct:
+        raise ValueError(
+            "edges_cut=True requires edges_distinct=True (see pagerank)"
+        )
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not edges_distinct:
         e = e.distinct()
-    if not (edges_cut and edges_distinct):
+    if not edges_cut:
         # see pagerank: skip the redundant re-checkpoint of a frame the
         # caller already materialized behind a cut
         e = _truncate(e, checkpoint_dir)

@@ -62,14 +62,18 @@ def pack_sequences(
     Output per doc: ``doc_id, n_tokens, start_tok`` (0-based global
     token offset), ``seq_first/seq_last`` (first/last sequence index the
     doc touches) and ``tok_offset`` (position inside ``seq_first``) —
-    NULL sequence columns for token-free docs."""
+    NULL sequence columns for token-free docs.  Rows with a NULL id are
+    EXCLUDED (no defined position in id order; Spark and DuckDB would
+    even order them differently)."""
     toks = F.filter(F.split(_norm(F.col(text)), " "), lambda x: x != "")
     # NULL text -> 0 tokens via an explicit isNull branch, NOT
     # coalesce(size(...)): size(NULL) is -1 under legacy semantics
     # (ansi.enabled=false) and NULL under ANSI — the branch is correct
     # in both session modes
     n_toks = F.when(F.col(text).isNull(), F.lit(0)).otherwise(F.size(toks))
-    base = df.select(
+    # NULL ids have no defined position in id order (and the two engines
+    # even sort NULLs differently) — excluded on BOTH sides, documented
+    base = df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col),
         n_toks.cast("long").alias("n_tokens"),
         F.floor(F.col(id_col) / F.lit(int(bucket_width))).alias("__b"),
@@ -130,6 +134,7 @@ WITH t AS (
   SELECT {id_col},
          CAST(coalesce(len(list_filter(string_split({norm}, ' '), x -> x != '')), 0) AS BIGINT) AS n_tokens
   FROM {table}
+  WHERE {id_col} IS NOT NULL
 ),
 c AS (
   SELECT {id_col}, n_tokens,

@@ -234,17 +234,22 @@ def unigram_vocab_check(
     )
 
 
-def unigram_vocab_check_sql(table: str, *, text: str = "text") -> str:
+def unigram_vocab_check_sql(
+    table: str, *, text: str = "text", top_words: int | None = 1_000_000
+) -> str:
     """DuckDB oracle for :func:`unigram_vocab_check`: distinct corpus
     characters and total word-character mass, closed-form from the same
-    word-frequency table the trainer collects."""
+    word-frequency table the trainer collects — INCLUDING the same
+    ``top_words`` admission cap (without it the mass/coverage exacts
+    would diverge past 1M distinct words)."""
     norm = NORM_SQL.format(c=text)
+    cap = "" if top_words is None else f"\n  ORDER BY freq DESC, word ASC LIMIT {int(top_words)}"
     return f"""
 WITH wf AS (
   SELECT word, CAST(count(*) AS BIGINT) AS freq
   FROM (SELECT unnest(string_split({norm}, ' ')) AS word FROM {table})
   WHERE word <> ''
-  GROUP BY word
+  GROUP BY word{cap}
 ),
 chars AS (
   SELECT DISTINCT substr(word, i, 1) AS c

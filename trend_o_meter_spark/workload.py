@@ -112,24 +112,25 @@ def _q(name: str, oracle: str | None, doc: str = ""):
 _SCORE_FIRST = (
     # --- round 12 rotation (VERDICT r11 tasks 1/2/4): newest-first aging
     # so no oracle-backed query's driver verdict is older than 4 rounds.
-    # Slots 1-4: queries NEW or oracle-changed this round — bpe_merges
-    # (rows-only since r03, promoted to a bound/invariant oracle),
-    # hard_negatives_ivf (the documented IVF scale path, now registered),
-    # langid_scores (trained hashed-ngram language id), unigram_vocab
-    # (unigram-LM tokenizer trainer).
+    # Slots 1-6: queries NEW this round — bpe_merges (rows-only since
+    # r03, promoted to a bound/invariant oracle), hard_negatives_ivf +
+    # hard_negatives_recall (the documented IVF scale path, now
+    # registered, with its recall eval), langid_scores (trained
+    # hashed-ngram language id), unigram_vocab (unigram-LM tokenizer
+    # trainer), pack_sequences_global (distributed-prefix-sum packing).
     "bpe_merges",
     "hard_negatives_ivf",
     "hard_negatives_recall",
     "langid_scores",
     "unigram_vocab",
     "pack_sequences_global",
-    # Slots 5-7: URL family — _CANON_SQL made sign-safe this round
+    # Slots 7-9: URL family — _CANON_SQL made sign-safe this round
     # (ADVICE r11), so their oracles' text changed; re-verify.
     "url_canonical",
     "url_domain_stats",
     "url_dedup",
-    # --- slots 8-49: the ENTIRE remaining r08-stale cohort (the 42
-    # oracle-backed queries whose newest driver verdict is r08), by name.
+    # --- slots 10-50: the first 41 (by name) of the 42-query r08-stale
+    # cohort (6 new + 3 URL + 41 = 50 scored slots).
     "dedup_clusters",
     "dedup_clusters_star",
     "dedup_exact",
@@ -171,9 +172,9 @@ _SCORE_FIRST = (
     "tumbling_mean_60s",
     "value_quantiles",
     "verified_near_dups",
-    # (8 new/changed + 42-1 r08-stale = 50: zscore_anomalies, displaced
-    # to slot 51 by pack_sequences, re-queues with the r09 cohort for
-    # round 13.)
+    # slot 51 (just past the driver's 50-query scoring window):
+    # zscore_anomalies, the 42nd r08-stale entry, displaced by
+    # pack_sequences_global — re-queues with the r09 cohort for round 13.
     "zscore_anomalies",
     # Entries not listed keep declaration order (stable sort) and sort
     # after the 50 above; the r09/r10/r11 cohorts already carry fresh
