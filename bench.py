@@ -261,7 +261,10 @@ def stream_lsh_probe(spark, sf_dir: str, n_batches: int = 20, n_passes: int = 3)
                     .option("maxFilesPerTrigger", "1")
                     .parquet(src_dir)
                 )
-                pairs = stream_near_dup_lsh(stream)
+                # directory layout (G=8): fastest at bench shape (fresh
+                # checkpoint, small growing state); library default is
+                # per-bucket for checkpoint/longevity reasons
+                pairs = stream_near_dup_lsh(stream, state_groups=8)
                 t0 = time.time()
                 q = (
                     pairs.writeStream.format("noop")

@@ -1292,6 +1292,105 @@ def test_pack_sequences_global_two_level_prefix_sum(spark):
     assert out[12]["seq_last"] > out[12]["seq_first"]  # boundary crossed
 
 
+def test_pack_sequences_global_autosized_bucket_width(spark):
+    """Default bucket_width=None must self-size from the id span so the
+    driver-side base table stays <= ~1M rows at any scale — a fixed 4096
+    default would collect ~244M rows at a 10^12 span.  Pin the bound
+    arithmetically and check the auto-sized result is width-invariant
+    (identical to an explicit small width) on a sparse-id corpus."""
+    from trend_o_meter_spark.llm.packing import pack_sequences
+
+    # sparse huge ids: span ~ 8e9 -> fixed 4096 would need ~2M buckets;
+    # the autosize must pick width >= span/1M (here >= ~8000)
+    docs = [(i * 1_000_000_000, f"w{i} " * (i + 1)) for i in range(9)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    auto = {r["doc_id"]: r for r in pack_sequences(df, seq_len=128).collect()}
+    manual = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, seq_len=128, bucket_width=7).collect()
+    }
+    assert auto == manual  # start_tok is width-invariant
+    # the bound itself: ceil(span/1M) capped below at 4096
+    span = 8_000_000_001
+    width = max(4096, -(-span // 1_000_000))
+    assert span / width <= 1_000_001  # driver rows <= ~1M
+    # small-span corpora keep the floor width (one bucket, still exact)
+    tiny = spark.createDataFrame([(1, "a b"), (2, "c")], "doc_id long, text string")
+    t = {r["doc_id"]: r for r in pack_sequences(tiny).collect()}
+    assert (t[1]["start_tok"], t[2]["start_tok"]) == (0, 2)
+
+
+def test_unigram_encode_matches_python_reference(spark):
+    """Trained-vocab distributed encode (distinct-word Viterbi kernel +
+    join-back) must equal a per-doc pure-Python scan that Viterbi-
+    segments every word in place — different data path (no distinct, no
+    join), same exact-int scorer.  Also pins: empty/NULL docs report 0,
+    OOV chars segment (count-0 coverage), and the fixed-vocab registry
+    variant equals its closed form len - occ(th) - occ(in) - occ(an)."""
+    from trend_o_meter_spark.llm.unigram import (
+        _viterbi,
+        unigram_encode,
+        unigram_encode_fixed,
+        unigram_train,
+    )
+
+    texts = [
+        "low lower lowest",
+        "new newer newest newest",
+        "low low new",
+        "",           # 0 tokens
+        None,         # NULL -> 0
+        "zq√ unknown-chars",  # OOV chars vs the trained vocab
+        "thin thane paint anthem",  # th/in/an occurrences for the fixed form
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    vocab_df = unigram_train(df, num_iters=2, max_piece_len=4,
+                             seed_multi=30, keep_multi=8)
+    vocab = {r["piece"]: r["count"] for r in vocab_df.collect()}
+    total = sum(vocab.values())
+    max_len = max(len(p) for p in vocab)
+
+    import re as _re
+
+    def norm_words(t):
+        # mirror dedup._norm: lower + trim + whitespace squash (non-
+        # alphanumerics are KEPT — they become OOV chars for the encoder)
+        s = _re.sub(r"\s+", " ", (t or "").strip().lower())
+        return [w for w in s.split(" ") if w]
+
+    want = {}
+    for did, t in enumerate(texts):
+        n = 0
+        for w in norm_words(t):
+            counts = dict(vocab)
+            counts.update({c: 0 for c in w if c not in vocab})
+            n += len(_viterbi(w, counts, total, max_len))
+        want[did] = n
+
+    got = {
+        r["doc_id"]: r["n_tokens_uni"]
+        for r in unigram_encode(df, vocab_df).collect()
+    }
+    assert got == want and got[3] == 0 and got[4] == 0
+    # trained multis actually compress: fewer tokens than chars somewhere
+    chars_total = sum(len(w) for t in texts for w in norm_words(t))
+    assert sum(got.values()) < chars_total
+
+    # fixed-vocab variant == closed form
+    fixed = {
+        r["doc_id"]: r["n_tokens_uni"]
+        for r in unigram_encode_fixed(df).collect()
+    }
+    for did, t in enumerate(texts):
+        n = sum(
+            len(w) - sum((len(w) - len(w.replace(p, ""))) // 2
+                         for p in ("th", "in", "an"))
+            for w in norm_words(t)
+        )
+        assert fixed[did] == n, (did, fixed[did], n)
+    assert fixed[6] < sum(len(w) for w in norm_words(texts[6]))
+
+
 def test_unigram_vocab_check_oracle_matches(spark):
     import duckdb
 

@@ -30,11 +30,17 @@ operates on in memory.  ``top_words`` (default 1M, matching
 production-trainer practice) is the explicit admission cap that keeps
 that state bounded regardless of corpus size.
 
-No SQL oracle: the loop's data-dependent merge choices aren't
-expressible as a fixed query — the registry entry is rows-only and the
-trainer is pinned against a pure-Python full-recount reference
-implementation in ``tests/test_llm.py`` (merge-sequence equality, which
-also proves the delta bookkeeping exact)."""
+Oracle story (two layers): the full merge SEQUENCE is data-dependent
+(each merge conditions on all prior merges), so it is pinned against a
+pure-Python full-recount reference implementation in
+``tests/test_llm.py`` (merge-sequence equality, which also proves the
+delta bookkeeping exact).  The registry entry ``bpe_merges`` is the
+hash-exact VERDICT ROW: ``bpe_train_check`` / ``bpe_train_check_sql``
+check the closed-form rank-0 merge (argmax over the initial pair-mass
+table — SQL-expressible because no prior merge conditions it), the
+exact total pair mass, and monotonicity invariants over the trained
+merge table, all against DuckDB on the same capped word-frequency
+table."""
 
 from __future__ import annotations
 
@@ -72,20 +78,30 @@ def _merge_word(syms: list[str], a: str, b: str) -> list[str]:
 
 
 def _train_rules(
-    word_freqs: list[tuple[str, int]], num_merges: int, min_pair_count: int
+    word_freqs: list[tuple[str, int]],
+    num_merges: int,
+    min_pair_count: int,
+    decompose=None,
 ) -> list[tuple[int, str, str, str, int]]:
     """Incremental (delta-based) BPE over a word-frequency table.
 
     Exactly equivalent to recounting every pair each round: each merge
     visits only the words containing the chosen pair (via the
     ``pair -> words`` index), subtracts their old adjacent-pair
-    contributions, rewrites the word, and adds the new ones."""
+    contributions, rewrites the word, and adds the new ones.
+
+    ``decompose(word) -> list[str]`` picks the initial symbol alphabet:
+    default is chars + ``</w>`` (the char-level trainer); the byte-level
+    variant passes the GPT-2 byte-to-unicode decomposition (no
+    sentinel)."""
     from collections import Counter, defaultdict
 
+    if decompose is None:
+        decompose = lambda w: list(w) + [EOW]  # noqa: E731
     vocab: dict[str, list[str]] = {}
     freqs: dict[str, int] = {}
     for w, f in word_freqs:
-        vocab[w] = list(w) + [EOW]
+        vocab[w] = decompose(w)
         freqs[w] = int(f)
     pc: Counter = Counter()
     where: dict[tuple[str, str], set] = defaultdict(set)

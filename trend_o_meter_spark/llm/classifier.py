@@ -33,6 +33,7 @@ flag, so prefer ``translate`` for char-class strips.
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -825,7 +826,15 @@ def langid_scores_sql(
 ) -> str:
     """One scoped-CTE subquery per language head (WITH inside parens, so
     the per-head CTE names cannot collide), joined on the id; argmax via
-    the same struct-max lattice as the Spark side."""
+    the same struct-max lattice as the Spark side.
+
+    Lang codes are interpolated both as SQL string literals and as
+    identifier suffixes (``s_{lang}``), so they are validated against
+    ``[a-z0-9_]+`` up front — a quote or space would otherwise produce a
+    broken (or wrong) oracle query."""
+    for lang in langs:
+        if not re.fullmatch(r"[a-z0-9_]+", lang):
+            raise ValueError(f"lang code not SQL-safe: {lang!r}")
     heads = []
     for lang in langs:
         head = logreg_hashed_score_sql(

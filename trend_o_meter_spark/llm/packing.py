@@ -54,7 +54,7 @@ def pack_sequences(
     text: str = "text",
     id_col: str = "doc_id",
     seq_len: int = 512,
-    bucket_width: int = 4096,
+    bucket_width: int | None = None,
 ) -> DataFrame:
     """Placement map for greedy contiguous packing into ``seq_len``-token
     sequences, docs in ``id_col`` order.
@@ -64,7 +64,16 @@ def pack_sequences(
     doc touches) and ``tok_offset`` (position inside ``seq_first``) —
     NULL sequence columns for token-free docs.  Rows with a NULL id are
     EXCLUDED (no defined position in id order; Spark and DuckDB would
-    even order them differently)."""
+    even order them differently).
+
+    ``bucket_width=None`` (the default) self-sizes from the id span so
+    the driver-side base table stays <= ~1M rows at ANY scale:
+    ``max(4096, ceil(span / 1_000_000))``.  A fixed default would
+    collect ``span / width`` rows — ~244M at a 10^12 id span — so the
+    width must grow with the corpus, and ``start_tok`` is
+    width-invariant (the oracle hash can't see the choice), so
+    self-sizing is free.  The extra cost is one 1-row min/max agg over
+    the id column (a pushed-down parquet scan of one column)."""
     toks = F.filter(F.split(_norm(F.col(text)), " "), lambda x: x != "")
     # NULL text -> 0 tokens via an explicit isNull branch, NOT
     # coalesce(size(...)): size(NULL) is -1 under legacy semantics
@@ -73,7 +82,22 @@ def pack_sequences(
     n_toks = F.when(F.col(text).isNull(), F.lit(0)).otherwise(F.size(toks))
     # NULL ids have no defined position in id order (and the two engines
     # even sort NULLs differently) — excluded on BOTH sides, documented
-    base = df.filter(F.col(id_col).isNotNull()).select(
+    ids = df.filter(F.col(id_col).isNotNull())
+    if bucket_width is None:
+        # Self-size: one bounded 1-row agg (column-pruned scan), then
+        # width = ceil(span / 1M) so #buckets — the driver-state bound —
+        # stays <= ~1M rows regardless of corpus id span.
+        ext = ids.agg(
+            F.min(F.col(id_col).cast("long")).alias("lo"),
+            F.max(F.col(id_col).cast("long")).alias("hi"),
+        ).first()
+        span = (
+            int(ext["hi"]) - int(ext["lo"]) + 1
+            if ext is not None and ext["lo"] is not None
+            else 1
+        )
+        bucket_width = max(4096, -(-span // 1_000_000))
+    base = ids.select(
         F.col(id_col),
         n_toks.cast("long").alias("n_tokens"),
         F.floor(F.col(id_col) / F.lit(int(bucket_width))).alias("__b"),

@@ -1532,14 +1532,17 @@ def hard_negatives_ivf(
     """
     from pyspark.sql import Window
 
-    corpus_cells = ivf_assign(
-        df, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
-    ).select(F.col(id_col), F.col("cluster"))
-    corpus = df.join(corpus_cells, id_col)
-
+    # ONE centroid definition shared by probe selection and cell
+    # assignment: derive `cents` here and pass it through ivf_assign's
+    # centroids= parameter, so if the centroid rule changes (or a caller
+    # wires in trained centroids) the two sides can't silently desync.
     cents = df.orderBy(id_col).limit(n_centroids).select(
         F.col(id_col).alias("cluster"), F.col(vec_col).alias("cvec")
     )
+    corpus_cells = ivf_assign(
+        df, id_col=id_col, vec_col=vec_col, centroids=cents
+    ).select(F.col(id_col), F.col("cluster"))
+    corpus = df.join(corpus_cells, id_col)
     anchors = df.orderBy(id_col).limit(n_anchors).select(
         F.col(id_col).alias("anchor_id"),
         F.col(vec_col).alias("avec"),

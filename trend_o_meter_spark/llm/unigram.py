@@ -234,6 +234,147 @@ def unigram_vocab_check(
     )
 
 
+def unigram_encode(
+    df: DataFrame,
+    vocab: DataFrame | list[tuple[str, int]],
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    oov_char_count: int = 0,
+) -> DataFrame:
+    """Apply a trained unigram vocabulary to a corpus — the corpus-sized
+    half of the tokenizer story (training is the small half): per doc,
+    the Viterbi token count under the LM.  Output: ``doc_id,
+    n_tokens_uni`` (0 for empty / whitespace-only / NULL text — such
+    docs are reported, not dropped).
+
+    Scale shape mirrors :func:`bpe.bpe_encode_vocab`: word-level
+    segmentation is context-free, so each DISTINCT word is segmented
+    ONCE by an Arrow-batched ``mapInPandas`` kernel over the word table
+    (vocab-sized work, not corpus-sized) and joined back for per-doc
+    sums.  The vocabulary — bounded at chars + ``keep_multi`` pieces by
+    the trainer — is collected once and shipped in the kernel closure
+    (closure serialization is the broadcast for a KB-sized table); the
+    corpus is never collected.  Segmentation is the SAME exact big-int
+    :func:`_viterbi` the trainer's E-step uses, so encode == train-time
+    segmentation by construction.
+
+    ``oov_char_count``: count assigned to single chars absent from the
+    vocabulary (they must still be segmentable — the trainer's coverage
+    invariant).  0 (default) matches the trainer, where unseen chars
+    score as zero-probability pieces resolved by the tie rules; the
+    fixed-vocab registry variant passes 1 (see
+    :func:`unigram_encode_fixed`)."""
+    from pyspark.sql import functions as F
+
+    from .dedup import _norm
+
+    rows = (
+        list(vocab)
+        if isinstance(vocab, list)
+        else [
+            (r["piece"], r["count"])
+            for r in vocab.select("piece", "count").collect()
+        ]
+    )
+    vocab_counts = {str(p): int(c) for p, c in rows}
+    total = sum(vocab_counts.values()) or 1
+    max_piece_len = max((len(p) for p in vocab_counts), default=1)
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ns = []
+            for w in pdf["word"]:
+                counts = vocab_counts
+                missing = {c for c in w if c not in vocab_counts}
+                if missing:
+                    counts = dict(vocab_counts)
+                    counts.update({c: int(oov_char_count) for c in missing})
+                ns.append(len(_viterbi(w, counts, total, max_piece_len)))
+            yield pd.DataFrame({"word": pdf["word"], "__n": ns})
+
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(_norm(F.col(text)), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    encoded = words.select("word").distinct().mapInPandas(
+        encode_batches, "word string, __n long"
+    )
+    counts = (
+        words.join(encoded, "word")
+        .groupBy(id_col)
+        .agg(F.sum("__n").cast("long").alias("__total"))
+    )
+    allk = df.select(F.col(id_col)).distinct()
+    return allk.join(counts, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("__total"), F.lit(0)).cast("long").alias("n_tokens_uni"),
+    )
+
+
+FIXED_UNI_VOCAB: list[tuple[str, int]] = [("th", 1), ("in", 1), ("an", 1)]
+
+
+def unigram_encode_fixed(
+    df: DataFrame, *, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Registry variant: :func:`unigram_encode` under the FIXED unit-count
+    vocabulary ``{every char: 1, th: 1, in: 1, an: 1}`` — the
+    ``bpe_encode_fixed`` promotion recipe applied to Viterbi
+    segmentation.  Closed form (the oracle): ``n_tokens(word) =
+    len(word) - occ('th') - occ('in') - occ('an')``.  Proof sketch:
+
+    * with ALL piece counts equal, every segmentation's numerator is a
+      product of equal counts, so the big-int comparison reduces to
+      ``total^(k_b) vs total^(k_a)`` — Viterbi is exactly
+      FEWEST-PIECES (ties by the lexicographic rule, which never
+      changes the count);
+    * each 2-char piece used saves exactly one piece vs its char split,
+      and the only 2-char pieces are th/in/an — so min tokens =
+      ``len - (max set of disjoint occurrences)``;
+    * occurrences of th/in/an are ALWAYS mutually disjoint: th shares
+      no character with in or an (overlap impossible); in/an overlap
+      would force one position to be both 'n' and 'i' (or 'n' and 'a');
+      self-overlap needs a repeated char ('aa'-style) which none has.
+      Hence the max disjoint set is ALL occurrences, and plain
+      substring counts (non-self-overlapping, so
+      ``(len - len(replace)) / 2`` is exact) close the form.
+
+    The Spark side still runs the REAL distributed Viterbi kernel —
+    the oracle equality is the theorem that the kernel, the exact-int
+    scoring, and the distinct-word join compose correctly."""
+    return unigram_encode(
+        df, FIXED_UNI_VOCAB, text=text, id_col=id_col, oov_char_count=1
+    )
+
+
+def unigram_encode_fixed_sql(
+    table: str, *, text: str = "text", id_col: str = "doc_id"
+) -> str:
+    """Closed-form DuckDB oracle for :func:`unigram_encode_fixed` — see
+    its docstring for the disjointness/fewest-pieces proof.  Raises on
+    any other vocab: the closed form is a theorem about THIS piece set."""
+    norm = NORM_SQL.format(c=text)
+    occ = "((length(w) - length(replace(w, '{p}', ''))) // 2)"
+    return f"""
+WITH words AS (
+  SELECT {id_col}, unnest(string_split({norm}, ' ')) AS w
+  FROM {table}
+), toks AS (
+  SELECT {id_col},
+         SUM(length(w) - {occ.format(p='th')}
+                       - {occ.format(p='in')}
+                       - {occ.format(p='an')}) AS n
+  FROM words WHERE w <> '' GROUP BY {id_col}
+)
+SELECT d.{id_col}, CAST(COALESCE(t.n, 0) AS BIGINT) AS n_tokens_uni
+FROM (SELECT DISTINCT {id_col} FROM {table}) d
+LEFT JOIN toks t USING ({id_col})
+"""
+
+
 def unigram_vocab_check_sql(
     table: str, *, text: str = "text", top_words: int | None = 1_000_000
 ) -> str:

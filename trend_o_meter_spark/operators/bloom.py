@@ -134,7 +134,11 @@ def bloom_membership_stats(
     sketch = bloom_build(df, key=key, keys=(group,), m=m, k=k)
     universe = df.select(F.col(key)).distinct()
     groups = df.select(F.col(group)).distinct()
-    cands = groups.crossJoin(F.broadcast(universe))
+    # Broadcast side matters at scale: `groups` is O(#event types) (~9
+    # rows) and bounded by the domain; `universe` is O(distinct keys) and
+    # grows with the corpus.  Stream the unbounded side, broadcast the
+    # bounded one — same cross product, opposite memory profile.
+    cands = universe.crossJoin(F.broadcast(groups))
     probed = bloom_probe(sketch, cands, key=key, keys=(group,), m=m, k=k)
     actual = (
         df.select(group, key)

@@ -218,7 +218,7 @@ def stream_near_dup_lsh(
     seed: int = 42,
     max_bucket: int = 64,
     sig_impl: str = "arrow",
-    state_groups: int | None = 8,
+    state_groups: int | None = None,
 ) -> DataFrame:
     """Incremental LSH candidate pairs over a document stream.
 
@@ -228,9 +228,16 @@ def stream_near_dup_lsh(
     id list, capped at ``max_bucket``.
 
     ``state_groups`` picks the state layout (pair-set identical either
-    way — both are pytest-pinned to the batch operator):
+    way — both are pytest-pinned to the batch operator).  The two
+    layouts have DIFFERENT grouping keys and state schemas, so the
+    choice is baked into a streaming checkpoint: restarting an existing
+    query from a checkpoint written under the other layout fails state
+    schema validation.  The library default is ``None`` (per-bucket) —
+    the layout every pre-round-12 checkpoint used and the one that
+    stays flat as state grows; short-lived benchmark-shaped runs opt
+    into a small ``G`` explicitly (``bench.py`` passes 8).
 
-    * an int ``G`` (default 8) — **directory mode**: state is keyed by
+    * an int ``G`` — **directory mode**: state is keyed by
       ``hash(band, bh) % G`` and each of the G state rows holds a
       directory of every bucket routed to it.  Rationale (BASELINE.md
       round-12 decomposition): ``applyInPandasWithState`` pays a fixed
