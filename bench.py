@@ -137,6 +137,14 @@ HEADLINE = (
     "unigram_vocab",
     "bpe_merges",
     "pack_sequences_global",
+    # round-13: the langid family's bench row — the scoring pass with
+    # pinned pretrained heads (one literal-weight aggregation pass; the
+    # ~22 s driver-GD trainer stays correctness-only, documented above)
+    # — plus the two new tokenizer operators: corpus-wide unigram
+    # Viterbi encode and the byte-level BPE trainer verdict row
+    "langid_scores_pretrained",
+    "unigram_encode_fixed",
+    "byte_bpe_merges",
 )
 
 

@@ -1122,6 +1122,101 @@ def test_bpe_train_matches_reference_implementation(spark):
     assert all(enc[i] < raw[i] for i in enc)  # merges compress every doc
 
 
+def test_byte_bpe_train_matches_reference_and_handles_non_ascii(spark):
+    """Byte-level trainer: exact merge sequence vs a pure-Python
+    byte-recount reference (naive full recount — can't share the
+    incremental trainer's bookkeeping), on a corpus with multi-byte
+    UTF-8 words.  Pins: no EOW in the symbol stream, every byte
+    representable (no UNK), encode compresses, and the verdict row
+    matches its DuckDB oracle including multi-byte mass."""
+    from collections import Counter
+
+    import duckdb
+
+    from trend_o_meter_spark.llm.bpe import (
+        _byte_syms,
+        byte_bpe_encode_vocab,
+        byte_bpe_train,
+        byte_bpe_train_check,
+        byte_bpe_train_check_sql,
+    )
+
+    texts = [
+        "low lower lowest",
+        "new newer newest newest",
+        "naïve naïve café café café",  # multi-byte UTF-8 (ï, é)
+        "low low new wider wide",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+    freqs = Counter(w for t in texts for w in t.lower().split())
+    vocab = {w: _byte_syms(w) for w in freqs}
+    assert all("</w>" not in s for syms in vocab.values() for s in syms)
+    # multi-byte chars decompose into >1 symbol
+    assert len(_byte_syms("é")) == 2
+
+    def ref_merges(n, min_count=2):
+        out = []
+        for _ in range(n):
+            pc = Counter()
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += freqs[w]
+            if not pc:
+                break
+            (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            if c < min_count:
+                break
+            out.append((a, b, a + b, c))
+            for w, syms in vocab.items():
+                ns, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        ns.append(a + b)
+                        i += 2
+                    else:
+                        ns.append(syms[i])
+                        i += 1
+                vocab[w] = ns
+        return out
+
+    want = ref_merges(10)
+    got = [
+        (r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in byte_bpe_train(df, num_merges=10).orderBy("rank").collect()
+    ]
+    assert got == want and len(got) >= 5
+
+    rules = [(a, b) for a, b, _, _ in want]
+    enc = {
+        r["doc_id"]: r["n_tokens_bpe"]
+        for r in byte_bpe_encode_vocab(df, rules).collect()
+    }
+    raw = {
+        i: sum(len(w.encode("utf-8")) for w in t.lower().split())
+        for i, t in enumerate(texts)
+    }
+    assert all(enc[i] < raw[i] for i in enc)  # merges compress every doc
+    none = {
+        r["doc_id"]: r["n_tokens_bpe"]
+        for r in byte_bpe_encode_vocab(df, []).collect()
+    }
+    assert none == raw  # empty rule list measures raw UTF-8 bytes
+
+    n = 6
+    row = byte_bpe_train_check(df, num_merges=n).collect()[0]
+    assert row["init_byte_mass"] == sum(
+        f * len(w.encode("utf-8")) for w, f in freqs.items()
+    )
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    o = con.execute(byte_bpe_train_check_sql("documents", num_merges=n)).df().iloc[0]
+    for c in ("rank0_left", "rank0_right", "rank0_merged", "rank0_count",
+              "n_rules", "init_byte_mass", "counts_monotone",
+              "merged_is_concat", "counts_ge_min"):
+        assert o[c] == row[c], (c, o[c], row[c])
+
+
 def test_bpe_train_check_verdict_row_and_oracle(spark):
     """bpe_train_check's exact columns must equal the trainer's rank-0
     rule / the corpus pair mass, its invariants must hold, and the
@@ -2021,6 +2116,47 @@ def test_logreg_hashed_separates_token_classes(spark):
         df, label_sql="lang = 'pos'", n_features=64, iters=6, lr=1.0
     ).collect()
     assert {r["doc_id"]: r["p"] for r in got} == {r["doc_id"]: r["p"] for r in again}
+
+
+def test_langid_scores_pretrained_equals_broadcast_score_path(spark):
+    """The one-pass literal-weight aggregation must equal composing the
+    per-head broadcast-join scorer (_hashed_score) over the same shared
+    feature frame — the two implementations of 'score 5 heads' can't
+    drift.  Also: docs with no grams score at the bias (p = 0.5 with
+    bias 0) and the output schema matches langid_scores."""
+    from trend_o_meter_spark.llm.classifier import (
+        LANGID_LANGS,
+        _hashed_feats,
+        _hashed_score,
+        langid_scores_pretrained,
+        pretrained_langid_head,
+    )
+    from pyspark.sql import functions as F
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "der schnelle braune fuchs springt",
+        "no",   # shorter than 3 chars after norm -> no grams
+        None,   # NULL text -> no grams
+        "agua luz casa años también",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in langid_scores_pretrained(df).collect()}
+
+    feats = _hashed_feats(df, text="text", id_col="doc_id", n_features=64, grams=3)
+    ids = df.select(F.col("doc_id").alias("did"))
+    for lang in LANGID_LANGS:
+        b, w = pretrained_langid_head(lang)
+        ref = {
+            r["doc_id"]: r["p"]
+            for r in _hashed_score(feats, ids, b, w, "doc_id").collect()
+        }
+        for did in got:
+            assert got[did][f"p_{lang}"] == ref[did], (lang, did)
+    # gram-free docs sit at the bias: sigmoid(0) = 0.5 for every head
+    for did in (2, 3):
+        assert all(got[did][f"p_{lang}"] == 0.5 for lang in LANGID_LANGS)
+    assert set(got[0]) == {"doc_id", "lang_pred", *{f"p_{la}" for la in LANGID_LANGS}}
 
 
 def test_langid_scores_accuracy_on_multilingual_fixture(spark):

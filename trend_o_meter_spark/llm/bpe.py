@@ -455,3 +455,253 @@ SELECT d.doc_id, CAST(COALESCE(t.n, 0) AS BIGINT) AS n_tokens_bpe
 FROM (SELECT DISTINCT doc_id FROM {table}) d
 LEFT JOIN toks t USING (doc_id)
 """
+
+
+# --- byte-level BPE (GPT-2 lineage) -----------------------------------------
+#
+# Production tokenizers (GPT-2 and its descendants; Radford et al. 2019,
+# "Language Models are Unsupervised Multitask Learners", public code at
+# openai/gpt-2) run BPE over UTF-8 BYTES, not characters: the base
+# alphabet is all 256 byte values, so EVERY string is representable and
+# there is no UNK token, ever.  The char-level trainer above can emit a
+# vocab that misses a character seen only at apply time; the byte-level
+# variant cannot.
+#
+# The byte-to-unicode bijection below is the public GPT-2 trick: map
+# each byte to a PRINTABLE unicode codepoint (printable latin bytes map
+# to themselves; the rest shift past 255) so byte sequences become
+# ordinary strings and the whole char-BPE machinery — the incremental
+# trainer, the left-to-right merge, the word-table encode kernel —
+# applies unchanged.  Merged symbols are concatenations of mapped
+# chars, exactly as in the reference implementation.
+
+
+def byte_to_unicode() -> dict[int, str]:
+    """The GPT-2 byte <-> printable-unicode bijection: bytes in the
+    printable latin ranges map to their own codepoint; the remaining 68
+    bytes map to 256, 257, ... in byte order.  Deterministic, total,
+    invertible — the base vocabulary of byte-level BPE."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+_B2U = byte_to_unicode()
+
+
+def _byte_syms(word: str) -> list[str]:
+    """Initial symbol sequence for byte-level BPE: one mapped printable
+    char per UTF-8 byte.  No end-of-word sentinel (GPT-2 lineage —
+    word boundaries live in the pre-tokenizer, not the symbol stream)."""
+    return [_B2U[b] for b in word.encode("utf-8")]
+
+
+def byte_bpe_train(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    num_merges: int = 30,
+    min_pair_count: int = 2,
+    top_words: int | None = 1_000_000,
+) -> DataFrame:
+    """Learn ``num_merges`` byte-level BPE merge rules from the corpus.
+
+    Identical machinery and scale shape to :func:`bpe_train` (ONE Spark
+    job — the capped word-frequency aggregation — then the exact
+    incremental merge loop driver-side); only the initial decomposition
+    differs: UTF-8 bytes through the GPT-2 printable mapping, no
+    ``</w>`` sentinel, no UNK possible.  Output: ``rank, left, right,
+    merged, pair_count`` over mapped-byte symbols."""
+    word_freqs, rules = _collect_and_train_bytes(
+        df, text=text, num_merges=num_merges,
+        min_pair_count=min_pair_count, top_words=top_words,
+    )
+    return df.sparkSession.createDataFrame(
+        rules, "rank int, left string, right string, merged string, pair_count long"
+    )
+
+
+def _collect_and_train_bytes(
+    df: DataFrame,
+    *,
+    text: str,
+    num_merges: int,
+    min_pair_count: int,
+    top_words: int | None,
+):
+    wf = _word_freqs(df, text=text)
+    if top_words is not None:
+        wf = wf.orderBy(F.col("freq").desc(), F.col("word").asc()).limit(int(top_words))
+    word_freqs = [(r["word"], r["freq"]) for r in wf.collect()]
+    return word_freqs, _train_rules(
+        word_freqs, num_merges, min_pair_count, decompose=_byte_syms
+    )
+
+
+def byte_bpe_train_check(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    num_merges: int = 30,
+    min_pair_count: int = 2,
+    top_words: int | None = 1_000_000,
+) -> DataFrame:
+    """Oracle-checkable verdict row for the byte-level trainer — the
+    :func:`bpe_train_check` recipe over the byte alphabet:
+
+    * ``rank0_left/right/merged/count`` — the first learned rule,
+      recomputed closed-form by the oracle as the argmax over the
+      initial adjacent BYTE-pair mass (DuckDB explodes each word's hex
+      encoding and maps bytes through the same GPT-2 bijection, shipped
+      as an inline 256-row VALUES table).
+    * ``init_byte_mass`` — ``sum(freq * octet_length(word))``: exact
+      cross-engine check that both sides see the same UTF-8 byte
+      stream (a char-vs-byte or encoding bug breaks it immediately).
+    * ``n_rules`` / ``counts_monotone`` / ``merged_is_concat`` /
+      ``counts_ge_min`` — as in the char-level check."""
+    word_freqs, rules = _collect_and_train_bytes(
+        df, text=text, num_merges=num_merges,
+        min_pair_count=min_pair_count, top_words=top_words,
+    )
+    mass = sum(f * len(w.encode("utf-8")) for w, f in word_freqs)
+    monotone = all(
+        rules[i][4] >= rules[i + 1][4] for i in range(len(rules) - 1)
+    )
+    concat_ok = all(m == a + b for _, a, b, m, _ in rules)
+    ge_min = all(c >= min_pair_count for *_r, c in rules)
+    r0 = rules[0] if rules else (0, None, None, None, None)
+    row = (
+        r0[1], r0[2], r0[3],
+        int(r0[4]) if rules else None,
+        len(rules), int(mass), monotone, concat_ok, ge_min,
+    )
+    return df.sparkSession.createDataFrame(
+        [row],
+        "rank0_left string, rank0_right string, rank0_merged string, "
+        "rank0_count long, n_rules long, init_byte_mass long, "
+        "counts_monotone boolean, merged_is_concat boolean, "
+        "counts_ge_min boolean",
+    )
+
+
+def byte_bpe_train_check_sql(
+    table: str,
+    *,
+    text: str = "text",
+    num_merges: int = 30,
+    top_words: int | None = 1_000_000,
+) -> str:
+    """DuckDB oracle for :func:`byte_bpe_train_check`.
+
+    Byte extraction is pure SQL: ``hex(encode(word))`` yields two hex
+    chars per UTF-8 byte; position ``i`` slices them out and an inline
+    256-row ``(hex, mapped_char)`` VALUES table — generated from the
+    SAME :func:`byte_to_unicode` bijection the Spark side uses — turns
+    them into symbols.  Adjacent pairs come from ``lead() OVER
+    (PARTITION BY word ORDER BY i)`` (words are unique after the
+    frequency group-by), and the rank-0 rule is the (count desc, pair
+    asc) argmax, exactly the trainer's tie rule."""
+    norm = NORM_SQL.format(c=text)
+    cap = "" if top_words is None else f"\n  ORDER BY freq DESC, word ASC LIMIT {int(top_words)}"
+    b2u_rows = ", ".join(
+        "('%02X', '%s')" % (b, u.replace("'", "''")) for b, u in sorted(_B2U.items())
+    )
+    return f"""
+WITH b2u(h, u) AS (VALUES {b2u_rows}),
+wf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split({norm}, ' ')) AS word FROM {table})
+  WHERE word <> ''
+  GROUP BY word{cap}
+),
+sym AS (
+  SELECT wf.word, wf.freq, u.i, b2u.u
+  FROM wf,
+       UNNEST(generate_series(1, octet_length(encode(wf.word)))) AS u(i)
+  JOIN b2u ON b2u.h = substr(hex(encode(wf.word)), 2 * u.i - 1, 2)
+),
+pairs AS (
+  SELECT u AS a, lead(u) OVER (PARTITION BY word ORDER BY i) AS b, freq
+  FROM sym
+),
+top AS (
+  SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM pairs WHERE b IS NOT NULL
+  GROUP BY a, b
+  ORDER BY cnt DESC, a ASC, b ASC
+  LIMIT 1
+),
+mass AS (
+  SELECT CAST(sum(freq * octet_length(encode(word))) AS BIGINT) AS init_byte_mass
+  FROM wf
+)
+SELECT top.a AS rank0_left,
+       top.b AS rank0_right,
+       top.a || top.b AS rank0_merged,
+       top.cnt AS rank0_count,
+       CAST({num_merges} AS BIGINT) AS n_rules,
+       mass.init_byte_mass,
+       TRUE AS counts_monotone,
+       TRUE AS merged_is_concat,
+       TRUE AS counts_ge_min
+FROM top, mass
+"""
+
+
+def byte_bpe_encode_vocab(
+    df: DataFrame,
+    rules: list[tuple[str, str]],
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Byte-level twin of :func:`bpe_encode_vocab`: per-doc token count
+    after applying a byte-level rule list in rank order — each DISTINCT
+    word byte-decomposed and merged once by the Arrow kernel, joined
+    back.  ``n_tokens_bpe`` starts at the word's UTF-8 byte count (no
+    EOW), so an empty rule list measures raw byte length.  No UNK: any
+    word is encodable by construction."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(_norm(F.col(text)), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    vocab = words.select("word").distinct()
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ns = []
+            for w in pdf["word"]:
+                syms = _byte_syms(w)
+                have = set(syms)
+                for a, b in rules:
+                    if a in have and b in have:
+                        merged = _merge_word(syms, a, b)
+                        if len(merged) != len(syms):
+                            syms = merged
+                            have = set(syms)
+                ns.append(len(syms))
+            yield pd.DataFrame({"word": pdf["word"], "__n": ns})
+
+    encoded = vocab.mapInPandas(encode_batches, "word string, __n long")
+    counts = (
+        words.join(encoded, "word")
+        .groupBy(id_col)
+        .agg(F.sum("__n").cast("long").alias("__total"))
+    )
+    allk = df.select(F.col(id_col)).distinct()
+    return allk.join(counts, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("__total"), F.lit(0)).cast("long").alias("n_tokens_bpe"),
+    )

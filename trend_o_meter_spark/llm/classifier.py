@@ -812,6 +812,163 @@ def langid_scores(
     )
 
 
+def pretrained_langid_head(
+    lang: str, *, n_features: int = 64
+) -> tuple[float, dict[int, float]]:
+    """Deterministic pinned weights for the scoring-only langid pass:
+    per (lang, bucket), an md5-derived value in [-1, 1] quantized to
+    1e-3, bias 0.  These are STAND-IN weights with the exact shape and
+    cost profile of trained ones — the scoring pass (feature hashing,
+    broadcast weight join, per-doc integer logit sum, argmax lattice)
+    is what the bench row measures, and its wall clock is independent
+    of the weight values.  Real weights come from
+    :func:`langid_scores`'s trainer; at 100 TB you fit on a labeled
+    sample and only this scoring pass sees the corpus."""
+    import hashlib
+
+    w = {}
+    for k in range(int(n_features)):
+        h = int(hashlib.md5(f"langid:{lang}:{k}".encode()).hexdigest()[:15], 16)
+        w[k] = ((h % 2001) - 1000) / 1000.0
+    return 0.0, w
+
+
+def langid_scores_pretrained(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    langs: tuple[str, ...] = LANGID_LANGS,
+    n_features: int = 64,
+    grams: int = 3,
+) -> DataFrame:
+    """The langid SCORING pass alone, with pinned pretrained heads
+    (:func:`pretrained_langid_head`) — the production corpus-pass shape
+    (train on a sample, score the corpus) and the benchable half of
+    :func:`langid_scores`, whose driver-side GD loop is a ~22 s fixed
+    cost at bench shape.  Output schema matches ``langid_scores``:
+    ``doc_id, p_<lang>..., lang_pred`` (1e-6-quantized probabilities,
+    struct-max argmax, ties to the lexicographically-last language).
+
+    Scale: because the weights are known constants, each head's weight
+    vector ships as a LITERAL lookup array inside the aggregation
+    expression — all ``len(langs)`` logit sums happen in ONE pass over
+    the feature rows (one did-keyed shuffle with map-side partials,
+    zero joins, zero checkpoints, whole-stage codegen end to end).
+    The per-head broadcast-join shape (:func:`_hashed_score`) is the
+    fallback for weights too large to inline; at n_features=64 the
+    literal array is strictly better."""
+    feats = _hashed_feats(
+        df, text=text, id_col=id_col, n_features=n_features, grams=grams
+    )
+    heads = {
+        lang: pretrained_langid_head(lang, n_features=n_features)
+        for lang in langs
+    }
+    idx = (F.col("bucket") + 1).cast("int")
+    sums = [
+        F.sum(
+            _qint(
+                F.element_at(
+                    F.array(*[F.lit(heads[lang][1][k]) for k in range(n_features)]),
+                    idx,
+                )
+                * F.col("tf")
+                * F.lit(1e9)
+            )
+        ).alias(f"s_{lang}")
+        for lang in langs
+    ]
+    logits = feats.groupBy("did").agg(*sums)
+    ids = df.select(F.col(id_col).alias("did"))
+    scored = ids.join(logits, "did", "left")
+
+    def p_col(lang: str):
+        b = F.lit(float(heads[lang][0]))
+        t = b + F.coalesce(F.col(f"s_{lang}"), F.lit(0)).cast("double") / F.lit(1e9)
+        return F.floor(
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-t))) * F.lit(1e6) + F.lit(0.5)
+        ) / F.lit(1e6)
+
+    scored = scored.select(
+        F.col("did").alias(id_col),
+        *[p_col(lang).alias(f"p_{lang}") for lang in langs],
+    )
+    cands = F.array(
+        *[
+            F.struct(F.col(f"p_{lang}").alias("s"), F.lit(lang).alias("l"))
+            for lang in langs
+        ]
+    )
+    return scored.select(
+        F.col(id_col),
+        *[F.col(f"p_{lang}") for lang in langs],
+        F.array_max(cands)["l"].alias("lang_pred"),
+    )
+
+
+def langid_scores_pretrained_sql(
+    table: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    langs: tuple[str, ...] = LANGID_LANGS,
+    n_features: int = 64,
+    grams: int = 3,
+) -> str:
+    """DuckDB oracle for :func:`langid_scores_pretrained`: the shared
+    hashed char-n-gram feature CTEs, one inline VALUES weight table per
+    head (generated from the SAME :func:`pretrained_langid_head`
+    constants the Spark side ships), the identical 1e-9 integer logit
+    quantization and 1e-6 sigmoid, and the struct-max argmax lattice."""
+    for lang in langs:
+        if not re.fullmatch(r"[a-z0-9_]+", lang):
+            raise ValueError(f"lang code not SQL-safe: {lang!r}")
+
+    def qint(expr: str) -> str:
+        return (
+            f"CAST(CASE WHEN ({expr}) >= 0 THEN floor(({expr}) + 0.5) "
+            f"ELSE -floor(-({expr}) + 0.5) END AS BIGINT)"
+        )
+
+    parts = _hashed_sql_parts(
+        table, text=text, id_col=id_col, label_sql="1=1",
+        n_features=n_features, grams=grams,
+    )[:-2]  # drop the w0/b0 trainer seeds — scoring ships its own weights
+    for lang in langs:
+        _b, w = pretrained_langid_head(lang, n_features=n_features)
+        vals = ", ".join(f"({k}, {v!r})" for k, v in sorted(w.items()))
+        parts.append(f"wt_{lang}(bucket, w) AS (VALUES {vals})")
+        parts.append(
+            f"""cf_{lang} AS (
+  SELECT f.did, sum({qint('w.w * f.tf * 1000000000.0')}) AS s
+  FROM feats f JOIN wt_{lang} w USING (bucket) GROUP BY 1
+)"""
+        )
+    def p_expr(lang: str) -> str:
+        t = f"0.0 + CAST(coalesce(cf_{lang}.s, 0) AS DOUBLE) / 1000000000.0"
+        return f"floor((1.0 / (1.0 + exp(-({t})))) * 1000000.0 + 0.5) / 1000000.0"
+
+    pcols = ", ".join(f"{p_expr(lang)} AS p_{lang}" for lang in langs)
+    joins = "".join(
+        f"\nLEFT JOIN cf_{lang} ON cf_{lang}.did = base.did" for lang in langs
+    )
+    packs = ", ".join(
+        f"struct_pack(s := p_{lang}, l := '{lang}')" for lang in langs
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+, scored AS (
+  SELECT base.did AS {id_col}, {pcols}
+  FROM base{joins}
+)
+SELECT {id_col}, {', '.join(f'p_{lang}' for lang in langs)},
+       (list_max([{packs}])).l AS lang_pred
+FROM scored
+"""
+    )
+
+
 def langid_scores_sql(
     table: str,
     *,

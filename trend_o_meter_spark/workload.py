@@ -2627,6 +2627,24 @@ def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "byte_bpe_merges",
+    bpe.byte_bpe_train_check_sql("documents", num_merges=20),
+    doc="Byte-level BPE tokenizer training (GPT-2 lineage: UTF-8 byte "
+    "alphabet through the public byte-to-unicode bijection, no EOW "
+    "sentinel, no UNK possible) — same capped word-table machinery and "
+    "incremental-delta merge loop as bpe_merges, different initial "
+    "decomposition.  Verdict row: rank-0 rule recomputed closed-form "
+    "by DuckDB over the initial adjacent BYTE-pair mass (hex-blob "
+    "explode + inline 256-row byte map), exact byte mass, monotonicity "
+    "invariants.  Full sequence pinned vs a pure-Python byte-recount "
+    "reference in tests/test_llm.py.",
+)
+def byte_bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return bpe.byte_bpe_train_check(d, num_merges=20)
+
+
+@_q(
     "unigram_vocab",
     unigram.unigram_vocab_check_sql("documents"),
     doc="Unigram-LM (SentencePiece-style) tokenizer training (Kudo "
@@ -3009,6 +3027,23 @@ def logreg_hashed_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def langid_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return classifier.langid_scores(d)
+
+
+@_q(
+    "langid_scores_pretrained",
+    classifier.langid_scores_pretrained_sql("documents"),
+    doc="Language-id SCORING pass with pinned pretrained heads — the "
+    "production corpus-pass shape (fit on a labeled sample, score the "
+    "corpus) and the benchable half of langid_scores, whose driver-GD "
+    "trainer is a ~22 s fixed cost at bench shape (VERDICT r12 "
+    "missing #3).  One shared hashed char-3-gram frame, one broadcast "
+    "KB-weight join + did-keyed integer sum per head, struct-max "
+    "argmax; weights are md5-derived stand-ins with trained-weight "
+    "shape (scoring wall clock is value-independent).",
+)
+def langid_scores_pretrained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return classifier.langid_scores_pretrained(d)
 
 
 @_q(
