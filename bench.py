@@ -269,10 +269,16 @@ def stream_lsh_probe(spark, sf_dir: str, n_batches: int = 20, n_passes: int = 3)
                     .option("maxFilesPerTrigger", "1")
                     .parquet(src_dir)
                 )
-                # directory layout (G=8): fastest at bench shape (fresh
-                # checkpoint, small growing state); library default is
-                # per-bucket for checkpoint/longevity reasons
-                pairs = stream_near_dup_lsh(stream, state_groups=8)
+                # FUSED directory layout (round 13): signatures + banding
+                # run inside the stateful kernel, removing the second
+                # Python exchange the round-12 decomposition identified as
+                # the floor.  G=4 is the measured best-of operating point
+                # (interleaved A/B, BASELINE.md round-13: 424 vs 318
+                # marginal docs/s over pre-banded G=8).  Library default
+                # stays per-bucket for checkpoint/longevity reasons.
+                pairs = stream_near_dup_lsh(
+                    stream, state_groups=4, fuse_signatures=True
+                )
                 t0 = time.time()
                 q = (
                     pairs.writeStream.format("noop")

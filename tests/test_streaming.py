@@ -759,13 +759,15 @@ def test_rowwise_minhash_arrow_java_canonicalization(spark):
     assert 4 not in arrow and 5 not in arrow
 
 
-@pytest.mark.parametrize("state_groups", [8, None])
-def test_stream_near_dup_lsh_matches_batch(spark, stream_dirs, state_groups):
+@pytest.mark.parametrize("state_groups,fused", [(8, False), (None, False), (8, True)])
+def test_stream_near_dup_lsh_matches_batch(spark, stream_dirs, state_groups, fused):
     """Incremental LSH over two micro-batches finds exactly the batch
     operator's candidate pairs — including pairs whose members arrive in
     DIFFERENT batches (the state store carries bucket membership).
-    Pinned for BOTH state layouts: the default bucket directory
-    (state_groups=8, round-12) and per-bucket keying (None)."""
+    Pinned for ALL THREE layouts: bucket directory (state_groups=8),
+    per-bucket keying (None, the default), and the round-13 FUSED
+    directory (signatures + banding computed inside the stateful
+    kernel, docs replicated to every group)."""
     from trend_o_meter_spark.llm.dedup import minhash_lsh_pairs
     from trend_o_meter_spark.streaming.lsh import stream_near_dup_lsh
 
@@ -788,7 +790,9 @@ def test_stream_near_dup_lsh_matches_batch(spark, stream_dirs, state_groups):
             F.get_json_object("value", "$.doc_id").cast("long").alias("doc_id"),
             F.get_json_object("value", "$.text").alias("text"),
         ).filter(F.col("text").isNotNull())
-        return stream_near_dup_lsh(parsed, state_groups=state_groups)
+        return stream_near_dup_lsh(
+            parsed, state_groups=state_groups, fuse_signatures=fused
+        )
 
     out = _run_batches(spark, in_dir, ckpt, transform, batches, "lsh_stream_out")
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}  # dedupe across bands

@@ -207,6 +207,63 @@ def rowwise_minhash_signatures(
     return staged.select(F.col(id_col).cast("long").alias("id"), sig.alias("sig"))
 
 
+def _load_directory(state: GroupState) -> dict[tuple[int, str], list[int]]:
+    """Rebuild a directory-mode bucket map from the three parallel state
+    arrays (admission order preserved)."""
+    if not state.exists:
+        return {}
+    sb, sh, sm = state.get
+    d: dict[tuple[int, str], list[int]] = {}
+    for b, h, m in zip(sb, sh, sm):
+        d.setdefault((int(b), h), []).append(int(m))
+    return d
+
+
+def _save_directory(state: GroupState, d: dict[tuple[int, str], list[int]]) -> None:
+    sb2: list[int] = []
+    sh2: list[str] = []
+    sm2: list[int] = []
+    for (b, h), ids in d.items():
+        for m in ids:
+            sb2.append(b)
+            sh2.append(h)
+            sm2.append(m)
+    state.update((sb2, sh2, sm2))
+
+
+def _admit_directory(
+    d: dict[tuple[int, str], list[int]],
+    newby: dict[tuple[int, str], list[int]],
+    max_bucket: int,
+) -> tuple[list[int], list[str], list[int], list[int]]:
+    """Directory-mode admission, shared by the pre-banded and fused
+    kernels so the two can never drift: sorted bucket order + sorted
+    ids per bucket — identical admission to the per-bucket scan (which
+    sorts the whole group's batch), replay-stable regardless of Arrow
+    chunking."""
+    ob: list[int] = []
+    oh: list[str] = []
+    oa: list[int] = []
+    o2: list[int] = []
+    for (b, h) in sorted(newby):
+        ids = d.get((b, h), [])
+        known = set(ids)
+        for i in sorted(set(newby[(b, h)])):
+            if i in known:
+                continue
+            if len(ids) >= max_bucket:
+                break
+            for j in ids:
+                ob.append(b)
+                oh.append(h)
+                oa.append(min(i, j))
+                o2.append(max(i, j))
+            ids.append(i)
+            known.add(i)
+        d[(b, h)] = ids
+    return ob, oh, oa, o2
+
+
 def stream_near_dup_lsh(
     docs: DataFrame,
     *,
@@ -219,6 +276,7 @@ def stream_near_dup_lsh(
     max_bucket: int = 64,
     sig_impl: str = "arrow",
     state_groups: int | None = None,
+    fuse_signatures: bool = False,
 ) -> DataFrame:
     """Incremental LSH candidate pairs over a document stream.
 
@@ -235,7 +293,8 @@ def stream_near_dup_lsh(
     schema validation.  The library default is ``None`` (per-bucket) —
     the layout every pre-round-12 checkpoint used and the one that
     stays flat as state grows; short-lived benchmark-shaped runs opt
-    into a small ``G`` explicitly (``bench.py`` passes 8).
+    into a small ``G`` explicitly (``bench.py`` passes
+    ``state_groups=4, fuse_signatures=True``).
 
     * an int ``G`` — **directory mode**: state is keyed by
       ``hash(band, bh) % G`` and each of the G state rows holds a
@@ -261,7 +320,32 @@ def stream_near_dup_lsh(
     grows (882 -> 1,775 ms); per-bucket starts slower and stays flat
     (1,416 -> 1,304 ms at 80k state rows).  Crossover ~60k banded
     members at G=8 — pick per-bucket for unbounded long-running ingest.
+
+    ``fuse_signatures=True`` (requires an int ``state_groups``) removes
+    the separate Arrow signature stage — the round-12 decomposition's
+    remaining structural floor (TWO Python exchanges per trigger:
+    mapInPandas signatures, then shuffle, then the stateful stage).
+    Each trigger's raw docs are replicated to ALL G groups (an explode
+    on a literal 0..G-1 array), and signatures + banding + bucket
+    ownership (python-md5 ``hash(band, bh) % G``) run INSIDE the
+    stateful kernel; each group admits only the buckets it owns, via
+    the same shared admission routine.  The trade: signature work is
+    done G times (vectorized, ~0.2 ms/doc — cheap) and the trigger's
+    text crosses the shuffle G times — a cost bounded by TRIGGER size,
+    never by state or corpus size, which is exactly the regime where
+    the per-trigger fixed costs dominate and directory mode is the
+    right layout anyway.  NOT checkpoint-compatible with the
+    pre-banded directory layout despite the identical state schema
+    (bucket->group assignment differs: python md5 vs JVM xxhash64) —
+    resuming one from the other silently mis-routes buckets; keep the
+    flag stable for a checkpoint's lifetime.
     """
+    if fuse_signatures and state_groups is None:
+        raise ValueError("fuse_signatures=True requires an int state_groups")
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must divide evenly into bands ({bands})"
+        )
 
     def scan(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         band, bh = key
@@ -291,52 +375,68 @@ def stream_near_dup_lsh(
     def scan_dir(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         from collections import defaultdict
 
-        if state.exists:
-            sb, sh, sm = state.get
-            d: dict[tuple[int, str], list[int]] = {}
-            for b, h, m in zip(sb, sh, sm):
-                d.setdefault((int(b), h), []).append(int(m))
-        else:
-            d = {}
+        d = _load_directory(state)
         newby: dict[tuple[int, str], list[int]] = defaultdict(list)
         for pdf in pdfs:
             for b, h, i in zip(pdf["band"], pdf["bh"], pdf["id"]):
                 newby[(int(b), h)].append(int(i))
-        ob: list[int] = []
-        oh: list[str] = []
-        oa: list[int] = []
-        o2: list[int] = []
-        # sorted bucket order + sorted ids per bucket: identical admission
-        # to the per-bucket scan (which sorts the whole group's batch),
-        # replay-stable regardless of Arrow chunking
-        for (b, h) in sorted(newby):
-            ids = d.get((b, h), [])
-            known = set(ids)
-            for i in sorted(set(newby[(b, h)])):
-                if i in known:
-                    continue
-                if len(ids) >= max_bucket:
-                    break
-                for j in ids:
-                    ob.append(b)
-                    oh.append(h)
-                    oa.append(min(i, j))
-                    o2.append(max(i, j))
-                ids.append(i)
-                known.add(i)
-            d[(b, h)] = ids
-        sb2: list[int] = []
-        sh2: list[str] = []
-        sm2: list[int] = []
-        for (b, h), ids in d.items():
-            for m in ids:
-                sb2.append(b)
-                sh2.append(h)
-                sm2.append(m)
-        state.update((sb2, sh2, sm2))
+        ob, oh, oa, o2 = _admit_directory(d, newby, max_bucket)
+        _save_directory(state, d)
         if oa:
             yield pd.DataFrame({"band": ob, "bh": oh, "id_a": oa, "id_b": o2})
 
+    def scan_dir_fused(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from collections import defaultdict
+
+        g = int(key[0])
+        d = _load_directory(state)
+        newby: dict[tuple[int, str], list[int]] = defaultdict(list)
+        rows = num_perm // bands
+        for pdf in pdfs:
+            ids_, sigs_ = _py_minhash_rows(
+                pdf["__text"], pdf["id"],
+                num_perm=num_perm, shingle_n=shingle_n, seed=seed,
+            )
+            for i, sig in zip(ids_, sigs_):
+                for bi in range(bands):
+                    bh = hashlib.md5(
+                        ",".join(
+                            str(x) for x in sig[bi * rows : (bi + 1) * rows]
+                        ).encode()
+                    ).hexdigest()
+                    # bucket -> group ownership: python md5, NOT the JVM
+                    # xxhash64 the pre-banded layout shuffles on — any
+                    # fixed total assignment preserves the pair set
+                    # (each bucket lives wholly in one group), but the
+                    # two directory layouts are NOT checkpoint-
+                    # interchangeable despite the shared state schema
+                    own = int(
+                        hashlib.md5(f"{bi}:{bh}".encode()).hexdigest()[:15], 16
+                    ) % int(state_groups)
+                    if own == g:
+                        newby[(bi, bh)].append(i)
+        ob, oh, oa, o2 = _admit_directory(d, newby, max_bucket)
+        _save_directory(state, d)
+        if oa:
+            yield pd.DataFrame({"band": ob, "bh": oh, "id_a": oa, "id_b": o2})
+
+    if fuse_signatures:
+        replicated = docs.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(text).alias("__text"),
+            F.explode(
+                F.array(*[F.lit(g).cast("long") for g in range(int(state_groups))])
+            ).alias("__g"),
+        )
+        return replicated.groupBy("__g").applyInPandasWithState(
+            scan_dir_fused,
+            outputStructType=PAIRS_SCHEMA,
+            stateStructType=_DIR_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     sigs = rowwise_minhash_signatures(
         docs,
         text=text,
