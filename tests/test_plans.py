@@ -245,6 +245,31 @@ def test_plan_audit_detects_single_partition_window(spark):
     assert "1PART-WINDOW" not in audit_plan(plan)["flags"]
 
 
+def test_plan_audit_detects_broadcast_of_unbounded_distinct(spark):
+    """The BC-UNBOUNDED-DISTINCT detector (round 13, from the r12
+    bloom_membership finding) must fire on a real plan that broadcasts
+    a distinct over an ID-like column, and must NOT fire on the fixed
+    orientation (broadcasting a bounded-domain distinct)."""
+    import pyspark.sql.functions as F
+
+    from tools.plan_audit import audit_plan
+
+    df = spark.range(1000).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 5).cast("string").alias("event_type"),
+    )
+    groups = df.select("event_type").distinct()
+    universe = df.select("user_id").distinct()
+
+    bad = groups.crossJoin(F.broadcast(universe))
+    plan = bad._jdf.queryExecution().executedPlan().toString()
+    assert "BC-UNBOUNDED-DISTINCT" in audit_plan(plan)["flags"]
+
+    good = universe.crossJoin(F.broadcast(groups))
+    plan = good._jdf.queryExecution().executedPlan().toString()
+    assert "BC-UNBOUNDED-DISTINCT" not in audit_plan(plan)["flags"]
+
+
 def test_kmv_rank_plans_as_window_group_limit(plans):
     """The KMV sketch's rank<=k must plan as WindowGroupLimit (per-
     partition top-k heaps below the shuffle), never a full per-key sort

@@ -15,6 +15,15 @@ Red flags (would fail the audit, column "flags"):
   window holding the whole input in one task (the r1 sliding_rates bug).
   Global final aggregates also exchange to a single partition — those
   are O(groups) and fine, so the detector only flags Window operators.
+* BC-UNBOUNDED-DISTINCT — a BroadcastExchange whose subtree is a
+  DISTINCT aggregation (functions=[]) keyed on an ID-like column
+  (user_id/doc_id/vec_id/media_id/*key/*_hash/url): the broadcast side
+  grows with the corpus, so a plan that is green at sf0.1 becomes a
+  driver/executor memory killer at 100x (the round-12 bloom_membership
+  finding — `F.broadcast(df.select(key).distinct())` with key=user_id).
+  Distincts over bounded-domain columns (event_type, lang, ...) do not
+  match the ID pattern and stay legal; plan text cannot see cardinality,
+  so the detector is a schema-name heuristic by design.
 
 Checkpoint blindness (VERDICT r08 finding 1): operators that
 materialize a multi-consumer intermediate via ``lineage.cut``
@@ -74,6 +83,33 @@ def audit_plan(plan: str) -> dict:
                     r"Exchange (?:hash|range)partitioning|FileScan|BatchScan", nxt
                 ):
                     break
+    # broadcast of an unbounded distinct (see module docstring): walk each
+    # BroadcastExchange's subtree (marker-column indent parse) looking for
+    # a distinct HashAggregate (functions=[]) keyed on an ID-like column
+    def _marker(ln: str) -> int:
+        m = re.search(r"[+:]- ", ln)
+        return m.start() if m else -1
+
+    id_key = re.compile(
+        r"keys=\[[^\]]*\b(?:user_id|doc_id|vec_id|media_id|url"
+        r"|\w*_hash|\w*key)#",
+        re.IGNORECASE,
+    )
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln or "Reused" in ln:
+            continue
+        d = _marker(ln)
+        for j in range(i + 1, len(lines)):
+            dj = _marker(lines[j])
+            if dj <= d:
+                break  # left the broadcast subtree (incl. top-level -1)
+            if (
+                "HashAggregate" in lines[j]
+                and "functions=[]" in lines[j]
+                and id_key.search(lines[j])
+            ):
+                flags.append("BC-UNBOUNDED-DISTINCT")
+                break
     scans = len(re.findall(r"FileScan parquet", plan))
     pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
     return {

@@ -110,75 +110,73 @@ def _q(name: str, oracle: str | None, doc: str = ""):
 # verdict across rounds even under a query-count/time cap; remaining
 # entries keep declaration order (stable sort).
 _SCORE_FIRST = (
-    # --- round 12 rotation (VERDICT r11 tasks 1/2/4): newest-first aging
-    # so no oracle-backed query's driver verdict is older than 4 rounds.
-    # Slots 1-6: queries NEW this round — bpe_merges (rows-only since
-    # r03, promoted to a bound/invariant oracle), hard_negatives_ivf +
-    # hard_negatives_recall (the documented IVF scale path, now
-    # registered, with its recall eval), langid_scores (trained
-    # hashed-ngram language id), unigram_vocab (unigram-LM tokenizer
-    # trainer), pack_sequences_global (distributed-prefix-sum packing).
-    "bpe_merges",
-    "hard_negatives_ivf",
-    "hard_negatives_recall",
-    "langid_scores",
-    "unigram_vocab",
-    "pack_sequences_global",
-    # Slots 7-9: URL family — _CANON_SQL made sign-safe this round
-    # (ADVICE r11), so their oracles' text changed; re-verify.
-    "url_canonical",
-    "url_domain_stats",
-    "url_dedup",
-    # --- slots 10-50: the first 41 (by name) of the 42-query r08-stale
-    # cohort (6 new + 3 URL + 41 = 50 scored slots).
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "dedup_exact",
-    "downsample_60s",
-    "dup_span_stats",
-    "events_in_sessions",
-    "ewma_02",
-    "flagship_day_bins",
-    "holt_winters_hourly",
-    "interarrival_quantiles",
-    "kmeans_centroids",
-    "lang_id",
-    "mad_anomalies",
-    "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
-    "pq_adc_topk",
-    "pq_codes",
-    "pq_recall_at_k",
-    "quality_filter",
-    "quantize_embeddings",
-    "resample_1h_lerp",
-    "resample_1h_locf",
-    "resize_image_meta",
-    "retention_7d",
-    "rfm_segments",
-    "rolling_current_avg",
-    "seasonal_adjusted_anomalies",
-    "sessionize_30m",
-    "simhash_fingerprints",
-    "simhash_near_dup",
-    "sliding_rates_10s",
-    "split_drift_ks",
-    "text_stats",
-    "token_count",
-    "token_histogram",
-    "topk_recent",
-    "trend_slope_daily",
-    "trending_daily",
-    "tumbling_mean_60s",
-    "value_quantiles",
-    "verified_near_dups",
-    # slot 51 (just past the driver's 50-query scoring window):
-    # zscore_anomalies, the 42nd r08-stale entry, displaced by
-    # pack_sequences_global — re-queues with the r09 cohort for round 13.
+    # --- round 13 rotation (VERDICT r12 task 1): newest-first aging so
+    # no oracle-backed query's driver verdict is older than 4 rounds.
+    # Slot 1: zscore_anomalies — last scored r08, AT the age-4 policy
+    # limit (displaced past the window in r12).
     "zscore_anomalies",
+    # Slots 2-4: queries NEW this round — unigram_encode_fixed (corpus
+    # Viterbi encode, closed-form oracle), byte_bpe_merges (byte-level
+    # BPE trainer verdict row), langid_scores_pretrained (the langid
+    # scoring pass, now also a bench row).
+    "unigram_encode_fixed",
+    "byte_bpe_merges",
+    "langid_scores_pretrained",
+    # --- slots 5-50: 46 of the 50-query r09-stale cohort (age 4 at this
+    # round's close).  The 4 deferred entries (q21_waiting_suppliers,
+    # decode_features, pii_scrub, sketch_rollup — all hand-reverified by
+    # the r12 judge's selfcheck sample) stay at age 4 and MUST lead the
+    # r14 window together with the 47-query r10 cohort (4 + 46 of 47;
+    # the leftover r10 entry joins r15 with the r11 cohort).
+    "asof_forward_orders",
+    "asof_nearest_orders",
+    "balanced_sample",
+    "bm25_search",
+    "canonical_docs",
+    "chunk_documents",
+    "cosine_topk",
+    "cosine_topk_ivf",
+    "curation_decisions",
+    "curation_report",
+    "decode_errors",
+    "distinctive_terms",
+    "doc_fingerprint",
+    "embedding_near_dup",
+    "embedding_outliers",
+    "epoch_shuffle",
+    "frame_sample",
+    "hash_sample_10pct",
+    "histogram_quantiles",
+    "image_dedup_clusters",
+    "image_phash",
+    "image_phash_pairs",
+    "ivf_assign",
+    "ivf_recall_at_k",
+    "kmv_distinct_users",
+    "kmv_user_overlap",
+    "label_centroids",
+    "lm_score",
+    "mixture_sample",
+    "moments_by_type",
+    "multimodal_meta",
+    "pack_sequences",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q19_discounted_revenue",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q4_priority_returns",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "repetition_stats",
+    "tfidf_cosine_pairs",
+    "token_budget_sample",
+    "variant_extract_props",
+    "vocab_topk",
     # Entries not listed keep declaration order (stable sort) and sort
-    # after the 50 above; the r09/r10/r11 cohorts already carry fresh
-    # verdicts.
+    # after the 50 above; the r10/r11/r12 cohorts already carry fresh
+    # verdicts (ages <= 3 at this round's close).
 )
 
 
