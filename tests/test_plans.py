@@ -247,12 +247,17 @@ def test_plan_audit_detects_single_partition_window(spark):
 
 def test_plan_audit_detects_broadcast_of_unbounded_distinct(spark):
     """The BC-UNBOUNDED-DISTINCT detector (round 13, from the r12
-    bloom_membership finding) must fire on a real plan that broadcasts
-    a distinct over an ID-like column, and must NOT fire on the fixed
-    orientation (broadcasting a bounded-domain distinct)."""
+    bloom_membership finding) must fire on a plan that HINT-forces a
+    broadcast of a distinct over an ID-like column, must NOT fire on
+    the fixed orientation (broadcasting a bounded-domain distinct),
+    and — the discrimination the audit's third explain pass provides —
+    must NOT fire on a STATS-chosen broadcast of the same distinct
+    (under autoBroadcastJoinThreshold=-1 such exchanges vanish; at
+    100x scale AQE re-picks a shuffle join for them, so they are not
+    the scale hazard the forced hint is)."""
     import pyspark.sql.functions as F
 
-    from tools.plan_audit import audit_plan
+    from tools.plan_audit import bc_unbounded_distinct
 
     df = spark.range(1000).select(
         F.col("id").alias("user_id"),
@@ -260,14 +265,26 @@ def test_plan_audit_detects_broadcast_of_unbounded_distinct(spark):
     )
     groups = df.select("event_type").distinct()
     universe = df.select("user_id").distinct()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
-    bad = groups.crossJoin(F.broadcast(universe))
-    plan = bad._jdf.queryExecution().executedPlan().toString()
-    assert "BC-UNBOUNDED-DISTINCT" in audit_plan(plan)["flags"]
+        def plan_of(d):
+            return d._jdf.queryExecution().executedPlan().toString()
 
-    good = universe.crossJoin(F.broadcast(groups))
-    plan = good._jdf.queryExecution().executedPlan().toString()
-    assert "BC-UNBOUNDED-DISTINCT" not in audit_plan(plan)["flags"]
+        bad = groups.crossJoin(F.broadcast(universe))
+        assert bc_unbounded_distinct(plan_of(bad))
+
+        good = universe.crossJoin(F.broadcast(groups))
+        assert not bc_unbounded_distinct(plan_of(good))
+
+        # stats-only broadcast candidate: no hint anywhere — with the
+        # threshold disabled no BroadcastExchange exists, so no flag
+        stats = df.join(universe, "user_id")
+        assert "BroadcastExchange" not in plan_of(stats)
+        assert not bc_unbounded_distinct(plan_of(stats))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_kmv_rank_plans_as_window_group_limit(plans):

@@ -15,15 +15,21 @@ Red flags (would fail the audit, column "flags"):
   window holding the whole input in one task (the r1 sliding_rates bug).
   Global final aggregates also exchange to a single partition — those
   are O(groups) and fine, so the detector only flags Window operators.
-* BC-UNBOUNDED-DISTINCT — a BroadcastExchange whose subtree is a
-  DISTINCT aggregation (functions=[]) keyed on an ID-like column
+* BC-UNBOUNDED-DISTINCT — a HINT-FORCED BroadcastExchange whose subtree
+  is a DISTINCT aggregation (functions=[]) keyed on an ID-like column
   (user_id/doc_id/vec_id/media_id/*key/*_hash/url): the broadcast side
   grows with the corpus, so a plan that is green at sf0.1 becomes a
   driver/executor memory killer at 100x (the round-12 bloom_membership
   finding — `F.broadcast(df.select(key).distinct())` with key=user_id).
-  Distincts over bounded-domain columns (event_type, lang, ...) do not
-  match the ID pattern and stay legal; plan text cannot see cardinality,
-  so the detector is a schema-name heuristic by design.
+  Detection runs on a THIRD explain pass with
+  `spark.sql.autoBroadcastJoinThreshold=-1`: broadcasts the optimizer
+  chose from size STATS disappear under that setting (and are
+  scale-safe — at 100x the stats exceed the threshold and AQE picks a
+  shuffle join), so only `F.broadcast(...)`-forced exchanges survive to
+  be inspected.  Distincts over bounded-domain columns (event_type,
+  lang, ...) do not match the ID pattern and stay legal; plan text
+  cannot see cardinality, so the column test is a schema-name heuristic
+  by design.
 
 Checkpoint blindness (VERDICT r08 finding 1): operators that
 materialize a multi-consumer intermediate via ``lineage.cut``
@@ -83,33 +89,6 @@ def audit_plan(plan: str) -> dict:
                     r"Exchange (?:hash|range)partitioning|FileScan|BatchScan", nxt
                 ):
                     break
-    # broadcast of an unbounded distinct (see module docstring): walk each
-    # BroadcastExchange's subtree (marker-column indent parse) looking for
-    # a distinct HashAggregate (functions=[]) keyed on an ID-like column
-    def _marker(ln: str) -> int:
-        m = re.search(r"[+:]- ", ln)
-        return m.start() if m else -1
-
-    id_key = re.compile(
-        r"keys=\[[^\]]*\b(?:user_id|doc_id|vec_id|media_id|url"
-        r"|\w*_hash|\w*key)#",
-        re.IGNORECASE,
-    )
-    for i, ln in enumerate(lines):
-        if "BroadcastExchange" not in ln or "Reused" in ln:
-            continue
-        d = _marker(ln)
-        for j in range(i + 1, len(lines)):
-            dj = _marker(lines[j])
-            if dj <= d:
-                break  # left the broadcast subtree (incl. top-level -1)
-            if (
-                "HashAggregate" in lines[j]
-                and "functions=[]" in lines[j]
-                and id_key.search(lines[j])
-            ):
-                flags.append("BC-UNBOUNDED-DISTINCT")
-                break
     scans = len(re.findall(r"FileScan parquet", plan))
     pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
     return {
@@ -121,6 +100,51 @@ def audit_plan(plan: str) -> dict:
         "pushed": pushed,
         "flags": ",".join(sorted(set(flags))) or "-",
     }
+
+
+def bc_unbounded_distinct(plan: str) -> bool:
+    """True iff the plan broadcasts a DISTINCT aggregation keyed on an
+    ID-like column (see module docstring).  Callers are expected to pass
+    a plan built under ``autoBroadcastJoinThreshold=-1`` so only
+    hint-FORCED broadcasts are inspected; walk each BroadcastExchange's
+    subtree via the marker-column indent parse."""
+
+    def _marker(ln: str) -> int:
+        m = re.search(r"[+:]- ", ln)
+        return m.start() if m else -1
+
+    id_key = re.compile(
+        r"keys=\[[^\]]*\b(?:user_id|doc_id|vec_id|media_id|url"
+        r"|\w*_hash|\w*key)#",
+        re.IGNORECASE,
+    )
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln or "Reused" in ln:
+            continue
+        d = _marker(ln)
+        # Cardinality shielding: the FIRST aggregate on each path below
+        # the exchange defines the broadcast row set — anything beneath
+        # it has been re-aggregated and cannot leak its cardinality into
+        # the broadcast (bm25's O(query-terms) dfreq frame sits on top
+        # of a (doc_id, term)-keyed distinct; the broadcast is still
+        # tiny).  So: flag an id-keyed DISTINCT agg only when it is the
+        # first aggregate met, and skip the subtree under any other
+        # aggregate.
+        shield: int | None = None
+        for j in range(i + 1, len(lines)):
+            dj = _marker(lines[j])
+            if dj <= d:
+                break  # left the broadcast subtree (incl. top-level -1)
+            if shield is not None:
+                if dj > shield:
+                    continue
+                shield = None
+            if "HashAggregate" in lines[j]:
+                if "functions=[]" in lines[j] and id_key.search(lines[j]):
+                    return True
+                shield = dj
+    return False
 
 
 def _explain(spark, spec, sf_dir: str) -> str:
@@ -155,6 +179,14 @@ def main() -> int:
             t0 = time.time()
             plan = _explain(spark, spec, sf_dir)
             plan_s = time.time() - t0
+            # third pass, stats-broadcasts disabled: only hint-FORCED
+            # BroadcastExchanges survive for the unbounded-distinct check
+            prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            try:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+                forced_bc = bc_unbounded_distinct(_explain(spark, spec, sf_dir))
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         except Exception as e:  # noqa: BLE001
             rows.append((spec.name, None, f"ERROR {type(e).__name__}"))
             n_flagged += 1
@@ -162,6 +194,11 @@ def main() -> int:
         finally:
             os.environ.pop(AUDIT_ENV, None)
         m = audit_plan(plan)
+        if forced_bc:
+            m["flags"] = ",".join(
+                sorted(set(filter(None, m["flags"].split(","))) - {"-"}
+                       | {"BC-UNBOUNDED-DISTINCT"})
+            )
         m["ckpt"] = max(0, n_rdd_prod - len(re.findall(r"Scan ExistingRDD", plan)))
         m["build_s"] = round(build_s, 2)
         m["plan_s"] = round(plan_s, 2)
