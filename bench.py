@@ -145,6 +145,8 @@ HEADLINE = (
     "langid_scores_pretrained",
     "unigram_encode_fixed",
     "byte_bpe_merges",
+    "byte_bpe_encode_fixed",
+    "rrf_hybrid_search",
 )
 
 

@@ -1146,6 +1146,7 @@ def test_byte_bpe_train_matches_reference_and_handles_non_ascii(spark):
         "new newer newest newest",
         "naïve naïve café café café",  # multi-byte UTF-8 (ï, é)
         "low low new wider wide",
+        "thin anthem paint within",   # th/in/an occurrences, incl. adjacent
     ]
     df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
 
@@ -1196,12 +1197,32 @@ def test_byte_bpe_train_matches_reference_and_handles_non_ascii(spark):
         i: sum(len(w.encode("utf-8")) for w in t.lower().split())
         for i, t in enumerate(texts)
     }
-    assert all(enc[i] < raw[i] for i in enc)  # merges compress every doc
+    # merges compress the corpus (and the repetitive docs individually;
+    # doc 4's th/in/an filler need not win merge slots on this corpus)
+    assert sum(enc.values()) < sum(raw.values())
+    assert enc[0] < raw[0] and enc[2] < raw[2]
     none = {
         r["doc_id"]: r["n_tokens_bpe"]
         for r in byte_bpe_encode_vocab(df, []).collect()
     }
     assert none == raw  # empty rule list measures raw UTF-8 bytes
+
+    # fixed-rule closed form (the byte_bpe_encode_fixed oracle): tokens =
+    # octet_length - occ(th) - occ(in) - occ(an); ASCII patterns cannot
+    # occur inside multi-byte UTF-8 sequences, so char-level counting is
+    # byte-correct even for naïve/café
+    fixed_rules = [("t", "h"), ("i", "n"), ("a", "n")]
+    fenc = {
+        r["doc_id"]: r["n_tokens_bpe"]
+        for r in byte_bpe_encode_vocab(df, fixed_rules).collect()
+    }
+    for i, t in enumerate(texts):
+        want_n = sum(
+            len(w.encode("utf-8"))
+            - sum((len(w) - len(w.replace(p, ""))) // 2 for p in ("th", "in", "an"))
+            for w in t.lower().split()
+        )
+        assert fenc[i] == want_n, (i, fenc[i], want_n)
 
     n = 6
     row = byte_bpe_train_check(df, num_merges=n).collect()[0]
@@ -2116,6 +2137,82 @@ def test_logreg_hashed_separates_token_classes(spark):
         df, label_sql="lang = 'pos'", n_features=64, iters=6, lr=1.0
     ).collect()
     assert {r["doc_id"]: r["p"] for r in got} == {r["doc_id"]: r["p"] for r in again}
+
+
+def test_rrf_hybrid_search_fuses_ranks(spark):
+    """The RRF fusion must equal composing the two arms by hand: lexical
+    ranks from the library's bm25_search, dense ranks from a pure-Python
+    cosine ranking against the lowest-id embedding, fused as
+    sum(1/(60+rank)) over the union — docs present in only one list get
+    NULL for the other rank and contribute 0 from it."""
+    import math
+
+    from trend_o_meter_spark.llm.similarity import rrf_hybrid_search
+    from trend_o_meter_spark.llm.text import bm25_search
+
+    docs = [
+        (0, "alpha alpha alpha filler filler"),
+        (1, "alpha alpha beta filler filler"),
+        (2, "alpha filler filler filler filler"),
+        (3, "nothing relevant here at all"),     # lex-missing
+        (4, "beta beta alpha filler filler"),
+        (5, "unrelated words only right here"),  # lex-missing
+    ]
+    vecs = {
+        0: [1.0, 0.0],   # the query vector (lowest id), excluded from dense
+        1: [0.6, 0.8],
+        2: [0.0, 1.0],
+        3: [0.99, 0.1],
+        4: [-1.0, 0.0],
+        5: [0.8, 0.6],
+    }
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    edf = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    n_cand, k_rrf = 3, 60
+    out = rrf_hybrid_search(ddf, edf, "alpha beta", n_candidates=n_cand, k=6)
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    lex = {
+        r["doc_id"]: r["rank"]
+        for r in bm25_search(ddf, "alpha beta", k=n_cand).collect()
+    }
+    # dense arm by hand: float32 storage, cosine vs id 0, round-9 key
+    import numpy as np
+
+    # float32 storage, but the engine computes in DOUBLE (cosine casts
+    # each element) — mirror: float32-quantize values, then float64 math
+    q = np.array(vecs[0], dtype=np.float32).astype(np.float64)
+    cos = {}
+    for i, v in vecs.items():
+        if i == 0:
+            continue
+        x = np.array(v, dtype=np.float32).astype(np.float64)
+        cos[i] = round(
+            float(np.dot(x, q) / (np.linalg.norm(x) * np.linalg.norm(q))), 9
+        )
+    order = sorted(cos, key=lambda i: (-cos[i], i))[:n_cand]
+    dense = {i: r + 1 for r, i in enumerate(order)}
+
+    union = set(lex) | set(dense)
+    score = {
+        i: round(
+            (1.0 / (k_rrf + lex[i]) if i in lex else 0.0)
+            + (1.0 / (k_rrf + dense[i]) if i in dense else 0.0),
+            9,
+        )
+        for i in union
+    }
+    want_order = sorted(union, key=lambda i: (-score[i], i))[:6]
+    assert sorted(got) == sorted(want_order)
+    for rank, i in enumerate(want_order, start=1):
+        r = got[i]
+        assert r["rank"] == rank and math.isclose(r["rrf_score"], score[i], abs_tol=1e-9)
+        assert r["lex_rank"] == lex.get(i) and r["dense_rank"] == dense.get(i)
+    # both single-arm directions exercised
+    assert any(i in lex and i not in dense for i in union)
+    assert any(i in dense and i not in lex for i in union)
 
 
 def test_langid_scores_pretrained_equals_broadcast_score_path(spark):

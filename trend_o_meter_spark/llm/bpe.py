@@ -658,6 +658,50 @@ FROM top, mass
 """
 
 
+def byte_bpe_encode_fixed_sql(table: str, rules: list[tuple[str, str]]) -> str:
+    """Closed-form oracle for :func:`byte_bpe_encode_vocab` under the
+    registry's fixed rule list ``[(t,h), (i,n), (a,n)]`` over BYTE
+    symbols.
+
+    Derivation (the :func:`bpe_encode_fixed_sql` argument, byte-flavor):
+
+    * the three rules are 2-symbol merges over ASCII byte symbols with
+      pairwise-disjoint characters except the in/an 'n' (overlap
+      impossible — one position would need two values) and no
+      self-overlap, so each rule removes exactly one symbol per
+      occurrence and no merge creates or destroys another's adjacency;
+    * byte-level twist: a UTF-8 multi-byte character consists entirely
+      of bytes >= 0x80, and ASCII bytes appear in a UTF-8 stream ONLY
+      as their own character — so occurrences of th/in/an in the BYTE
+      sequence are exactly their occurrences in the character string,
+      and DuckDB's char-level ``replace`` counts them correctly even
+      on non-ASCII words;
+    * hence ``n_tokens(word) = octet_length(encode(word)) - occ('th') -
+      occ('in') - occ('an')`` (no +1: byte-level has no EOW sentinel).
+
+    Raises on any other rule list — the closed form is a theorem about
+    THIS list."""
+    if rules != [("t", "h"), ("i", "n"), ("a", "n")]:
+        raise ValueError("closed-form oracle only holds for the fixed rule list")
+    norm = NORM_SQL.format(c="text")
+    occ = "((length(w) - length(replace(w, '{p}', ''))) // 2)"
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split({norm}, ' ')) AS w
+  FROM {table}
+), toks AS (
+  SELECT doc_id,
+         SUM(octet_length(encode(w)) - {occ.format(p='th')}
+                                     - {occ.format(p='in')}
+                                     - {occ.format(p='an')}) AS n
+  FROM words WHERE w <> '' GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(t.n, 0) AS BIGINT) AS n_tokens_bpe
+FROM (SELECT DISTINCT doc_id FROM {table}) d
+LEFT JOIN toks t USING (doc_id)
+"""
+
+
 def byte_bpe_encode_vocab(
     df: DataFrame,
     rules: list[tuple[str, str]],

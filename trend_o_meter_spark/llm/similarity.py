@@ -1715,3 +1715,136 @@ SELECT ex.anchor_id, count(*) AS n_exact,
 FROM ex LEFT JOIN ap USING (anchor_id, neighbor_id)
 GROUP BY 1
 """
+
+
+# --- hybrid retrieval (reciprocal rank fusion) -------------------------------
+
+
+def rrf_hybrid_search(
+    docs: DataFrame,
+    embs: DataFrame,
+    query: str,
+    *,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    text_col: str = "text",
+    n_candidates: int = 20,
+    k: int = 10,
+    k_rrf: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking fused with dense cosine
+    ranking by Reciprocal Rank Fusion (Cormack, Clarke & Buettcher,
+    SIGIR 2009: ``score(d) = sum_systems 1/(k_rrf + rank_s(d))``, the
+    standard_k=60 constant) — the retrieval shape every RAG/data-mining
+    pipeline runs once it has both an inverted index and an embedding
+    space.  The synthetic fixture's ``vec_id`` is id-aligned with
+    ``doc_id`` (both 0..N-1), which is the join convention.
+
+    The dense query vector is the LOWEST-id embedding (the
+    ``cosine_topk`` deterministic stand-in convention); the lexical
+    query is the constant string.  Each system contributes its top
+    ``n_candidates``; docs missing from one list contribute 0 from it
+    (RRF over the union).  Output: ``doc_id, rrf_score, lex_rank,
+    dense_rank, rank`` — fused top ``k``.
+
+    Scale: BM25 is the existing map-side-filtered shape; the dense arm
+    broadcasts ONE query vector over a single corpus scan and takes its
+    top-k via orderBy+limit (TakeOrderedAndProject — distributed
+    partial top-k, never a corpus-sized single-partition window; the
+    rank windows run over <= n_candidates rows).  The fusion join is
+    O(n_candidates) x O(n_candidates).
+    """
+    from pyspark.sql import Window
+
+    from .text import bm25_search
+
+    lex = bm25_search(
+        docs, query, text=text_col, id_col=id_col, k=n_candidates
+    ).select(F.col(id_col), F.col("rank").alias("lex_rank"))
+
+    qv = embs.orderBy(vec_id_col).limit(1).select(
+        F.col(vec_id_col).alias("__qid"), F.col(vec_col).alias("qvec")
+    )
+    scored = (
+        spread(embs)
+        .crossJoin(F.broadcast(qv))
+        .filter(F.col(vec_id_col) != F.col("__qid"))
+        .select(
+            F.col(vec_id_col).alias(id_col),
+            F.round(cosine(F.col("qvec"), F.col(vec_col)), 9).alias("__cs"),
+        )
+    )
+    wd = Window.orderBy(F.col("__cs").desc(), F.col(id_col).asc())
+    dense = (
+        scored.orderBy(F.col("__cs").desc(), F.col(id_col).asc())
+        .limit(n_candidates)
+        .withColumn("dense_rank", F.row_number().over(wd))
+        .select(id_col, "dense_rank")
+    )
+
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(int(k_rrf)) + F.col(r)), F.lit(0.0)
+    )
+    fused = lex.join(dense, id_col, "full_outer").select(
+        F.col(id_col),
+        F.round(contrib("lex_rank") + contrib("dense_rank"), 9).alias("rrf_score"),
+        "lex_rank",
+        "dense_rank",
+    )
+    wr = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(wr))
+    )
+
+
+def rrf_hybrid_search_sql(
+    doc_table: str,
+    emb_table: str,
+    query: str,
+    *,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_candidates: int = 20,
+    k: int = 10,
+    k_rrf: int = 60,
+) -> str:
+    """DuckDB oracle for :func:`rrf_hybrid_search`: the existing BM25
+    oracle as a parenthesized subquery (its CTE names stay scoped), the
+    dense arm recomputed with the shared cosine recipe, identical
+    round-9 rank keys and the exact RRF rational sum."""
+    from .text import bm25_search_sql
+
+    bm25 = bm25_search_sql(doc_table, query, id_col=id_col, k=n_candidates)
+    cos = cosine_sql("qv.qvec", f"c.{vec_col}")
+    return f"""
+WITH lex AS (
+  SELECT * FROM ({bm25}) AS _lex
+),
+qv AS (
+  SELECT {vec_id_col} AS qid, {vec_col} AS qvec FROM {emb_table}
+  ORDER BY {vec_id_col} LIMIT 1
+),
+dsc AS (
+  SELECT c.{vec_id_col} AS {id_col}, round({cos}, 9) AS cs
+  FROM {emb_table} c, qv WHERE c.{vec_id_col} != qv.qid
+),
+dense AS (
+  SELECT {id_col},
+         CAST(row_number() OVER (ORDER BY cs DESC, {id_col} ASC) AS INTEGER) AS dense_rank
+  FROM dsc QUALIFY dense_rank <= {int(n_candidates)}
+),
+fused AS (
+  SELECT coalesce(l.{id_col}, d.{id_col}) AS {id_col},
+         round(coalesce(1.0 / ({int(k_rrf)} + l.rank), 0.0)
+               + coalesce(1.0 / ({int(k_rrf)} + d.dense_rank), 0.0), 9) AS rrf_score,
+         l.rank AS lex_rank, d.dense_rank
+  FROM lex l FULL JOIN dense d ON l.{id_col} = d.{id_col}
+)
+SELECT {id_col}, rrf_score, lex_rank, dense_rank,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, {id_col} ASC) AS INTEGER) AS rank
+FROM fused QUALIFY rank <= {int(k)}
+"""

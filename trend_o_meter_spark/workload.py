@@ -115,19 +115,23 @@ _SCORE_FIRST = (
     # Slot 1: zscore_anomalies — last scored r08, AT the age-4 policy
     # limit (displaced past the window in r12).
     "zscore_anomalies",
-    # Slots 2-4: queries NEW this round — unigram_encode_fixed (corpus
+    # Slots 2-6: queries NEW this round — unigram_encode_fixed (corpus
     # Viterbi encode, closed-form oracle), byte_bpe_merges (byte-level
-    # BPE trainer verdict row), langid_scores_pretrained (the langid
-    # scoring pass, now also a bench row).
+    # BPE trainer verdict row) + byte_bpe_encode_fixed (its encode
+    # half), langid_scores_pretrained (the langid scoring pass, now
+    # also a bench row), rrf_hybrid_search (BM25 + dense RRF fusion).
     "unigram_encode_fixed",
     "byte_bpe_merges",
+    "byte_bpe_encode_fixed",
     "langid_scores_pretrained",
-    # --- slots 5-50: 46 of the 50-query r09-stale cohort (age 4 at this
-    # round's close).  The 4 deferred entries (q21_waiting_suppliers,
-    # decode_features, pii_scrub, sketch_rollup — all hand-reverified by
-    # the r12 judge's selfcheck sample) stay at age 4 and MUST lead the
-    # r14 window together with the 47-query r10 cohort (4 + 46 of 47;
-    # the leftover r10 entry joins r15 with the r11 cohort).
+    "rrf_hybrid_search",
+    # --- slots 7-50: 44 of the 50-query r09-stale cohort (age 4 at this
+    # round's close).  The 6 deferred entries (q21_waiting_suppliers,
+    # decode_features, pii_scrub, sketch_rollup, epoch_shuffle,
+    # cosine_topk_ivf — all hand-reverified by the r12 judge's selfcheck
+    # sample) stay at age 4 and MUST lead the r14 window together with
+    # 44 of the 47-query r10 cohort (6 + 44 = 50); the 3 leftover r10
+    # entries join r15 with the 47-query r11 cohort (3 + 47 = 50).
     "asof_forward_orders",
     "asof_nearest_orders",
     "balanced_sample",
@@ -135,7 +139,6 @@ _SCORE_FIRST = (
     "canonical_docs",
     "chunk_documents",
     "cosine_topk",
-    "cosine_topk_ivf",
     "curation_decisions",
     "curation_report",
     "decode_errors",
@@ -143,7 +146,6 @@ _SCORE_FIRST = (
     "doc_fingerprint",
     "embedding_near_dup",
     "embedding_outliers",
-    "epoch_shuffle",
     "frame_sample",
     "hash_sample_10pct",
     "histogram_quantiles",
@@ -2640,6 +2642,47 @@ def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def byte_bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
     return bpe.byte_bpe_train_check(d, num_merges=20)
+
+
+_BYTE_BPE_FIXED_RULES = [("t", "h"), ("i", "n"), ("a", "n")]
+
+
+@_q(
+    "byte_bpe_encode_fixed",
+    bpe.byte_bpe_encode_fixed_sql("documents", _BYTE_BPE_FIXED_RULES),
+    doc="Byte-level BPE encoding with a fixed rule list: tokens-per-doc "
+    "over UTF-8 byte symbols (GPT-2 bijection, no EOW, no UNK) via the "
+    "distinct-word Arrow kernel.  Oracle: the closed form for THIS "
+    "list — the three merges are disjoint non-self-overlapping byte "
+    "bigrams, and ASCII bytes occur in a UTF-8 stream only as their "
+    "own characters, so tokens = octet_length minus the three "
+    "substring counts (see bpe.byte_bpe_encode_fixed_sql for the "
+    "proof).  Completes the encode half of the byte-level family "
+    "(byte_bpe_merges is the trainer verdict row).",
+)
+def byte_bpe_encode_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    return bpe.byte_bpe_encode_vocab(d, _BYTE_BPE_FIXED_RULES)
+
+
+@_q(
+    "rrf_hybrid_search",
+    similarity.rrf_hybrid_search_sql(
+        "documents", "embeddings", "spark join filter"
+    ),
+    doc="Hybrid retrieval: BM25 lexical top-20 fused with dense cosine "
+    "top-20 by Reciprocal Rank Fusion (Cormack 2009, k=60) — the "
+    "RAG-era retrieval composition over the id-aligned documents/"
+    "embeddings fixture.  Lexical arm is the existing map-side-"
+    "filtered BM25; dense arm broadcasts ONE query vector over one "
+    "corpus scan with TakeOrderedAndProject top-k; fusion is an "
+    "O(candidates) full-outer join, missing list contributes 0 "
+    "(RRF over the union).",
+)
+def rrf_hybrid_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, "documents", sf_dir)
+    e = table(spark, "embeddings", sf_dir)
+    return similarity.rrf_hybrid_search(d, e, "spark join filter")
 
 
 @_q(
