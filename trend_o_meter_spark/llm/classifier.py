@@ -353,33 +353,70 @@ def _hashed_feats(
     identity barely transfers across languages; character shape does).
     A doc shorter than ``n`` chars contributes no rows either way (it
     scores at the bias alone downstream)."""
+    from ..catalog import spread
     from ..llm.hashing import md5_int
     from .dedup import _norm
 
+    # the per-doc token count rides the explode as a map-side column
+    # (it is a closed-form function of the normalized text), so ONE
+    # gram pass feeds both the bucket counts and the tf denominator —
+    # the former lens branch re-ran the whole explode+md5 lineage a
+    # second time and joined it back (guide §2.4: remove the shuffle
+    # and the duplicate pass outright)
     if grams is not None:
-        base = df.select(
+        # one-core guard (guide §2.5): the char-gram path explodes one
+        # row per POSITION (n_chars rows, each md5-hashed) — heavy
+        # map-side CPU over a possibly single-split scan; no-op at real
+        # scan widths.  The words path below stays unspread: its explode
+        # is ~6x fewer rows and measurably cheaper than the added
+        # exchange (A/B: 3.5 s vs 4.3 s median for logreg_hashed_weights).
+        base = spread(df).select(
             F.col(id_col).alias("did"), _norm(F.col(text)).alias("__t")
         )
         idx = F.when(
             F.length("__t") >= grams,
             F.sequence(F.lit(1), F.length("__t") - grams + 1),
         ).otherwise(F.array().cast("array<int>"))
+        base = base.select(
+            "did",
+            "__t",
+            F.greatest(
+                F.length("__t") - F.lit(grams - 1), F.lit(0)
+            ).cast("long").alias("__len"),
+        )
         toks = base.select(
-            "did", "__t", F.explode(idx).alias("__i")
+            "did", "__t", "__len", F.explode(idx).alias("__i")
         ).select(
-            "did", F.col("__t").substr(F.col("__i"), F.lit(grams)).alias("tok")
+            "did",
+            "__len",
+            F.col("__t").substr(F.col("__i"), F.lit(grams)).alias("tok"),
         )
     else:
-        toks = df.select(
+        # token array STAGED in its own projection so size() and the
+        # explode both read the attribute instead of re-evaluating the
+        # split (CollapseProject keeps multi-referenced non-cheap
+        # aliases staged); empties only arise from the all-whitespace
+        # doc (_norm trims and single-spaces), whose lone "" token the
+        # codegen'd row filter drops — so size(__arr) IS the filtered
+        # token count for every doc that emits rows.  An F.filter HOF
+        # here measured 2x the whole query (interpreted lambda per
+        # token, evaluated under both consumers).
+        base = df.select(
             F.col(id_col).alias("did"),
-            F.explode(F.split(_norm(F.col(text)), " ")).alias("tok"),
+            F.split(_norm(F.col(text)), " ").alias("__arr"),
+        )
+        toks = base.select(
+            "did",
+            F.size("__arr").cast("long").alias("__len"),
+            F.explode("__arr").alias("tok"),
         ).filter(F.col("tok") != "")
     bucket = md5_int(F.concat(F.lit("f:"), F.col("tok"))) % n_features
-    counts = toks.select("did", bucket.alias("bucket")).groupBy("did", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
+    counts = (
+        toks.select("did", "__len", bucket.alias("bucket"))
+        .groupBy("did", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("__len").alias("len"))
     )
-    lens = toks.groupBy("did").agg(F.count(F.lit(1)).alias("len"))
-    return counts.join(lens, "did").select(
+    return counts.select(
         "did", "bucket", (F.col("cnt").cast("double") / F.col("len")).alias("tf")
     )
 

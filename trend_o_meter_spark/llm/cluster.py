@@ -454,8 +454,26 @@ def pagerank(
         .distinct(),
         checkpoint_dir,
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__od"))
+    # out-degrees are O(nodes) rows consumed by EVERY iteration's join —
+    # materialize once instead of re-aggregating the full edge table per
+    # round (the before plan re-ran the 4.3M-row agg each iteration)
+    outdeg = _truncate(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("__od")), checkpoint_dir
+    )
     nn = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
+
+    # Size-gated broadcast of the node-sized loop tables (the hits()
+    # round-11 shave, applied here too): ranks/outdeg/contrib sit behind
+    # checkpoints, so Catalyst has no stats and plans SortMergeJoin —
+    # shuffling+sorting the FULL edge table every iteration.  When the
+    # known node count is broadcastable, hint it and the edge table never
+    # exchanges inside the loop; above the gate the keyed shuffle-join is
+    # the right plan at scale and stays.
+    _bc_scores = nodes.count() <= 1_000_000
+
+    def score_side(df):
+        return F.broadcast(df) if _bc_scores else df
+
     base = float(1.0 - damping)
     ranks = nodes.crossJoin(nn).select(
         "node", (F.lit(1.0) / F.col("__n")).alias("rank")
@@ -468,7 +486,7 @@ def pagerank(
             # 1.0/n division is the exact double the dense vector
             # carried, so quantized contributions are bit-identical).
             contrib = (
-                e.join(outdeg, "src")
+                e.join(score_side(outdeg), "src")
                 .crossJoin(nn)
                 .select(
                     "dst",
@@ -483,8 +501,10 @@ def pagerank(
             )
         else:
             contrib = (
-                ranks.join(e, ranks.node == e.src)
-                .join(outdeg, "src")
+                e.join(
+                    score_side(ranks.withColumnRenamed("node", "src")), "src"
+                )
+                .join(score_side(outdeg), "src")
                 .select(
                     "dst",
                     F.round(F.col("rank") / F.col("__od") * F.lit(1e9))
@@ -496,7 +516,7 @@ def pagerank(
             )
         ranks = (
             nodes.crossJoin(nn)
-            .join(contrib, nodes.node == contrib.dst, "left")
+            .join(score_side(contrib), nodes.node == contrib.dst, "left")
             .select(
                 "node",
                 (

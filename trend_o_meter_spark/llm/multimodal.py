@@ -963,16 +963,14 @@ def image_phash_pairs(
     images best handled by exact (hamming-0 / byte-hash) dedup first,
     and normal pairs still meet in their other band slices.  Off
     (None) in the oracle-checked registry path."""
-    fps = image_phash(media)
-    if max_bucket is not None:
-        # the bucket-count aggregation is a SECOND consumer of the
-        # fingerprint lineage whose exchange cannot be reused by the
-        # self-join — without materialization the per-image decode would
-        # re-run for the counts branch (review r10); the cut frame is
-        # O(images) scalars
-        from .. import lineage
+    from .. import lineage
 
-        fps = lineage.cut(fps)
+    # the banded self-join consumes the fingerprint lineage on BOTH sides
+    # (the two alias branches do not canonicalize to a reusable exchange —
+    # the before plan shows two MapInPandas decode passes), and with a
+    # bucket cap the count aggregation is a third consumer.  The cut frame
+    # is O(images) scalars; the per-image decode runs once.
+    fps = lineage.cut(image_phash(media))
     return _phash_pairs_from_fps(
         fps,
         max_hamming=max_hamming,

@@ -688,10 +688,17 @@ def semantic_dedup(
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
+    from .. import lineage
     from .cluster import _truncate
 
-    base = spread(df).select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    # materialize the projected vectors once: the Lloyd's loop references
+    # base iters+1 times and the final assignment once more — without the
+    # cut each reference re-reads and re-casts the source (the before plan
+    # carried 42 parquet scans / 160 exchanges; OPTIMIZATION_r13.md)
+    base = lineage.cut(
+        spread(df).select(
+            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+        )
     )
     if k == "auto":
         import math
@@ -710,6 +717,10 @@ def semantic_dedup(
         cents = _kmeans_recompute(_kmeans_assign(base, cents))
         if checkpoint_dir is not None:
             cents = _truncate(cents, checkpoint_dir)
+    # final centroids are k tiny rows consumed TWICE (assignment + the
+    # cos_to_centroid join): cut them so the whole training walk runs
+    # once, not once per consumer
+    cents = lineage.cut(cents)
     cosc = (
         _kmeans_assign(base, cents)
         .join(cents, "cluster")
@@ -718,24 +729,38 @@ def semantic_dedup(
             "cluster",
             "vec",
             F.round(cosine(F.col("vec"), F.col("cvec")), 9).alias("cos_c"),
+            # per-row L2 norm hoisted OUT of the O(cell^2) pair filter:
+            # cosine(a, b) evaluates dot/(norm(a)*norm(b)) and norm is a
+            # deterministic left fold, so dividing the pair dot by the
+            # precomputed doubles is bit-identical while cutting per-pair
+            # work from 3 array folds to 1
+            norm(_as_double(F.col("vec"))).alias("__nrm"),
         )
     )
+    # cosc feeds BOTH sides of the within-cluster pair join and the final
+    # kept-flag join — three consumers of the full assignment lineage
+    cosc = lineage.cut(cosc)
     a = cosc.select(
         F.col("cluster"),
         F.col("vid").alias("va"),
         F.col("vec").alias("veca"),
         F.col("cos_c").alias("ca"),
+        F.col("__nrm").alias("na"),
     )
     b = cosc.select(
         F.col("cluster"),
         F.col("vid").alias("vb"),
         F.col("vec").alias("vecb"),
         F.col("cos_c").alias("cb"),
+        F.col("__nrm").alias("nb"),
+    )
+    pair_cos = dot(_as_double(F.col("veca")), _as_double(F.col("vecb"))) / (
+        F.col("na") * F.col("nb")
     )
     pairs = (
         a.join(b, "cluster")
         .filter(F.col("va") < F.col("vb"))
-        .filter(F.round(cosine(F.col("veca"), F.col("vecb")), 9) >= threshold)
+        .filter(F.round(pair_cos, 9) >= threshold)
     )
     losers = pairs.select(
         F.when(
@@ -998,8 +1023,16 @@ def _pq_train(
             for s in range(m)
         ]
     )
-    base = base0.select("vid", F.explode(parts).alias("__p")).select(
-        "vid", "__p.s", F.col("__p.svec").alias("vec")
+    from .. import lineage
+
+    # materialize the subspace rows once: the Lloyd's loop, the final
+    # assignment and every caller branch (codes ordering, qids, the ADC
+    # distance table) otherwise re-derive scan+pad+explode per consumer
+    # (pq_adc_topk's before plan: 22 parquet scans / 74 exchanges)
+    base = lineage.cut(
+        base0.select("vid", F.explode(parts).alias("__p")).select(
+            "vid", "__p.s", F.col("__p.svec").alias("vec")
+        )
     )
     # same k-smallest-present init as kmeans_centroids/semantic_dedup —
     # a dense-id `vid < k` filter would silently train EMPTY codebooks
@@ -1011,6 +1044,9 @@ def _pq_train(
     )
     for _ in range(iters):
         cents = _pq_recompute(_pq_assign(base, cents))
+    # the m*k-row codebook is consumed by the final assignment AND by the
+    # callers (ADC distance tables); cut it so training runs once
+    cents = lineage.cut(cents)
     return base, cents, _pq_assign(base, cents)
 
 

@@ -1886,6 +1886,10 @@ def dsir_weights(
     10.9 s -> 3.1 s).  No vocabulary-sized shuffle ever forms.
     """
     sm = float(smoothing)
+    from ..catalog import spread
+
+    # one-core guard (guide §2.5) for the bigram transform + md5 explode
+    df = spread(df)
     toks = _tokens(F.col(text))
     t1 = F.slice(toks, 1, F.size(toks) - 1)
     t2 = F.slice(toks, 2, F.size(toks) - 1)
@@ -1907,7 +1911,15 @@ def dsir_weights(
     # bucket) aggregate — its shuffle is identical across the three uses
     # so ReuseExchange shares it, and the corpus totals come from the
     # <= n_buckets-row count tables, not corpus rescans
-    docb = bg.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("n_occ"))
+    from .. import lineage
+
+    # docb is consumed THREE ways (raw, tgt, the final weight join) and
+    # the consumers key differently, so ReuseExchange cannot share the
+    # explode stage (the before plan re-ran it: 14 parquet scans).
+    # Materialize once — O(docs x <= n_buckets) rows.
+    docb = lineage.cut(
+        bg.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("n_occ"))
+    )
     raw = docb.groupBy("bucket").agg(F.sum("n_occ").cast("long").alias("c_r"))
     tgt = (
         docb.join(keep, id_col, "left_semi")
@@ -2524,6 +2536,13 @@ def winnowing_fingerprints(
     inside one projection; NO shuffle, NO UDF, output is O(n/w) rows per
     doc.  Hash is the cross-engine md5 (llm/hashing.py).
     """
+    from ..catalog import spread
+
+    # one-core guard (guide §2.5 input skew): every stage here is an
+    # interpreted per-row HOF over the raw scan — a single-split parquet
+    # file would run the whole O(n*w) hash/min walk on ONE task.  spread
+    # is a no-op whenever the scan already has >= core-count splits.
+    df = spread(df)
     toks = _tokens(F.col(text))
     n_grams = F.size(toks) - F.lit(k - 1)
     empty_h = F.array().cast("array<bigint>")
