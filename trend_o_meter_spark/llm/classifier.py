@@ -104,17 +104,65 @@ def logreg_train(
     """
     feats = dict(features or DEFAULT_FEATURES)
     names = list(feats)
-    base = df.select(
-        *[F.expr(sql).alias(n) for n, sql in feats.items()],
-        F.expr(f"CAST(({label_sql}) AS INT)").alias("__y"),
+    raw = _feature_frame(df, feats, label_sql=label_sql)
+    anchors = _anchors_of(raw, names)
+    b, w = _train_on_raw(raw, names, anchors, iters=iters, lr=lr)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [("__bias", b)] + [(n, w[n]) for n in names], "term string, weight double"
     )
-    anchors = minmax_anchors(df, features=feats)
-    zcols = []
+
+
+def _feature_frame(
+    df: DataFrame,
+    feats: dict[str, str],
+    *,
+    label_sql: str | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
+    """The raw feature columns (plus optional id/label), evaluated ONCE
+    and lineage-cut: the anchors aggregate, every GD iteration, and the
+    scoring pass all previously re-evaluated the text feature
+    expressions from their own scan of ``df`` — three full corpus
+    scans for one training run (guide §1.2)."""
+    cols = []
+    if id_col is not None:
+        cols.append(F.col(id_col))
+    cols.extend(F.expr(sql).alias(n) for n, sql in feats.items())
+    if label_sql is not None:
+        cols.append(F.expr(f"CAST(({label_sql}) AS INT)").alias("__y"))
+    return lineage.cut(df.select(*cols), eager=True)
+
+
+def _anchors_of(raw: DataFrame, names: list[str]) -> dict[str, tuple[float, float]]:
+    """min/max anchors from the materialized feature frame — the same
+    exact order-free aggregate :func:`minmax_anchors` runs, minus the
+    duplicate feature-extraction scan."""
+    mm = raw.agg(
+        *[F.min(n).alias(f"__mn_{n}") for n in names],
+        *[F.max(n).alias(f"__mx_{n}") for n in names],
+    ).collect()[0]
+    return {n: (float(mm[f"__mn_{n}"]), float(mm[f"__mx_{n}"])) for n in names}
+
+
+def _train_on_raw(
+    raw: DataFrame,
+    names: list[str],
+    anchors: dict[str, tuple[float, float]],
+    *,
+    iters: int,
+    lr: float,
+) -> tuple[float, dict[str, float]]:
+    """The batch-GD loop of :func:`logreg_train` over the materialized
+    feature frame.  Scaling is applied on the fly inside each gradient
+    aggregate — identical doubles to the former pre-materialized z
+    frame (same expressions over the same feature values), one fewer
+    checkpoint."""
+    zc = {}
     for n in names:
         mn, mx = anchors[n]
         rng = mx - mn if mx > mn else 1.0
-        zcols.append(((F.col(n) - F.lit(mn)) / F.lit(rng)).alias(f"__z_{n}"))
-    z = lineage.cut(base.select(*zcols, "__y"), eager=True)
+        zc[n] = (F.col(n) - F.lit(mn)) / F.lit(rng)
 
     w = {n: 0.0 for n in names}
     b = 0.0
@@ -122,7 +170,7 @@ def logreg_train(
     for _ in range(int(iters)):
         t = F.lit(b)
         for n in names:
-            t = t + F.lit(w[n]) * F.col(f"__z_{n}")
+            t = t + F.lit(w[n]) * zc[n]
         p = F.floor((F.lit(1.0) / (F.lit(1.0) + F.exp(-t))) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
         d = p - F.col("__y")
 
@@ -133,11 +181,11 @@ def logreg_train(
                 .cast("long")
             )
 
-        row = z.agg(
+        row = raw.agg(
             F.count(F.lit(1)).alias("__n"),
             F.sum(qint(d * F.lit(1e9))).alias("__sb"),
             *[
-                F.sum(qint(d * F.col(f"__z_{n}") * F.lit(1e9))).alias(f"__s_{n}")
+                F.sum(qint(d * zc[n] * F.lit(1e9))).alias(f"__s_{n}")
                 for n in names
             ],
         ).collect()[0]
@@ -145,11 +193,7 @@ def logreg_train(
         b = _q(b - lr * (float(row["__sb"]) / 1e9 / n_rows), 1e9)
         for n in names:
             w[n] = _q(w[n] - lr * (float(row[f"__s_{n}"]) / 1e9 / n_rows), 1e9)
-
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        [("__bias", b)] + [(n, w[n]) for n in names], "term string, weight double"
-    )
+    return b, w
 
 
 def logreg_predict(
@@ -210,14 +254,20 @@ def logreg_train_and_score(
     """Train on ``df`` then score every row with the trained weights:
     ``(id, p)`` — the full gate pipeline (fit + apply) in one call,
     sharing the train-time scaling anchors between the two phases."""
-    w_rows = logreg_train(
-        df, features=features, label_sql=label_sql, iters=iters, lr=lr
-    ).collect()
-    weights = {r["term"]: r["weight"] for r in w_rows}
-    anchors = minmax_anchors(df, features=features)
-    return logreg_predict(
-        df, weights, features=features, id_col=id_col, anchors=anchors
-    )
+    feats = dict(features or DEFAULT_FEATURES)
+    names = list(feats)
+    raw = _feature_frame(df, feats, label_sql=label_sql, id_col=id_col)
+    anchors = _anchors_of(raw, names)
+    b, w = _train_on_raw(raw, names, anchors, iters=iters, lr=lr)
+    # score from the SAME materialized feature frame (identical feature
+    # doubles, identical scaled expression to logreg_predict's)
+    t = F.lit(b)
+    for n in names:
+        mn, mx = anchors[n]
+        rng = mx - mn if mx > mn else 1.0
+        t = t + F.lit(w[n]) * ((F.col(n) - F.lit(mn)) / F.lit(rng))
+    p = F.floor((F.lit(1.0) / (F.lit(1.0) + F.exp(-t))) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return raw.select(F.col(id_col), p.alias("p"))
 
 
 def logreg_train_sql(

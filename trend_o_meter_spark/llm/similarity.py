@@ -561,10 +561,16 @@ def kmeans_centroids(
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
+    from ..lineage import cut
     from .cluster import _truncate
 
-    base = spread(df).select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    # base is consumed by the init TakeOrdered plus every assign round
+    # (iters + 1): cut it so the vector scan+cast happens once, not
+    # per-round (the _pq_train / semantic_dedup discipline).
+    base = cut(
+        spread(df).select(
+            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+        )
     )
     # init = the k SMALLEST ids actually present (TakeOrdered — not a
     # dense-id `vid < k` filter, which silently under-seeds on filtered

@@ -2170,8 +2170,11 @@ def lm_kneser_ney_score(
     """
     from pyspark.sql import Window  # noqa: F401  (parallel with lm_bigram_score)
 
+    from ..catalog import spread
+    from ..lineage import cut
+
     D = float(discount)
-    staged = df.select(F.col(id_col).alias("id"), _tokens(F.col(text)).alias("__t"))
+    staged = spread(df).select(F.col(id_col).alias("id"), _tokens(F.col(text)).alias("__t"))
     n = F.size(F.col("__t"))
     pairs = (
         staged.select(
@@ -2182,8 +2185,13 @@ def lm_kneser_ney_score(
         .select("id", F.explode(F.arrays_zip("__l", "__r")).alias("__p"))
         .select("id", F.col("__p.__l").alias("w1"), F.col("__p.__r").alias("w2"))
     )
+    # db is NOT cut (its (id, w1, w2) rows are nearly the exploded pairs
+    # themselves — materialization costs more than the parallel re-derive);
+    # bg IS cut: it feeds FOUR consumers (ctx, cont, total, scored join),
+    # each of which would re-run explode + two gram-keyed aggregations,
+    # and its distinct-bigram rows are far fewer than the pair stream.
     db = pairs.groupBy("id", "w1", "w2").agg(F.count(F.lit(1)).alias("c_d"))
-    bg = db.groupBy("w1", "w2").agg(F.sum("c_d").cast("long").alias("c_bg"))
+    bg = cut(db.groupBy("w1", "w2").agg(F.sum("c_d").cast("long").alias("c_bg")))
     ctx = bg.groupBy("w1").agg(
         F.sum("c_bg").cast("long").alias("c_left"),
         F.count(F.lit(1)).cast("long").alias("n1p"),

@@ -50,7 +50,12 @@ from pyspark.sql import functions as F
 
 from ..lineage import cut
 
-__all__ = ["exact_quantiles", "exact_quantiles_sql_ctes"]
+__all__ = [
+    "exact_quantiles",
+    "exact_value_counts",
+    "exact_quantiles_from_counts",
+    "exact_quantiles_sql_ctes",
+]
 
 
 def exact_quantiles(
@@ -73,10 +78,19 @@ def exact_quantiles(
     """
     if not keys:
         raise ValueError("exact_quantiles requires at least one key column")
-    if not qs:
-        raise ValueError("exact_quantiles requires at least one quantile")
-    kcols = list(keys)
+    counts = exact_value_counts(df, value=value, keys=keys)
+    return exact_quantiles_from_counts(
+        counts, keys=keys, qs=qs, buckets=buckets, out=out
+    )
 
+
+def exact_value_counts(df: DataFrame, *, value: str, keys: Sequence[str]) -> DataFrame:
+    """The per-(key, value) counts table the quantile machinery runs on:
+    ``*keys, __v, __c`` with NULL values excluded — the ONLY pass over
+    the source rows.  Lineage-cut so multi-consumer callers (the
+    med->MAD composition in :mod:`.trend`) derive follow-up counts from
+    the materialized table instead of rescanning the corpus."""
+    kcols = list(keys)
     vals = df.select(*kcols, F.col(value).alias("__v")).filter(
         F.col("__v").isNotNull()
     )
@@ -86,9 +100,39 @@ def exact_quantiles(
     # scans of the same table.  Materialize once (lazily, on first
     # action) per the triangle_counts / exact_substr discipline;
     # lineage.cut so the plan audit can still see the true lineage.
-    counts = cut(
+    return cut(
         vals.groupBy(*kcols, "__v").agg(F.count(F.lit(1)).cast("long").alias("__c"))
     )
+
+
+def exact_quantiles_from_counts(
+    counts: DataFrame,
+    *,
+    keys: Sequence[str],
+    qs: Sequence[float],
+    buckets: int = 8192,
+    out: str = "quantile",
+) -> DataFrame:
+    """Quantile selection over a precomputed ``*keys, __v, __c`` counts
+    table (:func:`exact_value_counts`, or any reaggregation of one —
+    ``__v`` need not even be distinct per key: the rank decomposition is
+    correct over ANY (value, count) partition of the multiset).
+
+    The intermediate ``stats``/``cb`` frames are consumed by 2-3
+    downstream branches each and re-derived per branch (10 ExistingRDD
+    scans / 42 exchanges in mad_anomalies' before-plan) — but those
+    duplicate branches are all over the MATERIALIZED counts table and
+    execute concurrently inside one job, so cutting them was measured
+    SLOWER (mad_anomalies 5.8 -> 13.1 s: each cut is a serial
+    checkpoint job barrier; the duplication it removes ran on
+    otherwise-idle cores).  They stay uncut deliberately.
+    """
+    if not keys:
+        raise ValueError("exact_quantiles requires at least one key column")
+    if not qs:
+        raise ValueError("exact_quantiles requires at least one quantile")
+    kcols = list(keys)
+
     stats = counts.groupBy(*kcols).agg(
         F.sum("__c").cast("long").alias("__n"),
         F.min("__v").alias("__vmin"),

@@ -882,6 +882,39 @@ FROM {table} e LEFT JOIN prof p ON {join_on} AND {e_phase} = p.phase
 """
 
 
+def _median_mad_profile(
+    df: DataFrame, *, value: str, keys: Sequence[str]
+) -> DataFrame:
+    """Per-key ``*keys, __med, __mad`` calibration profile shared by
+    :func:`mad_anomalies` and :func:`cusum_changepoints`.
+
+    One corpus pass: the MAD's ``|v - median|`` counts are REAGGREGATED
+    from the median pass's materialized per-(key, value) counts table
+    (``abs`` maps each (value, count) row; summing counts reproduces the
+    row-level deviation multiset exactly, and the rank decomposition is
+    value-duplication-safe) instead of a second scan+groupBy over the
+    events — guide §1.2 "don't compute things twice".  The deviation
+    double is the same ``abs(v - med)`` IEEE expression the row-level
+    form evaluated, so the selected order statistics are bit-identical.
+    """
+    from .quantiles import exact_quantiles_from_counts, exact_value_counts
+
+    kcols = list(keys)
+    counts = exact_value_counts(df.select(*kcols, value), value=value, keys=keys)
+    med = exact_quantiles_from_counts(counts, keys=keys, qs=[0.5], out="__med").select(
+        *kcols, "__med"
+    )
+    ad_counts = (
+        counts.join(F.broadcast(med), kcols)
+        .groupBy(*kcols, F.abs(F.col("__v") - F.col("__med")).alias("__v"))
+        .agg(F.sum("__c").cast("long").alias("__c"))
+    )
+    mad = exact_quantiles_from_counts(
+        ad_counts, keys=keys, qs=[0.5], out="__mad"
+    ).select(*kcols, "__mad")
+    return med.join(mad, kcols)
+
+
 def mad_anomalies(
     df: DataFrame,
     *,
@@ -913,8 +946,6 @@ def mad_anomalies(
     multiset; the resulting O(keys)-row profiles broadcast back and the
     event stream itself is never shuffled.
     """
-    from .quantiles import exact_quantiles
-
     c = F.col(value)
 
     def q9(x: Column) -> Column:
@@ -924,18 +955,8 @@ def mad_anomalies(
             / F.lit(1e9)
         )
 
-    med = exact_quantiles(
-        df.select(*keys, value), value=value, keys=keys, qs=[0.5], out="__med"
-    ).select(*keys, "__med")
-    with_med = df.join(F.broadcast(med), list(keys))
-    mad = exact_quantiles(
-        with_med.select(*keys, F.abs(c - F.col("__med")).alias("__ad")),
-        value="__ad",
-        keys=keys,
-        qs=[0.5],
-        out="__mad",
-    ).select(*keys, "__mad")
-    scored = with_med.join(F.broadcast(mad), list(keys)).withColumn(
+    prof = _median_mad_profile(df, value=value, keys=keys)
+    scored = df.join(F.broadcast(prof), list(keys)).withColumn(
         "__rz",
         F.lit(0.6745) * (c - F.col("__med")) / F.nullif(F.col("__mad"), F.lit(0.0)),
     )
@@ -1190,21 +1211,8 @@ def cusum_changepoints(
         StructType,
     )
 
-    from .quantiles import exact_quantiles
-
-    c = F.col(value)
-    med = exact_quantiles(
-        df.select(*keys, value), value=value, keys=keys, qs=[0.5], out="__med"
-    ).select(*keys, "__med")
-    with_med = df.join(F.broadcast(med), list(keys))
-    mad = exact_quantiles(
-        with_med.select(*keys, F.abs(c - F.col("__med")).alias("__ad")),
-        value="__ad",
-        keys=keys,
-        qs=[0.5],
-        out="__mad",
-    ).select(*keys, "__mad")
-    src = with_med.join(F.broadcast(mad), list(keys))
+    prof = _median_mad_profile(df, value=value, keys=keys)
+    src = df.join(F.broadcast(prof), list(keys))
 
     cols = [*keys, *tiebreak, ts, value]
     out_schema = StructType(
