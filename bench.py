@@ -21,8 +21,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
-from trend_o_meter_spark.session import get_spark
+from trend_o_meter_spark.session import get_spark, scratch_dir
 from trend_o_meter_spark.workload import registry
+
+
+def _tmpdir():
+    """Probe scratch (stream source staging, checkpoints, state dirs) on
+    the same memory-backed medium as Spark's local dirs (session.scratch_dir
+    — env-overridable, None -> stock tempfile default).  On the round-13
+    sandbox the default /tmp disk sustains ~10 MB/s fsync'd writes, so
+    stock-placed state-store commits measured the DISK (stream_anchored
+    first pass 39.6 s vs r12's 3.0 s with identical code and a clean CPU
+    calibration); the operators' own cost is what the probes exist to
+    record.  The `calib.disk` kernel stamps the default medium's rate in
+    the artifact either way, so slow-disk rounds stay adjudicable."""
+    import tempfile
+
+    return tempfile.TemporaryDirectory(dir=scratch_dir())
 
 # Headline set: the flagship timeseries query, the relational suite's
 # heavy hitters, and the LLM-pipeline operators that dominate at scale.
@@ -197,7 +212,7 @@ def stream_probe(
         )
     n_rows = n_base * k
     passes = []
-    with tempfile.TemporaryDirectory() as tmp:
+    with _tmpdir() as tmp:
         src_dir = os.path.join(tmp, "src")
         batch.write.mode("overwrite").parquet(src_dir)
         for i in range(1 + n_timed):
@@ -263,7 +278,7 @@ def stream_lsh_probe(spark, sf_dir: str, n_batches: int = 20, n_passes: int = 3)
     secs, margs, n_progs = [], [], []
     try:
         for _ in range(int(n_passes)):
-            with tempfile.TemporaryDirectory() as tmp:
+            with _tmpdir() as tmp:
                 src_dir = os.path.join(tmp, "src")
                 batch.repartition(n_batches).write.mode("overwrite").parquet(src_dir)
                 stream = (
@@ -340,7 +355,7 @@ def stream_rfm_probe(spark, sf_dir: str, n_batches: int = 20) -> dict:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     passes = []
     try:
-        with tempfile.TemporaryDirectory() as tmp:
+        with _tmpdir() as tmp:
             src_dir = os.path.join(tmp, "src")
             batch.repartition(n_batches).write.mode("overwrite").parquet(src_dir)
             for i in range(n_passes):
@@ -416,7 +431,7 @@ def stream_novelty_probe(spark, sf_dir: str, n_batches: int = 20) -> dict:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        with tempfile.TemporaryDirectory() as tmp:
+        with _tmpdir() as tmp:
             sink = {"docs": 0}
             per_batch = stream_novelty(
                 state_path=os.path.join(tmp, "state"),
@@ -472,7 +487,7 @@ def stream_cusum_probe(spark, sf_dir: str) -> dict:
         )
         .collect()
     }
-    with tempfile.TemporaryDirectory() as tmp:
+    with _tmpdir() as tmp:
         src_dir = os.path.join(tmp, "src")
         batch.write.mode("overwrite").parquet(src_dir)
         stream = spark.readStream.schema(batch.schema).parquet(src_dir)
@@ -527,9 +542,31 @@ def _calibrate(n_runs: int = 3, fan: int = 16) -> dict:
         t0 = time.time()
         list(ex.map(one, range(fan)))
         fan_wall = round(time.time() - t0, 3)
+    # Disk kernel (round 13): 16 MiB fsync'd sequential write to the
+    # DEFAULT temp medium — the scratch stock-placed shuffle/state files
+    # would use.  The CPU pair cannot see a throttled disk: the round-13
+    # sandbox read a clean 0.114 s sha256 while sustaining 8-12 MB/s
+    # writes (85-99%% iowait under any shuffle), which alone inflated the
+    # suite ~1.9x vs r12.  With this sample the artifact self-adjudicates
+    # disk-starved rounds the way `median`/`fan_wall` adjudicate steal.
+    import tempfile
+
+    blk = b"\x5a" * (1 << 20)
+    t0 = time.time()
+    fd, pth = tempfile.mkstemp(prefix="benchdisk_")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            for _ in range(16):
+                fh.write(blk)
+            fh.flush()
+            os.fsync(fh.fileno())
+    finally:
+        os.remove(pth)
+    disk_mb_s = round(16 / max(time.time() - t0, 1e-9), 1)
     return {"kernel": "sha256x150MiB", "runs": times,
             "median": sorted(times)[len(times) // 2],
-            "fan": fan, "fan_wall": fan_wall}
+            "fan": fan, "fan_wall": fan_wall,
+            "disk_kernel": "fsync16MiB_default_tmp", "disk_mb_s": disk_mb_s}
 
 
 def _host_load() -> dict:
@@ -644,6 +681,9 @@ def main() -> None:
         "fan_start": load["calibration_start"]["fan_wall"],
         "fan_mid": load["calibration_streaming_start"]["fan_wall"],
         "fan_end": load["calibration_end"]["fan_wall"],
+        "disk_start": load["calibration_start"]["disk_mb_s"],
+        "disk_mid": load["calibration_streaming_start"]["disk_mb_s"],
+        "disk_end": load["calibration_end"]["disk_mb_s"],
     }
     line["samples_file"] = result_path
     sys.stdout.flush()
