@@ -250,10 +250,17 @@ def logreg_train_and_score(
     iters: int = 3,
     lr: float = 0.5,
     id_col: str = "doc_id",
+    with_label: bool = False,
 ) -> DataFrame:
     """Train on ``df`` then score every row with the trained weights:
     ``(id, p)`` — the full gate pipeline (fit + apply) in one call,
-    sharing the train-time scaling anchors between the two phases."""
+    sharing the train-time scaling anchors between the two phases.
+
+    ``with_label=True`` additionally emits the training label as ``y``
+    (INT) from the SAME materialized feature frame — for calibration
+    consumers that would otherwise rescan the corpus for
+    ``CAST(label_sql AS INT)`` and join it back on ``id_col`` (the
+    label is already sitting next to every scored row)."""
     feats = dict(features or DEFAULT_FEATURES)
     names = list(feats)
     raw = _feature_frame(df, feats, label_sql=label_sql, id_col=id_col)
@@ -267,7 +274,10 @@ def logreg_train_and_score(
         rng = mx - mn if mx > mn else 1.0
         t = t + F.lit(w[n]) * ((F.col(n) - F.lit(mn)) / F.lit(rng))
     p = F.floor((F.lit(1.0) / (F.lit(1.0) + F.exp(-t))) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-    return raw.select(F.col(id_col), p.alias("p"))
+    cols = [F.col(id_col), p.alias("p")]
+    if with_label:
+        cols.append(F.col("__y").alias("y"))
+    return raw.select(*cols)
 
 
 def logreg_train_sql(

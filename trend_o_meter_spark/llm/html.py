@@ -322,7 +322,14 @@ def html_extract(
                          "link_words_kept"],
             )
 
-    return df.select(id_col, "source", "text").mapInPandas(run, schema=schema)
+    # one-core guard (guide §2.5/§4.1): single-split scans would run the
+    # whole Python synthesize+extract pipeline on one worker; spread is
+    # a no-op at real scan widths and ships only the needed columns.
+    from ..catalog import spread
+
+    return spread(df.select(id_col, "source", "text")).mapInPandas(
+        run, schema=schema
+    )
 
 
 def html_extract_sql(table: str, *, min_words: int = 5) -> str:

@@ -1287,6 +1287,10 @@ def cooc_pmi_topk(
     pair total is a 1-row broadcast; top-k is TakeOrderedAndProject.
     Output: ``w1, w2, n_pair, pmi, rank``.
     """
+    # NO spread(), by interleaved A/B (round 13): the pair emission is
+    # cheap enough per doc that the round-robin shuffle never pays for
+    # itself here (wash across 3 trials; the explode's groupBy shuffle
+    # already spreads the counting).
     staged = df.select(_tokens(F.col(text)).alias("__t"))
     n = F.size("__t")
     pair_struct = "array<struct<w1:string,w2:string>>"

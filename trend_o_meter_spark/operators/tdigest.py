@@ -192,6 +192,10 @@ def tdigest_partials(
             yield pd.DataFrame(rows, columns=cols)
 
     cols = [*keys, value] + ([weight] if weight is not None else [])
+    # NO spread() here, by interleaved A/B (round 13): the numpy digest
+    # build is light enough that a one-core pass beats paying a
+    # round-robin shuffle of the (key, value) rows (tdigest_quantiles
+    # 2.8-3.4 s unspread vs 3.5-5.5 s spread, 3 interleaved trials).
     return df.select(*cols).mapInPandas(build, schema=schema)
 
 
@@ -438,11 +442,18 @@ def tdigest_rollup(
     rank-bound booleans (the exact scan exists only to drive the
     oracle's audit, exactly as in ``sketch_rollup``)."""
     day = F.date_trunc("day", F.col(ts)).cast("string").alias("__day")
-    daily = tdigest_sketch(
-        df.select(*keys, day, value),
-        value=value,
-        keys=(*keys, "__day"),
-        delta=delta,
+    # daily is the STORED sketch table and feeds two consumers (the
+    # range merge + n_days): cut it so the partials+merge Python
+    # pipeline runs once, not per consumer.  O(keys x days) tiny rows.
+    from ..lineage import cut
+
+    daily = cut(
+        tdigest_sketch(
+            df.select(*keys, day, value),
+            value=value,
+            keys=(*keys, "__day"),
+            delta=delta,
+        )
     )
     merged = tdigest_merge(
         daily.drop("__day"), keys=keys, delta=delta

@@ -3151,9 +3151,12 @@ def label_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def calibration_ece_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, "documents", sf_dir)
-    scored = classifier.logreg_train_and_score(d)
-    labels = d.select("doc_id", F.expr("lang = 'en'").cast("int").alias("y"))
-    return classifier.calibration_bins(scored.join(labels, "doc_id"))
+    # with_label: y rides the trainer's materialized feature frame (the
+    # SAME `CAST(lang = 'en' AS INT)` expression) instead of a second
+    # corpus scan + doc_id shuffle join — one less scan, one less join,
+    # bit-identical (p, y) pairs.
+    scored = classifier.logreg_train_and_score(d, with_label=True)
+    return classifier.calibration_bins(scored, label="y")
 
 
 @_q(
