@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 
 from . import functions as tfn
 from . import lineage
+from . import catalog
 from .catalog import table
 from .llm import (
     bpe,
@@ -1237,7 +1238,13 @@ GROUP BY l_returnflag, l_linestatus
     "single hash shuffle with map-side partial agg.",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, "lineitem", sf_dir).filter(F.col("l_shipdate") <= F.lit("2001-09-02"))
+    # one-core guard (guide §2.5): the single-split lineitem scan runs the
+    # whole decimal partial-agg map side on one core; spread round-robins
+    # the filtered rows first (interleaved A/B: 2.49 vs 3.64 s median).
+    # No-op at real scan widths.  Exact decimal sums are order-free.
+    li = catalog.spread(
+        table(spark, "lineitem", sf_dir).filter(F.col("l_shipdate") <= F.lit("2001-09-02"))
+    )
     dec8 = "decimal(28,8)"
     # exact decimal-factor products: the inputs are 2-decimal values, so
     # the whole computation is exact and order-insensitive in both engines
@@ -1404,6 +1411,10 @@ LIMIT 100
     "(Catalyst plans it as a semi join on the aggregated key) + top-k.",
 )
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NO spread() on li, by interleaved A/B (round 13): li feeds TWO
+    # branches (big-order agg + main probe), so the round-robin shuffle
+    # of the full-width rows runs twice and measured worse than the
+    # one-core map side it replaces (3.0-5.8 vs 2.6-3.8 s medians).
     li = table(spark, "lineitem", sf_dir)
     big = (
         li.groupBy("l_orderkey")
@@ -1771,6 +1782,9 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, "supplier", sf_dir)
     n = table(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_3")
     o = table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
+    # NO spread() on li (interleaved A/B, round 13): two consuming
+    # branches each re-pay the full-width round-robin shuffle — worse
+    # than the one-core map side (3.2-5.6 vs 2.6-2.7 s medians).
     li = table(spark, "lineitem", sf_dir)
 
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
