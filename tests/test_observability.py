@@ -44,6 +44,8 @@ def test_observed_streaming_progress(spark, tmp_path):
 
 
 def test_reconnect_log(spark, tmp_path):
+    import time
+
     log = ReconnectLog()
     spark.streams.addListener(log)
     try:
@@ -59,6 +61,20 @@ def test_reconnect_log(spark, tmp_path):
             q.processAllAvailable()
             q.stop()
             q.awaitTermination(10)
+
+        # Listener events are delivered asynchronously on the JVM listener
+        # bus; poll with a deadline instead of asserting immediately.
+        def _settled():
+            kinds = [k for _, _, k in log.events]
+            return (
+                len(log.reconnects()) >= 1
+                and kinds.count("start") >= 2
+                and kinds.count("terminate") >= 1
+            )
+
+        deadline = time.monotonic() + 30.0
+        while not _settled() and time.monotonic() < deadline:
+            time.sleep(0.2)
         assert len(log.reconnects()) >= 1
         kinds = [k for _, _, k in log.events]
         assert kinds.count("start") >= 2 and kinds.count("terminate") >= 1
