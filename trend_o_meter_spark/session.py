@@ -57,16 +57,29 @@ def scratch_dir() -> str | None:
     Resolution order:
     * ``SPARK_GRAFT_SCRATCH`` env — explicit override (set it to a real
       NVMe path on a production host; an empty value disables the
-      default and falls back to Spark/tempfile defaults).
-    * ``/dev/shm`` when it exists with >= 8 GiB free — the local-mode
-      default.  A real cluster never reaches this: executors get their
-      local dirs from spark-submit/cluster conf (SPARK_LOCAL_DIRS
+      default and falls back to Spark/tempfile defaults).  The directory
+      is created if missing so callers can hand it straight to
+      ``tempfile.TemporaryDirectory(dir=...)``.
+    * ``/dev/shm`` when ``SPARK_GRAFT_LOCAL_SCRATCH`` is set (non-empty,
+      non-"0") and >= 8 GiB are free — OPT-IN, set by bench.py and the
+      test conftest.  Library consumers that just call ``get_spark()``
+      keep the stock disk default: the free-space check is point-in-time,
+      and a job whose shuffle/spill outgrows the remaining tmpfs fails
+      with ENOSPC (and spills into RAM pressure) where the disk default
+      would have succeeded, so tmpfs scratch must be a deliberate choice.
+      A real cluster never reaches this branch anyway: executors get
+      their local dirs from spark-submit/cluster conf (SPARK_LOCAL_DIRS
       outranks ``spark.local.dir``), and this helper only feeds
       sessions *we* build.
     * ``None`` — caller keeps the stock default.
     """
     if "SPARK_GRAFT_SCRATCH" in os.environ:
-        return os.environ["SPARK_GRAFT_SCRATCH"] or None
+        path = os.environ["SPARK_GRAFT_SCRATCH"] or None
+        if path:
+            os.makedirs(path, exist_ok=True)
+        return path
+    if os.environ.get("SPARK_GRAFT_LOCAL_SCRATCH", "") in ("", "0"):
+        return None
     cand = "/dev/shm"
     try:
         st = os.statvfs(cand)
