@@ -1238,6 +1238,33 @@ def test_statestore_compact_transform_spares_the_seed(spark, tmp_path):
     assert got == {"old_seed", "new_seed", "new_live"}  # live culled, seed intact
 
 
+def test_statestore_schema_cache_invalidated_by_widening_append(spark, tmp_path):
+    """The read fast path reuses the merged schema cached on first read
+    (round 14: the per-batch mergeSchema footer-merge job cost ~40% of
+    the stream_rfm re-score); a widening append must invalidate it so
+    the new column is visible, and pre-widening partitions must read as
+    nulls in the widened schema either way."""
+    from trend_o_meter_spark.streaming.statestore import PartialStateTable
+
+    st = PartialStateTable(str(tmp_path / "state"))
+    st.append(spark.createDataFrame([("a", 1)], "k string, v int"), 0)
+    assert {tuple(r) for r in st.read(spark).collect()} == {("a", 1)}
+    assert st._schema is not None  # cache populated by the first read
+    # same-schema append keeps the cache (fast path)
+    st.append(spark.createDataFrame([("b", 2)], "k string, v int"), 1)
+    assert st._schema is not None
+    got = {tuple(r) for r in st.read(spark).select("k", "v").collect()}
+    assert got == {("a", 1), ("b", 2)}
+    # widening append drops the cache; next read re-merges and sees the
+    # new column, with old partitions as nulls
+    st.append(
+        spark.createDataFrame([("c", 3, 30)], "k string, v int, n int"), 2
+    )
+    assert st._schema is None
+    rows = {(r["k"], r["v"], r["n"]) for r in st.read(spark).collect()}
+    assert rows == {("a", 1, None), ("b", 2, None), ("c", 3, 30)}
+
+
 def test_statestore_property_read_matches_model(spark, tmp_path):
     """Property test over the statestore's op algebra (the per-family
     hypothesis discipline, driven here by a deterministic op matrix for

@@ -78,6 +78,14 @@ class PartialStateTable:
 
     def __init__(self, path: str):
         self.path = str(path)
+        # Merged on-disk schema, cached after the first read: the
+        # per-batch ``mergeSchema`` footer-merge job cost ~0.6-1.0 s of
+        # every stream_rfm re-score (interleaved A/B, round 14) while the
+        # state schema is fixed within a run.  The cache is invalidated
+        # by any append that carries a column the cached schema lacks
+        # (the only way this table's own writes can widen it), so a
+        # resumed pipeline upgrade still merge-reads once.
+        self._schema = None
 
     # -- crash recovery ------------------------------------------------
 
@@ -125,6 +133,10 @@ class PartialStateTable:
         """Idempotently write one batch's partial rows (replay-safe:
         overwrites only this batch's own partition)."""
         self._recover()
+        if self._schema is not None:
+            have = {f.name for f in self._schema.fields}
+            if any(f.name not in have for f in df.schema.fields):
+                self._schema = None  # widening write: re-merge on next read
         (
             df.withColumn("__batch_id", F.lit(int(batch_id)))
             .write.mode("overwrite")
@@ -163,10 +175,19 @@ class PartialStateTable:
         batch cannot fold that partition into the base first.)"""
         self._recover()
         try:
-            # mergeSchema: a pipeline upgrade may add state columns; old
-            # partitions must read as nulls in the widened schema, not
-            # shadow the new column out of a first-file-wins schema pick
-            raw = spark.read.option("mergeSchema", "true").parquet(self.path)
+            if self._schema is None:
+                # mergeSchema: a pipeline upgrade may add state columns;
+                # old partitions must read as nulls in the widened
+                # schema, not shadow the new column out of a
+                # first-file-wins schema pick
+                raw = spark.read.option("mergeSchema", "true").parquet(self.path)
+                self._schema = raw.schema
+            else:
+                # fixed-schema fast path: the explicit (previously
+                # merged) schema reads files missing a column as nulls —
+                # the same semantics the merge produced — without the
+                # per-batch footer-merge job
+                raw = spark.read.schema(self._schema).parquet(self.path)
         except AnalysisException:
             return None
         wm = self._watermark()
