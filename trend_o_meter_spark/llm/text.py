@@ -1060,26 +1060,39 @@ def bm25_search(
     """BM25 top-k retrieval over the corpus for a constant query string
     (Lucene-style idf = ln(1 + (N - df + 0.5)/(df + 0.5))).
 
-    Scale: tokens are filtered to the query's terms BEFORE the explode
-    output shuffles (map-side isin), so the tf aggregation is keyed by
-    (doc, term) over matching tokens only; doc length comes from the
-    token array size (no second explode); N/avgdl is a 1-row aggregate
-    broadcast back.  Output: ``doc_id, score, rank``.
+    Scale: ONE tokenization pass over the corpus (round 14 — the prior
+    shape tokenized three times: once for tf, once re-deriving it for
+    document frequencies, once for avgdl).  The pass materializes a
+    per-doc frame ``(id, dl, query-term tokens)`` — O(n_docs) narrow
+    rows (the token array is filtered to the query's terms map-side,
+    BEFORE it ever leaves the scan) — and tf, document frequencies and
+    N/avgdl all derive from it; the 1-row stats aggregate broadcasts
+    back.  ``size``/``filter`` share the split via subexpression
+    elimination; ``avg(dl)`` over the same ``size`` expression is
+    bit-identical to the prior corpus-wide ``avg(size(tokens))``
+    (nulls skip in both).  Output: ``doc_id, score, rank``.
     """
     import re
 
     from pyspark.sql import Window
 
+    from .. import lineage
+
     qterms = sorted(set(re.sub(r"\s+", " ", query.lower().strip()).split(" ")))
     toks = _tokens(F.col(text))
-    base = df.select(F.col(id_col), toks.alias("__toks")).select(
-        F.col(id_col), F.size("__toks").alias("dl"), F.explode("__toks").alias("term")
-    ).filter(F.col("term").isin(qterms))
+    docs = lineage.cut(
+        df.select(
+            F.col(id_col),
+            F.size(toks).alias("dl"),
+            F.filter(toks, lambda t: t.isin(qterms)).alias("__qt"),
+        )
+    )
+    base = docs.select(F.col(id_col), "dl", F.explode("__qt").alias("term"))
     tf = base.groupBy(id_col, "term", "dl").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
-    stats = df.select(
+    stats = docs.select(
         F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.size(_tokens(F.col(text)))).alias("avgdl"),
+        F.avg("dl").alias("avgdl"),
     )
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5))
     term_score = idf * (F.col("tf") * (k1 + 1)) / (
