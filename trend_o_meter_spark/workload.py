@@ -1283,6 +1283,11 @@ LIMIT 10
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, "orders", sf_dir)
+    # NO spread() on li, by interleaved A/B (round 14, VERDICT item 7):
+    # unlike q1's filtered single-consumer scan, the probe side feeds a
+    # keyed join whose exchange already distributes it; the round-robin
+    # shuffle of the full-width rows is pure extra cost (nospread faster
+    # in 5/6 trials, medians 1.48 vs 2.01 s).
     li = table(spark, "lineitem", sf_dir)
     rev = F.sum(
         F.col("l_extendedprice").cast("decimal(18,2)")
@@ -1323,6 +1328,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, "nation", sf_dir)
     c = table(spark, "customer", sf_dir)
     o = table(spark, "orders", sf_dir).filter(F.col("o_orderdate") >= F.lit("1996-01-01"))
+    # NO spread() on li (round-14 interleaved A/B: nospread faster in
+    # 5/6 trials, medians 1.63 vs 1.90 s — the join exchange already
+    # distributes the probe side; same verdict as q3/q8/q18/q21)
     li = table(spark, "lineitem", sf_dir)
     rev = F.sum(
         F.col("l_extendedprice").cast("decimal(18,2)")
@@ -1963,6 +1971,8 @@ GROUP BY o_year
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, "part", sf_dir).filter(F.col("p_type") == "STANDARD")
+    # NO spread() on li (round-14 interleaved A/B: nospread faster in
+    # 6/6 trials, medians 1.80 vs 2.28 s — see q3/q5 for the rationale)
     li = table(spark, "lineitem", sf_dir)
     s = table(spark, "supplier", sf_dir)
     o = table(spark, "orders", sf_dir).filter(
