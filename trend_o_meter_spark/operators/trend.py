@@ -909,6 +909,17 @@ def _median_mad_profile(
         .groupBy(*kcols, F.abs(F.col("__v") - F.col("__med")).alias("__v"))
         .agg(F.sum("__c").cast("long").alias("__c"))
     )
+    # cut: the MAD selection's stats/cb/local branches would each
+    # re-derive the broadcast-join + reaggregation above (round 14,
+    # VERDICT item 8 A/B: cut faster in 7/8 quiet interleaved trials,
+    # mad_anomalies ~4.7 -> 4.3 s median).  Unlike the counts-table
+    # branches (pinned non-cut in quantiles.py — their duplication is
+    # map work over an already-materialized table), this subtree embeds
+    # a broadcast build per consumer.  ad_counts is counts-sized, the
+    # footprint class already materialized once.
+    from .. import lineage
+
+    ad_counts = lineage.cut(ad_counts)
     mad = exact_quantiles_from_counts(
         ad_counts, keys=keys, qs=[0.5], out="__mad"
     ).select(*kcols, "__mad")
