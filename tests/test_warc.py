@@ -117,6 +117,30 @@ def test_spark_operator_end_to_end(spark):
         assert flat == kept_expect
 
 
+def test_spark_operator_chunk_carryover_across_arrow_batches(spark):
+    """Round 14: warc_extract streams chunk-sorted rows through
+    mapInPandas, carrying at most one incomplete chunk across Arrow
+    batch boundaries.  Force tiny batches (smaller than a 16-doc chunk)
+    so every chunk is split across several batches, and pin the output
+    against the default-batch run."""
+    rows = [
+        (i, f"s{i % 2}", "en", " ".join(f"w{j}" for j in range(10 + i)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    )
+    expect = sorted(map(tuple, warc_extract(df).collect()))
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+        got = sorted(map(tuple, warc_extract(df).collect()))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert got == expect
+    assert len(got) == 40
+
+
 def test_fuzz_parser_never_raises():
     # Arbitrary mutations of a real archive (plain and gzip) and raw
     # noise must never raise — malformed records cost records, not tasks.

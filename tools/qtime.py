@@ -21,6 +21,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# measurement parity with bench.py: tmpfs scratch is opt-in since r14
+os.environ.setdefault("SPARK_GRAFT_LOCAL_SCRATCH", "1")
+
 from trend_o_meter_spark.session import get_spark
 from trend_o_meter_spark.workload import registry
 

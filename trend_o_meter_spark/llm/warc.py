@@ -254,10 +254,48 @@ def warc_extract(
         # a bare // or % there would diverge from Python on negative ids.
         F.floor(F.col("doc_id") / F.lit(CHUNK)).cast("long").alias("__chunk"),
     )
-    return chunked.groupBy("__chunk").applyInPandas(
-        run,
-        schema="doc_id long, http_status int, n_records int, "
-        "main_text string, n_kept int, n_dropped int",
+    # mapInPandas over chunk-partitioned, chunk-sorted rows instead of
+    # groupBy().applyInPandas (round 14, guide §4): the per-GROUP Arrow
+    # slice + pandas frame round-trip on ~16-row groups dominated the
+    # operator (interleaved A/B at sf0.1: 3.30 -> 0.71 s median, 5/5
+    # trials, output bit-identical).  The hash repartition keeps every
+    # chunk whole in one task (same exchange the groupBy paid); the
+    # local sort makes chunks arrive contiguously so the batch loop
+    # carries at most ONE incomplete chunk across Arrow batch
+    # boundaries — per-task memory stays O(batch + chunk), never
+    # O(partition), which is what keeps this safe at corpus scale.
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+    def run_stream(pdfs):
+        buf = None
+        for pdf in pdfs:
+            if buf is not None:
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+                buf = None
+            if len(pdf) == 0:
+                continue
+            last = pdf["__chunk"].iloc[-1]
+            last_mask = (
+                pdf["__chunk"].isna()
+                if pd.isna(last)
+                else (pdf["__chunk"] == last)
+            )
+            done = pdf[~last_mask]
+            buf = pdf[last_mask]
+            for _, g in done.groupby("__chunk", dropna=False):
+                yield run(g[["doc_id", "source", "text"]])
+        if buf is not None and len(buf):
+            for _, g in buf.groupby("__chunk", dropna=False):
+                yield run(g[["doc_id", "source", "text"]])
+
+    return (
+        chunked.repartition(n_parts, "__chunk")
+        .sortWithinPartitions("__chunk")
+        .mapInPandas(
+            run_stream,
+            schema="doc_id long, http_status int, n_records int, "
+            "main_text string, n_kept int, n_dropped int",
+        )
     )
 
 
