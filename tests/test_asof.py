@@ -128,6 +128,37 @@ def test_asof_nearest_semantics_and_tie_prefers_backward(spark):
     assert got_t[1] is None
 
 
+def test_asof_duplicate_right_ts_picks_greatest_tiebreak(spark):
+    """Round 14: the ordered-window form must replicate the argmax's
+    deterministic duplicate handling — among right rows sharing the
+    match timestamp, greatest tiebreak wins, in every direction."""
+    left = spark.createDataFrame(
+        [(1, T0 + dt.timedelta(hours=5), 100)], "eid long, ts timestamp, k long"
+    )
+    right = spark.createDataFrame(
+        [
+            (20, T0 + dt.timedelta(hours=4), 100, 1.0),
+            (21, T0 + dt.timedelta(hours=4), 100, 2.0),  # same rts, bigger rid
+            (30, T0 + dt.timedelta(hours=6), 100, 3.0),
+            (31, T0 + dt.timedelta(hours=6), 100, 4.0),
+        ],
+        "rid long, rts timestamp, rk long, payload double",
+    )
+    for direction, want in [("backward", 21), ("forward", 31), ("nearest", 21)]:
+        out = asof_join(
+            left, right, left_on="ts", right_on="rts", by_left="k", by_right="rk",
+            right_cols=("rid", "payload"), tiebreak="rid", direction=direction,
+        )
+        assert out.collect()[0]["rid"] == want, direction
+    # nearest + tolerance dispatches to the bounded argmax path — same pick
+    out = asof_join(
+        left, right, left_on="ts", right_on="rts", by_left="k", by_right="rk",
+        right_cols=("rid", "payload"), tiebreak="rid", direction="nearest",
+        tolerance=2 * 3600.0,
+    )
+    assert out.collect()[0]["rid"] == 21
+
+
 def test_asof_pandas_matches_declarative_all_directions(spark):
     left, right = _dfs(spark)
     for direction, tol in [("forward", None), ("nearest", None),

@@ -59,19 +59,151 @@ def asof_join(
     per-key rights (prefer a tolerance there).
 
     Cardinality contract: left rows must be UNIQUE (some column set —
-    typically an id — distinguishes every row).  The argmax groups by all
-    left columns, so exact duplicate left rows collapse into one output
-    row, whereas :func:`asof_join_pandas` (merge_asof) preserves each
-    left row.  The two paths agree only under unique-left input; the
-    equivalence tests and the registry query (unique event_id) hold it.
+    typically an id — distinguishes every row).  The oracle twin
+    (:func:`asof_join_sql`) groups by all left columns, so exact
+    duplicate left rows collapse into one output row there; this
+    implementation (like :func:`asof_join_pandas`) preserves each left
+    row.  The paths agree only under unique-left input; the equivalence
+    tests and the registry queries (unique event_id) hold it.
+
+    Implementation (round 14, guide §2.4/§3.3): union both sides into
+    one per-key ordered stream and pick the match with a running
+    ``last(right-struct, ignorenulls)`` window — one exchange + sort,
+    O(n log n) per key.  The previous range-join + struct-argmax form
+    materialized every (left row x qualifying right row) pair before
+    aggregating them back down: quadratic per key for unbounded
+    directions, and measurably slower at sf0.1 (interleaved A/B:
+    backward 1.54 -> 1.03 s median, 5/5 trials; forward a wash locally
+    but linear instead of quadratic per key at scale).  Pick semantics
+    are the argmax's, replicated in the sort order: match-ts preference
+    first, then ``tiebreak`` (greatest wins), then the right payload
+    columns lexicographically (greatest wins) — so results are
+    identical, including deterministic duplicate handling (verified by
+    full-collect comparison on all three registry queries, 100k rows
+    each, plus the oracle hash).  ``tolerance`` is applied to the
+    picked row after the fact, which is equivalent because the pick is
+    monotone in match distance: if the best match violates the bound,
+    every other candidate does too.  EXCEPTION: ``nearest`` WITH a
+    tolerance keeps the bounded range-join argmax — there the tolerance
+    already caps the per-side candidate set, and the window form's two
+    ordered passes measured slower (1.12 vs 1.59 s median, old faster
+    in 4/5 interleaved trials).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
+    if direction == "nearest" and tolerance is not None:
+        return _asof_join_argmax(
+            left, right, left_on=left_on, right_on=right_on,
+            by_left=by_left, by_right=by_right, right_cols=right_cols,
+            tiebreak=tiebreak, direction=direction, tolerance=tolerance,
+        )
+    from pyspark.sql import Window
+
     lcols = left.columns
     ldt = dict(left.dtypes)[left_on]
     rdt = dict(right.dtypes)[right_on]
     # the tiebreak column must survive the right-side projection even
     # when the caller does not want it as an output column
+    proj = list(right_cols) + (
+        [tiebreak] if tiebreak and tiebreak not in right_cols else []
+    )
+    tb_field = tiebreak if tiebreak else None
+    r = right.select(
+        F.col(by_right).alias("__k"),
+        _time_ord(F.col(right_on), rdt).alias("__ord"),
+        F.lit(0).alias("__m"),
+        F.struct(
+            _time_ord(F.col(right_on), rdt).alias("__ro"),
+            *[F.col(c).alias(f"__v_{c}") for c in proj],
+        ).alias("__rs"),
+    ).filter(F.col("__k").isNotNull())
+    l = left.select(
+        *lcols,
+        F.col(by_left).alias("__k"),
+        _time_ord(F.col(left_on), ldt).alias("__ord"),
+        F.lit(1).alias("__m"),
+    )
+    ev = l.unionByName(r, allowMissingColumns=True)
+    tol = None
+    if tolerance is not None:
+        tol = (
+            F.lit(float(tolerance) * 1e6)
+            if ldt.startswith("timestamp")
+            else F.lit(tolerance)
+        )
+    # sort order among right rows replicates the argmax struct
+    # (t, b, *right_cols): ascending here + "last row wins" = greatest
+    tb_ord = (
+        [F.col(f"__rs.__v_{tb_field}").asc()] if tb_field else []
+    )
+    payload_ord = [F.col(f"__rs.__v_{c}").asc() for c in right_cols]
+
+    def running_pick(ord_col) -> "F.Column":
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(ord_col, F.col("__m").asc(), *tb_ord, *payload_ord)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return F.last("__rs", ignorenulls=True).over(w)
+
+    lo = F.col("__ord")
+
+    def within(pick, bound) -> "F.Column":
+        return pick.isNotNull() & (F.lit(True) if tol is None else bound)
+
+    if direction == "backward":
+        pick = running_pick(F.col("__ord").asc())
+        valid = within(pick, (lo - pick["__ro"]) <= tol)
+    elif direction == "forward":
+        pick = running_pick(F.col("__ord").desc())
+        valid = within(pick, (pick["__ro"] - lo) <= tol)
+    else:  # nearest: both one-sided picks, then the argmax's combine —
+        # smaller |distance| wins, ties prefer the at-or-before side
+        pb = running_pick(F.col("__ord").asc())
+        pf = running_pick(F.col("__ord").desc())
+        db = lo - pb["__ro"]
+        df_ = pf["__ro"] - lo
+        vb = within(pb, db <= tol)
+        vf = within(pf, df_ <= tol)
+        choose_b = vb & (~F.coalesce(vf, F.lit(False)) | (db <= df_))
+        pick = F.when(choose_b, pb).when(vf, pf)
+        valid = F.coalesce(choose_b | vf, F.lit(False))
+    out = (
+        ev.withColumn("__pick", pick)
+        .withColumn("__ok", valid)
+        .filter(F.col("__m") == 1)
+        .select(*lcols, "__pick", "__ok")
+    )
+    for c in right_cols:
+        out = out.withColumn(
+            c, F.when(F.col("__ok"), F.col(f"__pick.__v_{c}"))
+        )
+    return out.drop("__pick", "__ok")
+
+
+def _asof_join_argmax(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str,
+    right_on: str,
+    by_left: str,
+    by_right: str,
+    right_cols: Sequence[str],
+    tiebreak: str | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
+) -> DataFrame:
+    """Range-join + struct-argmax form (the oracle twin's construction).
+
+    Kept for ``nearest`` with a tolerance, where the range predicate
+    bounds the per-side candidate set and this shape beats the ordered
+    window (round-14 A/B in :func:`asof_join`).  Collapses exact
+    duplicate left rows (the groupBy is over all left columns) — same
+    unique-left contract."""
+    lcols = left.columns
+    ldt = dict(left.dtypes)[left_on]
+    rdt = dict(right.dtypes)[right_on]
     proj = list(right_cols) + (
         [tiebreak] if tiebreak and tiebreak not in right_cols else []
     )
