@@ -10,11 +10,17 @@ iterating:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 import traceback
 
 sys.path.insert(0, "/root/repo")
+
+# tmpfs scratch opt-in (round 14): correctness runs shuffle the same
+# bytes the bench does; on the sandbox's throttled disk a stock run is
+# I/O-bound, not engine-bound
+os.environ.setdefault("SPARK_GRAFT_LOCAL_SCRATCH", "1")
 
 import duckdb
 

@@ -102,6 +102,11 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     shuffle it does add on small inputs is bounded by the input size).
     """
     want = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # df.rdd forces a plan->RDD conversion (Catalyst planning for this
+    # frame runs here, once per spread() call) just to read the
+    # partition count.  Cheap at call time and the resulting RDD is
+    # discarded — the returned frame plans independently — but callers
+    # in tight loops should hoist the spread() out of the loop.
     if df.rdd.getNumPartitions() >= want:
         return df
     return df.repartition(want)

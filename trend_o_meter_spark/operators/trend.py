@@ -904,6 +904,11 @@ def _median_mad_profile(
     med = exact_quantiles_from_counts(counts, keys=keys, qs=[0.5], out="__med").select(
         *kcols, "__med"
     )
+    # F.broadcast(med) bound: `med` is one row per KEY GROUP (metric
+    # keys — few and fat by construction, see mad_anomalies' docstring),
+    # so the broadcast is O(distinct keys) rows, not O(values).  A
+    # caller keying this profile on a high-cardinality column (millions
+    # of groups) should drop the hint and let the keyed join plan.
     ad_counts = (
         counts.join(F.broadcast(med), kcols)
         .groupBy(*kcols, F.abs(F.col("__v") - F.col("__med")).alias("__v"))
