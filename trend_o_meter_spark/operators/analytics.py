@@ -344,7 +344,9 @@ def rfm_segments(
     return rfm_from_per_user(per_user)
 
 
-def rfm_from_per_user(per_user: DataFrame) -> DataFrame:
+def rfm_from_per_user(
+    per_user: DataFrame, *, cut_frames: bool = True
+) -> DataFrame:
     """Shared batch tail: per-user purchase aggregates ``(__u, __r_s
     max-last-purchase-epoch LONG, __n purchase-count LONG, __md
     exact-decimal monetary DECIMAL(28,8))`` -> the RFM report.  The
@@ -353,7 +355,16 @@ def rfm_from_per_user(per_user: DataFrame) -> DataFrame:
     DECIMAL(38,8) sum type, which re-summing preserves) — so they are
     the live twin's state (``streaming.pipeline.stream_rfm``); the
     double conversions happen HERE, once, identically for both
-    paths."""
+    paths.
+
+    ``cut_frames=False`` (the live twin's per-micro-batch setting)
+    skips the per_user/counts checkpoints: the input is a small
+    already-materialized state frame there, re-derivation per consumer
+    is cheap, and per-batch checkpoints leave RDD blocks pinned until a
+    JVM GC — measured ~1.7x the whole 20-batch re-score (round-14
+    order experiment).  Batch callers keep the default: one-shot runs
+    with a corpus-derived per_user want the multi-consumer
+    materialization.  Values identical either way."""
     from .quantiles import exact_quantiles
 
     per_user = per_user.select(
@@ -363,7 +374,8 @@ def rfm_from_per_user(per_user: DataFrame) -> DataFrame:
         F.col("__md").cast("double").alias("__m"),
     )
     # per_user feeds both the breakpoint derivation and the scoring pass
-    per_user = cut(per_user)
+    if cut_frames:
+        per_user = cut(per_user)
     qs = [0.2, 0.4, 0.6, 0.8]
     melt = per_user.select(
         F.explode(
@@ -377,7 +389,9 @@ def rfm_from_per_user(per_user: DataFrame) -> DataFrame:
             )
         ).alias("__e")
     ).select("__e.__dim", "__e.__v")
-    bq = exact_quantiles(melt, value="__v", keys=("__dim",), qs=qs)
+    bq = exact_quantiles(
+        melt, value="__v", keys=("__dim",), qs=qs, cut_counts=cut_frames
+    )
     breaks = bq.groupBy().agg(
         *[
             F.max(

@@ -66,6 +66,7 @@ def exact_quantiles(
     qs: Sequence[float],
     buckets: int = 8192,
     out: str = "quantile",
+    cut_counts: bool = True,
 ) -> DataFrame:
     """Per-key interpolated quantiles, exact-rank construction.
 
@@ -78,18 +79,27 @@ def exact_quantiles(
     """
     if not keys:
         raise ValueError("exact_quantiles requires at least one key column")
-    counts = exact_value_counts(df, value=value, keys=keys)
+    counts = exact_value_counts(df, value=value, keys=keys, cut=cut_counts)
     return exact_quantiles_from_counts(
         counts, keys=keys, qs=qs, buckets=buckets, out=out
     )
 
 
-def exact_value_counts(df: DataFrame, *, value: str, keys: Sequence[str]) -> DataFrame:
+def exact_value_counts(
+    df: DataFrame, *, value: str, keys: Sequence[str], cut: bool = True
+) -> DataFrame:
     """The per-(key, value) counts table the quantile machinery runs on:
     ``*keys, __v, __c`` with NULL values excluded — the ONLY pass over
     the source rows.  Lineage-cut so multi-consumer callers (the
     med->MAD composition in :mod:`.trend`) derive follow-up counts from
-    the materialized table instead of rescanning the corpus."""
+    the materialized table instead of rescanning the corpus.
+
+    ``cut=False`` skips the checkpoint: per-MICRO-BATCH callers
+    (stream_rfm's re-score) run this over a tiny already-materialized
+    state frame, and each batch's checkpoint leaves RDD blocks pinned
+    until a JVM GC notices — in a 20-batch replay that debt measured
+    ~1.7x the whole re-score (round-14 order experiment).  Values are
+    identical either way."""
     kcols = list(keys)
     vals = df.select(*kcols, F.col(value).alias("__v")).filter(
         F.col("__v").isNotNull()
@@ -100,9 +110,12 @@ def exact_value_counts(df: DataFrame, *, value: str, keys: Sequence[str]) -> Dat
     # scans of the same table.  Materialize once (lazily, on first
     # action) per the triangle_counts / exact_substr discipline;
     # lineage.cut so the plan audit can still see the true lineage.
-    return cut(
-        vals.groupBy(*kcols, "__v").agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    counts = vals.groupBy(*kcols, "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
     )
+    from .. import lineage  # late import: honor SPARK_GRAFT_NO_CHECKPOINT
+
+    return lineage.cut(counts) if cut else counts
 
 
 def exact_quantiles_from_counts(

@@ -2155,7 +2155,11 @@ def stream_rfm(
         state = st.read(spark)
         if state is None:
             return
-        on_result(batch_id, rfm_from_per_user(merge(state)))
+        # cut_frames=False: the per-batch re-score runs over a small
+        # materialized state frame; per-batch localCheckpoints leave RDD
+        # blocks pinned until a JVM GC and measured ~1.7x the whole
+        # re-score over a 20-batch replay (round 14; values identical)
+        on_result(batch_id, rfm_from_per_user(merge(state), cut_frames=False))
 
     return per_batch
 
